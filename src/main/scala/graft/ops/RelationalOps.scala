@@ -1,0 +1,455 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.cdc.InvoiceCdc
+
+/** SURVEY.md §2 relational operator inventory, one declared query per
+  * capability. Every query is a pure DataFrame plan (Catalyst handles
+  * pushdown / pruning / join selection), ends in an ORDER BY over a key
+  * that makes the output sequence deterministic, and keeps floating-point
+  * out of the output (money as cents, ratios scaled to integers) so the
+  * DuckDB oracle hash-compares exactly.
+  *
+  * Determinism conventions (FIXTURES.md §D):
+  *  - arrays built with sort_array(collect_list(...)), serialized to_json;
+  *  - `events.ts` is ns-precision in the files — never emitted raw
+  *    (Spark truncates to micros, DuckDB keeps ns); emitted as epoch ms.
+  */
+object RelationalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- P* ----
+
+  /** P1 — column projection + rename (reference vw_Invoicedetails.sql:6-17). */
+  val projectView: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("invoice_id"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"))
+      .orderBy("invoice_id")
+
+  /** P2 — computed column: LineTotal = Qty * UnitPrice persisted
+    * (reference setup-invoice-db.sql:51); carried as cents. */
+  val computedColumn: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_quantity") * col("l_extendedprice") * 100).cast("long")
+        .as("line_total_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3 — version-range predicate (storedprocedure.sql:18,26). */
+  val filterVersionRange: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") > 100 && col("event_id") <= 500)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  /** P4 — composite resume cursor (server.js:165-168): strictly after the
+    * (version, id) lexicographic cursor. */
+  val filterResumeCursor: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id") > 7 ||
+        (col("user_id") === 7 && col("event_id") > 500))
+      .select("event_id", "user_id")
+      .orderBy("event_id")
+
+  /** P6 — suffix match (server.js:373 `.endsWith('.bson')`). */
+  val filterSuffix: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("source").endsWith("1"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- J* ----
+
+  /** J1 — equi inner join changefeed→detail: a feed row carries only the
+    * entity key; the join recovers the entity's attributes
+    * (storedprocedure.sql:24-25). The dimension side is small → broadcast. */
+  val joinLineFeed: Q = (s, d) => {
+    val feed = Tables.events(s, d).select(
+      col("event_id").as("change_version"), col("user_id"))
+    val dim = Tables.customer(s, d)
+    feed.join(broadcast(dim), feed("user_id") === dim("c_custkey"), "inner")
+      .select(col("change_version"), col("c_custkey").as("entity_id"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("change_version")
+  }
+
+  /** J2 — rehydration join: collapsed feed → current header state
+    * (storedprocedure.sql:55). */
+  val joinHeaderRehydrate: Q = (s, d) => {
+    val changed = InvoiceCdc.changedInvoices(s, d, 0L, Long.MaxValue)
+    val hdr = Tables.orders(s, d)
+    changed.join(hdr, changed("invoice_id") === hdr("o_orderkey"), "inner")
+      .select(col("invoice_id"), col("change_version"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .orderBy("invoice_id")
+  }
+
+  /** J3 — BI view flatten: header ⋈ lines (vw_Invoicedetails.sql:18-19). */
+  val joinViewFlat: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "inner")
+      .select(
+        col("l_orderkey").as("invoice_id"), col("l_linenumber").as("line_no"),
+        col("o_custkey").as("customer_key"),
+        col("o_orderdate").as("invoice_date"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .orderBy("invoice_id", "line_no")
+  }
+
+  /** J4 — semi join: headers with any recently-shipped line
+    * (`IN` subquery, Readme.md:190). */
+  val joinSemiChanged: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val changed = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(changed, Seq("o_orderkey"), "left_semi")
+      .select(col("o_orderkey").as("invoice_id"), col("o_orderstatus").as("status"))
+      .orderBy("invoice_id")
+  }
+
+  /** J5/A3 — correlated lines subquery decorrelated to group+collect
+    * (storedprocedure.sql:42-52, FOR JSON PATH). */
+  val joinNestLines: Q = (s, d) =>
+    InvoiceCdc.nestedLines(Tables.lineitem(s, d))
+      .orderBy("invoice_id")
+
+  /** J6 — cross join row generator (insert-invoices.sql:23-25). */
+  val joinCrossGen: Q = (s, d) => {
+    val r = Tables.region(s, d).select(col("r_regionkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"))
+    r.crossJoin(n).orderBy("r_regionkey", "n_nationkey")
+  }
+
+  // ---------------------------------------------------------------- A* ----
+
+  /** A1 — latest version per entity (storedprocedure.sql:28-34). */
+  val aggMaxVersion: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("change_version"))
+      .orderBy("user_id")
+
+  /** A2 — DISTINCT changed ids (Readme.md:144-168). */
+  val aggDistinctIds: Q = (s, d) =>
+    Tables.events(s, d).select(col("user_id")).distinct().orderBy("user_id")
+
+  /** A3 — nested collect: ordered array per group (FOR JSON PATH). */
+  val aggCollectLines: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(to_json(sort_array(collect_list(col("event_id")))).as("event_ids"))
+      .orderBy("user_id")
+
+  /** A4/S3 — scalar current version (CHANGE_TRACKING_CURRENT_VERSION). */
+  val cdcCurrentVersion: Q = (s, d) =>
+    Tables.events(s, d).agg(max(col("event_id")).as("current_version"))
+
+  /** A5 — count / rate metrics (server.js:147,207-228). */
+  val aggCounts: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100).cast("long").as("value_cents"))
+      .orderBy("event_type")
+
+  /** A6 — sampled average over the first 10 by key (server.js:211-219). */
+  val aggSampledAvg: Q = (s, d) =>
+    Tables.documents(s, d)
+      .orderBy("doc_id").limit(10)
+      .agg(round(avg(col("n_chars")) * 10000).cast("long").as("avg_chars_e4"))
+
+  // ---------------------------------------------------------------- W* ----
+
+  /** W1 — ROW_NUMBER ranking (insert-invoices.sql:21-22); top-100 per
+    * partition keeps output bounded at any scale factor. */
+  val windowRowNumber: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 100)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  // ---------------------------------------------------------------- O* ----
+
+  /** O1 — top-K oldest-first page (TOP(@Limit) ORDER BY ChangeVersion,
+    * storedprocedure.sql:35,56). Plans as TakeOrderedAndProject. */
+  val topkByVersion: Q = (s, d) =>
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id").limit(100)
+
+  /** O3 — sort descending (server.js:382 newest-first listing). */
+  val sortDesc: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+
+  // ---------------------------------------------------------------- U* ----
+
+  /** U1 — UNION ALL of the two changefeeds (storedprocedure.sql:14-27). */
+  val unionAllFeeds: Q = (s, d) =>
+    InvoiceCdc.headerFeed(s, d).unionByName(InvoiceCdc.lineFeed(s, d))
+      .orderBy("change_version", "invoice_id")
+
+  /** U2 — UNION (distinct) (Readme.md:148,165). */
+  val unionDistinctFeeds: Q = (s, d) =>
+    InvoiceCdc.headerFeed(s, d).unionByName(InvoiceCdc.lineFeed(s, d))
+      .distinct()
+      .orderBy("change_version", "invoice_id")
+
+  // ---------------------------------------------------------------- F* ----
+
+  /** F1-F3 — CONCAT + zero-pad + CAST (insert-invoices.sql:34-35). */
+  val fnStringBuild: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      concat(lit("INV-"),
+        lpad((col("o_orderkey") + 300000).cast("string"), 9, "0"))
+        .as("invoice_number"))
+      .orderBy("o_orderkey")
+
+  /** F4 — DATEADD(DAY, n % 365, '2026-01-01') (insert-invoices.sql:36). */
+  val fnDateAdd: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_add(lit("2026-01-01").cast("date"),
+        (col("o_orderkey") % 365).cast("int")).as("invoice_date"))
+      .orderBy("o_orderkey")
+
+  /** F5 — DATEDIFF(MS, t0, t1) (insert-invoices.sql:43). */
+  val fnDateDiff: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      (unix_millis(col("ts")) -
+        unix_millis(lit("2024-01-01 00:00:00").cast("timestamp")))
+        .as("elapsed_ms"))
+      .orderBy("event_id")
+
+  /** F9 — JSON serialize (FOR JSON PATH, storedprocedure.sql:51). */
+  val fnToJson: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      to_json(struct(col("event_id").as("id"), col("event_type").as("type")))
+        .as("doc"))
+      .orderBy("event_id")
+
+  /** F10 — JSON parse (JSON.parse(r.Lines), server.js:161). */
+  val fnFromJson: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** F11 — timestamp → filename fragment (server.js:64). */
+  val fnTsFormat: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyyMMdd_HHmmss").as("ts_key"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------- S8 ----
+
+  /** S8/F6 — synthetic invoice generator (insert-invoices.sql:20-66).
+    * The reference uses ABS(CHECKSUM(NEWID())) % k for qty/price; we use a
+    * deterministic multiplicative hash so the generator is reproducible
+    * AND oracle-checkable (SURVEY §5: seeded, property-tested). Runs on
+    * spark.range → parallel, no data read, scales linearly. */
+  val genSynthetic: Q = (s, _) => {
+    val n = 25000L
+    s.range(1, n + 1).toDF("id").select(
+      col("id"),
+      concat(lit("INV-"), lpad((col("id") + 300000).cast("string"), 9, "0"))
+        .as("invoice_number"),
+      concat(lit("CUST-"), lpad((col("id") % 100 + 1).cast("string"), 6, "0"))
+        .as("customer_code"),
+      date_add(lit("2026-01-01").cast("date"), (col("id") % 365).cast("int"))
+        .as("invoice_date"),
+      ((col("id") * 48271L) % 10 + 1).as("qty"),
+      ((col("id") * 16807L) % 50000 + 5000).as("unit_price_cents"))
+      .withColumn("line_total_cents", col("qty") * col("unit_price_cents"))
+      .orderBy("id")
+  }
+
+  // ------------------------------------------------------------ registry --
+
+  val queries: Map[String, Q] = Map(
+    "project_view" -> projectView,
+    "computed_column" -> computedColumn,
+    "filter_version_range" -> filterVersionRange,
+    "filter_resume_cursor" -> filterResumeCursor,
+    "filter_suffix" -> filterSuffix,
+    "join_line_feed" -> joinLineFeed,
+    "join_header_rehydrate" -> joinHeaderRehydrate,
+    "join_view_flat" -> joinViewFlat,
+    "join_semi_changed" -> joinSemiChanged,
+    "join_nest_lines" -> joinNestLines,
+    "join_cross_gen" -> joinCrossGen,
+    "agg_max_version" -> aggMaxVersion,
+    "agg_distinct_ids" -> aggDistinctIds,
+    "agg_collect_lines" -> aggCollectLines,
+    "cdc_current_version" -> cdcCurrentVersion,
+    "agg_counts" -> aggCounts,
+    "agg_sampled_avg" -> aggSampledAvg,
+    "window_row_number" -> windowRowNumber,
+    "topk_by_version" -> topkByVersion,
+    "sort_desc" -> sortDesc,
+    "union_all_feeds" -> unionAllFeeds,
+    "union_distinct_feeds" -> unionDistinctFeeds,
+    "fn_string_build" -> fnStringBuild,
+    "fn_date_add" -> fnDateAdd,
+    "fn_date_diff" -> fnDateDiff,
+    "fn_to_json" -> fnToJson,
+    "fn_from_json" -> fnFromJson,
+    "fn_ts_format" -> fnTsFormat,
+    "gen_synthetic" -> genSynthetic
+  )
+
+  /** DuckDB twins. Same column names + same ORDER BY as the Spark side. */
+  val oracleSql: Map[String, String] = Map(
+    "project_view" ->
+      """SELECT o_orderkey AS invoice_id, o_orderstatus AS status,
+        | o_orderpriority AS priority FROM orders ORDER BY invoice_id""".stripMargin,
+    "computed_column" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(l_quantity * l_extendedprice * 100, 0) AS BIGINT) AS line_total_cents
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_version_range" ->
+      """SELECT event_id, user_id, event_type FROM events
+        | WHERE event_id > 100 AND event_id <= 500 ORDER BY event_id""".stripMargin,
+    "filter_resume_cursor" ->
+      """SELECT event_id, user_id FROM events
+        | WHERE user_id > 7 OR (user_id = 7 AND event_id > 500)
+        | ORDER BY event_id""".stripMargin,
+    "filter_suffix" ->
+      """SELECT doc_id, source FROM documents
+        | WHERE source LIKE '%1' ORDER BY doc_id""".stripMargin,
+    "join_line_feed" ->
+      """SELECT e.event_id AS change_version, c.c_custkey AS entity_id,
+        | c.c_mktsegment AS segment
+        | FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        | ORDER BY change_version""".stripMargin,
+    "join_header_rehydrate" ->
+      """WITH feeds AS (
+        |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version FROM orders
+        |   UNION ALL
+        |   SELECT l_orderkey, l_orderkey * 2 + 1 FROM lineitem),
+        | agg AS (
+        |   SELECT invoice_id, max(change_version) AS change_version
+        |   FROM feeds GROUP BY invoice_id)
+        | SELECT a.invoice_id, a.change_version,
+        |   CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents
+        | FROM agg a JOIN orders o ON o.o_orderkey = a.invoice_id
+        | ORDER BY invoice_id""".stripMargin,
+    "join_view_flat" ->
+      """SELECT l_orderkey AS invoice_id, l_linenumber AS line_no,
+        | o_custkey AS customer_key, o_orderdate AS invoice_date,
+        | CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        | CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | ORDER BY invoice_id, line_no""".stripMargin,
+    "join_semi_changed" ->
+      """SELECT o_orderkey AS invoice_id, o_orderstatus AS status FROM orders
+        | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                      WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+        | ORDER BY invoice_id""".stripMargin,
+    "join_nest_lines" ->
+      """SELECT l_orderkey AS invoice_id,
+        | to_json(list(struct_pack(
+        |   line_no := CAST(l_linenumber AS BIGINT), part_key := l_partkey,
+        |   qty := CAST(round(l_quantity, 0) AS BIGINT),
+        |   price_cents := CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |   ORDER BY l_linenumber, l_partkey,
+        |     CAST(round(l_quantity, 0) AS BIGINT),
+        |     CAST(round(l_extendedprice * 100, 0) AS BIGINT))) AS lines
+        | FROM lineitem GROUP BY l_orderkey ORDER BY invoice_id""".stripMargin,
+    "join_cross_gen" ->
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+        | ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "agg_max_version" ->
+      """SELECT user_id, max(event_id) AS change_version FROM events
+        | GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_distinct_ids" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "agg_collect_lines" ->
+      """SELECT user_id,
+        | to_json(list(event_id ORDER BY event_id)) AS event_ids
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cdc_current_version" ->
+      "SELECT max(event_id) AS current_version FROM events",
+    "agg_counts" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_cents
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_sampled_avg" ->
+      """SELECT CAST(round(avg(n_chars) * 10000, 0) AS BIGINT) AS avg_chars_e4
+        | FROM (SELECT n_chars FROM documents ORDER BY doc_id LIMIT 10)""".stripMargin,
+    "window_row_number" ->
+      """SELECT * FROM (
+        |   SELECT l_returnflag, l_orderkey, l_linenumber,
+        |     row_number() OVER (PARTITION BY l_returnflag
+        |                        ORDER BY l_orderkey, l_linenumber) AS rn
+        |   FROM lineitem)
+        | WHERE rn <= 100 ORDER BY l_returnflag, rn""".stripMargin,
+    "topk_by_version" ->
+      """SELECT event_id, user_id, event_type FROM events
+        | ORDER BY event_id LIMIT 100""".stripMargin,
+    "sort_desc" ->
+      """SELECT doc_id, n_chars FROM documents
+        | ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin,
+    "union_all_feeds" ->
+      """SELECT * FROM (
+        |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version FROM orders
+        |   UNION ALL
+        |   SELECT l_orderkey, l_orderkey * 2 + 1 FROM lineitem)
+        | ORDER BY change_version, invoice_id""".stripMargin,
+    "union_distinct_feeds" ->
+      """SELECT DISTINCT * FROM (
+        |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version FROM orders
+        |   UNION ALL
+        |   SELECT l_orderkey, l_orderkey * 2 + 1 FROM lineitem)
+        | ORDER BY change_version, invoice_id""".stripMargin,
+    "fn_string_build" ->
+      """SELECT o_orderkey,
+        | 'INV-' || lpad(CAST(o_orderkey + 300000 AS VARCHAR), 9, '0') AS invoice_number
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_date_add" ->
+      """SELECT o_orderkey,
+        | DATE '2026-01-01' + CAST(o_orderkey % 365 AS INT) AS invoice_date
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_date_diff" ->
+      """SELECT event_id, epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01') AS elapsed_ms
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_to_json" ->
+      """SELECT event_id,
+        | to_json(struct_pack(id := event_id, type := event_type)) AS doc
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_from_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_ts_format" ->
+      """SELECT event_id, strftime(ts, '%Y%m%d_%H%M%S') AS ts_key
+        | FROM events ORDER BY event_id""".stripMargin,
+    "gen_synthetic" ->
+      """SELECT id,
+        | 'INV-' || lpad(CAST(id + 300000 AS VARCHAR), 9, '0') AS invoice_number,
+        | 'CUST-' || lpad(CAST(id % 100 + 1 AS VARCHAR), 6, '0') AS customer_code,
+        | DATE '2026-01-01' + CAST(id % 365 AS INT) AS invoice_date,
+        | (id * 48271) % 10 + 1 AS qty,
+        | (id * 16807) % 50000 + 5000 AS unit_price_cents,
+        | ((id * 48271) % 10 + 1) * ((id * 16807) % 50000 + 5000) AS line_total_cents
+        | FROM range(1, 25001) t(id) ORDER BY id""".stripMargin
+  )
+}
