@@ -1,0 +1,91 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One delivered page plus the metadata the reference returns in its
+  * HTTP response (fromVersion/toVersion/count/hasMore, server.js:276-299). */
+case class Page(data: DataFrame,
+                fromVersion: Long, toVersion: Long,
+                rawCount: Long, count: Long, hasMore: Boolean,
+                lastVersion: Long, lastId: Long)
+
+/** The batch-incremental exactly-once poll protocol — the heart of the
+  * reference (invoice-api/server.js:83-299 + consumer.js:6-49), re-expressed
+  * over Spark:
+  *
+  *  1. read consumer cursor (auto-create at version 0);
+  *  2. deliberate overlap: re-read from `lastSyncVersion - 1`
+  *     (server.js:134) so a crash between sink-write and offset-commit
+  *     can never skip rows — at-least-once read;
+  *  3. composite resume cursor `(v > last) OR (v = last AND id > lastId)`
+  *     (server.js:165-168) dedups the overlap — idempotent delivery;
+  *  4. sink the page; commit the cursor to the last delivered (version, id)
+  *     ONLY if the sink succeeded (server.js:231-249) — exactly-once
+  *     end-to-end effect;
+  *  5. `hasMore` = raw page hit the limit (server.js:282) → caller loops
+  *     immediately (consumer.js:34-37).
+  *
+  * The page stays a DataFrame end-to-end: the sink write is distributed,
+  * and only the single last-row cursor and the page counts reach the
+  * driver. The page is bounded by `limit`, so per-poll joins against it
+  * broadcast and the work per poll is O(limit), independent of table size.
+  */
+class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
+
+  /** Read one page for `syncName` without committing (steps 1-3 + hasMore). */
+  def poll(syncName: String, limit: Int): Page = {
+    val st = store.get(syncName)
+    val overlapSince = if (st.lastSyncVersion > 0) st.lastSyncVersion - 1 else 0L
+    val to = InvoiceCdc.currentVersion(spark, dir)
+    val raw = InvoiceCdc.pageQuery(spark, dir, overlapSince, to, limit).cache()
+    val rawCount = raw.count()
+    val delivered = raw
+      .filter(InvoiceCdc.resumeCursor(st.lastSyncVersion, st.lastProcessedId))
+      .cache()
+    val count = delivered.count()
+    val last = delivered
+      .orderBy(col("change_version").desc, col("invoice_id").desc)
+      .select(col("change_version"), col("invoice_id"))
+      .limit(1).collect().headOption
+    val (lastV, lastId) = last
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .getOrElse((st.lastSyncVersion, st.lastProcessedId))
+    raw.unpersist()
+    Page(delivered, st.lastSyncVersion, to, rawCount, count,
+      rawCount == limit, lastV, lastId)
+  }
+
+  /** Poll → sink → commit-on-success (step 4). The cursor advances only if
+    * `sink` did not throw and delivered > 0 rows (mirrors the `saved > 0`
+    * gating, server.js:231-234); a sink failure leaves the cursor in place
+    * so the next poll redelivers the page. */
+  def pollAndDeliver(syncName: String, limit: Int)
+                    (sink: DataFrame => Unit): Page = {
+    val page = poll(syncName, limit)
+    if (page.count > 0) {
+      sink(page.data)
+      store.commit(syncName, page.lastVersion, page.lastId)
+    }
+    page.data.unpersist()
+    page
+  }
+
+  /** Drain the feed: poll until !hasMore (consumer.js:34-37 catch-up loop). */
+  def drain(syncName: String, limit: Int)
+           (sink: DataFrame => Unit): Seq[Page] = {
+    val pages = Seq.newBuilder[Page]
+    var more = true
+    while (more) {
+      val p = pollAndDeliver(syncName, limit)(sink)
+      pages += p
+      // stop on an all-duplicate page: the cursor cannot advance, so
+      // another poll would return the identical page forever
+      more = p.hasMore && p.count > 0
+    }
+    pages.result()
+  }
+
+  /** T7 — consumer reset → full replay from version 0 (server.js:424-451). */
+  def resetConsumer(syncName: String): Unit = store.reset(syncName)
+}

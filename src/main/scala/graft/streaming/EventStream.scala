@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming flavor of the changefeed (SURVEY.md §2.9).
+  *
+  * The reference's consumer loop (invoice-api/consumer.js:6-49 — poll every
+  * 5 minutes, catch up immediately while hasMore, advance the cursor only
+  * after processing) IS Structured Streaming's contract: the checkpoint
+  * offset log plays ChangeTrackingSyncState, `Trigger.AvailableNow` plays
+  * the catch-up loop, `Trigger.ProcessingTime` plays setInterval, and
+  * foreachBatch + idempotent sink gives the same exactly-once effect.
+  *
+  * One streaming query per consumer (own checkpoint dir) = T1/T8
+  * multi-consumer fan-out; deleting the checkpoint dir = T7 reset.
+  */
+object EventStream {
+
+  /** The change-table schema: `events` as a version-ordered feed
+    * (event_id = change version, FIXTURES.md §C). ts arrives as
+    * nanos-since-epoch long (see Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based changefeed source: new parquet files in `srcDir` are new
+    * change batches. maxFilesPerTrigger bounds a micro-batch like the
+    * reference's page `limit` (T3). */
+  def readFeed(spark: SparkSession, srcDir: String,
+               maxFilesPerTrigger: Int = 16): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** T5 — per-key change collapsing inside each micro-batch (latest state
+    * wins), delivered through an idempotent foreachBatch sink. The sink
+    * writes partitioned by batch so redelivery of a batch overwrites
+    * itself — exactly-once end effect on top of the at-least-once
+    * offset log. */
+  def deliverLatest(spark: SparkSession, srcDir: String, sinkDir: String,
+                    checkpointDir: String): StreamingQuery =
+    readFeed(spark, srcDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = batch
+          .groupBy(col("user_id"))
+          .agg(max(col("event_id")).as("change_version"))
+        latest
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(sinkDir)
+        ()
+      }
+      .start()
+
+  /** [NORTH-STAR] T9 — event-time windowed aggregation with a watermark:
+    * tumbling windows over the event stream, late data beyond 10 minutes
+    * dropped. The batch twin is `stream_event_windows` in the declared
+    * queries. */
+  def windowedCounts(feed: DataFrame): DataFrame =
+    feed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100).cast("long").as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.DocumentSink
+import org.apache.spark.sql.functions._
+
+/** S4/S5/S6 — versioned document sink round-trip (n/s query keys). */
+class DocumentSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samplePage() =
+    Seq(
+      (1L, "INV-000000001", "CUST-1", 10L),
+      (2L, "INV-000000002", "CUST-2", 11L),
+      (3L, null.asInstanceOf[String], "CUST-3", 12L) // invalid: no number
+    ).toDF("invoice_id", "invoice_number", "customer_code", "change_version")
+
+  test("S4: valid docs land partitioned by version; invalid go to error dir") {
+    val dir = tmpDir("sink")
+    val err = tmpDir("sinkerr")
+    DocumentSink.writeVersioned(samplePage(), dir, err)
+    val docs = DocumentSink.readBack(spark, dir)
+    assert(docs.count() == 2)
+    assert(docs.columns.contains("doc_name"))
+    // partition dirs carry the version
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("change_version="))
+    assert(sub.toSet == Set("change_version=10", "change_version=11"))
+    val bad = spark.read.json(err)
+    assert(bad.count() == 1)
+  }
+
+  test("S4 doc_name follows the reference filename scheme") {
+    val dir = tmpDir("sink")
+    DocumentSink.writeVersioned(samplePage().filter($"invoice_id" === 1), dir, tmpDir("e"))
+    val name = DocumentSink.readBack(spark, dir)
+      .select("doc_name").head().getString(0)
+    // ${invoiceNumber}_v${version}_${yyyyMMdd_HHmmss}  (server.js:64-66)
+    assert(name.matches("INV-000000001_v10_\\d{8}_\\d{6}"), name)
+  }
+
+  test("S5: listing is newest-first with sizes") {
+    val dir = tmpDir("sink")
+    DocumentSink.writeVersioned(samplePage().filter($"invoice_number".isNotNull), dir, tmpDir("e"))
+    val listing = DocumentSink.listSink(spark, dir).collect()
+    assert(listing.nonEmpty)
+    val times = listing.map(_.getAs[java.sql.Timestamp]("modificationTime").getTime)
+    assert(times.sameElements(times.sortBy(-_: Long)))
+    assert(listing.forall(_.getAs[Long]("length") > 0))
+  }
+
+  test("S6 + exactly-once: redelivered page collapses to one doc per (id, version)") {
+    val dir = tmpDir("sink")
+    val err = tmpDir("e")
+    val page = samplePage().filter($"invoice_number".isNotNull)
+    DocumentSink.writeVersioned(page, dir, err)
+    DocumentSink.writeVersioned(page, dir, err) // redelivery (append)
+    assert(DocumentSink.readBack(spark, dir).count() == 4)
+    val deduped = DocumentSink.deduplicated(spark, dir)
+    assert(deduped.count() == 2)
+    assert(deduped.select("invoice_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
