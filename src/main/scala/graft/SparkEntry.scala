@@ -18,10 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.RelationalOps.queries ++ cdc.CdcQueries.queries
+    ops.RelationalOps.queries ++ cdc.CdcQueries.queries ++ llm.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.RelationalOps.oracleSql ++ cdc.CdcQueries.oracleSql
+    ops.RelationalOps.oracleSql ++ cdc.CdcQueries.oracleSql ++ llm.LlmQueries.oracleSql
 }

@@ -1,0 +1,212 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [NORTH-STAR] Deduplication operators for training-data curation
+  * (BASELINE.json mandate): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant is candidate-generation by
+  * LSH-bucket shuffle + within-bucket verification — never an O(n²)
+  * all-pairs join. The only shuffles are (a) groupBy content-key for
+  * exact dedup, (b) the explode+groupBy on (band, bucket) for LSH, and
+  * (c) the bucket-equality self-join for verification, all of which
+  * partition on high-cardinality keys and therefore spread evenly.
+  * Signature computation is per-row Column expressions (codegen, no UDF).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact ----
+
+  /** N1 — exact dedup: keep the lowest id per content fingerprint.
+    * groupBy(hash) rather than dropDuplicates so the survivor is
+    * deterministic (dropDuplicates keeps an arbitrary row). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------- shingles ----
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard. String
+    * form, for inspection/tests; the pipeline uses the codegen'd hashed
+    * form (graft.functions.ShingleHashes) — hashes are 8 bytes instead
+    * of n words and hash-set semantics are identical up to 64-bit
+    * collisions. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Hashed shingle set of a text column (codegen'd; requires
+    * VectorFunctions.register on the session). */
+  def shingleHashSet(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.shingleHashes(TextOps.tokens(text), n)
+
+  /** Exact Jaccard similarity of two shingle-set columns, scaled to 1e4
+    * integer for deterministic comparison. */
+  def jaccardE4(a: Column, b: Column): Column =
+    round(lit(10000.0) * size(array_intersect(a, b)) /
+      size(array_union(a, b))).cast("long")
+
+  // ----------------------------------------------------------- MinHash ----
+
+  /** Banded LSH rows: one output row per (doc, band) with the band's
+    * bucket key — the shuffle key for candidate generation. Signature
+    * computation is the codegen'd ShingleHashes + MinHashSig pair
+    * (promoted from higher-order expressions after BENCH showed
+    * interpreted-lambda overhead at ~0.5 ms/doc dominating dedup). */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 16,
+                   bands: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val rows = numHashes / bands
+    df.select(col(idCol), shingleHashSet(col(textCol), shingleN).as("sh"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
+              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate pairs from banded LSH rows: group by (band, bucket),
+    * emit all in-bucket pairs. One evaluation of the signature pipeline
+    * and one shuffle — the self-join formulation evaluates the pipeline
+    * once per join side. Skew note: a pathological bucket of b docs
+    * emits O(b²) pairs; at corpus scale cap bucket width upstream
+    * (split giant buckets by a secondary hash) before pair explosion. */
+  private def bucketPairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    bandsDf.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** N2 — MinHash+LSH near-dup candidate pairs, verified with exact
+    * Jaccard ≥ `minJaccardE4` over the hashed shingle sets. Returns
+    * (id_a, id_b, jaccard_e4), id_a < id_b. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 16,
+                      bands: Int = 8, minJaccardE4: Long = 7000): DataFrame = {
+    val candidates =
+      bucketPairs(minhashBands(df, idCol, textCol, shingleN, numHashes, bands), idCol)
+    val sh = df.select(col(idCol),
+      shingleHashSet(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardE4(col("sh_a"), col("sh_b")).as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= minJaccardE4)
+  }
+
+  /** N2' — the dedup *result*: drop the higher-id member of every verified
+    * near-dup pair (plus exact dups), keep the rest. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val losers = minhashNearDups(df, idCol, textCol)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ----------------------------------------------------------- SimHash ----
+
+  /** 64-bit SimHash over a pre-projected token-hash array: bit i is set
+    * when more token-hashes have bit i set than clear. Callers project
+    * `tokenHashes` once (see simhashSigs) so the tokenize+hash work isn't
+    * re-inlined into all 64 bit lanes. */
+  def simhashOfHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    (0 until 64).map { i =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftrightunsigned(h, i)
+          .bitwiseAND(lit(1L)).cast("int"))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (id, simhash) per document, with staged projections: tokenize+hash
+    * once, then fold the 64 bit lanes over the materialized hash array. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .select(col(idCol), simhashOfHashes(col("th")).as("sig"))
+
+  /** Convenience single-column form (test/interactive use; inlines the
+    * tokenization into each bit lane — prefer simhashSigs in pipelines). */
+  def simhash(text: Column): Column =
+    simhashOfHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** N2'' — SimHash near-dup pairs with hamming ≤ maxDist. Candidate
+    * generation by the pigeonhole principle: split the signature into
+    * (maxDist+1) chunks; any pair within maxDist matches exactly on at
+    * least one chunk, so the self-join keys on (chunk_idx, chunk_value)
+    * — same LSH-bucket shape as MinHash, no all-pairs. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+    val sigs = simhashSigs(df, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("sig"), explode(
+      array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))
+      }: _*)).as("cb"))
+      .select(col(idCol), col("sig"), col("cb.chunk"), col("cb.ckey"))
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("ckey"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard --
+
+  /** N2''' — n-gram Jaccard near-dup: LSH-candidates (reusing the MinHash
+    * bands — the honest scale path; a direct all-pairs Jaccard is O(n²))
+    * re-verified with exact shingle Jaccard at a caller threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, minJaccardE4: Long = 8000): DataFrame =
+    minhashNearDups(df, idCol, textCol, shingleN,
+      numHashes = 16, bands = 8, minJaccardE4 = minJaccardE4)
+
+  // ------------------------------------------- embedding cosine near-dup --
+
+  /** N2'''' — embedding near-dup: random-hyperplane LSH buckets (see
+    * SimSearch.hyperplaneSignature) + exact cosine verification. Pairs
+    * with cosine ≥ minCosE6/1e6. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 12, minCosE6: Long = 950000): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol),
+      SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"),
+      col(vecCol).as("v"))
+    val a = sigs.select(col(idCol).as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimSearch.cosineE6(col("v_a"), col("v_b")).as("cos_e6"))
+      .filter(col("cos_e6") >= minCosE6)
+  }
+}

@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declared-query surface for the [NORTH-STAR] LLM-data-pipeline
+  * operators (SURVEY.md §2.11). SQL-expressible ops carry a DuckDB twin;
+  * hash-based ops (MinHash/SimHash/LSH — engine hash functions differ
+  * across engines by construction) are declared without oracle SQL and
+  * verified by LlmSpec instead.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** N1 — exact dedup by content fingerprint. */
+  val dedupExact: Q = (s, d) =>
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .select("fp", "doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** N2 — MinHash+LSH near-dup survivors (hash-based → rows-only check;
+    * pair-level correctness in LlmSpec with planted near-dups). */
+  val dedupNear: Q = (s, d) =>
+    Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+
+  /** N2'' — SimHash signatures per document. */
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("sig", "simhash")
+      .orderBy("doc_id")
+
+  /** N2'''' — embedding-cosine near-dup survivors. */
+  val dedupEmbedding: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val losers = Dedup.embeddingNearDups(emb, "vec_id", "embedding")
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(losers, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label").orderBy("vec_id")
+  }
+
+  /** N3 — exact brute-force cosine top-k (query = corpus vector 0). */
+  val simsearchTopk: Q = (s, d) =>
+    SimSearch.bruteForceTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", queryId = 0L, k = 20)
+
+  /** N3' — ANN flavor (hyperplane LSH + multiprobe + exact rerank);
+    * recall vs the exact baseline asserted in LlmSpec. */
+  val simsearchAnn: Q = (s, d) =>
+    SimSearch.annTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", queryId = 0L, k = 20)
+
+  /** N4 — per-language corpus statistics. */
+  val textStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text")))).as("ws_tokens"),
+        sum(TextOps.bpeTokenCount(col("text"))).as("bpe_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  /** N4 — lexicon/CJK language-ID per document. */
+  val langId: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** N4 — quality scoring: token count, stopword hits, punctuation,
+    * stopword-ratio score (integer-scaled). */
+  val qualityScore: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"),
+      TextOps.stopwordHits(col("text")).as("stop_hits"),
+      TextOps.punctChars(col("text")).as("punct_chars"),
+      round(lit(10000.0) * TextOps.stopwordHits(col("text")) /
+        size(TextOps.tokens(col("text")))).cast("long").as("quality_e4"))
+      .orderBy("doc_id")
+
+  /** N4 — token counting: whitespace + BPE-ish subword counts. */
+  val tokenCount: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("ws_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** N4 — content fingerprint (md5 of normalized text). */
+  val fingerprintQ: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** N5 — multimodal metadata projection/filter (binary payload path is
+    * ScalaTest-verified; this query covers the typed-metadata surface). */
+  val multimodalProject: Q = (s, d) =>
+    Multimodal.mediaFromDocuments(Tables.documents(s, d)).toDF()
+      .filter(col("kind") === "image" && col("meta.width") >= 100)
+      .select(col("mediaId").as("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.durationMs").as("duration_ms"))
+      .orderBy("media_id")
+
+  val queries: Map[String, Q] = Map(
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_near" -> dedupNear,
+    "llm_dedup_simhash" -> dedupSimhash,
+    "llm_dedup_embedding" -> dedupEmbedding,
+    "llm_simsearch_topk" -> simsearchTopk,
+    "llm_simsearch_ann" -> simsearchAnn,
+    "llm_text_stats" -> textStats,
+    "llm_langid" -> langId,
+    "llm_quality_score" -> qualityScore,
+    "llm_token_count" -> tokenCount,
+    "llm_fingerprint" -> fingerprintQ,
+    "llm_multimodal_project" -> multimodalProject
+  )
+
+  private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString(", ")
+  private def lex(l: String) = TextOps.lexicons.toMap.apply(l)
+    .map(w => s"'$w'").mkString(", ")
+  private def hits(l: String) =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${lex(l)})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS doc_id, count(*) AS n_copies
+        | FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "llm_simsearch_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+        | scored AS (
+        |   SELECT e.vec_id,
+        |     CAST(round(1000000.0 *
+        |       list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+        |     ) AS BIGINT) AS cos_e6
+        |   FROM e, q WHERE e.vec_id <> 0)
+        | SELECT vec_id, cos_e6 FROM scored
+        | ORDER BY cos_e6 DESC, vec_id LIMIT 20""".stripMargin,
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_langid" ->
+      s"""SELECT doc_id,
+         | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |   WHEN ${hits("de")} > greatest(${hits("en")}, ${hits("es")}, ${hits("fr")}) THEN 'de'
+         |   WHEN ${hits("fr")} > greatest(${hits("en")}, ${hits("es")}) THEN 'fr'
+         |   WHEN ${hits("es")} > ${hits("en")} THEN 'es'
+         |   ELSE 'en' END AS lang_pred
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" ->
+      s"""SELECT doc_id,
+         | len(string_split(text, ' ')) AS n_tokens,
+         | len(list_filter(string_split(text, ' '), t -> t IN ($stopAll))) AS stop_hits,
+         | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_chars,
+         | CAST(round(10000.0 *
+         |   len(list_filter(string_split(text, ' '), t -> t IN ($stopAll)))
+         |   / len(string_split(text, ' '))) AS BIGINT) AS quality_e4
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_project" ->
+      """SELECT doc_id AS media_id,
+        | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        | CAST(n_chars % 640 AS INT) AS width,
+        | CAST(n_chars % 480 AS INT) AS height,
+        | n_chars * 10 AS duration_ms
+        | FROM documents
+        | WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] = 'image'
+        |   AND n_chars % 640 >= 100
+        | ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** [NORTH-STAR] Similarity search over an embedding column
+  * (BASELINE.json mandate): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane-LSH bucketed variant as the scale
+  * path (probe only the query's bucket instead of the full corpus).
+  *
+  * The dot product is the native codegen'd VecDot expression
+  * (graft.functions.VectorExprs) — promoted from a zip_with/aggregate
+  * higher-order form after BENCH showed interpreted-lambda overhead
+  * dominating; summation stays in index order so results remain
+  * bit-deterministic and match the DuckDB oracle exactly after integer
+  * scaling.
+  *
+  * Scale notes (100 TB): brute-force top-k is a map + TakeOrderedAndProject
+  * — one pass, no shuffle, k rows to the driver; it parallelizes
+  * perfectly but reads the whole corpus. The LSH variant prunes the scan
+  * to matching buckets; with the corpus written partitioned by bucket
+  * (partitionBy(bucket)), partition pruning turns a 100 TB scan into a
+  * few-GB one. Verified by recall tests against the exact baseline.
+  */
+object SimSearch {
+  import VectorFunctions.vecDot
+
+  /** Cosine similarity scaled to 1e6 integer (deterministic compare).
+    * Requires VectorFunctions.register on the session. */
+  def cosineE6(a: Column, b: Column): Column =
+    round(lit(1000000.0) * vecDot(a, b) /
+      (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))).cast("long")
+
+  /** N3 — exact brute-force cosine top-k against the embedding of
+    * `queryId` drawn from the corpus itself. The query vector is a
+    * one-row broadcast; the plan is scan → map → TakeOrderedAndProject. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    emb.join(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane, materialized driver-side as
+    * a literal vector so the per-row projection is one codegen'd VecDot.
+    * Component (p, i) = (xxhash64(p, i) mod 2001 - 1000) / 1000 — unit
+    * scale, reproducible, no RNG state. */
+  private[llm] def planeVec(p: Int, dims: Int): Array[Double] =
+    (0 until dims).map { i =>
+      val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null)
+        .asInstanceOf[Long]
+      (((h % 2001) + 2001) % 2001 - 1000).toDouble / 1000.0
+    }.toArray
+
+  /** Sign-bit signature of `planes` hyperplanes packed into a long — the
+    * LSH bucket key. Vectors with small angle agree on most sign bits,
+    * so near neighbors land in the same bucket. */
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int = 64): Column =
+    (0 until planes).map { p =>
+      when(vecDot(vec, typedLit(planeVec(p, dims))) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** N3' — ANN top-k: restrict the scan to corpus rows whose bucket is
+    * within `probeHamming` bits of the query's bucket (multi-probe), then
+    * exact-rerank. Same output schema as bruteForceTopK. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, planes: Int = 8,
+              probeHamming: Int = 2): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val withSig = emb.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val q = withSig.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("bucket").as("qbucket"))
+    withSig.join(broadcast(q))
+      .filter(col(idCol) =!= queryId &&
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeHamming)
+      .select(col(idCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style layout: write the corpus partitioned by bucket so probe
+    * queries prune partitions at the source (the 100 TB serving shape). */
+  def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                    planes: Int, path: String): Unit = {
+    VectorFunctions.register(emb.sparkSession)
+    emb.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+}
