@@ -38,13 +38,115 @@ object CdcQueries {
     page
   }
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** T1 — the consumer state machine end-to-end: poll one page of 100,
+    * deliver, commit; return the committed cursor row. Deterministic —
+    * the cursor lands on the last row of the oldest-first page — so the
+    * DuckDB oracle can replay it declaratively. */
+  val cdcConsumerState: Q = (s, d) => {
+    val store = new ConsumerStateStore(s, tmp("graft-state"))
+    val feed = new ChangeFeed(s, d, store)
+    feed.pollAndDeliver("c1", limit = 100)(_.count())
+    val st = store.get("c1")
+    import s.implicits._
+    Seq((st.syncName, st.lastSyncVersion, st.lastProcessedId))
+      .toDF("sync_name", "last_sync_version", "last_processed_id")
+  }
+
+  /** T7 — consumer reset: after a committed poll, reset returns the
+    * cursor to (0, 0) for full re-delivery (server.js:424-451). */
+  val cdcReset: Q = (s, d) => {
+    val store = new ConsumerStateStore(s, tmp("graft-state"))
+    val feed = new ChangeFeed(s, d, store)
+    feed.pollAndDeliver("c1", limit = 50)(_.count())
+    feed.resetConsumer("c1")
+    val st = store.get("c1")
+    import s.implicits._
+    Seq((st.syncName, st.lastSyncVersion, st.lastProcessedId))
+      .toDF("sync_name", "last_sync_version", "last_processed_id")
+  }
+
+  /** S4/S5 — versioned document sink round-trip: write one deterministic
+    * page, read it back. doc_name carries a wall-clock stamp, so the
+    * declared output projects the deterministic columns only (the full
+    * filename scheme is ScalaTest-verified in DocumentSinkSpec). */
+  val sinkVersioned: Q = (s, d) => {
+    val dir = tmp("graft-sink")
+    val page = InvoiceCdc.pageQuery(s, d, 0L, Long.MaxValue, 100)
+    graft.sinks.DocumentSink.writeVersioned(page, dir, tmp("graft-sinkerr"))
+    graft.sinks.DocumentSink.readBack(s, dir)
+      // casts pin the JSON/partition-inferred types to the page schema
+      .select(col("invoice_id").cast("long").as("invoice_id"),
+        col("invoice_number"),
+        col("change_version").cast("long").as("change_version"))
+      .orderBy("invoice_id")
+  }
+
+  /** S5 — sink listing, newest first with sizes (server.js:368-398);
+    * sizes/mtimes are run-dependent → declared output is the stable
+    * shape (file count partitions by version). */
+  val sinkListing: Q = (s, d) => {
+    val dir = tmp("graft-sink")
+    val page = InvoiceCdc.pageQuery(s, d, 0L, Long.MaxValue, 100)
+    graft.sinks.DocumentSink.writeVersioned(page, dir, tmp("graft-sinkerr"))
+    graft.sinks.DocumentSink.listSink(s, dir)
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("length") > 0, 1).otherwise(0)).as("n_nonempty"))
+  }
+
+  /** T9 [NORTH-STAR] — event-time tumbling windows over the events feed
+    * (batch twin of EventStream.windowedCounts; the streaming flavor adds
+    * the watermark and is exercised in EventStreamSpec). */
+  val streamEventWindows: Q = (s, d) =>
+    graft.streaming.EventStream.windowedCounts(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+
   val queries: Map[String, Q] = Map(
     "cdc_scan" -> cdcScan,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
-    "cdc_pagination" -> cdcPagination
+    "cdc_pagination" -> cdcPagination,
+    "cdc_consumer_state" -> cdcConsumerState,
+    "cdc_reset" -> cdcReset,
+    "sink_versioned" -> sinkVersioned,
+    "sink_listing" -> sinkListing,
+    "stream_event_windows" -> streamEventWindows
   )
 
+  private val feedsCte =
+    """feeds AS (
+      |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version FROM orders
+      |   UNION ALL
+      |   SELECT l_orderkey, l_orderkey * 2 + 1 FROM lineitem),
+      | agg AS (
+      |   SELECT invoice_id, max(change_version) AS change_version
+      |   FROM feeds GROUP BY invoice_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "cdc_consumer_state" ->
+      s"""WITH $feedsCte,
+         | page AS (SELECT * FROM agg ORDER BY change_version, invoice_id LIMIT 100)
+         | SELECT 'c1' AS sync_name, change_version AS last_sync_version,
+         |   invoice_id AS last_processed_id
+         | FROM page ORDER BY change_version DESC, invoice_id DESC LIMIT 1""".stripMargin,
+    "cdc_reset" ->
+      """SELECT 'c1' AS sync_name, CAST(0 AS BIGINT) AS last_sync_version,
+        | CAST(0 AS BIGINT) AS last_processed_id""".stripMargin,
+    "sink_versioned" ->
+      s"""WITH $feedsCte,
+         | page AS (
+         |   SELECT a.invoice_id,
+         |     'INV-' || lpad(CAST(o.o_orderkey AS VARCHAR), 9, '0') AS invoice_number,
+         |     a.change_version
+         |   FROM agg a JOIN orders o ON a.invoice_id = o.o_orderkey
+         |   ORDER BY a.change_version, a.invoice_id LIMIT 100)
+         | SELECT invoice_id, invoice_number, change_version
+         | FROM page ORDER BY invoice_id""".stripMargin,
+    "stream_event_windows" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        | count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "cdc_scan" ->
       """SELECT event_id AS change_version, user_id AS entity_id
         | FROM events WHERE event_id > 100 ORDER BY change_version""".stripMargin,

@@ -25,6 +25,14 @@ object LlmQueries {
     Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id").orderBy("doc_id")
 
+  /** N2''' — n-gram Jaccard near-dup pairs (LSH candidates, exact
+    * verification; threshold 0.5 so the corpus's planted near-dups
+    * surface). Hash-based → rows-only check, pair math in LlmSpec. */
+  val dedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, minJaccardE4 = 5000)
+      .orderBy("id_a", "id_b")
+
   /** N2'' — SimHash signatures per document. */
   val dedupSimhash: Q = (s, d) =>
     Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
@@ -107,6 +115,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
+    "llm_dedup_ngram" -> dedupNgram,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_embedding" -> dedupEmbedding,
     "llm_simsearch_topk" -> simsearchTopk,
