@@ -72,17 +72,33 @@ object InvoiceCdc {
         round(col("l_extendedprice") * 100).cast("long").as("price_cents")
       )))).as("lines"))
 
-  /** The full page query: changed invoices → rehydrate → nest → top-K.
-    * Reference: storedprocedure.sql:35-56. `limit` plans as
-    * TakeOrderedAndProject, so the sort never materializes globally. */
+  /** The full page query: changed invoices → top-K page → rehydrate →
+    * nest. Reference: storedprocedure.sql:35-56.
+    *
+    * The top-K is taken BEFORE the joins: rehydration is 1:1 (every
+    * invoice exists in the header) and the nested-lines join is
+    * 1:0..1, so `ORDER BY version LIMIT k` commutes with them. That
+    * bounds everything downstream of the changefeed aggregation at k
+    * rows — the page side is always broadcast-safe regardless of how
+    * large the (since, to] window is, the big header table is never
+    * shuffled (stream side of a broadcast-hash join), and lineitem is
+    * semi-join pruned against the k-row page before the nest's groupBy,
+    * so the only full-feed shuffle in the plan is the max-version
+    * collapse itself. `limit` plans as TakeOrderedAndProject — the sort
+    * never materializes globally. */
   def pageQuery(spark: SparkSession, dir: String,
                 since: Long, to: Long, limit: Int): DataFrame = {
-    val changed = changedInvoices(spark, dir, since, to)
+    val page = changedInvoices(spark, dir, since, to)
+      .orderBy(col("change_version"), col("invoice_id"))
+      .limit(limit)
     val hdr = Tables.orders(spark, dir)
-    val lines = nestedLines(Tables.lineitem(spark, dir))
-    broadcast(changed)
-      .join(hdr, changed("invoice_id") === hdr("o_orderkey"), "inner")
-      .join(lines, Seq("invoice_id"), "left")
+    val pageLines = Tables.lineitem(spark, dir)
+      .join(broadcast(page.select(col("invoice_id").as("l_orderkey"))),
+        Seq("l_orderkey"), "left_semi")
+    val lines = nestedLines(pageLines)
+    broadcast(page)
+      .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
+      .join(broadcast(lines), Seq("invoice_id"), "left")
       .select(
         col("invoice_id"),
         concat(lit("INV-"), lpad(col("o_orderkey").cast("string"), 9, "0"))
@@ -94,7 +110,6 @@ object InvoiceCdc {
         col("change_version"),
         coalesce(col("lines"), lit("[]")).as("lines"))
       .orderBy(col("change_version"), col("invoice_id"))
-      .limit(limit)
   }
 
   /** S3/A4 — snapshot bound: CHANGE_TRACKING_CURRENT_VERSION().
