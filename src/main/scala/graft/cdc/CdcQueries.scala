@@ -103,8 +103,25 @@ object CdcQueries {
     graft.streaming.EventStream.windowedCounts(Tables.events(s, d))
       .orderBy("window_start", "event_type")
 
+  /** T5/T9 — the stateful per-entity fold (batch twin of the
+    * flatMapGroupsWithState session stream): final running state per
+    * entity after draining the feed, summation in version order so the
+    * result is bit-deterministic. */
+  val streamSessionize: Q = (s, d) => {
+    import s.implicits._
+    val events = Tables.events(s, d).select(
+      col("event_id").as("eventId"),
+      unix_micros(col("ts")).as("tsMicros"),
+      col("user_id").as("userId"),
+      col("event_type").as("eventType"),
+      col("value")).as[graft.streaming.FeedEvent]
+    graft.streaming.Sessionize.batchFold(s, events)
+      .toDF().orderBy("userId")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc_scan" -> cdcScan,
+    "stream_sessionize" -> streamSessionize,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
     "cdc_pagination" -> cdcPagination,
     "cdc_consumer_state" -> cdcConsumerState,
@@ -147,6 +164,12 @@ object CdcQueries {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         | count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
         | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_sessionize" ->
+      """SELECT user_id AS "userId", min(event_id) AS "firstVersion",
+        | max(event_id) AS "lastVersion", count(*) AS "nEvents",
+        | CAST(round(list_sum(list(value ORDER BY event_id)) * 100) AS BIGINT)
+        |   AS "valueSumCents"
+        | FROM events GROUP BY user_id ORDER BY "userId"""".stripMargin,
     "cdc_scan" ->
       """SELECT event_id AS change_version, user_id AS entity_id
         | FROM events WHERE event_id > 100 ORDER BY change_version""".stripMargin,

@@ -59,6 +59,12 @@ object LlmQueries {
     SimSearch.annTopK(Tables.embeddings(s, d),
       "vec_id", "embedding", queryId = 0L, k = 20)
 
+  /** N3'' — Aggregator-based top-k; same contract and oracle as the
+    * brute-force baseline. */
+  val simsearchTopkAgg: Q = (s, d) =>
+    SimSearch.topKAggregated(Tables.embeddings(s, d),
+      "vec_id", "embedding", queryId = 0L, k = 20)
+
   /** N4 — per-language corpus statistics. */
   val textStats: Q = (s, d) =>
     Tables.documents(s, d)
@@ -120,6 +126,7 @@ object LlmQueries {
     "llm_dedup_embedding" -> dedupEmbedding,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
+    "llm_simsearch_topk_agg" -> simsearchTopkAgg,
     "llm_text_stats" -> textStats,
     "llm_langid" -> langId,
     "llm_quality_score" -> qualityScore,
@@ -141,6 +148,22 @@ object LlmQueries {
         | min(doc_id) AS doc_id, count(*) AS n_copies
         | FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "llm_simsearch_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+        | scored AS (
+        |   SELECT e.vec_id,
+        |     CAST(round(1000000.0 *
+        |       list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+        |     ) AS BIGINT) AS cos_e6
+        |   FROM e, q WHERE e.vec_id <> 0)
+        | SELECT vec_id, cos_e6 FROM scored
+        | ORDER BY cos_e6 DESC, vec_id LIMIT 20""".stripMargin,
+    "llm_simsearch_topk_agg" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         | q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
         | scored AS (

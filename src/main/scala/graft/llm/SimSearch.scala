@@ -87,6 +87,26 @@ object SimSearch {
       .limit(k)
   }
 
+  /** N3'' — top-k via the typed TopKAgg Aggregator (SURVEY.md §2.10):
+    * per-partition k-row buffers merged into one, instead of a sort.
+    * Identical output contract to bruteForceTopK (same oracle). */
+  def topKAggregated(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    import graft.functions.{Scored, TopKAgg}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val scored = emb.join(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("id"), cosineE6(col(vecCol), col("qv")).as("score"))
+      .as[Scored]
+    scored.select(TopKAgg.topK(k).name("topk"))
+      .select(explode(col("topk")).as("s"))
+      .select(col("s.id").as(idCol), col("s.score").as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(idCol))
+  }
+
   /** IVF-style layout: write the corpus partitioned by bucket so probe
     * queries prune partitions at the source (the 100 TB serving shape). */
   def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,

@@ -283,9 +283,14 @@ object RelationalOps {
       .orderBy("id")
   }
 
+  /** J3' — ad-hoc SQL over the registered BI view (SURVEY.md §3.3):
+    * the Superset serving surface, spark.sql end-to-end. */
+  val viewAdhocSql: Q = (s, d) => Views.adhocRevenueByStatus(s, d)
+
   // ------------------------------------------------------------ registry --
 
   val queries: Map[String, Q] = Map(
+    "view_adhoc_sql" -> viewAdhocSql,
     "project_view" -> projectView,
     "computed_column" -> computedColumn,
     "filter_version_range" -> filterVersionRange,
@@ -319,6 +324,13 @@ object RelationalOps {
 
   /** DuckDB twins. Same column names + same ORDER BY as the Spark side. */
   val oracleSql: Map[String, String] = Map(
+    "view_adhoc_sql" ->
+      """SELECT o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month,
+        | count(DISTINCT o_orderkey) AS n_invoices,
+        | CAST(sum(CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS revenue_cents
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | GROUP BY 1, 2 ORDER BY status, month""".stripMargin,
     "project_view" ->
       """SELECT o_orderkey AS invoice_id, o_orderstatus AS status,
         | o_orderpriority AS priority FROM orders ORDER BY invoice_id""".stripMargin,

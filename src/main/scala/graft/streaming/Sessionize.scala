@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of the changefeed, typed (FIXTURES.md §C: event_id is the
+  * change version, user_id the entity key). */
+case class FeedEvent(eventId: Long, tsMicros: Long, userId: Long,
+                     eventType: String, value: Double)
+
+/** Mutable per-entity state carried between micro-batches. */
+case class EntityState(userId: Long, lastVersion: Long, nEvents: Long,
+                       valueSum: Double)
+
+/** Emitted when an entity's activity gap exceeds the session timeout, or
+  * on demand in batch mode. */
+case class EntitySession(userId: Long, firstVersion: Long,
+                         lastVersion: Long, nEvents: Long,
+                         valueSumCents: Long)
+
+/** [NORTH-STAR] Custom streaming state via KeyValueGroupedDataset
+  * .flatMapGroupsWithState (SURVEY.md §2.9 T9 note) — the stateful
+  * flavor the reference approximates with its SQL state table: per-entity
+  * running aggregates that survive across micro-batches, emitting a
+  * session record when the entity goes quiet.
+  *
+  * Scale notes: state is partitioned by the grouping key across
+  * executors (HDFSBackedStateStore/RocksDB at cluster scale); per-key
+  * state is O(1) — no unbounded growth; timeouts bound retention the
+  * way the reference's 3-day change retention does.
+  */
+object Sessionize {
+
+  /** Fold one batch of events for a single entity into its running
+    * state; emit a session when the processing-time timeout fires. */
+  def updateState(userId: Long, events: Iterator[FeedEvent],
+                  state: GroupState[EntityState]): Iterator[EntitySession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(EntitySession(s.userId, 0L, s.lastVersion, s.nEvents,
+        math.round(s.valueSum * 100)))
+    } else {
+      val sorted = events.toSeq.sortBy(_.eventId)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0.0))
+        val next = sorted.foldLeft(prev) { (s, e) =>
+          // version-ordered: later versions win, counts accumulate
+          EntityState(userId, math.max(s.lastVersion, e.eventId),
+            s.nEvents + 1, s.valueSum + e.value)
+        }
+        state.update(next)
+        state.setTimeoutDuration("30 seconds")
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming query: per-entity running state with timeout-driven
+    * session emission. */
+  def sessionStream(events: Dataset[FeedEvent]): Dataset[EntitySession] = {
+    implicit val stateEnc = Encoders.product[EntityState]
+    implicit val outEnc = Encoders.product[EntitySession]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(updateState)
+  }
+
+  /** Batch twin of the per-entity fold (deterministic, for specs and the
+    * declared-query surface): final state after draining the feed. */
+  def batchFold(spark: SparkSession, events: Dataset[FeedEvent]): Dataset[EntitySession] = {
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .mapGroups { (uid, it) =>
+        val evs = it.toSeq.sortBy(_.eventId)
+        EntitySession(uid, evs.head.eventId, evs.last.eventId, evs.size,
+          math.round(evs.map(_.value).sum * 100))
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.plans.Salting
+import graft.streaming.{EntityState, FeedEvent, Sessionize}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TestGroupState
+
+/** Custom-state streaming (flatMapGroupsWithState), the typed top-K
+  * Aggregator, and salted aggregation. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, uid: Long, v: Double) =
+    FeedEvent(id, id * 1000, uid, "purchase", v)
+
+  test("sessionize updateState folds version-ordered events into running state") {
+    val state = TestGroupState.create[EntityState](
+      optionalState = org.apache.spark.api.java.Optional.empty[EntityState](), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = Sessionize.updateState(7L,
+      Iterator(ev(3, 7, 1.5), ev(1, 7, 2.0), ev(2, 7, 0.25)), state)
+    assert(out.isEmpty, "no session emitted while active")
+    val s = state.get
+    assert(s.lastVersion == 3L && s.nEvents == 3L)
+    assert(math.abs(s.valueSum - 3.75) < 1e-9)
+  }
+
+  test("sessionize timeout emits the session and clears state") {
+    val state = TestGroupState.create[EntityState](
+      optionalState = org.apache.spark.api.java.Optional.of(EntityState(7L, 9L, 4L, 2.5)),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 99999L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = Sessionize.updateState(7L, Iterator.empty, state).toSeq
+    assert(out.size == 1)
+    assert(out.head.lastVersion == 9L && out.head.nEvents == 4L
+      && out.head.valueSumCents == 250L)
+    assert(state.isRemoved)
+  }
+
+  test("batchFold matches the declarative groupBy twin") {
+    val events = Tables.events(spark, sf).select(
+      col("event_id").as("eventId"), unix_micros(col("ts")).as("tsMicros"),
+      col("user_id").as("userId"), col("event_type").as("eventType"),
+      col("value")).as[FeedEvent]
+    val got = Sessionize.batchFold(spark, events)
+      .collect().map(s => (s.userId, (s.firstVersion, s.lastVersion, s.nEvents))).toMap
+    val want = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(min("event_id"), max("event_id"), count(lit(1)))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
+  test("TopKAgg top-k equals the sort-based baseline") {
+    val emb = Tables.embeddings(spark, sf)
+    val viaAgg = llm.SimSearch.topKAggregated(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaSort = llm.SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaAgg == viaSort)
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val direct = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("value_sum")) // long sum: exact
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val salted = Salting.saltedCountSum(
+      Tables.events(spark, sf), "user_id", "event_id", saltBuckets = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+}
