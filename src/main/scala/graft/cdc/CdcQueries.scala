@@ -119,8 +119,19 @@ object CdcQueries {
       .toDF().orderBy("userId")
   }
 
+  /** S2' — the DataSource-V2 changefeed source (graft.sources.CdcSource),
+    * batch flavor: full change-table scan through the custom connector. */
+  val cdcSourceScan: Q = (s, d) =>
+    s.read.format("graft-cdc")
+      .option("path", s"$d/events.parquet")
+      .option("versionColumn", "event_id")
+      .option("entityColumn", "user_id")
+      .load()
+      .orderBy("change_version")
+
   val queries: Map[String, Q] = Map(
     "cdc_scan" -> cdcScan,
+    "cdc_source_scan" -> cdcSourceScan,
     "stream_sessionize" -> streamSessionize,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
     "cdc_pagination" -> cdcPagination,
@@ -173,6 +184,9 @@ object CdcQueries {
     "cdc_scan" ->
       """SELECT event_id AS change_version, user_id AS entity_id
         | FROM events WHERE event_id > 100 ORDER BY change_version""".stripMargin,
+    "cdc_source_scan" ->
+      """SELECT user_id AS entity_id, event_id AS change_version
+        | FROM events ORDER BY change_version""".stripMargin,
     "cdc_incremental_poll" ->
       """WITH feeds AS (
         |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version FROM orders

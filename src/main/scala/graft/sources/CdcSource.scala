@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A native DataSource-V2 **CDC changefeed source** (the BASELINE.json
+  * north-star: "Structured Streaming with CDC source"; SURVEY.md §4
+  * custom-code candidate 1).
+  *
+  * Models the reference's `CHANGETABLE(CHANGES t, @since)` contract
+  * (storedprocedure.sql:17): a change table whose rows carry
+  * `(entity_id, change_version)` with a monotonic version, consumed in
+  * bounded version-range pages:
+  *
+  *  - **Offsets are change versions** — exactly the reference's
+  *    `LastSyncVersion` cursor; a micro-batch covers `(start, end]`,
+  *    the same half-open window `sp_GetInvoiceChanges` reads.
+  *  - **Admission control = pagination (T3)**: `maxVersionsPerBatch`
+  *    bounds a micro-batch the way the HTTP `limit` bounds a poll page;
+  *    Trigger.AvailableNow drains in bounded pages like the consumer's
+  *    `hasMore` loop.
+  *  - **Footer-stats pruning**: input partitions are parquet files whose
+  *    column min/max overlap the version window — files wholly outside
+  *    the page are never opened (at 100 TB the change table is written
+  *    in version order, so a page touches O(1) files).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("path", dir)
+  *     .option("versionColumn", "event_id")
+  *     .option("entityColumn", "user_id")
+  *     .option("maxVersionsPerBatch", "1000")
+  *     .load()    // schema: entity_id long, change_version long
+  * }}}
+  */
+class CdcSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcSourceProvider.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CdcTable(CdcOptions(properties.asScala.toMap))
+}
+
+object CdcSourceProvider {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("entity_id", LongType),
+    StructField("change_version", LongType)))
+}
+
+case class CdcOptions(raw: Map[String, String]) {
+  private val m = raw.map { case (k, v) => k.toLowerCase -> v }
+  def path: String = m.getOrElse("path",
+    throw new IllegalArgumentException("graft-cdc requires option 'path'"))
+  def versionColumn: String = m.getOrElse("versioncolumn", "change_version")
+  def entityColumn: String = m.getOrElse("entitycolumn", "entity_id")
+  def maxVersionsPerBatch: Long =
+    m.get("maxversionsperbatch").map(_.toLong).getOrElse(Long.MaxValue)
+}
+
+class CdcTable(opts: CdcOptions) extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc(${opts.path})"
+  override def schema(): StructType = CdcSourceProvider.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CdcScan(opts)
+}
+
+class CdcScan(opts: CdcOptions) extends Scan {
+  override def readSchema(): StructType = CdcSourceProvider.SCHEMA
+  override def toBatch: Batch = new CdcBatch(opts)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(opts)
+}
+
+/** Version-range offset: json is just the long. */
+case class CdcOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** File catalog + parquet-footer version statistics, shared by the batch
+  * and micro-batch paths. */
+object CdcFiles {
+  def files(opts: CdcOptions): Seq[String] = {
+    val conf = new Configuration()
+    val p = new Path(opts.path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val st = fs.getFileStatus(p)
+    val all =
+      if (st.isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
+      else Seq(p)
+    all.filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+  }
+
+  /** (min, max) of the version column across a file's row groups, from
+    * footer statistics only — no data pages read. */
+  def versionRange(file: String, versionCol: String): (Long, Long) = {
+    val conf = new Configuration()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == versionCol)
+          .flatMap { c =>
+            val s = c.getStatistics
+            if (s == null || !s.hasNonNullValue) None
+            else Some((s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+          }
+      }
+      if (ranges.isEmpty) (Long.MaxValue, Long.MinValue)
+      else (ranges.map(_._1).min, ranges.map(_._2).max)
+    } finally r.close()
+  }
+
+  def tableRange(opts: CdcOptions): Option[(Long, Long)] = {
+    val rs = files(opts).map(versionRange(_, opts.versionColumn))
+      .filter(r => r._1 <= r._2)
+    if (rs.isEmpty) None else Some((rs.map(_._1).min, rs.map(_._2).max))
+  }
+
+  def partitionsFor(opts: CdcOptions, lo: Long, hi: Long): Array[InputPartition] =
+    files(opts).flatMap { f =>
+      val (mn, mx) = versionRange(f, opts.versionColumn)
+      // keep files whose version span intersects (lo, hi]
+      if (mx <= lo || mn > hi) None
+      else Some(CdcInputPartition(f, lo, hi, opts.versionColumn, opts.entityColumn))
+    }.toArray
+}
+
+case class CdcInputPartition(file: String, lo: Long, hi: Long,
+                             versionCol: String, entityCol: String)
+  extends InputPartition
+
+class CdcBatch(opts: CdcOptions) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcFiles.partitionsFor(opts, Long.MinValue, Long.MaxValue)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory
+}
+
+class CdcMicroBatchStream(opts: CdcOptions)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private var availableNowCap: Option[Long] = None
+
+  private def tableMax: Option[Long] = CdcFiles.tableRange(opts).map(_._2)
+  private def tableMin: Option[Long] = CdcFiles.tableRange(opts).map(_._1)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = tableMax
+
+  override def initialOffset(): Offset =
+    CdcOffset(tableMin.map(_ - 1).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcOffset].version
+    val cap = availableNowCap.orElse(tableMax).getOrElse(s)
+    // bounded version page — the reference's poll `limit` (T3)
+    CdcOffset(math.min(cap, math.max(s,
+      if (opts.maxVersionsPerBatch == Long.MaxValue) cap
+      else s + opts.maxVersionsPerBatch)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    CdcOffset(availableNowCap.orElse(tableMax).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    CdcFiles.partitionsFor(opts,
+      start.asInstanceOf[CdcOffset].version, end.asInstanceOf[CdcOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition])
+}
+
+/** Reads (entity, version) pairs from one parquet file via the
+  * parquet-hadoop example API with a two-column projection, filtering to
+  * the micro-batch's (lo, hi] version window. */
+class CdcPartitionReader(p: CdcInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  // project only the two needed columns — no other data pages decoded
+  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+    s"message projection { optional int64 ${p.entityCol}; optional int64 ${p.versionCol}; }")
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val v = g.getLong(p.versionCol, 0)
+      if (v > p.lo && v <= p.hi) {
+        row = InternalRow(g.getLong(p.entityCol, 0), v)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
