@@ -26,10 +26,14 @@ case class Page(data: DataFrame,
   *  5. `hasMore` = raw page hit the limit (server.js:282) → caller loops
   *     immediately (consumer.js:34-37).
   *
-  * The page stays a DataFrame end-to-end: the sink write is distributed,
-  * and only the single last-row cursor and the page counts reach the
-  * driver. The page is bounded by `limit`, so per-poll joins against it
-  * broadcast and the work per poll is O(limit), independent of table size.
+  * The bounded page CURSOR — ≤limit (version, id) pairs, the same rowset
+  * the reference's recordset iteration holds in JS (server.js:154-168) —
+  * is collected to the driver once; the resume filter and last-row
+  * bookkeeping run on it locally, exactly as the reference filters the
+  * returned page in process. The document payload stays a DataFrame:
+  * rehydration + nesting + the sink write are distributed, driven by the
+  * collected key page as a broadcast. One pass over the changefeed per
+  * poll; per-poll work is O(limit) afterwards, independent of table size.
   */
 class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
 
@@ -38,22 +42,23 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
     val st = store.get(syncName)
     val overlapSince = if (st.lastSyncVersion > 0) st.lastSyncVersion - 1 else 0L
     val to = InvoiceCdc.currentVersion(spark, dir)
-    val raw = InvoiceCdc.pageQuery(spark, dir, overlapSince, to, limit).cache()
-    val rawCount = raw.count()
-    val delivered = raw
-      .filter(InvoiceCdc.resumeCursor(st.lastSyncVersion, st.lastProcessedId))
-      .cache()
-    val count = delivered.count()
-    val last = delivered
-      .orderBy(col("change_version").desc, col("invoice_id").desc)
-      .select(col("change_version"), col("invoice_id"))
-      .limit(1).collect().headOption
-    val (lastV, lastId) = last
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // one job: collapse the feed, take the oldest-first key page
+    val rawKeys = InvoiceCdc.changedInvoices(spark, dir, overlapSince, to)
+      .orderBy(col("change_version"), col("invoice_id"))
+      .limit(limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // resume-cursor dedup of the overlap, driver-side like server.js:165-168
+    val deliveredKeys = rawKeys.filter { case (id, v) =>
+      v > st.lastSyncVersion ||
+        (v == st.lastSyncVersion && id > st.lastProcessedId)
+    }
+    val (lastV, lastId) = deliveredKeys.lastOption
+      .map { case (id, v) => (v, id) }
       .getOrElse((st.lastSyncVersion, st.lastProcessedId))
-    raw.unpersist()
-    Page(delivered, st.lastSyncVersion, to, rawCount, count,
-      rawCount == limit, lastV, lastId)
+    val delivered = InvoiceCdc.rehydratePage(spark, dir,
+      deliveredKeys.map { case (id, v) => (id, v) })
+    Page(delivered, st.lastSyncVersion, to, rawKeys.length,
+      deliveredKeys.length, rawKeys.length == limit, lastV, lastId)
   }
 
   /** Poll → sink → commit-on-success (step 4). The cursor advances only if
@@ -67,7 +72,6 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
       sink(page.data)
       store.commit(syncName, page.lastVersion, page.lastId)
     }
-    page.data.unpersist()
     page
   }
 

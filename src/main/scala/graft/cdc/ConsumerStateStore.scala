@@ -1,7 +1,10 @@
 package graft.cdc
 
+import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
-import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Per-consumer named offset: (version, tiebreak id, time).
   * Reference: ChangeTrackingSyncState, setup-invoice-db.sql:121-126. */
@@ -10,7 +13,7 @@ case class SyncState(syncName: String,
                      lastProcessedId: Long,
                      lastSyncTime: Timestamp)
 
-/** Parquet-backed consumer offset table, keyed by consumer name.
+/** Consumer offset table, keyed by consumer name.
   *
   * Mirrors the reference's read-modify-write of ChangeTrackingSyncState
   * (invoice-api/server.js:100-127 read + auto-create, :239-249 commit,
@@ -18,32 +21,60 @@ case class SyncState(syncName: String,
   * read; commit happens only after the caller's sink succeeded (the
   * exactly-once protocol lives in ChangeFeed).
   *
-  * Scale note: this table has one row per consumer — it is driver-scale
-  * state, not data-scale. The parquet round-trip keeps it durable and
-  * debuggable; at cluster scale the same shape would live in a
-  * transactional table. Single-writer per consumer is assumed, exactly
-  * as in the reference (one API server owns the state row).
+  * This table has one row per consumer — driver-scale metadata, not
+  * data-scale — so it is stored as a tiny text file through the Hadoop
+  * FileSystem API (works on local/HDFS/object-store paths) with
+  * write-temp-then-rename updates. No Spark jobs: an offset read or
+  * commit is two filesystem calls, exactly like the reference's
+  * single-row SELECT/UPDATE. Single-writer per consumer is assumed, as
+  * in the reference (one API server owns the state row).
+  *
+  * Record format, one per line:
+  * `urlencode(syncName)\tversion\tlastId\tepochMillis`.
   */
 class ConsumerStateStore(spark: SparkSession, path: String) {
-  import spark.implicits._
+
+  private val fsPath = new Path(path, "sync_state.tsv")
+  private def fs: FileSystem =
+    fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   private def readAll(): Map[String, SyncState] = {
-    val dir = new java.io.File(path)
-    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty) Map.empty
-    else spark.read.parquet(path).as[SyncState].collect()
-      .map(s => s.syncName -> s).toMap
+    val f = fs
+    if (!f.exists(fsPath)) Map.empty
+    else {
+      val in = f.open(fsPath)
+      try {
+        val text = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        text.split('\n').filter(_.nonEmpty).map { line =>
+          val Array(n, v, id, t) = line.split('\t')
+          val st = SyncState(dec(n), v.toLong, id.toLong,
+            new Timestamp(t.toLong))
+          st.syncName -> st
+        }.toMap
+      } finally in.close()
+    }
   }
 
   private def writeAll(states: Map[String, SyncState]): Unit = {
-    // tiny table: single partition, atomic-enough overwrite via temp+swap
-    val tmp = path + ".tmp"
-    states.values.toSeq.toDS().coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val f = fs
+    val tmp = new Path(path, s"sync_state.tsv.tmp")
+    val out = f.create(tmp, true)
+    try {
+      val text = states.values.toSeq.sortBy(_.syncName).map { s =>
+        s"${enc(s.syncName)}\t${s.lastSyncVersion}\t${s.lastProcessedId}\t${s.lastSyncTime.getTime}"
+      }.mkString("", "\n", "\n")
+      out.write(text.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    f.delete(fsPath, false)
+    if (!f.rename(tmp, fsPath))
+      throw new java.io.IOException(s"state commit rename failed: $fsPath")
   }
 
   /** Read the consumer's cursor, auto-creating it at (0, 0) on first use

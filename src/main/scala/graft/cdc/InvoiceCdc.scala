@@ -92,11 +92,41 @@ object InvoiceCdc {
       .orderBy(col("change_version"), col("invoice_id"))
       .limit(limit)
     val hdr = Tables.orders(spark, dir)
-    val pageLines = Tables.lineitem(spark, dir)
-      .join(broadcast(page.select(col("invoice_id").as("l_orderkey"))),
-        Seq("l_orderkey"), "left_semi")
+    // semi-join prune with the SAME broadcast shape as the main join so
+    // ReuseExchange computes the page pipeline once, not per join
+    val li = Tables.lineitem(spark, dir)
+    val pageLines = li.join(broadcast(page),
+      li("l_orderkey") === page("invoice_id"), "left_semi")
     val lines = nestedLines(pageLines)
     broadcast(page)
+      .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
+      .join(broadcast(lines), Seq("invoice_id"), "left")
+      .select(
+        col("invoice_id"),
+        concat(lit("INV-"), lpad(col("o_orderkey").cast("string"), 9, "0"))
+          .as("invoice_number"),
+        concat(lit("CUST-"), lpad(col("o_custkey").cast("string"), 6, "0"))
+          .as("customer_code"),
+        col("o_orderdate").as("invoice_date"),
+        round(col("o_totalprice"), 2).as("total_amount"),
+        col("change_version"),
+        coalesce(col("lines"), lit("[]")).as("lines"))
+      .orderBy(col("change_version"), col("invoice_id"))
+  }
+
+  /** Rehydrate + nest an already-materialized key page — the ChangeFeed
+    * poll path: the ≤limit (invoice_id, change_version) cursor rows were
+    * collected driver-side (the reference holds the same rowset in JS),
+    * so the document assembly joins run against a literal broadcast page
+    * with ONE pass over the big tables and no feed re-computation. */
+  def rehydratePage(spark: SparkSession, dir: String,
+                    keys: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val page = broadcast(keys.toDF("invoice_id", "change_version"))
+    val hdr = Tables.orders(spark, dir)
+    val lines = nestedLines(Tables.lineitem(spark, dir)
+      .join(broadcast(keys.map(_._1).toDF("l_orderkey")), Seq("l_orderkey"), "left_semi"))
+    page
       .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
       .join(broadcast(lines), Seq("invoice_id"), "left")
       .select(
