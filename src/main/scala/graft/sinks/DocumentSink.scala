@@ -38,7 +38,11 @@ object DocumentSink {
       col("invoice_number").isNotNull && col("change_version").isNotNull)
     val invalid = stamped.filter(
       col("invoice_number").isNull || col("change_version").isNull)
-    valid.write.mode("append").partitionBy("change_version").json(dir)
+    // co-locate each version's documents in one task before the
+    // partitioned write: one file per version dir instead of one per
+    // (task × version) — the small-files guard that matters at scale
+    valid.repartition(col("change_version"))
+      .write.mode("append").partitionBy("change_version").json(dir)
     if (!invalid.isEmpty)
       invalid.write.mode("append").json(errorDir)
     stamped.unpersist()

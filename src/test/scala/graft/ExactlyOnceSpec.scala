@@ -1,0 +1,70 @@
+package graft
+
+import graft.cdc.{ChangeFeed, ConsumerStateStore, InvoiceCdc}
+import graft.sinks.DocumentSink
+
+/** End-to-end exactly-once under failure interleavings (T2), multi-
+  * consumer independence (T8), and page-size-independent delivery (T3). */
+class ExactlyOnceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() = new ConsumerStateStore(spark, tmpDir("state"))
+
+  test("T2: crash after sink, before commit → redelivery collapses in the sink") {
+    val store = newStore()
+    val feed = new ChangeFeed(spark, sf, store)
+    val sink = tmpDir("eo-sink")
+    val err = tmpDir("eo-err")
+
+    // poll #1: sink succeeds, but the process "crashes" before commit
+    val p1 = feed.poll("c1", limit = 120)
+    DocumentSink.writeVersioned(p1.data, sink, err)
+    // (no commit — crash point between server.js:228 and :249)
+
+    // poll #2 after restart: cursor unchanged → same page redelivered
+    var redelivered = 0L
+    feed.pollAndDeliver("c1", limit = 120) { df =>
+      redelivered = df.count()
+      DocumentSink.writeVersioned(df, sink, err)
+    }
+    assert(redelivered == p1.count, "full page must be redelivered")
+
+    // raw sink holds duplicates; the idempotent read collapses them
+    val raw = DocumentSink.readBack(spark, sink).count()
+    val deduped = DocumentSink.deduplicated(spark, sink).count()
+    assert(raw == 2 * p1.count)
+    assert(deduped == p1.count, "exactly-once end effect after dedup")
+  }
+
+  test("T8: consumers progress independently over the same feed") {
+    val store = newStore()
+    val feed = new ChangeFeed(spark, sf, store)
+    feed.pollAndDeliver("fast", 400)(_.count())
+    feed.pollAndDeliver("fast", 400)(_.count())
+    feed.pollAndDeliver("slow", 100)(_.count())
+    val fast = store.get("fast")
+    val slow = store.get("slow")
+    assert(fast.lastSyncVersion > slow.lastSyncVersion)
+    // resetting one consumer must not disturb the other
+    feed.resetConsumer("slow")
+    assert(store.get("slow").lastSyncVersion == 0L)
+    assert(store.get("fast").lastSyncVersion == fast.lastSyncVersion)
+  }
+
+  test("T3: drain delivers the identical set for any page size") {
+    val expected = InvoiceCdc.changedInvoices(spark, sf, 0L, Long.MaxValue)
+      .select($"invoice_id", $"change_version")
+      .as[(Long, Long)].collect().toSet
+    for (limit <- Seq(37, 250, 999)) {
+      val store = newStore()
+      val feed = new ChangeFeed(spark, sf, store)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      feed.drain(s"c-$limit", limit) { df =>
+        got ++= df.select($"invoice_id", $"change_version")
+          .as[(Long, Long)].collect()
+      }
+      assert(got.size == expected.size, s"limit=$limit: duplicates or loss")
+      assert(got.toSet == expected, s"limit=$limit: wrong delivery set")
+    }
+  }
+}
