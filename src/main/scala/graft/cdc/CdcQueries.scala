@@ -129,9 +129,21 @@ object CdcQueries {
       .load()
       .orderBy("change_version")
 
+  /** S3' — version-travel snapshot: the state of the feed AS OF version
+    * V — latest change ≤ V per entity (the time-travel read every CDC
+    * system derives from its version column; generalizes the reference's
+    * `<= @ToVersion` snapshot bound, storedprocedure.sql:18,26). */
+  val cdcSnapshotAsof: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") <= 600)
+      .groupBy(col("user_id").as("entity_id"))
+      .agg(max(col("event_id")).as("version_asof"))
+      .orderBy("entity_id")
+
   val queries: Map[String, Q] = Map(
     "cdc_scan" -> cdcScan,
     "cdc_source_scan" -> cdcSourceScan,
+    "cdc_snapshot_asof" -> cdcSnapshotAsof,
     "stream_sessionize" -> streamSessionize,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
     "cdc_pagination" -> cdcPagination,
@@ -187,6 +199,10 @@ object CdcQueries {
     "cdc_source_scan" ->
       """SELECT user_id AS entity_id, event_id AS change_version
         | FROM events ORDER BY change_version""".stripMargin,
+    "cdc_snapshot_asof" ->
+      """SELECT user_id AS entity_id, max(event_id) AS version_asof
+        | FROM events WHERE event_id <= 600
+        | GROUP BY user_id ORDER BY entity_id""".stripMargin,
     "cdc_incremental_poll" ->
       """WITH feeds AS (
         |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version FROM orders
