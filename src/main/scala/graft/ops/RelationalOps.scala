@@ -253,6 +253,21 @@ object RelationalOps {
         .getField("k").as("k"))
       .orderBy("event_id")
 
+  /** F12 — duration formatting ms/s/m (server.js:55-59 formatDuration):
+    * pure when/otherwise expression, no UDF. */
+  val fnDurationFormat: Q = (s, d) => {
+    val ms = col("event_id") * 137
+    Tables.events(s, d).select(
+      col("event_id"),
+      when(ms < 1000, concat(ms.cast("string"), lit("ms")))
+        .when(ms < 60000,
+          concat(floor(ms / 1000).cast("string"), lit("s")))
+        .otherwise(concat(floor(ms / 60000).cast("string"), lit("m"),
+          floor((ms % 60000) / 1000).cast("string"), lit("s")))
+        .as("duration"))
+      .orderBy("event_id")
+  }
+
   /** F11 — timestamp → filename fragment (server.js:64). */
   val fnTsFormat: Q = (s, d) =>
     Tables.events(s, d).select(
@@ -319,6 +334,7 @@ object RelationalOps {
     "fn_to_json" -> fnToJson,
     "fn_from_json" -> fnFromJson,
     "fn_ts_format" -> fnTsFormat,
+    "fn_duration_format" -> fnDurationFormat,
     "gen_synthetic" -> genSynthetic
   )
 
@@ -453,6 +469,16 @@ object RelationalOps {
         | FROM events ORDER BY event_id""".stripMargin,
     "fn_ts_format" ->
       """SELECT event_id, strftime(ts, '%Y%m%d_%H%M%S') AS ts_key
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_duration_format" ->
+      """SELECT event_id,
+        | CASE WHEN event_id * 137 < 1000
+        |        THEN CAST(event_id * 137 AS VARCHAR) || 'ms'
+        |      WHEN event_id * 137 < 60000
+        |        THEN CAST(CAST(floor(event_id * 137 / 1000) AS BIGINT) AS VARCHAR) || 's'
+        |      ELSE CAST(CAST(floor(event_id * 137 / 60000) AS BIGINT) AS VARCHAR) || 'm' ||
+        |           CAST(CAST(floor((event_id * 137) % 60000 / 1000) AS BIGINT) AS VARCHAR) || 's'
+        | END AS duration
         | FROM events ORDER BY event_id""".stripMargin,
     "gen_synthetic" ->
       """SELECT id,
