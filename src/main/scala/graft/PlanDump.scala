@@ -1,0 +1,30 @@
+package graft
+import java.nio.file.{Files, Paths}
+/** Regenerates PLANS.md: formatted physical plans of the flagship
+  * queries with the scale-relevant properties called out. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.session("local[8]")
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.01"
+    val picks = Seq(
+      "cdc_incremental_poll" -> "Flagship poll page: bounded top-K taken before the joins; header streamed past a broadcast page; lines semi-join pruned before nesting; single feed shuffle (partial+final hash agg).",
+      "join_view_flat" -> "BI view flatten: broadcast-hash join, no shuffle of the big side at this SF; at scale both sides bucketed (see StateLayout).",
+      "agg_max_version" -> "Change collapse: partial (map-side) + final hash aggregate — one shuffle on the entity key.",
+      "llm_simsearch_topk" -> "Brute-force cosine: parquet scan with pushed filters + codegen VecDot + TakeOrderedAndProject; no shuffle.",
+      "llm_dedup_near" -> "MinHash LSH: codegen signatures, explode to bands, one shuffle to buckets, in-bucket pair explosion, broadcast verification joins.",
+      "topk_by_version" -> "Version page: TakeOrderedAndProject directly over the scan.")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical plans of the flagship queries (sf0.01, regenerate with `sbt \"runMain graft.PlanDump\"`)\n")
+    for ((name, note) <- picks) {
+      sb.append(s"\n## $name\n\n$note\n\n```\n")
+      val df = SparkEntry.queries(name)(spark, d)
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).trim)
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+    println("wrote PLANS.md")
+    spark.stop()
+  }
+}

@@ -37,6 +37,40 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == out.count())
   }
 
+  test("T9: watermark drops late rows in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, epochSeconds, user_id, type, value) rows; ts built in-plan
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val feed = mem.toDF()
+      .toDF("event_id", "epoch_s", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(epoch_s)"))
+    val windows = EventStream.windowedCounts(feed)
+    val q = windows.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      val h = 3600L
+      // batch 1: two events in hour 0, one in hour 3 (advances watermark to 2:50)
+      mem.addData((1L, 10L, 1L, "a", 1.0), (2L, 20L, 1L, "a", 1.0),
+        (3L, 3 * h + 10L, 1L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for hour 0 (beyond the 10-minute watermark) —
+      // must be dropped, not resurrect the closed window
+      mem.addData((4L, 30L, 1L, "a", 5.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark far so hour-3 window also closes
+      mem.addData((5L, 10 * h, 1L, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .select($"window_start".cast("long"), $"n").as[(Long, Long)]
+        .collect().toMap
+      assert(rows(0L) == 2L, s"hour-0 window must close with 2 rows (late row dropped): $rows")
+      assert(rows(3 * h) == 1L)
+    } finally q.stop()
+  }
+
   test("T9 [NORTH-STAR]: windowed counts over the feed match the batch twin") {
     val feed = Tables.events(spark, sf) // batch DataFrame through same plan
     val windows = EventStream.windowedCounts(feed)
