@@ -51,6 +51,38 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(store.get("fast").lastSyncVersion == fast.lastSyncVersion)
   }
 
+  test("T2: crash at a random page mid-drain never loses or duplicates after dedup") {
+    val expected = InvoiceCdc.changedInvoices(spark, sf, 0L, Long.MaxValue)
+      .select($"invoice_id", $"change_version")
+      .as[(Long, Long)].collect().toSet
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val crashAt = rnd.nextInt(4) // crash while sinking page #crashAt
+      val store = newStore()
+      val feed = new ChangeFeed(spark, sf, store)
+      val sink = tmpDir(s"crash-$seed")
+      val err = tmpDir(s"crash-err-$seed")
+      var page = 0
+      def sinkFn(df: org.apache.spark.sql.DataFrame): Unit = {
+        DocumentSink.writeVersioned(df, sink, err) // write happens first…
+        if (page == crashAt) { page += 1; throw new RuntimeException("crash") }
+        page += 1
+      }
+      // drive to completion, retrying through the injected crash
+      var done = false
+      while (!done) {
+        try { feed.drain("c", 400)(sinkFn); done = true }
+        catch { case _: RuntimeException => () }
+      }
+      val delivered = DocumentSink.deduplicated(spark, sink)
+        .select($"invoice_id".cast("long"), $"change_version".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(delivered == expected,
+        s"seed=$seed crashAt=$crashAt: loss=${(expected -- delivered).size} " +
+          s"extra=${(delivered -- expected).size}")
+    }
+  }
+
   test("T3: drain delivers the identical set for any page size") {
     val expected = InvoiceCdc.changedInvoices(spark, sf, 0L, Long.MaxValue)
       .select($"invoice_id", $"change_version")
