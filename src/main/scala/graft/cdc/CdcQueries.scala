@@ -76,11 +76,10 @@ object CdcQueries {
     val dir = tmp("graft-sink")
     val page = InvoiceCdc.pageQuery(s, d, 0L, Long.MaxValue, 100)
     graft.sinks.DocumentSink.writeVersioned(page, dir, tmp("graft-sinkerr"))
-    graft.sinks.DocumentSink.readBack(s, dir)
-      // casts pin the JSON/partition-inferred types to the page schema
-      .select(col("invoice_id").cast("long").as("invoice_id"),
-        col("invoice_number"),
-        col("change_version").cast("long").as("change_version"))
+    graft.sinks.DocumentSink.readBack(s, dir, Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "invoice_id LONG, invoice_number STRING, change_version LONG")))
+      .select(col("invoice_id"), col("invoice_number"), col("change_version"))
       .orderBy("invoice_id")
   }
 

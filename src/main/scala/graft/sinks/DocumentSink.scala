@@ -59,9 +59,12 @@ object DocumentSink {
       .orderBy(col("modificationTime").desc, col("path"))
 
   /** S6 — document read-back by name (server.js:401-421). Version-dir
-    * partition pruning applies when the caller filters change_version. */
-  def readBack(spark: SparkSession, dir: String): DataFrame =
-    spark.read.json(dir)
+    * partition pruning applies when the caller filters change_version.
+    * Pass `schema` when the page shape is known — JSON schema inference
+    * costs a full extra pass over every sink file. */
+  def readBack(spark: SparkSession, dir: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
 
   /** Exactly-once on redelivery: the same (invoice, version) appended
     * twice collapses to one document — last-writer-wins on the stamp. */

@@ -115,6 +115,29 @@ class LlmSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("N3'': IVF layout prunes partitions for a bucket probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = tmpDir("ivf")
+    SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = 6, path)
+    val corpus = spark.read.parquet(path)
+    // the query's bucket
+    graft.functions.VectorFunctions.register(spark)
+    val qBucket = corpus.filter($"vec_id" === 0L)
+      .select($"bucket").as[Long].head()
+    val probe = corpus.filter($"bucket" === qBucket)
+    // partition pruning: only the probed bucket's files are scanned
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"probe must scan exactly one partition dir, scanned=$scanned")
+    // and the probe finds the query vector plus its bucket-mates
+    val ids = probe.select($"vec_id").as[Long].collect().toSet
+    assert(ids.contains(0L))
+    assert(ids.size < emb.count(), "bucketing must actually partition the corpus")
+  }
+
   test("N3: brute-force top-k is ordered and self-consistent") {
     val emb = Tables.embeddings(spark, sf)
     val rows = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
