@@ -102,6 +102,17 @@ object LlmQueries {
       TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** N4' — overlapping token-window chunking (context-window pieces,
+    * 64-token windows with 16-token overlap), one row per chunk. */
+  val chunking: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(col("text"), size = 64, step = 48)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -130,6 +141,7 @@ object LlmQueries {
     "llm_text_stats" -> textStats,
     "llm_langid" -> langId,
     "llm_quality_score" -> qualityScore,
+    "llm_chunking" -> chunking,
     "llm_token_count" -> tokenCount,
     "llm_fingerprint" -> fingerprintQ,
     "llm_multimodal_project" -> multimodalProject
@@ -202,6 +214,17 @@ object LlmQueries {
          |   len(list_filter(string_split(text, ' '), t -> t IN ($stopAll)))
          |   / len(string_split(text, ' '))) AS BIGINT) AS quality_e4
          | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | idx AS (
+        |   SELECT doc_id, toks,
+        |     unnest(generate_series(0,
+        |       greatest(CAST(ceil((len(toks) - 64) / 48.0) AS INT), 0))) AS chunk_idx
+        |   FROM t)
+        | SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |   array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk,
+        |   CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens
+        | FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens

@@ -61,6 +61,19 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Overlapping token-window chunking — the pre-training segmentation
+    * step (context-window-sized pieces with `size - step` tokens of
+    * overlap). Pure higher-order expression: one array of chunk strings
+    * per document, exploded by the caller. */
+  def chunks(text: Column, size: Int, step: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0),
+        greatest(ceil((org.apache.spark.sql.functions.size(toks) - size)
+          .cast("double") / step).cast("int"), lit(0))),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(size))))
+  }
+
   /** 52-bit rolling (polynomial) fingerprint over tokens, computed as a
     * left fold — order-sensitive, unlike the md5 content hash, so it
     * distinguishes permuted documents. Pure higher-order expression;

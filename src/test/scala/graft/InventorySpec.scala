@@ -40,7 +40,8 @@ class InventorySpec extends SparkSpec {
     "cdc_source_scan", "cdc_snapshot_asof", "stream_sessionize",
     "view_adhoc_sql", "llm_dedup_ngram", "llm_dedup_simhash",
     "llm_dedup_embedding", "llm_simsearch_ann", "llm_simsearch_topk_agg",
-    "llm_langid", "llm_quality_score", "llm_token_count", "llm_fingerprint")
+    "llm_langid", "llm_quality_score", "llm_token_count", "llm_fingerprint",
+    "llm_chunking")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
