@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incrementally-maintained materialization of the denormalized BI view
+  * (vw_invoice_header_line) — the Superset serving layer kept fresh from
+  * the changefeed instead of rebuilt.
+  *
+  * Layout: parquet partitioned by `bucket = pmod(invoice_id, nBuckets)`.
+  * A change page touches a bounded set of invoices → a bounded set of
+  * bucket partitions; `refresh` recomputes ONLY those buckets (join
+  * pruned by the bucket filter) and swaps them in with dynamic partition
+  * overwrite. At 100 TB a poll-page refresh rewrites O(page) buckets
+  * while the other ~nBuckets stay untouched — incremental cost
+  * proportional to the change rate, not the view size. Readers always
+  * see whole partitions (the overwrite is per-directory atomic swap).
+  */
+class MaterializedView(spark: SparkSession, dir: String, path: String,
+                       nBuckets: Int = 64) {
+
+  private def flatView(onlyBuckets: Option[Seq[Int]]): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val base = o.join(li, o("o_orderkey") === li("l_orderkey"), "inner")
+      .select(
+        col("o_orderkey").as("invoice_id"),
+        col("o_custkey").as("customer_key"),
+        col("o_orderdate").as("invoice_date"),
+        col("o_orderstatus").as("status"),
+        col("l_linenumber").as("line_no"),
+        col("l_partkey").as("part_key"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .withColumn("bucket", pmod(col("invoice_id"), lit(nBuckets.toLong)))
+    onlyBuckets.fold(base)(bs => base.filter(col("bucket").isInCollection(bs)))
+  }
+
+  /** Full build — done once; later refreshes are incremental. */
+  def build(): Unit =
+    flatView(None).write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+
+  /** Incremental refresh from a change page: recompute and swap only the
+    * buckets containing changed invoices. */
+  def refresh(changedInvoiceIds: Seq[Long]): Unit = {
+    if (changedInvoiceIds.isEmpty) return
+    val buckets = changedInvoiceIds
+      .map(id => (((id % nBuckets) + nBuckets) % nBuckets).toInt).distinct
+    flatView(Some(buckets)).write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+  }
+
+  def read(): DataFrame = spark.read.parquet(path)
+}
