@@ -43,6 +43,24 @@ class ModelSpec extends SparkSpec {
     assert(got(5L) == "en", "all-zero scores fall back to the first lexicon")
   }
 
+  test("chunking covers every token with the declared overlap") {
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = df.select(explode(TextOps.chunks($"text", size = 64, step = 48)))
+      .as[String].collect()
+    assert(chunks.length == 3) // ceil((150-64)/48)+1
+    val toks = chunks.flatMap(_.split(' '))
+    assert(toks.toSet == (1 to 150).map(i => s"w$i").toSet, "full coverage")
+    // consecutive chunks overlap by size - step = 16 tokens
+    val c0 = chunks(0).split(' ').toSet
+    val c1 = chunks(1).split(' ').toSet
+    assert(c0.intersect(c1).size == 16)
+    // short doc → single chunk, whole text
+    val short = Seq((2L, "a b c")).toDF("doc_id", "text")
+      .select(explode(TextOps.chunks($"text", 64, 48))).as[String].collect()
+    assert(short.toSeq == Seq("a b c"))
+  }
+
   test("text op edges: empty-ish strings don't crash or mis-tokenize") {
     val df = Seq((1L, ""), (2L, "one"), (3L, "a  b")).toDF("id", "text")
     val toks = df.select($"id", size(TextOps.tokens($"text")).as("n"))
