@@ -13,7 +13,9 @@ object PlanDump {
       "agg_max_version" -> "Change collapse: partial (map-side) + final hash aggregate — one shuffle on the entity key.",
       "llm_simsearch_topk" -> "Brute-force cosine: parquet scan with pushed filters + codegen VecDot + TakeOrderedAndProject; no shuffle.",
       "llm_dedup_near" -> "MinHash LSH: codegen signatures, explode to bands, one shuffle to buckets, in-bucket pair explosion, broadcast verification joins.",
-      "topk_by_version" -> "Version page: TakeOrderedAndProject directly over the scan.")
+      "topk_by_version" -> "Version page: TakeOrderedAndProject directly over the scan.",
+      "view_adhoc_sql" -> "Ad-hoc SQL through the registered view: pushdown and pruning pass through; revenue as exact integer cents.",
+      "llm_chunking" -> "Context-window chunking: single scan, higher-order transform + posexplode, no shuffle before the output sort.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the flagship queries (sf0.01, regenerate with `sbt \"runMain graft.PlanDump\"`)\n")
     for ((name, note) <- picks) {
