@@ -28,37 +28,51 @@ case class Page(data: DataFrame,
   *
   * The bounded page CURSOR — ≤limit (version, id) pairs, the same rowset
   * the reference's recordset iteration holds in JS (server.js:154-168) —
-  * is collected to the driver once; the resume filter and last-row
-  * bookkeeping run on it locally, exactly as the reference filters the
-  * returned page in process. The document payload stays a DataFrame:
+  * is collected to the driver once; the resume filter runs inside the
+  * page query (pre-limit, see poll), and only last-row bookkeeping runs
+  * locally. The document payload stays a DataFrame:
   * rehydration + nesting + the sink write are distributed, driven by the
   * collected key page as a broadcast. One pass over the changefeed per
   * poll; per-poll work is O(limit) afterwards, independent of table size.
   */
 class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
 
-  /** Read one page for `syncName` without committing (steps 1-3 + hasMore). */
+  /** The feed surface, overridable so generic feeds (e.g. with version
+    * ties across entities) reuse the same poll protocol. Defaults bind to
+    * the invoice pipeline. */
+  protected def currentVersion: Long = InvoiceCdc.currentVersion(spark, dir)
+  protected def changedEntities(since: Long, to: Long): DataFrame =
+    InvoiceCdc.changedInvoices(spark, dir, since, to)
+  protected def rehydrate(keys: Seq[(Long, Long)]): DataFrame =
+    InvoiceCdc.rehydratePage(spark, dir, keys)
+
+  /** Read one page for `syncName` without committing (steps 1-3 + hasMore).
+    *
+    * The resume-cursor dedup (step 3) is applied INSIDE the query, before
+    * orderBy/limit, so already-delivered rows never consume page budget.
+    * (The reference filters after TOP, server.js:165-168 — which stalls
+    * permanently if ≥limit entities share one change_version: the page is
+    * all duplicates, the cursor can't advance, yet hasMore stays true.
+    * Filtering pre-limit keeps hasMore and cursor advancement consistent
+    * for any feed.) The deliberate `since - 1` overlap re-read is kept:
+    * it is what makes a crash between sink-write and offset-commit safe. */
   def poll(syncName: String, limit: Int): Page = {
     val st = store.get(syncName)
     val overlapSince = if (st.lastSyncVersion > 0) st.lastSyncVersion - 1 else 0L
-    val to = InvoiceCdc.currentVersion(spark, dir)
-    // one job: collapse the feed, take the oldest-first key page
-    val rawKeys = InvoiceCdc.changedInvoices(spark, dir, overlapSince, to)
+    val to = currentVersion
+    // one job: collapse the feed, dedup the overlap, take the oldest-first
+    // key page — every row that survives is fresh
+    val keys = changedEntities(overlapSince, to)
+      .filter(InvoiceCdc.resumeCursor(st.lastSyncVersion, st.lastProcessedId))
       .orderBy(col("change_version"), col("invoice_id"))
       .limit(limit)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // resume-cursor dedup of the overlap, driver-side like server.js:165-168
-    val deliveredKeys = rawKeys.filter { case (id, v) =>
-      v > st.lastSyncVersion ||
-        (v == st.lastSyncVersion && id > st.lastProcessedId)
-    }
-    val (lastV, lastId) = deliveredKeys.lastOption
+    val (lastV, lastId) = keys.lastOption
       .map { case (id, v) => (v, id) }
       .getOrElse((st.lastSyncVersion, st.lastProcessedId))
-    val delivered = InvoiceCdc.rehydratePage(spark, dir,
-      deliveredKeys.map { case (id, v) => (id, v) })
-    Page(delivered, st.lastSyncVersion, to, rawKeys.length,
-      deliveredKeys.length, rawKeys.length == limit, lastV, lastId)
+    val delivered = rehydrate(keys.map { case (id, v) => (id, v) })
+    Page(delivered, st.lastSyncVersion, to, keys.length,
+      keys.length, keys.length == limit, lastV, lastId)
   }
 
   /** Poll → sink → commit-on-success (step 4). The cursor advances only if
@@ -83,9 +97,9 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
     while (more) {
       val p = pollAndDeliver(syncName, limit)(sink)
       pages += p
-      // stop on an all-duplicate page: the cursor cannot advance, so
-      // another poll would return the identical page forever
-      more = p.hasMore && p.count > 0
+      // the pre-limit resume filter guarantees every page row is fresh,
+      // so hasMore ⇒ the cursor advanced and the next poll makes progress
+      more = p.hasMore
     }
     pages.result()
   }

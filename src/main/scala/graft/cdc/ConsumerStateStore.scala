@@ -72,9 +72,13 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
       }.mkString("", "\n", "\n")
       out.write(text.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    f.delete(fsPath, false)
-    if (!f.rename(tmp, fsPath))
-      throw new java.io.IOException(s"state commit rename failed: $fsPath")
+    // atomic replace: rename OVER the target in one filesystem call, so a
+    // crash at any point leaves either the old state file or the new one —
+    // never a window with no state (which would silently reset every
+    // consumer to version 0 and force full redelivery)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fsPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, fsPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read the consumer's cursor, auto-creating it at (0, 0) on first use

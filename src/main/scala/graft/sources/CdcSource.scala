@@ -94,26 +94,56 @@ case class CdcOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+/** One catalog entry: a change-table file plus its footer-derived
+  * version span and listing signature (length, modification time). */
+case class CdcFileEntry(file: String, len: Long, modTime: Long,
+                        minVersion: Long, maxVersion: Long)
+
 /** File catalog + parquet-footer version statistics, shared by the batch
   * and micro-batch paths. */
 object CdcFiles {
-  def files(opts: CdcOptions): Seq[String] = {
+  def listFiles(opts: CdcOptions): Seq[(String, Long, Long)] = {
     val conf = new Configuration()
     val p = new Path(opts.path)
     val fs = FileSystem.get(p.toUri, conf)
     val st = fs.getFileStatus(p)
     val all =
-      if (st.isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
-      else Seq(p)
-    all.filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      if (st.isDirectory) fs.listStatus(p).toSeq
+      else Seq(st)
+    all.filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  def files(opts: CdcOptions): Seq[String] = listFiles(opts).map(_._1)
+
+  /** Fail fast, naming the actual schema, when a change-table column is
+    * missing or not a 64-bit integer — instead of an opaque
+    * ClassCastException / parquet schema mismatch mid-read (the
+    * version/entity contract is INT64, CdcSourceProvider.SCHEMA). */
+  private def validateInt64(schema: org.apache.parquet.schema.MessageType,
+                            colName: String, file: String): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    if (!schema.containsField(colName))
+      throw new IllegalArgumentException(
+        s"graft-cdc: column '$colName' not found in $file; available: " +
+          schema.getFields.asScala.map(_.getName).mkString(", "))
+    val t = schema.getFields.asScala.find(_.getName == colName).get
+    if (!t.isPrimitive || t.asPrimitiveType().getPrimitiveTypeName != PrimitiveTypeName.INT64)
+      throw new IllegalArgumentException(
+        s"graft-cdc: column '$colName' in $file must be INT64 (long); found: $t")
   }
 
   /** (min, max) of the version column across a file's row groups, from
-    * footer statistics only — no data pages read. */
-  def versionRange(file: String, versionCol: String): (Long, Long) = {
+    * footer statistics only — no data pages read. Validates that both
+    * declared columns exist with parquet type INT64. */
+  def versionRange(file: String, versionCol: String, entityCol: String): (Long, Long) = {
     val conf = new Configuration()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      validateInt64(schema, versionCol, file)
+      validateInt64(schema, entityCol, file)
       val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == versionCol)
@@ -129,19 +159,54 @@ object CdcFiles {
     } finally r.close()
   }
 
-  def tableRange(opts: CdcOptions): Option[(Long, Long)] = {
-    val rs = files(opts).map(versionRange(_, opts.versionColumn))
-      .filter(r => r._1 <= r._2)
-    if (rs.isEmpty) None else Some((rs.map(_._1).min, rs.map(_._2).max))
+  def catalog(opts: CdcOptions): Seq[CdcFileEntry] =
+    listFiles(opts).map { case (f, len, mt) =>
+      val (mn, mx) = versionRange(f, opts.versionColumn, opts.entityColumn)
+      CdcFileEntry(f, len, mt, mn, mx)
+    }
+
+  def tableRangeOf(entries: Seq[CdcFileEntry]): Option[(Long, Long)] = {
+    val rs = entries.filter(e => e.minVersion <= e.maxVersion)
+    if (rs.isEmpty) None
+    else Some((rs.map(_.minVersion).min, rs.map(_.maxVersion).max))
   }
 
-  def partitionsFor(opts: CdcOptions, lo: Long, hi: Long): Array[InputPartition] =
-    files(opts).flatMap { f =>
-      val (mn, mx) = versionRange(f, opts.versionColumn)
+  def tableRange(opts: CdcOptions): Option[(Long, Long)] =
+    tableRangeOf(catalog(opts))
+
+  def partitionsOf(entries: Seq[CdcFileEntry], opts: CdcOptions,
+                   lo: Long, hi: Long): Array[InputPartition] =
+    entries.flatMap { e =>
       // keep files whose version span intersects (lo, hi]
-      if (mx <= lo || mn > hi) None
-      else Some(CdcInputPartition(f, lo, hi, opts.versionColumn, opts.entityColumn))
+      if (e.maxVersion <= lo || e.minVersion > hi) None
+      else Some(CdcInputPartition(e.file, lo, hi,
+        opts.versionColumn, opts.entityColumn))
     }.toArray
+
+  def partitionsFor(opts: CdcOptions, lo: Long, hi: Long): Array[InputPartition] =
+    partitionsOf(catalog(opts), opts, lo, hi)
+}
+
+/** Incrementally-maintained footer catalog: per trigger the driver does
+  * ONE directory listing; parquet footers are (re)opened only for files
+  * that are new or whose (length, modTime) changed. A change table grows
+  * by appending files, so steady-state driver work per trigger is
+  * O(listing) + O(new files), not O(all footers) as a naive re-scan. */
+class CdcCatalogCache(opts: CdcOptions) {
+  private var cached = Map.empty[String, CdcFileEntry]
+
+  def entries(): Seq[CdcFileEntry] = synchronized {
+    val listing = CdcFiles.listFiles(opts)
+    cached = listing.map { case (f, len, mt) =>
+      cached.get(f) match {
+        case Some(e) if e.len == len && e.modTime == mt => f -> e
+        case _ =>
+          val (mn, mx) = CdcFiles.versionRange(f, opts.versionColumn, opts.entityColumn)
+          f -> CdcFileEntry(f, len, mt, mn, mx)
+      }
+    }.toMap
+    listing.map { case (f, _, _) => cached(f) }
+  }
 }
 
 case class CdcInputPartition(file: String, lo: Long, hi: Long,
@@ -161,8 +226,16 @@ class CdcMicroBatchStream(opts: CdcOptions)
 
   private var availableNowCap: Option[Long] = None
 
-  private def tableMax: Option[Long] = CdcFiles.tableRange(opts).map(_._2)
-  private def tableMin: Option[Long] = CdcFiles.tableRange(opts).map(_._1)
+  // one footer catalog per stream instance: each trigger re-lists the
+  // directory but re-reads footers only for new/changed files (the naive
+  // form — tableMax + tableMin + planInputPartitions each re-opening
+  // every footer — is O(3 × files) driver work per trigger)
+  private val catalog = new CdcCatalogCache(opts)
+
+  private def tableMax: Option[Long] =
+    CdcFiles.tableRangeOf(catalog.entries()).map(_._2)
+  private def tableMin: Option[Long] =
+    CdcFiles.tableRangeOf(catalog.entries()).map(_._1)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = tableMax
@@ -191,7 +264,7 @@ class CdcMicroBatchStream(opts: CdcOptions)
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    CdcFiles.partitionsFor(opts,
+    CdcFiles.partitionsOf(catalog.entries(), opts,
       start.asInstanceOf[CdcOffset].version, end.asInstanceOf[CdcOffset].version)
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
@@ -223,9 +296,19 @@ class CdcPartitionReader(p: CdcInputPartition)
   override def next(): Boolean = {
     var g = reader.read()
     while (g != null) {
+      // column TYPES were validated at planning (CdcFiles.versionRange);
+      // per-row null guards remain: a null version has no position in the
+      // feed order — fail with the contract named, not an NPE
+      if (g.getFieldRepetitionCount(p.versionCol) == 0)
+        throw new IllegalStateException(
+          s"graft-cdc: null ${p.versionCol} in ${p.file}; " +
+            "change-table versions must be non-null")
       val v = g.getLong(p.versionCol, 0)
       if (v > p.lo && v <= p.hi) {
-        row = InternalRow(g.getLong(p.entityCol, 0), v)
+        val entity: Any =
+          if (g.getFieldRepetitionCount(p.entityCol) == 0) null
+          else g.getLong(p.entityCol, 0)
+        row = InternalRow(entity, v)
         return true
       }
       g = reader.read()

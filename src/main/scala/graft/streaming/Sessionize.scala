@@ -8,9 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class FeedEvent(eventId: Long, tsMicros: Long, userId: Long,
                      eventType: String, value: Double)
 
-/** Mutable per-entity state carried between micro-batches. */
-case class EntityState(userId: Long, lastVersion: Long, nEvents: Long,
-                       valueSum: Double)
+/** Mutable per-entity state carried between micro-batches. firstVersion
+  * is set on the entity's first event and preserved across batches so the
+  * timeout-emitted session agrees with batchFold's min(event_id). */
+case class EntityState(userId: Long, firstVersion: Long, lastVersion: Long,
+                       nEvents: Long, valueSum: Double)
 
 /** Emitted when an entity's activity gap exceeds the session timeout, or
   * on demand in batch mode. */
@@ -38,16 +40,19 @@ object Sessionize {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      Iterator.single(EntitySession(s.userId, 0L, s.lastVersion, s.nEvents,
-        math.round(s.valueSum * 100)))
+      Iterator.single(EntitySession(s.userId, s.firstVersion, s.lastVersion,
+        s.nEvents, math.round(s.valueSum * 100)))
     } else {
       val sorted = events.toSeq.sortBy(_.eventId)
       if (sorted.isEmpty) Iterator.empty
       else {
-        val prev = state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0.0))
+        val prev = state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0L, 0.0))
         val next = sorted.foldLeft(prev) { (s, e) =>
-          // version-ordered: later versions win, counts accumulate
-          EntityState(userId, math.max(s.lastVersion, e.eventId),
+          // version-ordered: later versions win, counts accumulate; the
+          // first event ever seen pins firstVersion (batchFold's min)
+          EntityState(userId,
+            if (s.nEvents == 0L) e.eventId else s.firstVersion,
+            math.max(s.lastVersion, e.eventId),
             s.nEvents + 1, s.valueSum + e.value)
         }
         state.update(next)

@@ -83,6 +83,33 @@ class ExactlyOnceSpec extends SparkSpec {
     }
   }
 
+  test("T3: a feed where >limit entities share one change_version still drains") {
+    // Generic-feed regression (the reference filters post-TOP, server.js:
+    // 165-168 after :139's TOP — with >=limit ties a page is all
+    // duplicates and the cursor stalls forever; our pre-limit resume
+    // filter must page through ties by the id tiebreak instead).
+    import spark.implicits._
+    val rows = (1L to 250L).map(id => (id, 5L)) ++ Seq((300L, 7L), (301L, 9L))
+    val store = newStore()
+    val feed = new ChangeFeed(spark, sf, store) {
+      override protected def currentVersion: Long = rows.map(_._2).max
+      override protected def changedEntities(since: Long, to: Long) =
+        rows.toDF("invoice_id", "change_version")
+          .filter($"change_version" > since && $"change_version" <= to)
+      override protected def rehydrate(keys: Seq[(Long, Long)]) =
+        keys.toDF("invoice_id", "change_version")
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val pages = feed.drain("ties", limit = 100) { df =>
+      got ++= df.as[(Long, Long)].collect()
+    }
+    assert(pages.size == 3, s"expected 3 pages, got ${pages.size}")
+    assert(got.size == rows.size, "no entity lost or delivered twice")
+    assert(got.toSet == rows.toSet)
+    val st = store.get("ties")
+    assert(st.lastSyncVersion == 9L && st.lastProcessedId == 301L)
+  }
+
   test("T3: drain delivers the identical set for any page size") {
     val expected = InvoiceCdc.changedInvoices(spark, sf, 0L, Long.MaxValue)
       .select($"invoice_id", $"change_version")

@@ -38,7 +38,7 @@ class RetentionSpec extends SparkSpec {
     Retention.writeCompacted(changes, out, nFiles = 4)
     val opts = CdcOptions(Map("path" -> out))
     val ranges = CdcFiles.files(opts)
-      .map(CdcFiles.versionRange(_, "change_version")).sortBy(_._1)
+      .map(CdcFiles.versionRange(_, "change_version", "entity_id")).sortBy(_._1)
     assert(ranges.size == 4)
     ranges.sliding(2).foreach { w =>
       if (w.size == 2) assert(w(0)._2 < w(1)._1, s"overlap: $w")

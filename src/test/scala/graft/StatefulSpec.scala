@@ -22,19 +22,22 @@ class StatefulSpec extends SparkSpec {
       Iterator(ev(3, 7, 1.5), ev(1, 7, 2.0), ev(2, 7, 0.25)), state)
     assert(out.isEmpty, "no session emitted while active")
     val s = state.get
+    assert(s.firstVersion == 1L, "firstVersion pinned to the oldest event")
     assert(s.lastVersion == 3L && s.nEvents == 3L)
     assert(math.abs(s.valueSum - 3.75) < 1e-9)
   }
 
   test("sessionize timeout emits the session and clears state") {
     val state = TestGroupState.create[EntityState](
-      optionalState = org.apache.spark.api.java.Optional.of(EntityState(7L, 9L, 4L, 2.5)),
+      optionalState = org.apache.spark.api.java.Optional.of(EntityState(7L, 2L, 9L, 4L, 2.5)),
       timeoutConf =
         org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
       batchProcessingTimeMs = 99999L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
       hasTimedOut = true)
     val out = Sessionize.updateState(7L, Iterator.empty, state).toSeq
     assert(out.size == 1)
+    assert(out.head.firstVersion == 2L,
+      "timeout session carries the entity's first version (batchFold parity)")
     assert(out.head.lastVersion == 9L && out.head.nEvents == 4L
       && out.head.valueSumCents == 250L)
     assert(state.isRemoved)
