@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe (not part of the driver contract): times each declared
+  * query twice in one JVM to split cold (plan+codegen) from warm cost. */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).count()
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = time(); val warm = time(); val warm2 = time()
+      println(f"PROBE $name%-28s cold=$cold%6.2f warm=$warm%6.2f warm2=$warm2%6.2f")
+      (name, cold, warm.min(warm2))
+    }
+    val totalCold = rows.map(_._2).sum
+    val totalWarm = rows.map(_._3).sum
+    println(f"PROBE TOTAL cold=$totalCold%6.2f warmBest=$totalWarm%6.2f")
+    spark.stop()
+  }
+}

@@ -8,7 +8,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.01"
     val picks = Seq(
-      "cdc_incremental_poll" -> "Flagship poll page: bounded top-K taken before the joins; header streamed past a broadcast page; lines semi-join pruned before nesting; single feed shuffle (partial+final hash agg).",
+      "cdc_incremental_poll" -> "Flagship poll page, serving-path shape: the bounded key page is computed once (union feeds -> max-version collapse -> top-K, the only full-feed pass) and collected; document assembly then joins the big tables ONCE each against the literal broadcast page (LocalTableScan below). The single-plan declarative form would feed the page subtree into two broadcast joins, and AQE plans those stages independently (exchange reuse not guaranteed) - doubling the feed pass.",
       "join_view_flat" -> "BI view flatten: broadcast-hash join, no shuffle of the big side at this SF; at scale both sides bucketed (see StateLayout).",
       "agg_max_version" -> "Change collapse: partial (map-side) + final hash aggregate — one shuffle on the entity key.",
       "llm_simsearch_topk" -> "Brute-force cosine: parquet scan with pushed filters + codegen VecDot + TakeOrderedAndProject; no shuffle.",

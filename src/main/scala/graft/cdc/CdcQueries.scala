@@ -25,7 +25,7 @@ object CdcQueries {
     * union feeds → bound (since, to] → max-version per invoice →
     * rehydrate → nested lines JSON → oldest-first top-K. */
   val cdcIncrementalPoll: Q = (s, d) =>
-    InvoiceCdc.pageQuery(s, d, since = 1000L, to = 2800L, limit = 50)
+    InvoiceCdc.pageQueryMaterialized(s, d, since = 1000L, to = 2800L, limit = 50)
 
   /** T3 — pagination with the composite resume cursor: the next page
     * strictly after (version, id), echoing `hasMore` consumption
@@ -74,7 +74,7 @@ object CdcQueries {
     * filename scheme is ScalaTest-verified in DocumentSinkSpec). */
   val sinkVersioned: Q = (s, d) => {
     val dir = tmp("graft-sink")
-    val page = InvoiceCdc.pageQuery(s, d, 0L, Long.MaxValue, 100)
+    val page = InvoiceCdc.pageQueryMaterialized(s, d, 0L, Long.MaxValue, 100)
     graft.sinks.DocumentSink.writeVersioned(page, dir, tmp("graft-sinkerr"))
     graft.sinks.DocumentSink.readBack(s, dir, Some(
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -88,7 +88,7 @@ object CdcQueries {
     * shape (file count partitions by version). */
   val sinkListing: Q = (s, d) => {
     val dir = tmp("graft-sink")
-    val page = InvoiceCdc.pageQuery(s, d, 0L, Long.MaxValue, 100)
+    val page = InvoiceCdc.pageQueryMaterialized(s, d, 0L, Long.MaxValue, 100)
     graft.sinks.DocumentSink.writeVersioned(page, dir, tmp("graft-sinkerr"))
     graft.sinks.DocumentSink.listSink(s, dir)
       .agg(count(lit(1)).as("n_files"),

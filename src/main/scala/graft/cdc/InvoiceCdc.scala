@@ -114,6 +114,26 @@ object InvoiceCdc {
       .orderBy(col("change_version"), col("invoice_id"))
   }
 
+  /** The page query the way the serving path actually runs it
+    * (ChangeFeed.poll): compute the bounded key page ONCE, collect its
+    * ≤limit (invoice_id, change_version) rows, then assemble documents
+    * against the literal page. Output-identical to [[pageQuery]]
+    * (PageQuerySpec proves it), but the feed collapse — the only
+    * full-feed shuffle — runs exactly once. In the single-plan form the
+    * page subtree feeds two broadcast joins, and under AQE the two
+    * broadcast stages are planned independently (exchange reuse across
+    * them is not guaranteed), so the whole union+agg+top-K pipeline can
+    * execute twice. At 100 TB that is the difference between one pass
+    * over the changefeed per poll and two. */
+  def pageQueryMaterialized(spark: SparkSession, dir: String,
+                            since: Long, to: Long, limit: Int): DataFrame = {
+    val keys = changedInvoices(spark, dir, since, to)
+      .orderBy(col("change_version"), col("invoice_id"))
+      .limit(limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rehydratePage(spark, dir, keys.toSeq)
+  }
+
   /** Rehydrate + nest an already-materialized key page — the ChangeFeed
     * poll path: the ≤limit (invoice_id, change_version) cursor rows were
     * collected driver-side (the reference holds the same rowset in JS),

@@ -12,15 +12,22 @@ import org.apache.spark.sql.functions._
   * size); and per-document read-back.
   *
   * Spark-first shape: documents are JSON-lines records written
-  * `partitionBy(change_version)` — one directory per version, written in
-  * parallel, append-only (a version never rewrites, so the layout is
-  * idempotent under redelivery: re-appending an identical record is
-  * deduplicated by the `doc_name` key on read). The reference's filename
-  * becomes a `doc_name` column — at 100 TB one-file-per-document is a
-  * small-files catastrophe; the name travels as data instead, and the
-  * partition dir carries the version.
+  * `partitionBy(version_bucket)` where `version_bucket =
+  * change_version / 1000` (the reference's default poll page size,
+  * server.js:89) — append-only, written in parallel, idempotent under
+  * redelivery (re-appended records are deduplicated by `doc_name` on
+  * read). The reference's filename becomes a `doc_name` column — at
+  * 100 TB one-file-per-document is a small-files catastrophe, and so is
+  * one-DIRECTORY-per-version (a busy feed mints millions of versions);
+  * bucketing bounds the directory count at versions/1000 while keeping
+  * partition pruning for version-range reads (every read-by-version
+  * touches exactly one bucket dir).
   */
 object DocumentSink {
+
+  /** Versions per partition directory (the reference's server-side poll
+    * page default, server.js:89). */
+  val VersionsPerBucket = 1000L
 
   /** Stamp the document name (filename scheme, server.js:64-66). */
   def withDocName(df: DataFrame): DataFrame =
@@ -38,11 +45,13 @@ object DocumentSink {
       col("invoice_number").isNotNull && col("change_version").isNotNull)
     val invalid = stamped.filter(
       col("invoice_number").isNull || col("change_version").isNull)
-    // co-locate each version's documents in one task before the
-    // partitioned write: one file per version dir instead of one per
-    // (task × version) — the small-files guard that matters at scale
-    valid.repartition(col("change_version"))
-      .write.mode("append").partitionBy("change_version").json(dir)
+    // co-locate each bucket's documents in one task before the
+    // partitioned write: one file per bucket dir instead of one per
+    // (task × bucket) — the small-files guard that matters at scale
+    valid.withColumn("version_bucket",
+        floor(col("change_version") / VersionsPerBucket))
+      .repartition(col("version_bucket"))
+      .write.mode("append").partitionBy("version_bucket").json(dir)
     if (!invalid.isEmpty)
       invalid.write.mode("append").json(errorDir)
     stamped.unpersist()
@@ -58,13 +67,23 @@ object DocumentSink {
       .select(col("path"), col("length"), col("modificationTime"))
       .orderBy(col("modificationTime").desc, col("path"))
 
-  /** S6 — document read-back by name (server.js:401-421). Version-dir
-    * partition pruning applies when the caller filters change_version.
-    * Pass `schema` when the page shape is known — JSON schema inference
-    * costs a full extra pass over every sink file. */
+  /** S6 — document read-back (server.js:401-421). Pass `schema` when the
+    * page shape is known — JSON schema inference costs a full extra pass
+    * over every sink file. */
   def readBack(spark: SparkSession, dir: String,
                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
+      .drop("version_bucket")
+
+  /** Read the documents of one change version: the bucket predicate is
+    * derivable from the version, so the scan prunes to ONE partition
+    * directory regardless of sink size, then row-filters inside it. */
+  def readVersion(spark: SparkSession, dir: String, version: Long,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
+      .filter(col("version_bucket") === version / VersionsPerBucket &&
+        col("change_version") === version)
+      .drop("version_bucket")
 
   /** Exactly-once on redelivery: the same (invoice, version) appended
     * twice collapses to one document — last-writer-wins on the stamp. */

@@ -14,18 +14,40 @@ class DocumentSinkSpec extends SparkSpec {
       (3L, null.asInstanceOf[String], "CUST-3", 12L) // invalid: no number
     ).toDF("invoice_id", "invoice_number", "customer_code", "change_version")
 
-  test("S4: valid docs land partitioned by version; invalid go to error dir") {
+  test("S4: valid docs land partitioned by version bucket; invalid go to error dir") {
     val dir = tmpDir("sink")
     val err = tmpDir("sinkerr")
     DocumentSink.writeVersioned(samplePage(), dir, err)
     val docs = DocumentSink.readBack(spark, dir)
     assert(docs.count() == 2)
     assert(docs.columns.contains("doc_name"))
-    // partition dirs carry the version
-    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("change_version="))
-    assert(sub.toSet == Set("change_version=10", "change_version=11"))
+    assert(!docs.columns.contains("version_bucket"), "bucket is layout, not data")
+    // partition dirs carry the version bucket (bounded count at scale)
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("version_bucket="))
+    assert(sub.toSet == Set("version_bucket=0"))
     val bad = spark.read.json(err)
     assert(bad.count() == 1)
+  }
+
+  test("S6: read-by-version prunes to one bucket dir and row-filters inside") {
+    val dir = tmpDir("sink")
+    val err = tmpDir("e")
+    val page = samplePage().filter($"invoice_number".isNotNull)
+      .union(Seq((9L, "INV-000000009", "CUST-9", 2500L))
+        .toDF("invoice_id", "invoice_number", "customer_code", "change_version"))
+    DocumentSink.writeVersioned(page, dir, err)
+    // two buckets on disk: 0 (v10, v11) and 2 (v2500)
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("version_bucket="))
+    assert(sub.toSet == Set("version_bucket=0", "version_bucket=2"))
+    val one = DocumentSink.readVersion(spark, dir, 2500L)
+    assert(one.count() == 1)
+    assert(one.select("invoice_id").head().getLong(0) == 9L)
+    // the bucket predicate reaches the scan as a partition filter
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned bucket, got ${scan.selectedPartitions.partitionCount}")
   }
 
   test("S4 doc_name follows the reference filename scheme") {
