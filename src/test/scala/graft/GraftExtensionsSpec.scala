@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The spark.sql.extensions injector must expose the native expressions
+  * to a fresh session with zero per-session setup (pure-SQL clients). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("functions are usable from SQL in a session built with the extension") {
+    // force session materialization (shares the JVM-wide SparkContext)
+    spark.sparkContext
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions applies the same injector class that
+      // spark.sql.extensions=graft.functions.GraftExtensions loads on a
+      // fresh cluster (static conf — not re-readable on the shared test
+      // SparkContext, hence the builder API here)
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      val dot = s.sql(
+        "SELECT graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+        .head().getDouble(0)
+      assert(dot == 32.0)
+      val nShingles = s.sql(
+        "SELECT size(graft_shingle_hashes(split('a b c d', ' '), 3))")
+        .head().getInt(0)
+      assert(nShingles == 2, "4 tokens, 3-shingles -> 2 distinct shingles")
+      val sigLen = s.sql(
+        "SELECT size(graft_minhash_sig(graft_shingle_hashes(split('a b c d', ' '), 2), 16))")
+        .head().getInt(0)
+      assert(sigLen == 16)
+      // same values as the temp-registry path used inside the engine
+      graft.functions.VectorFunctions.register(spark)
+      val viaTemp = spark.sql(
+        "SELECT graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+        .head().getDouble(0)
+      assert(viaTemp == dot)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
