@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One delivered page plus the metadata the reference returns in its
-  * HTTP response (fromVersion/toVersion/count/hasMore, server.js:276-299). */
+  * HTTP response (fromVersion/toVersion/count/hasMore, server.js:276-299).
+  * Every page row is fresh (the resume filter runs pre-limit), so there
+  * is no raw-vs-delivered count distinction. */
 case class Page(data: DataFrame,
                 fromVersion: Long, toVersion: Long,
-                rawCount: Long, count: Long, hasMore: Boolean,
+                count: Long, hasMore: Boolean,
                 lastVersion: Long, lastId: Long)
 
 /** The batch-incremental exactly-once poll protocol — the heart of the
@@ -39,7 +41,9 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
 
   /** The feed surface, overridable so generic feeds (e.g. with version
     * ties across entities) reuse the same poll protocol. Defaults bind to
-    * the invoice pipeline. */
+    * the invoice pipeline. Column contract: `changedEntities` must return
+    * exactly (invoice_id LONG, change_version LONG) — poll's resume
+    * filter, ordering and cursor bookkeeping key on those two names. */
   protected def currentVersion: Long = InvoiceCdc.currentVersion(spark, dir)
   protected def changedEntities(since: Long, to: Long): DataFrame =
     InvoiceCdc.changedInvoices(spark, dir, since, to)
@@ -57,6 +61,8 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
     * for any feed.) The deliberate `since - 1` overlap re-read is kept:
     * it is what makes a crash between sink-write and offset-commit safe. */
   def poll(syncName: String, limit: Int): Page = {
+    require(limit > 0, s"page limit must be positive, got $limit " +
+      "(limit = 0 would report hasMore on every empty page and stall drain)")
     val st = store.get(syncName)
     val overlapSince = if (st.lastSyncVersion > 0) st.lastSyncVersion - 1 else 0L
     val to = currentVersion
@@ -70,8 +76,8 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
     val (lastV, lastId) = keys.lastOption
       .map { case (id, v) => (v, id) }
       .getOrElse((st.lastSyncVersion, st.lastProcessedId))
-    val delivered = rehydrate(keys.map { case (id, v) => (id, v) })
-    Page(delivered, st.lastSyncVersion, to, keys.length,
+    val delivered = rehydrate(keys.toSeq)
+    Page(delivered, st.lastSyncVersion, to,
       keys.length, keys.length == limit, lastV, lastId)
   }
 

@@ -43,42 +43,56 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
+  private val tmpPath = new Path(path, "sync_state.tsv.tmp")
+
+  private def parse(f: FileSystem, p: Path): Map[String, SyncState] = {
+    val in = f.open(p)
+    try {
+      val text = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      text.split('\n').filter(_.nonEmpty).map { line =>
+        val Array(n, v, id, t) = line.split('\t')
+        val st = SyncState(dec(n), v.toLong, id.toLong,
+          new Timestamp(t.toLong))
+        st.syncName -> st
+      }.toMap
+    } finally in.close()
+  }
+
   private def readAll(): Map[String, SyncState] = {
     val f = fs
-    if (!f.exists(fsPath)) Map.empty
-    else {
-      val in = f.open(fsPath)
-      try {
-        val text = new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          StandardCharsets.UTF_8)
-        text.split('\n').filter(_.nonEmpty).map { line =>
-          val Array(n, v, id, t) = line.split('\t')
-          val st = SyncState(dec(n), v.toLong, id.toLong,
-            new Timestamp(t.toLong))
-          st.syncName -> st
-        }.toMap
-      } finally in.close()
-    }
+    if (f.exists(fsPath)) parse(f, fsPath)
+    // crash-recovery: the temp file is fully written and closed BEFORE
+    // the swap begins, so "no state file but a temp file exists" can only
+    // mean a crash inside the swap — the temp holds the committed state.
+    // (Guards filesystems whose overwrite-rename is not a single atomic
+    // op: local RawLocalFs falls back to delete-then-rename.)
+    else if (f.exists(tmpPath)) parse(f, tmpPath)
+    else Map.empty
   }
 
   private def writeAll(states: Map[String, SyncState]): Unit = {
     val f = fs
-    val tmp = new Path(path, s"sync_state.tsv.tmp")
-    val out = f.create(tmp, true)
+    // if a previous swap crashed (no state file, committed temp), promote
+    // the temp FIRST — otherwise truncating it below would reopen the
+    // lost-state window this two-file protocol exists to close
+    if (!f.exists(fsPath) && f.exists(tmpPath)) f.rename(tmpPath, fsPath)
+    val out = f.create(tmpPath, true)
     try {
       val text = states.values.toSeq.sortBy(_.syncName).map { s =>
         s"${enc(s.syncName)}\t${s.lastSyncVersion}\t${s.lastProcessedId}\t${s.lastSyncTime.getTime}"
       }.mkString("", "\n", "\n")
       out.write(text.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    // atomic replace: rename OVER the target in one filesystem call, so a
-    // crash at any point leaves either the old state file or the new one —
-    // never a window with no state (which would silently reset every
-    // consumer to version 0 and force full redelivery)
+    // swap the fully-written temp over the target. On HDFS the OVERWRITE
+    // rename is a single atomic op; on filesystems whose AbstractFileSystem
+    // falls back to delete-then-rename (local RawLocalFs does) a crash
+    // inside the swap leaves the committed state in the temp file, which
+    // readAll recovers — no window loses consumer offsets either way.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fsPath.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, fsPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fc.rename(tmpPath, fsPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read the consumer's cursor, auto-creating it at (0, 0) on first use

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions injector for the engine's native expressions —
   * the cluster-scale registration path the temp-function registry in
@@ -19,22 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * reference exposes its whole surface through SQL Server.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def intArg(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(VectorFunctions.DOT),
-      new ExpressionInfo(classOf[VecDot].getName, VectorFunctions.DOT),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier(VectorFunctions.SHINGLES),
-      new ExpressionInfo(classOf[ShingleHashes].getName, VectorFunctions.SHINGLES),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)))))
-    ext.injectFunction((
-      FunctionIdentifier(VectorFunctions.MINHASH),
-      new ExpressionInfo(classOf[MinHashSig].getName, VectorFunctions.MINHASH),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0), intArg(exprs(1)))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
 }

@@ -86,20 +86,43 @@ object VectorFunctions {
   val SHINGLES = "graft_shingle_hashes"
   val MINHASH = "graft_minhash_sig"
 
-  private def intArg(e: Expression): Int =
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${exprs.length}")
+
+  private def intArg(name: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name expects a literal integer argument, got ${e.sql}")
     e.eval(null).asInstanceOf[Number].intValue()
+  }
+
+  /** The single builder list both registration paths consume — the temp
+    * registry (tests / library sessions) and the SparkSessionExtensions
+    * injector (cluster-wide SQL) — so the two can never diverge. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    (DOT, classOf[VecDot],
+      (exprs: Seq[Expression]) => {
+        arity(DOT, exprs, 2); VecDot(exprs(0), exprs(1))
+      }),
+    (SHINGLES, classOf[ShingleHashes],
+      (exprs: Seq[Expression]) => {
+        arity(SHINGLES, exprs, 2)
+        ShingleHashes(exprs(0), intArg(SHINGLES, exprs(1)))
+      }),
+    (MINHASH, classOf[MinHashSig],
+      (exprs: Seq[Expression]) => {
+        arity(MINHASH, exprs, 2)
+        MinHashSig(exprs(0), intArg(MINHASH, exprs(1)))
+      }))
 
   /** Idempotently register the custom functions on a session (temp
-    * function registry — at cluster scale this moves into a
-    * SparkSessionExtensions injector wired via spark.sql.extensions). */
+    * function registry; cluster-wide flavor = GraftExtensions via
+    * spark.sql.extensions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      DOT, exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      SHINGLES, exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      MINHASH, exprs => MinHashSig(exprs(0), intArg(exprs(1))), "built-in")
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Column-level dot product (requires register() on the session). */

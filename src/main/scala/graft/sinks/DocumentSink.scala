@@ -48,8 +48,11 @@ object DocumentSink {
     // co-locate each bucket's documents in one task before the
     // partitioned write: one file per bucket dir instead of one per
     // (task × bucket) — the small-files guard that matters at scale
+    // integral `div`, not `/`: Spark's `/` computes in double, which can
+    // cross a bucket boundary for versions beyond 2^53 and diverge from
+    // readVersion's exact Long division
     valid.withColumn("version_bucket",
-        floor(col("change_version") / VersionsPerBucket))
+        expr(s"change_version div $VersionsPerBucket"))
       .repartition(col("version_bucket"))
       .write.mode("append").partitionBy("version_bucket").json(dir)
     if (!invalid.isEmpty)
@@ -75,15 +78,18 @@ object DocumentSink {
     schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
       .drop("version_bucket")
 
-  /** Read the documents of one change version: the bucket predicate is
-    * derivable from the version, so the scan prunes to ONE partition
-    * directory regardless of sink size, then row-filters inside it. */
+  /** Read the documents of one change version. The bucket directory is
+    * derivable from the version, so ONLY that directory is listed, read —
+    * and, when no schema is passed, schema-inferred — regardless of sink
+    * size (pointing inference at the whole sink would cost a full pass
+    * even though the scan itself prunes). Throws the usual path-not-found
+    * AnalysisException if the version's bucket was never written. */
   def readVersion(spark: SparkSession, dir: String, version: Long,
-                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
-      .filter(col("version_bucket") === version / VersionsPerBucket &&
-        col("change_version") === version)
-      .drop("version_bucket")
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val bucketDir = s"$dir/version_bucket=${version / VersionsPerBucket}"
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(bucketDir)
+      .filter(col("change_version") === version)
+  }
 
   /** Exactly-once on redelivery: the same (invoice, version) appended
     * twice collapses to one document — last-writer-wins on the stamp. */

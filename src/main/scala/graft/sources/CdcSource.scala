@@ -226,22 +226,27 @@ class CdcMicroBatchStream(opts: CdcOptions)
 
   private var availableNowCap: Option[Long] = None
 
-  // one footer catalog per stream instance: each trigger re-lists the
-  // directory but re-reads footers only for new/changed files (the naive
-  // form — tableMax + tableMin + planInputPartitions each re-opening
-  // every footer — is O(3 × files) driver work per trigger)
+  // one footer catalog per stream instance: footers are (re)read only for
+  // new/changed files, and within a trigger the LISTING is taken once too:
+  // latestOffset (the admission-control entry point Spark calls first each
+  // trigger) refreshes the snapshot; reportLatestOffset and
+  // planInputPartitions reuse it — so the partitions planned are exactly
+  // the catalog the offset decision saw, and driver work per trigger is
+  // one listing + new-file footers (on object stores LIST is the dominant
+  // per-trigger cost; the naive form paid it 3×).
   private val catalog = new CdcCatalogCache(opts)
+  @volatile private var snapshot: Seq[CdcFileEntry] = Nil
 
-  private def tableMax: Option[Long] =
-    CdcFiles.tableRangeOf(catalog.entries()).map(_._2)
-  private def tableMin: Option[Long] =
-    CdcFiles.tableRangeOf(catalog.entries()).map(_._1)
+  private def refreshSnapshot(): Seq[CdcFileEntry] = {
+    snapshot = catalog.entries(); snapshot
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = tableMax
+    availableNowCap = CdcFiles.tableRangeOf(refreshSnapshot()).map(_._2)
 
   override def initialOffset(): Offset =
-    CdcOffset(tableMin.map(_ - 1).getOrElse(0L))
+    CdcOffset(CdcFiles.tableRangeOf(refreshSnapshot())
+      .map(_._1 - 1).getOrElse(0L))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -251,7 +256,8 @@ class CdcMicroBatchStream(opts: CdcOptions)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset].version
-    val cap = availableNowCap.orElse(tableMax).getOrElse(s)
+    val cap = availableNowCap.orElse(
+      CdcFiles.tableRangeOf(refreshSnapshot()).map(_._2)).getOrElse(s)
     // bounded version page — the reference's poll `limit` (T3)
     CdcOffset(math.min(cap, math.max(s,
       if (opts.maxVersionsPerBatch == Long.MaxValue) cap
@@ -259,13 +265,18 @@ class CdcMicroBatchStream(opts: CdcOptions)
   }
 
   override def reportLatestOffset(): Offset =
-    CdcOffset(availableNowCap.orElse(tableMax).getOrElse(0L))
+    CdcOffset(availableNowCap.orElse(
+      CdcFiles.tableRangeOf(snapshot).map(_._2)).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    CdcFiles.partitionsOf(catalog.entries(), opts,
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // reuse the trigger's snapshot (fall back to a fresh one on recovery
+    // restarts where planInputPartitions runs before any latestOffset)
+    val entries = if (snapshot.nonEmpty) snapshot else refreshSnapshot()
+    CdcFiles.partitionsOf(entries, opts,
       start.asInstanceOf[CdcOffset].version, end.asInstanceOf[CdcOffset].version)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
 
@@ -305,10 +316,15 @@ class CdcPartitionReader(p: CdcInputPartition)
             "change-table versions must be non-null")
       val v = g.getLong(p.versionCol, 0)
       if (v > p.lo && v <= p.hi) {
-        val entity: Any =
-          if (g.getFieldRepetitionCount(p.entityCol) == 0) null
-          else g.getLong(p.entityCol, 0)
-        row = InternalRow(entity, v)
+        // the entity is the change key — a null key has nothing to join
+        // back to; fail with the contract named (consistent with the
+        // version guard above) instead of surfacing later as an opaque
+        // encoder error or a silently dropped null-keyed group
+        if (g.getFieldRepetitionCount(p.entityCol) == 0)
+          throw new IllegalStateException(
+            s"graft-cdc: null ${p.entityCol} in ${p.file}; " +
+              "change-table entity keys must be non-null")
+        row = InternalRow(g.getLong(p.entityCol, 0), v)
         return true
       }
       g = reader.read()

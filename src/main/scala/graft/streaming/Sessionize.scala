@@ -10,7 +10,13 @@ case class FeedEvent(eventId: Long, tsMicros: Long, userId: Long,
 
 /** Mutable per-entity state carried between micro-batches. firstVersion
   * is set on the entity's first event and preserved across batches so the
-  * timeout-emitted session agrees with batchFold's min(event_id). */
+  * timeout-emitted session agrees with batchFold's min(event_id).
+  *
+  * State-schema note: adding firstVersion changed the streaming state
+  * encoding; a sessionStream checkpoint written by the 4-field version of
+  * this class fails Spark's state-store schema check on restart — restart
+  * such a query from a fresh checkpoint (replaying the feed is safe: the
+  * fold is idempotent per entity and the sink dedups on userId). */
 case class EntityState(userId: Long, firstVersion: Long, lastVersion: Long,
                        nEvents: Long, valueSum: Double)
 

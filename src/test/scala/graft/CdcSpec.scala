@@ -25,6 +25,29 @@ class CdcSpec extends SparkSpec {
     assert(store.list().map(_.syncName).sorted == Seq("c1", "c2"))
   }
 
+  test("T1: a crash inside the state-file swap loses no offsets") {
+    // the two-file protocol: temp is fully written before the swap, so
+    // "no state file + temp present" is recoverable committed state
+    val dir = tmpDir("state-crash")
+    val store = new ConsumerStateStore(spark, dir)
+    store.commit("c1", 42L, 7L)
+    store.commit("c2", 99L, 3L)
+    // simulate the worst crash point on a delete-then-rename filesystem:
+    // target deleted, rename not yet done — recreate the temp from the
+    // current state, then remove the target
+    val state = new java.io.File(dir, "sync_state.tsv")
+    val tmp = new java.io.File(dir, "sync_state.tsv.tmp")
+    java.nio.file.Files.copy(state.toPath, tmp.toPath)
+    assert(state.delete())
+    val recovered = new ConsumerStateStore(spark, dir)
+    assert(recovered.get("c1").lastSyncVersion == 42L)
+    assert(recovered.get("c2").lastSyncVersion == 99L)
+    // the next commit must promote the recovered temp before truncating it
+    recovered.commit("c1", 50L, 9L)
+    assert(recovered.get("c1").lastSyncVersion == 50L)
+    assert(recovered.get("c2").lastSyncVersion == 99L, "c2 survives the promote")
+  }
+
   test("T7: reset returns the consumer to version 0") {
     val store = newStore()
     store.commit("c1", 99L, 3L)

@@ -42,12 +42,10 @@ class DocumentSinkSpec extends SparkSpec {
     val one = DocumentSink.readVersion(spark, dir, 2500L)
     assert(one.count() == 1)
     assert(one.select("invoice_id").head().getLong(0) == 9L)
-    // the bucket predicate reaches the scan as a partition filter
-    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.get
-    assert(scan.selectedPartitions.partitionCount == 1,
-      s"expected 1 pruned bucket, got ${scan.selectedPartitions.partitionCount}")
+    // only the target bucket's directory is listed/read/inferred
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains("version_bucket=2")),
+      s"expected reads confined to version_bucket=2, got ${one.inputFiles.toSeq}")
   }
 
   test("S4 doc_name follows the reference filename scheme") {
