@@ -79,14 +79,79 @@ class CdcTable(opts: CdcOptions) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CdcScan(opts)
+    new CdcScanBuilder(opts)
 }
 
-class CdcScan(opts: CdcOptions) extends Scan {
+/** Pushes version-range predicates into the scan, where they turn into
+  * footer-stats file pruning — `load().filter($"change_version" > X)`
+  * skips whole files exactly like a micro-batch offset window does. The
+  * batch flavor of the reference's `CHANGETABLE(CHANGES t, @since)`
+  * contract: the version predicate IS the scan argument. Entity and
+  * other predicates stay residual (file stats are kept for the version
+  * column only — the change table is written in version order, so
+  * that's the column with pruning power). */
+class CdcScanBuilder(opts: CdcOptions)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
+
+  private var lo = Long.MinValue // exclusive, matching the (lo, hi] window
+  private var hi = Long.MaxValue // inclusive
+  private var accepted = Array.empty[Filter]
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Narrow (lo, hi] for one supported version predicate; None = cannot
+    * push (stays residual). */
+  private def narrow(f: Filter): Boolean = f match {
+    case GreaterThan("change_version", v) =>
+      asLong(v).exists { l => lo = math.max(lo, l); true }
+    case GreaterThanOrEqual("change_version", v) =>
+      // l - 1 would wrap at Long.MinValue; leave such filters residual
+      asLong(v).exists { l =>
+        if (l == Long.MinValue) false else { lo = math.max(lo, l - 1); true }
+      }
+    case LessThanOrEqual("change_version", v) =>
+      asLong(v).exists { l => hi = math.min(hi, l); true }
+    case LessThan("change_version", v) =>
+      asLong(v).exists { l =>
+        if (l == Long.MinValue) false else { hi = math.min(hi, l - 1); true }
+      }
+    case EqualTo("change_version", v) =>
+      asLong(v).exists { l =>
+        if (l == Long.MinValue) false
+        else { lo = math.max(lo, l - 1); hi = math.min(hi, l); true }
+      }
+    case And(a, b) => narrow(a) && narrow(b)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (push, residual) = filters.partition(narrow)
+    accepted = push
+    residual // the reader applies (lo, hi] exactly; pushed ones are done
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new CdcScan(opts, lo, hi)
+}
+
+class CdcScan(opts: CdcOptions, lo: Long = Long.MinValue,
+              hi: Long = Long.MaxValue) extends Scan {
   override def readSchema(): StructType = CdcSourceProvider.SCHEMA
-  override def toBatch: Batch = new CdcBatch(opts)
+  override def toBatch: Batch = new CdcBatch(opts, lo, hi)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(opts)
+  override def description(): String =
+    s"graft-cdc(${opts.path}) versions ($lo, $hi]"
 }
 
 /** Version-range offset: json is just the long. */
@@ -213,9 +278,10 @@ case class CdcInputPartition(file: String, lo: Long, hi: Long,
                              versionCol: String, entityCol: String)
   extends InputPartition
 
-class CdcBatch(opts: CdcOptions) extends Batch {
+class CdcBatch(opts: CdcOptions, lo: Long = Long.MinValue,
+               hi: Long = Long.MaxValue) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    CdcFiles.partitionsFor(opts, Long.MinValue, Long.MaxValue)
+    CdcFiles.partitionsFor(opts, lo, hi)
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory
 }

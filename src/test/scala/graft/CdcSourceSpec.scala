@@ -25,6 +25,31 @@ class CdcSourceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("batch version filters push into the scan and prune whole files") {
+    // disjoint per-file version ranges (the compacted layout)
+    val out = tmpDir("cdcsrc-pushdown")
+    graft.cdc.Retention.writeCompacted(
+      Tables.events(spark, sf).select(
+        col("user_id").as("entity_id"), col("event_id").as("change_version")),
+      out, nFiles = 4)
+    val ranges = graft.sources.CdcFiles.files(
+      graft.sources.CdcOptions(Map("path" -> out)))
+      .map(graft.sources.CdcFiles.versionRange(_, "change_version", "entity_id"))
+      .sortBy(_._1)
+    val (lo2, hi2) = ranges(2) // target the third file's span
+    val df = spark.read.format("graft-cdc").option("path", out).load()
+      .filter(col("change_version") > lo2 - 1 && col("change_version") <= hi2)
+    // the range reaches planInputPartitions → one file scanned, not four
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputPartitions.length == 1,
+      s"expected 1 pruned partition, got ${scan.inputPartitions.length}")
+    // and results equal the residual-filter baseline
+    val want = expected.filter { case (_, v) => v >= lo2 && v <= hi2 }
+    assert(df.as[(Long, Long)].collect().toSet == want)
+  }
+
   test("micro-batch stream drains in bounded version pages, exactly once") {
     val sink = tmpDir("cdcsrc-sink")
     val ckpt = tmpDir("cdcsrc-ckpt")
