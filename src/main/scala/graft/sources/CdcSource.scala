@@ -362,9 +362,25 @@ class CdcPartitionReader(p: CdcInputPartition)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
+  // the projection must mirror each column's repetition in the FILE —
+  // parquet's schema containment check rejects an `optional` projection
+  // of a `required` column (non-nullable writers emit required int64) —
+  // so peek the footer schema first (footer-only read, no data pages)
+  private val projection: String = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.file), conf))
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      def field(name: String): String = {
+        val t = schema.getFields.asScala.find(_.getName == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-cdc: column '$name' not found in ${p.file}"))
+        s"${t.getRepetition.name.toLowerCase} int64 $name;"
+      }
+      s"message projection { ${field(p.entityCol)} ${field(p.versionCol)} }"
+    } finally r.close()
+  }
   // project only the two needed columns — no other data pages decoded
-  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-    s"message projection { optional int64 ${p.entityCol}; optional int64 ${p.versionCol}; }")
+  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection)
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
 
