@@ -64,11 +64,14 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
     val f = fs
     if (f.exists(fsPath)) parse(f, fsPath)
     // crash-recovery: the temp file is fully written and closed BEFORE
-    // the swap begins, so "no state file but a temp file exists" can only
-    // mean a crash inside the swap — the temp holds the committed state.
-    // (Guards filesystems whose overwrite-rename is not a single atomic
-    // op: local RawLocalFs falls back to delete-then-rename.)
-    else if (f.exists(tmpPath)) parse(f, tmpPath)
+    // the swap begins, so "no state file but a PARSEABLE temp" means a
+    // crash inside the swap — the temp holds the committed state. (Guards
+    // filesystems whose overwrite-rename is not a single atomic op: local
+    // RawLocalFs falls back to delete-then-rename.) A temp that does NOT
+    // parse can only be a crash during the first-ever write — before any
+    // state existed — so empty is the correct recovery, not an error.
+    else if (f.exists(tmpPath))
+      scala.util.Try(parse(f, tmpPath)).getOrElse(Map.empty)
     else Map.empty
   }
 
@@ -76,8 +79,18 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
     val f = fs
     // if a previous swap crashed (no state file, committed temp), promote
     // the temp FIRST — otherwise truncating it below would reopen the
-    // lost-state window this two-file protocol exists to close
-    if (!f.exists(fsPath) && f.exists(tmpPath)) f.rename(tmpPath, fsPath)
+    // lost-state window this two-file protocol exists to close. Promote
+    // only a temp that parses (a torn first-ever write holds no state),
+    // and fail loudly if the rename reports failure (FileSystem.rename
+    // signals many failures by returning false, not throwing) — silently
+    // continuing would truncate the only surviving copy of the offsets.
+    if (!f.exists(fsPath) && f.exists(tmpPath)) {
+      if (scala.util.Try(parse(f, tmpPath)).isSuccess) {
+        if (!f.rename(tmpPath, fsPath))
+          throw new java.io.IOException(
+            s"state recovery promote failed: $tmpPath -> $fsPath")
+      }
+    }
     val out = f.create(tmpPath, true)
     try {
       val text = states.values.toSeq.sortBy(_.syncName).map { s =>

@@ -82,13 +82,28 @@ object DocumentSink {
     * derivable from the version, so ONLY that directory is listed, read —
     * and, when no schema is passed, schema-inferred — regardless of sink
     * size (pointing inference at the whole sink would cost a full pass
-    * even though the scan itself prunes). Throws the usual path-not-found
-    * AnalysisException if the version's bucket was never written. */
+    * even though the scan itself prunes). A version whose bucket was
+    * never written returns empty when a schema is provided (the
+    * existence-probe contract); without a schema there is nothing to
+    * shape an empty result with, so it throws a named error. */
   def readVersion(spark: SparkSession, dir: String, version: Long,
                   schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val bucketDir = s"$dir/version_bucket=${version / VersionsPerBucket}"
-    schema.fold(spark.read)(s => spark.read.schema(s)).json(bucketDir)
+    val bucketDir = new org.apache.hadoop.fs.Path(
+      dir, s"version_bucket=${version / VersionsPerBucket}")
+    val fs = bucketDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bucketDir)) schema match {
+      case Some(s) =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          .drop("version_bucket")
+      case None => throw new IllegalArgumentException(
+        s"graft sink: version $version was never delivered " +
+          s"(no ${bucketDir.getName} under $dir); pass a schema to get " +
+          "an empty result instead")
+    }
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(bucketDir.toString)
       .filter(col("change_version") === version)
+      .drop("version_bucket") // tolerate callers whose schema includes it
   }
 
   /** Exactly-once on redelivery: the same (invoice, version) appended

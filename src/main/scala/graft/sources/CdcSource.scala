@@ -64,13 +64,24 @@ object CdcSourceProvider {
 }
 
 case class CdcOptions(raw: Map[String, String]) {
-  private val m = raw.map { case (k, v) => k.toLowerCase -> v }
+  private val m = raw.map { case (k, v) =>
+    k.toLowerCase(java.util.Locale.ROOT) -> v }
   def path: String = m.getOrElse("path",
     throw new IllegalArgumentException("graft-cdc requires option 'path'"))
   def versionColumn: String = m.getOrElse("versioncolumn", "change_version")
   def entityColumn: String = m.getOrElse("entitycolumn", "entity_id")
   def maxVersionsPerBatch: Long =
     m.get("maxversionsperbatch").map(_.toLong).getOrElse(Long.MaxValue)
+  /** What to do with a row whose entity key is null: `fail` (default —
+    * loud data-quality stop: a null key has nothing to join back to),
+    * `skip` (drop the row, keeps a poisoned table readable), or `keep`
+    * (emit a null-entity row for the caller to handle). */
+  def onNullEntity: String = {
+    val v = m.getOrElse("onnullentity", "fail")
+    require(Set("fail", "skip", "keep")(v),
+      s"graft-cdc: onNullEntity must be fail|skip|keep, got '$v'")
+    v
+  }
 }
 
 class CdcTable(opts: CdcOptions) extends Table with SupportsRead {
@@ -160,9 +171,16 @@ case class CdcOffset(version: Long) extends Offset {
 }
 
 /** One catalog entry: a change-table file plus its footer-derived
-  * version span and listing signature (length, modification time). */
+  * version span, the two columns' parquet repetitions (the projection
+  * must mirror them exactly — see CdcPartitionReader), and the listing
+  * signature (length, modification time). */
 case class CdcFileEntry(file: String, len: Long, modTime: Long,
-                        minVersion: Long, maxVersion: Long)
+                        minVersion: Long, maxVersion: Long,
+                        versionRep: String, entityRep: String)
+
+/** Footer-derived facts about one file, read once at planning time. */
+case class CdcFileMeta(minVersion: Long, maxVersion: Long,
+                       versionRep: String, entityRep: String)
 
 /** File catalog + parquet-footer version statistics, shared by the batch
   * and micro-batch paths. */
@@ -199,16 +217,21 @@ object CdcFiles {
         s"graft-cdc: column '$colName' in $file must be INT64 (long); found: $t")
   }
 
-  /** (min, max) of the version column across a file's row groups, from
-    * footer statistics only — no data pages read. Validates that both
-    * declared columns exist with parquet type INT64. */
-  def versionRange(file: String, versionCol: String, entityCol: String): (Long, Long) = {
+  /** Version min/max + column repetitions of one file, from the footer
+    * only — no data pages read. Validates that both declared columns
+    * exist with parquet type INT64. The ONE footer read per file; the
+    * partition reader reuses these facts instead of re-opening footers
+    * on executors. */
+  def fileMeta(file: String, versionCol: String, entityCol: String): CdcFileMeta = {
     val conf = new Configuration()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val schema = r.getFooter.getFileMetaData.getSchema
       validateInt64(schema, versionCol, file)
       validateInt64(schema, entityCol, file)
+      def rep(name: String): String =
+        schema.getFields.asScala.find(_.getName == name).get
+          .getRepetition.name.toLowerCase(java.util.Locale.ROOT)
       val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == versionCol)
@@ -219,15 +242,24 @@ object CdcFiles {
               s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
           }
       }
-      if (ranges.isEmpty) (Long.MaxValue, Long.MinValue)
-      else (ranges.map(_._1).min, ranges.map(_._2).max)
+      val (mn, mx) =
+        if (ranges.isEmpty) (Long.MaxValue, Long.MinValue)
+        else (ranges.map(_._1).min, ranges.map(_._2).max)
+      CdcFileMeta(mn, mx, rep(versionCol), rep(entityCol))
     } finally r.close()
+  }
+
+  /** (min, max) of the version column (compat wrapper over fileMeta). */
+  def versionRange(file: String, versionCol: String, entityCol: String): (Long, Long) = {
+    val m = fileMeta(file, versionCol, entityCol)
+    (m.minVersion, m.maxVersion)
   }
 
   def catalog(opts: CdcOptions): Seq[CdcFileEntry] =
     listFiles(opts).map { case (f, len, mt) =>
-      val (mn, mx) = versionRange(f, opts.versionColumn, opts.entityColumn)
-      CdcFileEntry(f, len, mt, mn, mx)
+      val m = fileMeta(f, opts.versionColumn, opts.entityColumn)
+      CdcFileEntry(f, len, mt, m.minVersion, m.maxVersion,
+        m.versionRep, m.entityRep)
     }
 
   def tableRangeOf(entries: Seq[CdcFileEntry]): Option[(Long, Long)] = {
@@ -245,7 +277,8 @@ object CdcFiles {
       // keep files whose version span intersects (lo, hi]
       if (e.maxVersion <= lo || e.minVersion > hi) None
       else Some(CdcInputPartition(e.file, lo, hi,
-        opts.versionColumn, opts.entityColumn))
+        opts.versionColumn, opts.entityColumn,
+        e.versionRep, e.entityRep, opts.onNullEntity))
     }.toArray
 
   def partitionsFor(opts: CdcOptions, lo: Long, hi: Long): Array[InputPartition] =
@@ -266,8 +299,9 @@ class CdcCatalogCache(opts: CdcOptions) {
       cached.get(f) match {
         case Some(e) if e.len == len && e.modTime == mt => f -> e
         case _ =>
-          val (mn, mx) = CdcFiles.versionRange(f, opts.versionColumn, opts.entityColumn)
-          f -> CdcFileEntry(f, len, mt, mn, mx)
+          val m = CdcFiles.fileMeta(f, opts.versionColumn, opts.entityColumn)
+          f -> CdcFileEntry(f, len, mt, m.minVersion, m.maxVersion,
+            m.versionRep, m.entityRep)
       }
     }.toMap
     listing.map { case (f, _, _) => cached(f) }
@@ -275,7 +309,9 @@ class CdcCatalogCache(opts: CdcOptions) {
 }
 
 case class CdcInputPartition(file: String, lo: Long, hi: Long,
-                             versionCol: String, entityCol: String)
+                             versionCol: String, entityCol: String,
+                             versionRep: String, entityRep: String,
+                             onNullEntity: String)
   extends InputPartition
 
 class CdcBatch(opts: CdcOptions, lo: Long = Long.MinValue,
@@ -330,9 +366,14 @@ class CdcMicroBatchStream(opts: CdcOptions)
       else s + opts.maxVersionsPerBatch)))
   }
 
-  override def reportLatestOffset(): Offset =
+  override def reportLatestOffset(): Offset = {
+    // progress reporting can run before the first latestOffset of a
+    // restarted stream populates the snapshot — refresh rather than
+    // reporting a bogus 0 that monitoring would read as huge negative lag
+    val entries = if (snapshot.nonEmpty) snapshot else refreshSnapshot()
     CdcOffset(availableNowCap.orElse(
-      CdcFiles.tableRangeOf(snapshot).map(_._2)).getOrElse(0L))
+      CdcFiles.tableRangeOf(entries).map(_._2)).getOrElse(0L))
+  }
 
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
 
@@ -364,23 +405,12 @@ class CdcPartitionReader(p: CdcInputPartition)
   private val conf = new Configuration()
   // the projection must mirror each column's repetition in the FILE —
   // parquet's schema containment check rejects an `optional` projection
-  // of a `required` column (non-nullable writers emit required int64) —
-  // so peek the footer schema first (footer-only read, no data pages)
-  private val projection: String = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.file), conf))
-    try {
-      val schema = r.getFooter.getFileMetaData.getSchema
-      def field(name: String): String = {
-        val t = schema.getFields.asScala.find(_.getName == name).getOrElse(
-          throw new IllegalArgumentException(
-            s"graft-cdc: column '$name' not found in ${p.file}"))
-        s"${t.getRepetition.name.toLowerCase} int64 $name;"
-      }
-      s"message projection { ${field(p.entityCol)} ${field(p.versionCol)} }"
-    } finally r.close()
-  }
-  // project only the two needed columns — no other data pages decoded
-  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection)
+  // of a `required` column (non-nullable writers emit required int64).
+  // Repetitions were captured from the footer at planning time and ship
+  // in the partition, so no executor-side footer re-open.
+  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+    s"message projection { ${p.entityRep} int64 ${p.entityCol}; " +
+      s"${p.versionRep} int64 ${p.versionCol}; }")
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
 
@@ -399,15 +429,26 @@ class CdcPartitionReader(p: CdcInputPartition)
       val v = g.getLong(p.versionCol, 0)
       if (v > p.lo && v <= p.hi) {
         // the entity is the change key — a null key has nothing to join
-        // back to; fail with the contract named (consistent with the
-        // version guard above) instead of surfacing later as an opaque
-        // encoder error or a silently dropped null-keyed group
-        if (g.getFieldRepetitionCount(p.entityCol) == 0)
-          throw new IllegalStateException(
-            s"graft-cdc: null ${p.entityCol} in ${p.file}; " +
-              "change-table entity keys must be non-null")
-        row = InternalRow(g.getLong(p.entityCol, 0), v)
-        return true
+        // back to. Policy is the onNullEntity option: `fail` is a loud
+        // data-quality stop (default); `skip`/`keep` keep a table with a
+        // poisoned row readable (a thrown reader error would otherwise
+        // wedge every micro-batch whose window covers the row, forever)
+        if (g.getFieldRepetitionCount(p.entityCol) == 0) {
+          p.onNullEntity match {
+            case "fail" =>
+              throw new IllegalStateException(
+                s"graft-cdc: null ${p.entityCol} in ${p.file}; " +
+                  "change-table entity keys must be non-null " +
+                  "(set onNullEntity=skip|keep to read past such rows)")
+            case "skip" => // drop the row
+            case "keep" =>
+              row = InternalRow(null, v)
+              return true
+          }
+        } else {
+          row = InternalRow(g.getLong(p.entityCol, 0), v)
+          return true
+        }
       }
       g = reader.read()
     }

@@ -50,6 +50,27 @@ class CdcSourceSpec extends SparkSpec {
     assert(df.as[(Long, Long)].collect().toSet == want)
   }
 
+  test("onNullEntity policy: fail is loud, skip drops, keep emits null") {
+    val out = tmpDir("cdcsrc-nulls")
+    Seq((Some(1L), 10L), (None, 11L), (Some(3L), 12L))
+      .toDF("entity_id", "change_version")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    def read(policy: String) = spark.read.format("graft-cdc")
+      .option("path", out).option("onNullEntity", policy).load()
+
+    val loud = intercept[org.apache.spark.SparkException] {
+      read("fail").collect()
+    }
+    assert(loud.getMessage.contains("entity") ||
+      loud.getCause != null, s"unexpected: ${loud.getMessage}")
+
+    val skipped = read("skip").as[(Option[Long], Long)].collect().toSet
+    assert(skipped == Set((Some(1L), 10L), (Some(3L), 12L)))
+
+    val kept = read("keep").as[(Option[Long], Long)].collect().toSet
+    assert(kept == Set((Some(1L), 10L), (None, 11L), (Some(3L), 12L)))
+  }
+
   test("micro-batch stream drains in bounded version pages, exactly once") {
     val sink = tmpDir("cdcsrc-sink")
     val ckpt = tmpDir("cdcsrc-ckpt")

@@ -46,6 +46,14 @@ class DocumentSinkSpec extends SparkSpec {
     assert(one.inputFiles.nonEmpty &&
       one.inputFiles.forall(_.contains("version_bucket=2")),
       s"expected reads confined to version_bucket=2, got ${one.inputFiles.toSeq}")
+    // never-delivered version: empty with a schema, named error without
+    val probeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "invoice_id LONG, change_version LONG")
+    assert(DocumentSink.readVersion(spark, dir, 999999L, Some(probeSchema)).isEmpty)
+    val noSchemaErr = intercept[IllegalArgumentException] {
+      DocumentSink.readVersion(spark, dir, 999999L)
+    }
+    assert(noSchemaErr.getMessage.contains("never delivered"))
   }
 
   test("S4 doc_name follows the reference filename scheme") {
