@@ -128,6 +128,19 @@ object CdcQueries {
       .load()
       .orderBy("change_version")
 
+  /** S2'' — version-range read through the connector with the predicate
+    * PUSHED into the scan (CdcScanBuilder → footer-stats file pruning):
+    * the batch flavor of `CHANGETABLE(CHANGES t, @since)` where the
+    * version window is the scan argument, not a post-filter. */
+  val cdcSourcePushdown: Q = (s, d) =>
+    s.read.format("graft-cdc")
+      .option("path", s"$d/events.parquet")
+      .option("versionColumn", "event_id")
+      .option("entityColumn", "user_id")
+      .load()
+      .filter(col("change_version") > 300 && col("change_version") <= 700)
+      .orderBy("change_version")
+
   /** S3' — version-travel snapshot: the state of the feed AS OF version
     * V — latest change ≤ V per entity (the time-travel read every CDC
     * system derives from its version column; generalizes the reference's
@@ -142,6 +155,7 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     "cdc_scan" -> cdcScan,
     "cdc_source_scan" -> cdcSourceScan,
+    "cdc_source_pushdown" -> cdcSourcePushdown,
     "cdc_snapshot_asof" -> cdcSnapshotAsof,
     "stream_sessionize" -> streamSessionize,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
@@ -198,6 +212,10 @@ object CdcQueries {
     "cdc_source_scan" ->
       """SELECT user_id AS entity_id, event_id AS change_version
         | FROM events ORDER BY change_version""".stripMargin,
+    "cdc_source_pushdown" ->
+      """SELECT user_id AS entity_id, event_id AS change_version
+        | FROM events WHERE event_id > 300 AND event_id <= 700
+        | ORDER BY change_version""".stripMargin,
     "cdc_snapshot_asof" ->
       """SELECT user_id AS entity_id, max(event_id) AS version_asof
         | FROM events WHERE event_id <= 600

@@ -12,6 +12,14 @@ case class Page(data: DataFrame,
                 count: Long, hasMore: Boolean,
                 lastVersion: Long, lastId: Long)
 
+/** Per-stage latency of one delivered poll — the reference's performance
+  * summary block (readState / queryDatabase / saveBSON / updateState,
+  * server.js:286-293). */
+case class PollTimings(readStateMs: Long, queryMs: Long,
+                       sinkMs: Long, commitMs: Long) {
+  def totalMs: Long = readStateMs + queryMs + sinkMs + commitMs
+}
+
 /** The batch-incremental exactly-once poll protocol — the heart of the
   * reference (invoice-api/server.js:83-299 + consumer.js:6-49), re-expressed
   * over Spark:
@@ -63,7 +71,12 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
   def poll(syncName: String, limit: Int): Page = {
     require(limit > 0, s"page limit must be positive, got $limit " +
       "(limit = 0 would report hasMore on every empty page and stall drain)")
-    val st = store.get(syncName)
+    pollFrom(store.get(syncName), limit)
+  }
+
+  /** The query stages of a poll, separated from the offset read so the
+    * timed flavor can attribute latency per stage. */
+  private def pollFrom(st: SyncState, limit: Int): Page = {
     val overlapSince = if (st.lastSyncVersion > 0) st.lastSyncVersion - 1 else 0L
     val to = currentVersion
     // one job: collapse the feed, dedup the overlap, take the oldest-first
@@ -86,13 +99,34 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
     * gating, server.js:231-234); a sink failure leaves the cursor in place
     * so the next poll redelivers the page. */
   def pollAndDeliver(syncName: String, limit: Int)
-                    (sink: DataFrame => Unit): Page = {
-    val page = poll(syncName, limit)
+                    (sink: DataFrame => Unit): Page =
+    pollAndDeliverTimed(syncName, limit)(sink)._1
+
+  /** pollAndDeliver with the reference's per-stage performance summary
+    * (server.js:286-293): how long the offset read, the page query, the
+    * sink write, and the offset commit each took. */
+  def pollAndDeliverTimed(syncName: String, limit: Int)
+                         (sink: DataFrame => Unit): (Page, PollTimings) = {
+    require(limit > 0, s"page limit must be positive, got $limit " +
+      "(limit = 0 would report hasMore on every empty page and stall drain)")
+    def ms(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+    val tState = System.nanoTime()
+    val st = store.get(syncName)
+    val readStateMs = ms(tState)
+    val tQuery = System.nanoTime()
+    val page = pollFrom(st, limit)
+    val queryMs = ms(tQuery)
+    var sinkMs = 0L
+    var commitMs = 0L
     if (page.count > 0) {
+      val tSink = System.nanoTime()
       sink(page.data)
+      sinkMs = ms(tSink)
+      val tCommit = System.nanoTime()
       store.commit(syncName, page.lastVersion, page.lastId)
+      commitMs = ms(tCommit)
     }
-    page
+    (page, PollTimings(readStateMs, queryMs, sinkMs, commitMs))
   }
 
   /** Drain the feed: poll until !hasMore (consumer.js:34-37 catch-up loop). */

@@ -48,6 +48,21 @@ class CdcSpec extends SparkSpec {
     assert(recovered.get("c2").lastSyncVersion == 99L, "c2 survives the promote")
   }
 
+  test("timed delivery reports the reference's per-stage latency block") {
+    val store = newStore()
+    val feed = new ChangeFeed(spark, sf, store)
+    var sunk = 0L
+    val (page, t) = feed.pollAndDeliverTimed("c1", 100) { df => sunk = df.count() }
+    assert(page.count == 100 && sunk == 100)
+    assert(t.readStateMs >= 0 && t.queryMs >= 0 && t.sinkMs >= 0 && t.commitMs >= 0)
+    assert(t.queryMs > 0, "the page query dominates and must register")
+    assert(t.totalMs == t.readStateMs + t.queryMs + t.sinkMs + t.commitMs)
+    // an empty poll (cursor at head) reports zero sink/commit time
+    feed.drain("c1", 5000)(_.count())
+    val (empty, t2) = feed.pollAndDeliverTimed("c1", 100)(_.count())
+    assert(empty.count == 0 && t2.sinkMs == 0 && t2.commitMs == 0)
+  }
+
   test("T7: reset returns the consumer to version 0") {
     val store = newStore()
     store.commit("c1", 99L, 3L)

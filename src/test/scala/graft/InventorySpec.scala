@@ -37,7 +37,8 @@ class InventorySpec extends SparkSpec {
 
   /** Keys beyond the survey promise (added during the build). */
   private val extraKeys = Seq(
-    "cdc_source_scan", "cdc_snapshot_asof", "stream_sessionize",
+    "cdc_source_scan", "cdc_source_pushdown", "cdc_snapshot_asof",
+    "stream_sessionize",
     "view_adhoc_sql", "llm_dedup_ngram", "llm_dedup_simhash",
     "llm_dedup_embedding", "llm_simsearch_ann", "llm_simsearch_topk_agg",
     "llm_langid", "llm_quality_score", "llm_token_count", "llm_fingerprint",
