@@ -14,6 +14,7 @@ object PlanDump {
       "llm_simsearch_topk" -> "Brute-force cosine: parquet scan with pushed filters + codegen VecDot + TakeOrderedAndProject; no shuffle.",
       "llm_dedup_near" -> "MinHash LSH: codegen signatures, explode to bands, one shuffle to buckets, in-bucket pair explosion, broadcast verification joins.",
       "topk_by_version" -> "Version page: TakeOrderedAndProject directly over the scan.",
+      "cdc_source_pushdown" -> "Version window pushed through the DSv2 connector (CdcScanBuilder): the BatchScan's description carries the narrowed (lo, hi] range and only files whose footer span intersects it are planned - the batch twin of a micro-batch offset window.",
       "view_adhoc_sql" -> "Ad-hoc SQL through the registered view: pushdown and pruning pass through; revenue as exact integer cents.",
       "llm_chunking" -> "Context-window chunking: single scan, higher-order transform + posexplode, no shuffle before the output sort.")
     val sb = new StringBuilder

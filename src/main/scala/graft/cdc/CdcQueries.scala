@@ -198,7 +198,8 @@ object CdcQueries {
          | FROM page ORDER BY invoice_id""".stripMargin,
     "stream_event_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
-        | count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "stream_sessionize" ->
       """SELECT user_id AS "userId", min(event_id) AS "firstVersion",

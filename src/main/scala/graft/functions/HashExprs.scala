@@ -67,6 +67,26 @@ object HashUtil {
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
+
+  /** 64-bit SimHash over token hashes: bit i is set when more hashes
+    * have bit i set than clear (strict majority). One pass over the
+    * array updating 64 counters — bit-identical to the 64-lambda
+    * higher-order form in Dedup.simhashOfHashes (spec-proven). */
+  def simhashSig(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) { counts(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) * 2 > n) sig |= (1L << j); j += 1 }
+    sig
+  }
 }
 
 /** Codegen'd shingle hashing (SURVEY.md §4: custom Expression justified
@@ -119,5 +139,31 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"${ev.value} = graft.functions.HashUtil.minhashSig($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Codegen'd SimHash signature (promoted from the 64-lambda interpreted
+  * `aggregate` fold for the same reason as ShingleHashes/MinHashSig: one
+  * compiled pass beats 64 interpreted array traversals per row). Input:
+  * array<long> token hashes; output: long signature. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${t.sql}")
+  }
+
+  override def prettyName: String = "graft_simhash_sig"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(hashes: Any): Any =
+    HashUtil.simhashSig(hashes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.simhashSig($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
 }

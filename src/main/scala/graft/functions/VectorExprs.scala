@@ -85,6 +85,7 @@ object VectorFunctions {
   val DOT = "graft_vec_dot"
   val SHINGLES = "graft_shingle_hashes"
   val MINHASH = "graft_minhash_sig"
+  val SIMHASH = "graft_simhash_sig"
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
@@ -113,6 +114,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => {
         arity(MINHASH, exprs, 2)
         MinHashSig(exprs(0), intArg(MINHASH, exprs(1)))
+      }),
+    (SIMHASH, classOf[SimHashSig],
+      (exprs: Seq[Expression]) => {
+        arity(SIMHASH, exprs, 1); SimHashSig(exprs(0))
       }))
 
   /** Idempotently register the custom functions on a session (temp
@@ -135,4 +140,7 @@ object VectorFunctions {
   /** MinHash signature of a shingle-hash array. */
   def minhashSig(hashes: Column, k: Int): Column =
     call_function(MINHASH, hashes, org.apache.spark.sql.functions.lit(k))
+
+  /** SimHash signature of a token-hash array. */
+  def simhashSig(hashes: Column): Column = call_function(SIMHASH, hashes)
 }

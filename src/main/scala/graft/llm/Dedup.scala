@@ -60,20 +60,35 @@ object Dedup {
     * computation is the codegen'd ShingleHashes + MinHashSig pair
     * (promoted from higher-order expressions after BENCH showed
     * interpreted-lambda overhead at ~0.5 ms/doc dominating dedup). */
+  /** Banded bucket keys over a MinHash signature column: one
+    * struct(band, bucket) per band, bucket = hash of the band's signature
+    * lanes. THE single definition of band geometry — the batch pipeline
+    * (minhashBands) and the streaming dedup (StreamingDedup.bandRows)
+    * must bucket identically or the same document lands in different
+    * buckets across the two. Requires bands to divide numHashes exactly:
+    * silently dropping the remainder lanes would pay for signatures the
+    * bucketing never uses and deliver less recall than configured. */
+  def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) exactly — " +
+        s"${numHashes % bands} signature lanes would be silently unused")
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
+          .map(i => element_at(sig, i + 1)): _*).as("bucket"))
+    }: _*)
+  }
+
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 16,
                    bands: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val rows = numHashes / bands
     df.select(col(idCol), shingleHashSet(col(textCol), shingleN).as("sh"))
       .select(col(idCol),
         graft.functions.VectorFunctions.minhashSig(col("sh"), numHashes).as("sig"))
-      .select(col(idCol), explode(
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
-              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
+      .select(col(idCol),
+        explode(bandBuckets(col("sig"), numHashes, bands)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
@@ -122,10 +137,11 @@ object Dedup {
 
   // ----------------------------------------------------------- SimHash ----
 
-  /** 64-bit SimHash over a pre-projected token-hash array: bit i is set
-    * when more token-hashes have bit i set than clear. Callers project
-    * `tokenHashes` once (see simhashSigs) so the tokenize+hash work isn't
-    * re-inlined into all 64 bit lanes. */
+  /** 64-bit SimHash over a pre-projected token-hash array — the
+    * interpreted higher-order reference form (64 `aggregate` lambdas).
+    * Kept as the executable specification the codegen'd
+    * graft.functions.SimHashSig is spec-proven bit-identical to; the
+    * pipelines below use the compiled form (one pass, not 64). */
   def simhashOfHashes(hashes: Column): Column = {
     val n = size(hashes)
     (0 until 64).map { i =>
@@ -136,17 +152,21 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** (id, simhash) per document, with staged projections: tokenize+hash
-    * once, then fold the 64 bit lanes over the materialized hash array. */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (id, simhash) per document: tokenize+hash once, then the codegen'd
+    * one-pass signature (graft.functions.SimHashSig). */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df.select(col(idCol),
       transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .select(col(idCol), simhashOfHashes(col("th")).as("sig"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.simhashSig(col("th")).as("sig"))
+  }
 
-  /** Convenience single-column form (test/interactive use; inlines the
-    * tokenization into each bit lane — prefer simhashSigs in pipelines). */
+  /** Convenience single-column form (requires VectorFunctions.register
+    * on the session). */
   def simhash(text: Column): Column =
-    simhashOfHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
+    graft.functions.VectorFunctions.simhashSig(
+      transform(TextOps.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -176,8 +196,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("dist"))
-      .distinct()
+      // threshold BEFORE the dedup shuffle: far pairs that merely share
+      // one chunk (the majority at scale) never enter the exchange; a
+      // pair's (id_a, id_b, dist) is identical across chunks, so the
+      // filter/distinct order cannot change the result
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   // ------------------------------------------------------ n-gram Jaccard --

@@ -43,14 +43,31 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
       .partitionBy("bucket").parquet(path)
 
   /** Incremental refresh from a change page: recompute and swap only the
-    * buckets containing changed invoices. */
+    * buckets containing changed invoices. Dynamic partition overwrite
+    * only replaces partitions PRESENT in the output — a bucket whose
+    * recompute came back empty (its last invoice was deleted) would keep
+    * serving stale rows forever — so empty-recompute buckets are dropped
+    * explicitly after the swap. */
   def refresh(changedInvoiceIds: Seq[Long]): Unit = {
     if (changedInvoiceIds.isEmpty) return
     val buckets = changedInvoiceIds
       .map(id => (((id % nBuckets) + nBuckets) % nBuckets).toInt).distinct
-    flatView(Some(buckets)).write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
+    val out = flatView(Some(buckets)).cache()
+    try {
+      val present = out.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+      val stale = buckets.filterNot(b => present(b.toLong))
+      if (stale.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        stale.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"bucket=$b"), true)
+        }
+      }
+    } finally out.unpersist()
   }
 
   def read(): DataFrame = spark.read.parquet(path)

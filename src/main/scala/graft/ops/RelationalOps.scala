@@ -152,12 +152,15 @@ object RelationalOps {
   val cdcCurrentVersion: Q = (s, d) =>
     Tables.events(s, d).agg(max(col("event_id")).as("current_version"))
 
-  /** A5 — count / rate metrics (server.js:147,207-228). */
+  /** A5 — count / rate metrics (server.js:147,207-228). Money is rounded
+    * to integer cents PER ROW and summed as longs — associative and
+    * exact, so partial-aggregation order can never move the total by a
+    * cent (a double sum rounded once at the end can). */
   val aggCounts: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")) * 100).cast("long").as("value_cents"))
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .orderBy("event_type")
 
   /** A6 — sampled average over the first 10 by key (server.js:211-219). */
@@ -419,7 +422,7 @@ object RelationalOps {
       "SELECT max(event_id) AS current_version FROM events",
     "agg_counts" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_cents
+        | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_sampled_avg" ->
       """SELECT CAST(round(avg(n_chars) * 10000, 0) AS BIGINT) AS avg_chars_e4

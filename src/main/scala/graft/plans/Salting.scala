@@ -20,9 +20,10 @@ object Salting {
     * the direct groupBy (addition is associative; counts sum). */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                      saltBuckets: Int = 16): DataFrame = {
-    val salt: Column = pmod(
-      xxhash64(col(keyCol), monotonically_increasing_id()),
-      lit(saltBuckets.toLong))
+    // the salt is purely per-row (the key contributes nothing to
+    // spreading its own rows) — a row-id modulus spreads a hot key's
+    // rows round-robin across buckets with no hash evaluation
+    val salt: Column = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
     df.withColumn("_salt", salt)
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))

@@ -49,7 +49,10 @@ object StateLayout {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    df.queryExecution.executedPlan.executeCollect()
+    // finalize AQE by executing the plan WITHOUT collecting rows to the
+    // driver (executeCollect on a large join would OOM the driver; an
+    // RDD count runs the same stages and discards the rows)
+    df.queryExecution.executedPlan.execute().count()
     def scan(p: SparkPlan): Boolean = p match {
       case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
       case _: ShuffleExchangeLike => true

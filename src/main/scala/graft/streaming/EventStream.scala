@@ -75,8 +75,11 @@ object EventStream {
     feed
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // per-row integer cents, then a long sum: associative and exact, so
+      // micro-batch/partial-agg order can never move a window's total by
+      // a cent (a double sum rounded once at the end can)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")) * 100).cast("long").as("value_cents"))
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
 }

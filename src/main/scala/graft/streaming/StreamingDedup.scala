@@ -65,24 +65,21 @@ object StreamingDedup {
     out.result().iterator
   }
 
-  /** Banded LSH rows for a (streaming or batch) document DataFrame. */
+  /** Banded LSH rows for a (streaming or batch) document DataFrame. Band
+    * geometry comes from the shared Dedup.bandBuckets so the online and
+    * batch pipelines bucket identically. */
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, lanes: Int = defaultSigLanes,
                bands: Int = 8): Dataset[BandRow] = {
     val spark = docs.sparkSession
     VectorFunctions.register(spark)
     import spark.implicits._
-    val rows = lanes / bands
     docs.select(col(idCol).as("docId"),
       VectorFunctions.minhashSig(
         VectorFunctions.shingleHashes(
           split(col(textCol), " "), shingleN), lanes).as("sig"))
-      .select(col("docId"), col("sig"), explode(
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(lit(b) +: (b * rows until (b + 1) * rows)
-              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
+      .select(col("docId"), col("sig"),
+        explode(graft.llm.Dedup.bandBuckets(col("sig"), lanes, bands)).as("bb"))
       .select(col("bb.band"), col("bb.bucket"), col("docId"), col("sig"))
       .as[BandRow]
   }

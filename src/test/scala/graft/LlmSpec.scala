@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
 class LlmSpec extends SparkSpec {
   import spark.implicits._
 
+  // Dedup.simhash / simsearch columns resolve the registered native
+  // functions — register before any test runs them standalone
+  graft.functions.VectorFunctions.register(spark)
+
   /** documents ∪ 20 slightly-edited copies (drop last token, append a
     * marker token) with ids offset by 100000 — true near-dups. */
   private lazy val withPlants: DataFrame = {
@@ -67,6 +71,15 @@ class LlmSpec extends SparkSpec {
     // distinct docs are far apart on average
     val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
     assert(far > 12, s"unrelated docs too close: $far")
+  }
+
+  test("N2'': codegen SimHashSig is bit-identical to the 64-lambda HOF form") {
+    val docs = Tables.documents(spark, sf)
+    val th = transform(TextOps.tokens($"text"), t => xxhash64(t))
+    val both = docs.select(
+      graft.functions.VectorFunctions.simhashSig(th).as("fast"),
+      Dedup.simhashOfHashes(th).as("ref"))
+    assert(both.filter($"fast" =!= $"ref").isEmpty)
   }
 
   test("N2'': simhashNearDups candidate generation honors the pigeonhole bound") {

@@ -42,6 +42,41 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a bucket that recomputes to empty is dropped, not left stale") {
+    // source snapshot A: full data; snapshot B: one bucket's invoices gone
+    val srcA = tmpDir("mv-srcA")
+    val srcB = tmpDir("mv-srcB")
+    val nB = 8
+    val victim = 5L
+    val orders = Tables.orders(spark, sf)
+    val lines = Tables.lineitem(spark, sf)
+    orders.write.parquet(s"$srcA/orders.parquet")
+    lines.write.parquet(s"$srcA/lineitem.parquet")
+    orders.filter(pmod($"o_orderkey", lit(nB.toLong)) =!= victim)
+      .write.parquet(s"$srcB/orders.parquet")
+    lines.write.parquet(s"$srcB/lineitem.parquet")
+
+    val path = tmpDir("mv3")
+    new MaterializedView(spark, srcA, path, nBuckets = nB).build()
+    val removedIds = orders
+      .filter(pmod($"o_orderkey", lit(nB.toLong)) === victim)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    assert(removedIds.nonEmpty)
+
+    // the deletion arrives as a change page over snapshot B
+    val mvB = new MaterializedView(spark, srcB, path, nBuckets = nB)
+    mvB.refresh(removedIds)
+    val after = mvB.read()
+    assert(after.filter($"bucket" === victim).isEmpty,
+      "deleted bucket must not serve stale rows")
+    assert(!new java.io.File(s"$path/bucket=$victim").exists(),
+      "empty-recompute bucket dir removed")
+    // other buckets untouched
+    assert(after.count() ==
+      lines.join(orders.filter(pmod($"o_orderkey", lit(nB.toLong)) =!= victim),
+        $"l_orderkey" === $"o_orderkey").count())
+  }
+
   test("refresh with an empty change set is a no-op") {
     val path = tmpDir("mv2")
     val mv = new MaterializedView(spark, sf, path, nBuckets = 8)
