@@ -42,11 +42,23 @@ object Model {
 
   /** lineitem → Dataset[InvoiceLine]; lineTotal is the persisted
     * computed column Qty * UnitPrice (setup-invoice-db.sql:51), carried
-    * at the reference's decimal(21,4)-style precision. */
+    * at the reference's decimal(21,4)-style precision.
+    *
+    * lineId plays the reference's `LineId INT IDENTITY` — a UNIQUE
+    * surrogate. The testdata has no line-level key ((l_orderkey,
+    * l_linenumber) repeats — InvoiceCdc documents this), so the id is a
+    * per-invoice dense sequence from a window over a deterministic full
+    * ordering: orderkey * 10000 + seq. The window shuffle is the
+    * identity-assignment cost, paid once at modeling time, exactly where
+    * the reference pays its IDENTITY allocation. */
   def invoiceLines(spark: SparkSession, dir: String): Dataset[InvoiceLine] = {
     import spark.implicits._
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
     Tables.lineitem(spark, dir).select(
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("lineId"),
+      (col("l_orderkey") * 10000 + row_number().over(seq)).as("lineId"),
       col("l_orderkey").as("invoiceId"),
       concat(lit("ITEM-"), lpad(col("l_partkey").cast("string"), 9, "0"))
         .as("itemCode"),

@@ -80,12 +80,12 @@ class ChangeFeed(spark: SparkSession, dir: String, store: ConsumerStateStore) {
     val overlapSince = if (st.lastSyncVersion > 0) st.lastSyncVersion - 1 else 0L
     val to = currentVersion
     // one job: collapse the feed, dedup the overlap, take the oldest-first
-    // key page — every row that survives is fresh
-    val keys = changedEntities(overlapSince, to)
-      .filter(InvoiceCdc.resumeCursor(st.lastSyncVersion, st.lastProcessedId))
-      .orderBy(col("change_version"), col("invoice_id"))
-      .limit(limit)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // key page (shared cursor ordering: InvoiceCdc.collectKeyPage) —
+    // every row that survives is fresh
+    val keys = InvoiceCdc.collectKeyPage(
+      changedEntities(overlapSince, to)
+        .filter(InvoiceCdc.resumeCursor(st.lastSyncVersion, st.lastProcessedId)),
+      limit)
     val (lastV, lastId) = keys.lastOption
       .map { case (id, v) => (v, id) }
       .getOrElse((st.lastSyncVersion, st.lastProcessedId))

@@ -110,13 +110,15 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
 
   /** Read the consumer's cursor, auto-creating it at (0, 0) on first use
     * (server.js:112-122). */
-  def get(syncName: String): SyncState =
-    readAll().getOrElse(syncName, {
+  def get(syncName: String): SyncState = {
+    val all = readAll()
+    all.getOrElse(syncName, {
       val fresh = SyncState(syncName, 0L, 0L,
         new Timestamp(System.currentTimeMillis()))
-      writeAll(readAll() + (syncName -> fresh))
+      writeAll(all + (syncName -> fresh))
       fresh
     })
+  }
 
   /** Advance the cursor — called only after a successful sink write
     * (server.js:231-249). */

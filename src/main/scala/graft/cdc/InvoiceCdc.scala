@@ -72,6 +72,35 @@ object InvoiceCdc {
         round(col("l_extendedprice") * 100).cast("long").as("price_cents")
       )))).as("lines"))
 
+  /** The document projection shared by the single-plan page query and
+    * the serving path — ONE definition, so the two can never drift from
+    * their spec-proven equivalence (PageQuerySpec). Expects the page's
+    * (invoice_id, change_version) joined against header columns and the
+    * nested `lines`. Reference: storedprocedure.sql:36-53. */
+  private def projectDocument(df: DataFrame): DataFrame =
+    df.select(
+      col("invoice_id"),
+      concat(lit("INV-"), lpad(col("o_orderkey").cast("string"), 9, "0"))
+        .as("invoice_number"),
+      concat(lit("CUST-"), lpad(col("o_custkey").cast("string"), 6, "0"))
+        .as("customer_code"),
+      col("o_orderdate").as("invoice_date"),
+      round(col("o_totalprice"), 2).as("total_amount"),
+      col("change_version"),
+      coalesce(col("lines"), lit("[]")).as("lines"))
+      .orderBy(col("change_version"), col("invoice_id"))
+
+  /** Collect a bounded oldest-first key page to the driver: the ≤limit
+    * (invoice_id, change_version) cursor rows, ordered by (version, id).
+    * THE single definition of the cursor ordering and row decoding,
+    * shared by the serving path (ChangeFeed.poll) and the materialized
+    * page query. */
+  def collectKeyPage(keys: DataFrame, limit: Int): Array[(Long, Long)] =
+    keys
+      .orderBy(col("change_version"), col("invoice_id"))
+      .limit(limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
   /** The full page query: changed invoices → top-K page → rehydrate →
     * nest. Reference: storedprocedure.sql:35-56.
     *
@@ -98,20 +127,10 @@ object InvoiceCdc {
     val pageLines = li.join(broadcast(page),
       li("l_orderkey") === page("invoice_id"), "left_semi")
     val lines = nestedLines(pageLines)
-    broadcast(page)
-      .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
-      .join(broadcast(lines), Seq("invoice_id"), "left")
-      .select(
-        col("invoice_id"),
-        concat(lit("INV-"), lpad(col("o_orderkey").cast("string"), 9, "0"))
-          .as("invoice_number"),
-        concat(lit("CUST-"), lpad(col("o_custkey").cast("string"), 6, "0"))
-          .as("customer_code"),
-        col("o_orderdate").as("invoice_date"),
-        round(col("o_totalprice"), 2).as("total_amount"),
-        col("change_version"),
-        coalesce(col("lines"), lit("[]")).as("lines"))
-      .orderBy(col("change_version"), col("invoice_id"))
+    projectDocument(
+      broadcast(page)
+        .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
+        .join(broadcast(lines), Seq("invoice_id"), "left"))
   }
 
   /** The page query the way the serving path actually runs it
@@ -127,10 +146,7 @@ object InvoiceCdc {
     * over the changefeed per poll and two. */
   def pageQueryMaterialized(spark: SparkSession, dir: String,
                             since: Long, to: Long, limit: Int): DataFrame = {
-    val keys = changedInvoices(spark, dir, since, to)
-      .orderBy(col("change_version"), col("invoice_id"))
-      .limit(limit)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keys = collectKeyPage(changedInvoices(spark, dir, since, to), limit)
     rehydratePage(spark, dir, keys.toSeq)
   }
 
@@ -146,20 +162,10 @@ object InvoiceCdc {
     val hdr = Tables.orders(spark, dir)
     val lines = nestedLines(Tables.lineitem(spark, dir)
       .join(broadcast(keys.map(_._1).toDF("l_orderkey")), Seq("l_orderkey"), "left_semi"))
-    page
-      .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
-      .join(broadcast(lines), Seq("invoice_id"), "left")
-      .select(
-        col("invoice_id"),
-        concat(lit("INV-"), lpad(col("o_orderkey").cast("string"), 9, "0"))
-          .as("invoice_number"),
-        concat(lit("CUST-"), lpad(col("o_custkey").cast("string"), 6, "0"))
-          .as("customer_code"),
-        col("o_orderdate").as("invoice_date"),
-        round(col("o_totalprice"), 2).as("total_amount"),
-        col("change_version"),
-        coalesce(col("lines"), lit("[]")).as("lines"))
-      .orderBy(col("change_version"), col("invoice_id"))
+    projectDocument(
+      page
+        .join(hdr, page("invoice_id") === hdr("o_orderkey"), "inner")
+        .join(broadcast(lines), Seq("invoice_id"), "left"))
   }
 
   /** S3/A4 — snapshot bound: CHANGE_TRACKING_CURRENT_VERSION().

@@ -41,23 +41,27 @@ object DocumentSink {
     * number and a version. */
   def writeVersioned(df: DataFrame, dir: String, errorDir: String): Unit = {
     val stamped = withDocName(df).cache()
-    val valid = stamped.filter(
-      col("invoice_number").isNotNull && col("change_version").isNotNull)
-    val invalid = stamped.filter(
-      col("invoice_number").isNull || col("change_version").isNull)
-    // co-locate each bucket's documents in one task before the
-    // partitioned write: one file per bucket dir instead of one per
-    // (task × bucket) — the small-files guard that matters at scale
-    // integral `div`, not `/`: Spark's `/` computes in double, which can
-    // cross a bucket boundary for versions beyond 2^53 and diverge from
-    // readVersion's exact Long division
-    valid.withColumn("version_bucket",
-        expr(s"change_version div $VersionsPerBucket"))
-      .repartition(col("version_bucket"))
-      .write.mode("append").partitionBy("version_bucket").json(dir)
-    if (!invalid.isEmpty)
-      invalid.write.mode("append").json(errorDir)
-    stamped.unpersist()
+    try {
+      val valid = stamped.filter(
+        col("invoice_number").isNotNull && col("change_version").isNotNull)
+      val invalid = stamped.filter(
+        col("invoice_number").isNull || col("change_version").isNull)
+      // co-locate each bucket's documents in one task before the
+      // partitioned write: one file per bucket dir instead of one per
+      // (task × bucket) — the small-files guard that matters at scale
+      // integral `div`, not `/`: Spark's `/` computes in double, which can
+      // cross a bucket boundary for versions beyond 2^53 and diverge from
+      // readVersion's exact Long division
+      valid.withColumn("version_bucket",
+          expr(s"change_version div $VersionsPerBucket"))
+        .repartition(col("version_bucket"))
+        .write.mode("append").partitionBy("version_bucket").json(dir)
+      if (!invalid.isEmpty)
+        invalid.write.mode("append").json(errorDir)
+    } finally stamped.unpersist()
+    // finally: a failing write is retried by the delivery protocol —
+    // leaking one cached page per retry would accumulate executor
+    // storage for the life of a long-running consumer
   }
 
   /** S5 — sink listing, newest first with size (server.js:368-398).

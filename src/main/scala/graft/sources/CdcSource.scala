@@ -232,16 +232,25 @@ object CdcFiles {
       def rep(name: String): String =
         schema.getFields.asScala.find(_.getName == name).get
           .getRepetition.name.toLowerCase(java.util.Locale.ROOT)
-      val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
-        b.getColumns.asScala
+      val blocks = r.getFooter.getBlocks.asScala.filter(_.getRowCount > 0)
+      val ranges = blocks.map { b =>
+        val s = b.getColumns.asScala
           .find(_.getPath.toDotString == versionCol)
-          .flatMap { c =>
-            val s = c.getStatistics
-            if (s == null || !s.hasNonNullValue) None
-            else Some((s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-              s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
-          }
+          .map(_.getStatistics).orNull
+        // a populated row group with no usable version statistics cannot
+        // be range-pruned; treating it as empty would SILENTLY DROP its
+        // rows from every scan and offset computation — fail loudly and
+        // name the remedy instead
+        if (s == null || !s.hasNonNullValue)
+          throw new IllegalArgumentException(
+            s"graft-cdc: $file has a row group with no footer statistics " +
+              s"for '$versionCol'; the source prunes and pages by those " +
+              "stats — rewrite the file with parquet statistics enabled")
+        (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+          s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
       }
+      // an all-empty file (no populated row groups) has no rows to lose:
+      // the inverted sentinel range makes every scan skip it
       val (mn, mx) =
         if (ranges.isEmpty) (Long.MaxValue, Long.MinValue)
         else (ranges.map(_._1).min, ranges.map(_._2).max)

@@ -23,6 +23,17 @@ class ModelSpec extends SparkSpec {
     }
   }
 
+  test("lineId is a unique surrogate (IDENTITY parity) despite repeated line numbers") {
+    val ls = Model.invoiceLines(spark, sf)
+    assert(ls.count() == Tables.lineitem(spark, sf).count())
+    assert(ls.select("lineId").distinct().count() == ls.count(),
+      "lineId must be unique — (l_orderkey, l_linenumber) is NOT")
+    // the raw pair really does repeat in this testdata (why the window exists)
+    val rawPairs = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(rawPairs < ls.count(), "fixture sanity: raw pair is non-unique")
+  }
+
   test("typed join pairs agree with the untyped flat view") {
     val n = Model.headerLinePairs(spark, sf).count()
     assert(n == Tables.lineitem(spark, sf).count())
