@@ -1,0 +1,65 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BI result cache — the engine-side analog of the reference's Redis
+  * result cache in front of ad-hoc Superset SQL
+  * (superset/superset_config.py:12-18: `CACHE_DEFAULT_TIMEOUT: 300`).
+  *
+  * Keyed by whitespace-normalized SQL text; a hit returns the SAME
+  * persisted DataFrame (Spark serves repeat actions from the cached
+  * blocks instead of re-running the query), a miss — or an entry past
+  * its TTL — re-plans, persists, and replaces the entry, unpersisting
+  * the stale one. `invalidate()` is the upstream-data-changed hook (the
+  * reference relies on TTL alone; a CDC engine knows when state moved —
+  * call it from the refresh path, e.g. after MaterializedView.refresh).
+  *
+  * The clock is injectable so expiry is deterministic under test. Hit /
+  * miss counters mirror the reference's habit of instrumenting every
+  * serving path (server.js:286-297).
+  *
+  * Scale note: entries persist at Spark's default storage level
+  * (MEMORY_AND_DISK, spills instead of OOM) and one cache serves all
+  * sessions of the application — like the shared Redis in front of
+  * Superset workers.
+  */
+class ResultCache(spark: SparkSession, ttlMillis: Long = 300000L,
+                  clock: () => Long = () => System.currentTimeMillis()) {
+
+  private case class Entry(df: DataFrame, cachedAt: Long)
+  private val entries = mutable.Map.empty[String, Entry]
+  private var hitCount = 0L
+  private var missCount = 0L
+
+  private def key(sqlText: String): String =
+    sqlText.trim.replaceAll("\\s+", " ")
+
+  /** Serve `sqlText`, from cache when fresh. */
+  def sql(sqlText: String): DataFrame = synchronized {
+    val k = key(sqlText)
+    val now = clock()
+    entries.get(k) match {
+      case Some(e) if now - e.cachedAt < ttlMillis =>
+        hitCount += 1
+        e.df
+      case stale =>
+        missCount += 1
+        stale.foreach(_.df.unpersist())
+        val df = spark.sql(sqlText).persist()
+        entries.update(k, Entry(df, now))
+        df
+    }
+  }
+
+  /** Drop every cached result — the data-changed hook. */
+  def invalidate(): Unit = synchronized {
+    entries.values.foreach(_.df.unpersist())
+    entries.clear()
+  }
+
+  def hits: Long = synchronized(hitCount)
+  def misses: Long = synchronized(missCount)
+  def size: Int = synchronized(entries.size)
+}
