@@ -110,6 +110,43 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(st.lastSyncVersion == 9L && st.lastProcessedId == 301L)
   }
 
+  test("T2/T3 property: random tie-heavy feeds drain exactly once (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => CheckTest}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // few distinct versions over many entities → heavy version ties, the
+    // regime where post-limit dedup (the reference's shape) stalls
+    val genRows = for {
+      n <- Gen.chooseNum(1, 120)
+      vs <- Gen.listOfN(n, Gen.chooseNum(1L, 6L))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }.distinct
+    val genLimit = Gen.chooseNum(1, 40)
+    val prop = forAll(genRows, genLimit) { (rows, limit) =>
+      val store = newStore()
+      val feed = new ChangeFeed(spark, sf, store) {
+        override protected def currentVersion: Long =
+          if (rows.isEmpty) 0L else rows.map(_._2).max
+        override protected def changedEntities(since: Long, to: Long) =
+          rows.toDF("invoice_id", "change_version")
+            .filter($"change_version" > since && $"change_version" <= to)
+        override protected def rehydrate(keys: Seq[(Long, Long)]) =
+          keys.toDF("invoice_id", "change_version")
+      }
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      feed.drain("p", limit)(df => got ++= df.as[(Long, Long)].collect())
+      val exactlyOnce = got.size == rows.size && got.toSet == rows.toSet
+      val cursorAtEnd = rows.isEmpty || {
+        val st = store.get("p")
+        val (maxV, maxId) = rows.map { case (id, v) => (v, id) }.max
+        st.lastSyncVersion == maxV && st.lastProcessedId == maxId
+      }
+      exactlyOnce && cursorAtEnd
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("T3: drain delivers the identical set for any page size") {
     val expected = InvoiceCdc.changedInvoices(spark, sf, 0L, Long.MaxValue)
       .select($"invoice_id", $"change_version")
