@@ -29,10 +29,10 @@ class HashUtilSpec extends AnyFunSuite {
   test("shingleHashes is deterministic and distinct") {
     check(forAll(doc) { ws =>
       val a = HashUtil.shingleHashes(toks(ws), 3)
+      val b = HashUtil.shingleHashes(toks(ws), 3)
       val values = (0 until a.numElements()).map(a.getLong)
       values.toSet.size == values.size &&
-        values == (0 until a.numElements()).map(
-          HashUtil.shingleHashes(toks(ws), 3).getLong)
+        values == (0 until b.numElements()).map(b.getLong)
     })
   }
 

@@ -27,7 +27,7 @@ class InventorySpec extends SparkSpec {
     "union_all_feeds", "union_distinct_feeds",
     // §2.8 scalar functions
     "fn_string_build", "fn_date_add", "fn_date_diff", "fn_to_json",
-    "fn_from_json", "fn_ts_format", "fn_duration_format",
+    "fn_from_json", "fn_ts_format",
     // §2.9 streaming/incremental
     "cdc_consumer_state", "cdc_incremental_poll", "cdc_pagination",
     "cdc_reset", "stream_event_windows",
@@ -35,8 +35,11 @@ class InventorySpec extends SparkSpec {
     "llm_dedup_exact", "llm_dedup_near", "llm_simsearch_topk",
     "llm_text_stats", "llm_multimodal_project")
 
-  /** Keys beyond the survey promise (added during the build). */
+  /** Keys beyond the survey promise (added during the build;
+    * fn_duration_format implements §2.8 F12, which the survey marked
+    * 'presentation-only; skip' with no key — built anyway). */
   private val extraKeys = Seq(
+    "fn_duration_format",
     "cdc_source_scan", "cdc_source_pushdown", "cdc_snapshot_asof",
     "stream_sessionize",
     "view_adhoc_sql", "llm_dedup_ngram", "llm_dedup_simhash",

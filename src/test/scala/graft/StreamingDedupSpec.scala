@@ -20,10 +20,13 @@ class StreamingDedupSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dups")
       .outputMode("append").start()
     try {
-      // batch 1: originals — no history yet, no matches
+      // batch 1: originals — no planted history yet; any match here is
+      // within the original corpus itself (allowed: the fixture contains
+      // its own near-dups)
       mem.addData(docs.toIndexedSeq: _*)
       q.processAllAvailable()
-      val after1 = spark.table("dups").count()
+      val pairs1 = spark.table("dups")
+        .select($"docId", $"dupOfId").as[(Long, Long)].collect().toSet
 
       // batch 2: edited copies (drop last token, add marker)
       val copies = docs.map { case (id, text) =>
@@ -38,9 +41,15 @@ class StreamingDedupSpec extends SparkSpec {
       val expected = docs.map { case (id, _) => (id + 100000L, id) }.toSet
       assert(expected.subsetOf(matches),
         s"missed copies: ${(expected -- matches).take(5)}")
-      // matches only flow original → copy, never within batch 1's originals
-      // unless the corpus itself contains near-dups (allowed)
-      assert(after1 <= matches.size)
+      // direction invariant: a match names the NEW doc and points back to
+      // the EARLIER stored one — with originals ingested first and copies
+      // id-offset by 100000, every pair must flow copy → lower-id history
+      assert(matches.forall { case (docId, dupOfId) => dupOfId < docId },
+        s"reversed match: ${matches.find { case (d, o) => o >= d }}")
+      // batch 1 could not have reported any planted pair (copies hadn't
+      // been ingested), and both its endpoints are original-corpus ids
+      assert(pairs1.forall { case (d, o) => d < 100000L && o < 100000L },
+        s"batch 1 leaked a planted id: ${pairs1.find(p => p._1 >= 100000L || p._2 >= 100000L)}")
     } finally q.stop()
   }
 
