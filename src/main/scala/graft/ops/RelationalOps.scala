@@ -211,6 +211,37 @@ object RelationalOps {
       .distinct()
       .orderBy("change_version", "invoice_id")
 
+  /** U3 — EXCEPT (beyond the reference, which stops at UNION: a complete
+    * engine needs the full set algebra): entities that clicked but never
+    * purchased. Distinct semantics, like SQL EXCEPT. */
+  val exceptFeeds: Q = (s, d) =>
+    Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"))
+      .except(Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id")))
+      .orderBy("user_id")
+
+  /** U4 — INTERSECT (beyond the reference): entities that both clicked
+    * and purchased. */
+  val intersectFeeds: Q = (s, d) =>
+    Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"))
+      .intersect(Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id")))
+      .orderBy("user_id")
+
+  /** J4' — ANTI join (beyond the reference; the complement of J4's semi
+    * join): headers with NO recently-shipped line. */
+  val joinAntiChanged: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val changed = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(changed, Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey").as("invoice_id"), col("o_orderstatus").as("status"))
+      .orderBy("invoice_id")
+  }
+
   // ---------------------------------------------------------------- F* ----
 
   /** F1-F3 — CONCAT + zero-pad + CAST (insert-invoices.sql:34-35). */
@@ -331,6 +362,9 @@ object RelationalOps {
     "sort_desc" -> sortDesc,
     "union_all_feeds" -> unionAllFeeds,
     "union_distinct_feeds" -> unionDistinctFeeds,
+    "except_feeds" -> exceptFeeds,
+    "intersect_feeds" -> intersectFeeds,
+    "join_anti_changed" -> joinAntiChanged,
     "fn_string_build" -> fnStringBuild,
     "fn_date_add" -> fnDateAdd,
     "fn_date_diff" -> fnDateDiff,
@@ -452,6 +486,21 @@ object RelationalOps {
         |   UNION ALL
         |   SELECT l_orderkey, l_orderkey * 2 + 1 FROM lineitem)
         | ORDER BY change_version, invoice_id""".stripMargin,
+    "except_feeds" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        | EXCEPT
+        | SELECT user_id FROM events WHERE event_type = 'purchase'
+        | ORDER BY user_id""".stripMargin,
+    "intersect_feeds" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type = 'purchase'
+        | ORDER BY user_id""".stripMargin,
+    "join_anti_changed" ->
+      """SELECT o_orderkey AS invoice_id, o_orderstatus AS status FROM orders
+        | WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+        |                          WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+        | ORDER BY invoice_id""".stripMargin,
     "fn_string_build" ->
       """SELECT o_orderkey,
         | 'INV-' || lpad(CAST(o_orderkey + 300000 AS VARCHAR), 9, '0') AS invoice_number
