@@ -169,7 +169,43 @@ object RelationalOps {
       .orderBy("doc_id").limit(10)
       .agg(round(avg(col("n_chars")) * 10000).cast("long").as("avg_chars_e4"))
 
+  /** A7 — ROLLUP (beyond the reference: grouping-set aggregates are core
+    * BI surface): per-type totals plus the grand total in one pass.
+    * The null grouping row is renamed 'ALL' so ordering is engine-stable. */
+  val aggRollup: Q = (s, d) =>
+    Tables.events(s, d)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("value_cents"))
+      .orderBy("event_type")
+
+  /** A8 — exact percentiles (beyond the reference): median and p95 of the
+    * event value per type, interpolated, emitted as integer e4. */
+  val aggPercentile: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)) * 10000).cast("long")
+          .as("p50_e4"),
+        round(percentile(col("value"), lit(0.95)) * 10000).cast("long")
+          .as("p95_e4"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- W* ----
+
+  /** W2 — analytic window with an explicit frame (beyond the reference,
+    * which only ranks): per-entity running total in version order —
+    * the incremental-balance shape every CDC consumer materializes. */
+  val windowRunningSum: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      sum(round(col("value") * 100).cast("long")).over(w).as("running_cents"))
+      .orderBy("user_id", "event_id")
+  }
 
   /** W1 — ROW_NUMBER ranking (insert-invoices.sql:21-22); top-100 per
     * partition keeps output bounded at any scale factor. */
@@ -357,7 +393,10 @@ object RelationalOps {
     "cdc_current_version" -> cdcCurrentVersion,
     "agg_counts" -> aggCounts,
     "agg_sampled_avg" -> aggSampledAvg,
+    "agg_rollup" -> aggRollup,
+    "agg_percentile" -> aggPercentile,
     "window_row_number" -> windowRowNumber,
+    "window_running_sum" -> windowRunningSum,
     "topk_by_version" -> topkByVersion,
     "sort_desc" -> sortDesc,
     "union_all_feeds" -> unionAllFeeds,
@@ -461,6 +500,22 @@ object RelationalOps {
     "agg_sampled_avg" ->
       """SELECT CAST(round(avg(n_chars) * 10000, 0) AS BIGINT) AS avg_chars_e4
         | FROM (SELECT n_chars FROM documents ORDER BY doc_id LIMIT 10)""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""".stripMargin,
+    "agg_percentile" ->
+      """SELECT event_type,
+        | CAST(round(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS p50_e4,
+        | CAST(round(quantile_cont(value, 0.95) * 10000) AS BIGINT) AS p95_e4
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_running_sum" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |   PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running_cents
+        | FROM events ORDER BY user_id, event_id""".stripMargin,
     "window_row_number" ->
       """SELECT * FROM (
         |   SELECT l_returnflag, l_orderkey, l_linenumber,

@@ -41,6 +41,7 @@ class InventorySpec extends SparkSpec {
   private val extraKeys = Seq(
     "fn_duration_format",
     "except_feeds", "intersect_feeds", "join_anti_changed",
+    "agg_rollup", "agg_percentile", "window_running_sum",
     "cdc_source_scan", "cdc_source_pushdown", "cdc_snapshot_asof",
     "stream_sessionize",
     "view_adhoc_sql", "llm_dedup_ngram", "llm_dedup_simhash",
