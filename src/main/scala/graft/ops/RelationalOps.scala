@@ -338,6 +338,23 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** F13 — regex extraction (beyond the reference, which has no regex
+    * surface): pull the numeric payload out of the props JSON text. */
+  val fnRegexpExtract: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      regexp_extract(col("props"), "[0-9]+", 0).as("first_number"))
+      .orderBy("event_id")
+
+  /** A9 — approximate distinct (beyond the reference): HyperLogLog++
+    * entity count, the 100 TB cardinality answer (exact distinct
+    * shuffles every key; the sketch is one pass, mergeable partials).
+    * Engine sketches differ by construction → rows-only for the oracle;
+    * the ±5% accuracy bound vs exact is asserted in SketchSpec. */
+  val aggApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(approx_count_distinct(col("user_id")).as("approx_entities"))
+
   /** F11 — timestamp → filename fragment (server.js:64). */
   val fnTsFormat: Q = (s, d) =>
     Tables.events(s, d).select(
@@ -411,6 +428,8 @@ object RelationalOps {
     "fn_from_json" -> fnFromJson,
     "fn_ts_format" -> fnTsFormat,
     "fn_duration_format" -> fnDurationFormat,
+    "fn_regexp_extract" -> fnRegexpExtract,
+    "agg_approx_distinct" -> aggApproxDistinct,
     "gen_synthetic" -> genSynthetic
   )
 
@@ -576,6 +595,9 @@ object RelationalOps {
         | FROM events ORDER BY event_id""".stripMargin,
     "fn_ts_format" ->
       """SELECT event_id, strftime(ts, '%Y%m%d_%H%M%S') AS ts_key
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_regexp_extract" ->
+      """SELECT event_id, regexp_extract(props, '[0-9]+', 0) AS first_number
         | FROM events ORDER BY event_id""".stripMargin,
     "fn_duration_format" ->
       """SELECT event_id,

@@ -42,6 +42,7 @@ class InventorySpec extends SparkSpec {
     "fn_duration_format",
     "except_feeds", "intersect_feeds", "join_anti_changed",
     "agg_rollup", "agg_percentile", "window_running_sum",
+    "fn_regexp_extract", "agg_approx_distinct",
     "cdc_source_scan", "cdc_source_pushdown", "cdc_snapshot_asof",
     "stream_sessionize",
     "view_adhoc_sql", "llm_dedup_ngram", "llm_dedup_simhash",
@@ -68,7 +69,7 @@ class InventorySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expectedRowsOnly = Set("llm_dedup_near", "llm_dedup_ngram",
       "llm_dedup_simhash", "llm_dedup_embedding", "llm_simsearch_ann",
-      "sink_listing")
+      "sink_listing", "agg_approx_distinct")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")
