@@ -20,15 +20,21 @@ object Bench {
       Tables.lineitem(spark, sfDir).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a broken query must not pass as a fast success: failures are
+    // excluded from the per-query map AND the total (a 5 ms analysis
+    // error summed into the total would read as a faster build), listed
+    // in "failed", logged, and fail the process
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
-          // a broken query must not pass as a fast success
           failed += name
           System.err.println(s"BENCH_FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

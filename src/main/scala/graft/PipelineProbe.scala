@@ -23,7 +23,12 @@ object PipelineProbe {
     val t0 = System.nanoTime()
     val q = graft.streaming.CdcPipeline.deliver(
       spark, sfDir, sink, err, ckpt, pageVersions = 10000L)
-    q.awaitTermination(600000)
+    if (!q.awaitTermination(600000)) {
+      // counting a half-written sink would report truncated-run numbers
+      // as if they were final
+      System.err.println("PIPELINE TIMEOUT after 600 s — results not valid")
+      q.stop(); spark.stop(); sys.exit(1)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     val docs = graft.sinks.DocumentSink.readBack(spark, sink)
     val n = docs.count()

@@ -55,11 +55,6 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash ----
 
-  /** Banded LSH rows: one output row per (doc, band) with the band's
-    * bucket key — the shuffle key for candidate generation. Signature
-    * computation is the codegen'd ShingleHashes + MinHashSig pair
-    * (promoted from higher-order expressions after BENCH showed
-    * interpreted-lambda overhead at ~0.5 ms/doc dominating dedup). */
   /** Banded bucket keys over a MinHash signature column: one
     * struct(band, bucket) per band, bucket = hash of the band's signature
     * lanes. THE single definition of band geometry — the batch pipeline
@@ -80,6 +75,11 @@ object Dedup {
     }: _*)
   }
 
+  /** Banded LSH rows: one output row per (doc, band) with the band's
+    * bucket key — the shuffle key for candidate generation. Signature
+    * computation is the codegen'd ShingleHashes + MinHashSig pair
+    * (promoted from higher-order expressions after BENCH showed
+    * interpreted-lambda overhead at ~0.5 ms/doc dominating dedup). */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 16,
                    bands: Int = 8): DataFrame = {

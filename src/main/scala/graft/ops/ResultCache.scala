@@ -33,23 +33,46 @@ class ResultCache(spark: SparkSession, ttlMillis: Long = 300000L,
   private var hitCount = 0L
   private var missCount = 0L
 
-  private def key(sqlText: String): String =
-    sqlText.trim.replaceAll("\\s+", " ")
+  /** Exact query text (trimmed) — the same contract as the reference's
+    * Redis cache, which keys on a digest of the statement. Rewriting
+    * interior whitespace would also rewrite it inside string LITERALS
+    * ('ACME  Corp' vs 'ACME Corp') and serve one query's results to a
+    * different query. */
+  private def key(sqlText: String): String = sqlText.trim
 
-  /** Serve `sqlText`, from cache when fresh. */
-  def sql(sqlText: String): DataFrame = synchronized {
+  /** Drop entries past their TTL (callers hold the lock). Run on every
+    * access so a key that is never re-queried still gets unpersisted —
+    * Redis expires on its own; an access-time-only check would pin one
+    * persisted result per distinct ad-hoc query forever. */
+  private def sweep(now: Long): Unit = {
+    val dead = entries.collect {
+      case (k, e) if now - e.cachedAt >= ttlMillis => k
+    }.toSeq
+    dead.foreach { k => entries.remove(k).foreach(_.df.unpersist()) }
+  }
+
+  /** Serve `sqlText`, from cache when fresh. Planning runs OUTSIDE the
+    * lock so a slow miss never blocks concurrent hits on other keys. */
+  def sql(sqlText: String): DataFrame = {
     val k = key(sqlText)
-    val now = clock()
-    entries.get(k) match {
-      case Some(e) if now - e.cachedAt < ttlMillis =>
-        hitCount += 1
-        e.df
-      case stale =>
-        missCount += 1
-        stale.foreach(_.df.unpersist())
-        val df = spark.sql(sqlText).persist()
-        entries.update(k, Entry(df, now))
-        df
+    val cached = synchronized {
+      val now = clock()
+      sweep(now)
+      entries.get(k) match {
+        case Some(e) =>
+          hitCount += 1
+          Some(e.df)
+        case None =>
+          missCount += 1
+          None
+      }
+    }
+    cached.getOrElse {
+      val df = spark.sql(sqlText).persist()
+      synchronized {
+        entries.put(k, Entry(df, clock())).foreach(_.df.unpersist())
+      }
+      df
     }
   }
 

@@ -19,20 +19,29 @@ class ResultCacheSpec extends SparkSpec {
     val firstRows = first.collect()
     assert(cache.misses == 1 && cache.hits == 0)
 
-    // same query, different whitespace → same key, same frame
-    val again = cache.sql(q.replace("\n", "   \n "))
+    // identical text → same key, same frame
+    val again = cache.sql(q)
     assert(again eq first, "fresh entry must be served as-is")
     assert(cache.hits == 1)
+
+    // different whitespace is a DIFFERENT key: normalizing would also
+    // rewrite whitespace inside string literals and cross-serve results
+    val reformatted = cache.sql(q.replace("\n", "   \n "))
+    assert(!(reformatted eq first))
+    assert(cache.misses == 2 && cache.size == 2)
 
     // within TTL
     now += 299999L
     assert(cache.sql(q) eq first)
 
-    // past TTL: a NEW frame replaces the entry
+    // past TTL: the sweep evicts BOTH stale entries (including the
+    // reformatted one, whose key is never requested again) and the
+    // re-query installs a new frame
     now += 2L
     val renewed = cache.sql(q)
     assert(!(renewed eq first), "expired entry must re-run")
-    assert(cache.misses == 2 && cache.size == 1)
+    assert(cache.misses == 3 && cache.size == 1,
+      "never-requeried expired entries must be swept, not pinned")
     assert(renewed.collect().toSeq == firstRows.toSeq, "same data either way")
   }
 
