@@ -141,6 +141,25 @@ object CdcQueries {
       .filter(col("change_version") > 300 && col("change_version") <= 700)
       .orderBy("change_version")
 
+  /** T5'/J2' — delete/tombstone semantics (SYS_CHANGE_OPERATION): ops
+    * feeds → latest-op-wins collapse → LEFT rehydration → tombstone
+    * documents for deletes (the reference inner-join-drops them,
+    * storedprocedure.sql:55 — ghost state; see TombstoneCdc). */
+  val cdcDeletes: Q = (s, d) =>
+    TombstoneCdc.pageQueryDeletes(s, d, since = 0L, to = Long.MaxValue, limit = 100)
+
+  /** S2''' — the DSv2 source carrying the change operation: a change
+    * table with an operation column scanned as
+    * (entity_id, change_version, change_operation). */
+  val cdcSourceOps: Q = (s, d) =>
+    s.read.format("graft-cdc")
+      .option("path", s"$d/events.parquet")
+      .option("versionColumn", "event_id")
+      .option("entityColumn", "user_id")
+      .option("operationColumn", "event_type")
+      .load()
+      .orderBy("change_version")
+
   /** S3' — version-travel snapshot: the state of the feed AS OF version
     * V — latest change ≤ V per entity (the time-travel read every CDC
     * system derives from its version column; generalizes the reference's
@@ -156,6 +175,8 @@ object CdcQueries {
     "cdc_scan" -> cdcScan,
     "cdc_source_scan" -> cdcSourceScan,
     "cdc_source_pushdown" -> cdcSourcePushdown,
+    "cdc_source_ops" -> cdcSourceOps,
+    "cdc_deletes" -> cdcDeletes,
     "cdc_snapshot_asof" -> cdcSnapshotAsof,
     "stream_sessionize" -> streamSessionize,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
@@ -217,6 +238,55 @@ object CdcQueries {
       """SELECT user_id AS entity_id, event_id AS change_version
         | FROM events WHERE event_id > 300 AND event_id <= 700
         | ORDER BY change_version""".stripMargin,
+    "cdc_source_ops" ->
+      """SELECT user_id AS entity_id, event_id AS change_version,
+        | event_type AS change_operation
+        | FROM events ORDER BY change_version""".stripMargin,
+    "cdc_deletes" ->
+      """WITH feeds AS (
+        |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version,
+        |     CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |          WHEN o_orderkey % 10 < 3 THEN 'I' ELSE 'U' END AS change_operation
+        |   FROM orders
+        |   UNION ALL
+        |   SELECT l_orderkey, l_orderkey * 2 + 1,
+        |     CASE WHEN l_orderkey % 7 = 0 THEN 'D'
+        |          WHEN l_orderkey % 7 = 1 THEN 'I' ELSE 'U' END
+        |   FROM lineitem),
+        | agg AS (
+        |   SELECT invoice_id, max(change_version) AS change_version,
+        |     arg_max(change_operation, change_version) AS change_operation
+        |   FROM feeds GROUP BY invoice_id),
+        | page AS (
+        |   SELECT * FROM agg ORDER BY change_version, invoice_id LIMIT 100),
+        | nested AS (
+        |   SELECT l_orderkey AS invoice_id,
+        |     to_json(list(struct_pack(
+        |       line_no := CAST(l_linenumber AS BIGINT), part_key := l_partkey,
+        |       qty := CAST(round(l_quantity, 0) AS BIGINT),
+        |       price_cents := CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |       ORDER BY l_linenumber, l_partkey,
+        |         CAST(round(l_quantity, 0) AS BIGINT),
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT))) AS lines
+        |   FROM lineitem GROUP BY l_orderkey)
+        | SELECT p.invoice_id, p.change_version, p.change_operation,
+        |   CASE WHEN p.change_operation = 'D' THEN NULL
+        |     ELSE 'INV-' || lpad(CAST(o.o_orderkey AS VARCHAR), 9, '0') END
+        |     AS invoice_number,
+        |   CASE WHEN p.change_operation = 'D' THEN NULL
+        |     ELSE 'CUST-' || lpad(CAST(o.o_custkey AS VARCHAR), 6, '0') END
+        |     AS customer_code,
+        |   CASE WHEN p.change_operation = 'D' THEN NULL
+        |     ELSE o.o_orderdate END AS invoice_date,
+        |   CASE WHEN p.change_operation = 'D' THEN NULL
+        |     ELSE round(o.o_totalprice, 2) END AS total_amount,
+        |   CASE WHEN p.change_operation = 'D' THEN NULL
+        |     ELSE coalesce(n.lines, '[]') END AS lines,
+        |   CAST(p.change_operation = 'D' AS BIGINT) AS is_tombstone
+        | FROM page p
+        | LEFT JOIN orders o ON p.invoice_id = o.o_orderkey
+        | LEFT JOIN nested n ON p.invoice_id = n.invoice_id
+        | ORDER BY p.change_version, p.invoice_id""".stripMargin,
     "cdc_snapshot_asof" ->
       """SELECT user_id AS entity_id, max(event_id) AS version_asof
         | FROM events WHERE event_id <= 600

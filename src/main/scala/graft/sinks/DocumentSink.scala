@@ -29,11 +29,21 @@ object DocumentSink {
     * page default, server.js:89). */
   val VersionsPerBucket = 1000L
 
-  /** Stamp the document name (filename scheme, server.js:64-66). */
-  def withDocName(df: DataFrame): DataFrame =
+  /** Stamp the document name (filename scheme, server.js:64-66). A
+    * tombstone (see graft.cdc.TombstoneCdc) has no invoice_number — its
+    * payload is gone by definition — so its name is keyed by the id:
+    * `DEL-<invoice_id>_v<version>_<stamp>`. */
+  def withDocName(df: DataFrame): DataFrame = {
+    val base =
+      if (df.columns.contains("is_tombstone"))
+        when(col("is_tombstone") === 1,
+          concat(lit("DEL-"), col("invoice_id")))
+          .otherwise(col("invoice_number"))
+      else col("invoice_number")
     df.withColumn("doc_name",
-      concat(col("invoice_number"), lit("_v"), col("change_version"),
+      concat(base, lit("_v"), col("change_version"),
         lit("_"), date_format(current_timestamp(), "yyyyMMdd_HHmmss")))
+  }
 
   /** Write one page of documents, segregating invalid records to the
     * error dir (server.js:34,40-42 error path). `valid` defaults to the
@@ -42,10 +52,17 @@ object DocumentSink {
   def writeVersioned(df: DataFrame, dir: String, errorDir: String): Unit = {
     val stamped = withDocName(df).cache()
     try {
-      val valid = stamped.filter(
-        col("invoice_number").isNotNull && col("change_version").isNotNull)
-      val invalid = stamped.filter(
-        col("invoice_number").isNull || col("change_version").isNull)
+      // a tombstone is a VALID document despite its null payload — it is
+      // the delete notification itself (dropping it to the error dir
+      // would re-create the reference's ghost-state bug downstream)
+      val ok =
+        if (df.columns.contains("is_tombstone"))
+          (col("invoice_number").isNotNull || col("is_tombstone") === 1) &&
+            col("change_version").isNotNull
+        else
+          col("invoice_number").isNotNull && col("change_version").isNotNull
+      val valid = stamped.filter(ok)
+      val invalid = stamped.filter(!ok)
       // co-locate each bucket's documents in one task before the
       // partitioned write: one file per bucket dir instead of one per
       // (task × bucket) — the small-files guard that matters at scale

@@ -51,7 +51,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class CdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CdcSourceProvider.SCHEMA
+    CdcSourceProvider.schemaFor(CdcOptions(options.asScala.toMap))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new CdcTable(CdcOptions(properties.asScala.toMap))
@@ -61,6 +61,14 @@ object CdcSourceProvider {
   val SCHEMA: StructType = StructType(Seq(
     StructField("entity_id", LongType),
     StructField("change_version", LongType)))
+
+  /** With `operationColumn` set the contract gains the reference's
+    * SYS_CHANGE_OPERATION: a third `change_operation` string column
+    * (I/U/D in a real change table; any string passes through). */
+  def schemaFor(opts: CdcOptions): StructType =
+    if (opts.operationColumn.isDefined)
+      SCHEMA.add(StructField("change_operation", StringType))
+    else SCHEMA
 }
 
 case class CdcOptions(raw: Map[String, String]) {
@@ -70,6 +78,10 @@ case class CdcOptions(raw: Map[String, String]) {
     throw new IllegalArgumentException("graft-cdc requires option 'path'"))
   def versionColumn: String = m.getOrElse("versioncolumn", "change_version")
   def entityColumn: String = m.getOrElse("entitycolumn", "entity_id")
+  /** Optional change-operation column (CHANGETABLE's
+    * SYS_CHANGE_OPERATION): when set, the scan carries it through as a
+    * third `change_operation` string column. */
+  def operationColumn: Option[String] = m.get("operationcolumn")
   def maxVersionsPerBatch: Long =
     m.get("maxversionsperbatch").map(_.toLong).getOrElse(Long.MaxValue)
   /** What to do with a row whose entity key is null: `fail` (default —
@@ -86,7 +98,7 @@ case class CdcOptions(raw: Map[String, String]) {
 
 class CdcTable(opts: CdcOptions) extends Table with SupportsRead {
   override def name(): String = s"graft-cdc(${opts.path})"
-  override def schema(): StructType = CdcSourceProvider.SCHEMA
+  override def schema(): StructType = CdcSourceProvider.schemaFor(opts)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -157,7 +169,7 @@ class CdcScanBuilder(opts: CdcOptions)
 
 class CdcScan(opts: CdcOptions, lo: Long = Long.MinValue,
               hi: Long = Long.MaxValue) extends Scan {
-  override def readSchema(): StructType = CdcSourceProvider.SCHEMA
+  override def readSchema(): StructType = CdcSourceProvider.schemaFor(opts)
   override def toBatch: Batch = new CdcBatch(opts, lo, hi)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(opts)
@@ -176,11 +188,13 @@ case class CdcOffset(version: Long) extends Offset {
   * signature (length, modification time). */
 case class CdcFileEntry(file: String, len: Long, modTime: Long,
                         minVersion: Long, maxVersion: Long,
-                        versionRep: String, entityRep: String)
+                        versionRep: String, entityRep: String,
+                        opRep: Option[String] = None)
 
 /** Footer-derived facts about one file, read once at planning time. */
 case class CdcFileMeta(minVersion: Long, maxVersion: Long,
-                       versionRep: String, entityRep: String)
+                       versionRep: String, entityRep: String,
+                       opRep: Option[String] = None)
 
 /** File catalog + parquet-footer version statistics, shared by the batch
   * and micro-batch paths. */
@@ -217,18 +231,36 @@ object CdcFiles {
         s"graft-cdc: column '$colName' in $file must be INT64 (long); found: $t")
   }
 
+  /** Fail fast when the operation column is missing or not a string
+    * (parquet BINARY) — the I/U/D contract is textual. */
+  private def validateString(schema: org.apache.parquet.schema.MessageType,
+                             colName: String, file: String): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    if (!schema.containsField(colName))
+      throw new IllegalArgumentException(
+        s"graft-cdc: operation column '$colName' not found in $file; available: " +
+          schema.getFields.asScala.map(_.getName).mkString(", "))
+    val t = schema.getFields.asScala.find(_.getName == colName).get
+    if (!t.isPrimitive || t.asPrimitiveType().getPrimitiveTypeName != PrimitiveTypeName.BINARY)
+      throw new IllegalArgumentException(
+        s"graft-cdc: operation column '$colName' in $file must be a string " +
+          s"(parquet BINARY); found: $t")
+  }
+
   /** Version min/max + column repetitions of one file, from the footer
     * only — no data pages read. Validates that both declared columns
-    * exist with parquet type INT64. The ONE footer read per file; the
-    * partition reader reuses these facts instead of re-opening footers
-    * on executors. */
-  def fileMeta(file: String, versionCol: String, entityCol: String): CdcFileMeta = {
+    * exist with parquet type INT64 (and the optional operation column
+    * as BINARY). The ONE footer read per file; the partition reader
+    * reuses these facts instead of re-opening footers on executors. */
+  def fileMeta(file: String, versionCol: String, entityCol: String,
+               opCol: Option[String] = None): CdcFileMeta = {
     val conf = new Configuration()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val schema = r.getFooter.getFileMetaData.getSchema
       validateInt64(schema, versionCol, file)
       validateInt64(schema, entityCol, file)
+      opCol.foreach(validateString(schema, _, file))
       def rep(name: String): String =
         schema.getFields.asScala.find(_.getName == name).get
           .getRepetition.name.toLowerCase(java.util.Locale.ROOT)
@@ -254,7 +286,8 @@ object CdcFiles {
       val (mn, mx) =
         if (ranges.isEmpty) (Long.MaxValue, Long.MinValue)
         else (ranges.map(_._1).min, ranges.map(_._2).max)
-      CdcFileMeta(mn, mx, rep(versionCol), rep(entityCol))
+      CdcFileMeta(mn, mx, rep(versionCol), rep(entityCol),
+        opCol.map(rep))
     } finally r.close()
   }
 
@@ -266,9 +299,10 @@ object CdcFiles {
 
   def catalog(opts: CdcOptions): Seq[CdcFileEntry] =
     listFiles(opts).map { case (f, len, mt) =>
-      val m = fileMeta(f, opts.versionColumn, opts.entityColumn)
+      val m = fileMeta(f, opts.versionColumn, opts.entityColumn,
+        opts.operationColumn)
       CdcFileEntry(f, len, mt, m.minVersion, m.maxVersion,
-        m.versionRep, m.entityRep)
+        m.versionRep, m.entityRep, m.opRep)
     }
 
   def tableRangeOf(entries: Seq[CdcFileEntry]): Option[(Long, Long)] = {
@@ -287,7 +321,8 @@ object CdcFiles {
       if (e.maxVersion <= lo || e.minVersion > hi) None
       else Some(CdcInputPartition(e.file, lo, hi,
         opts.versionColumn, opts.entityColumn,
-        e.versionRep, e.entityRep, opts.onNullEntity))
+        e.versionRep, e.entityRep, opts.onNullEntity,
+        opts.operationColumn, e.opRep))
     }.toArray
 
   def partitionsFor(opts: CdcOptions, lo: Long, hi: Long): Array[InputPartition] =
@@ -308,9 +343,10 @@ class CdcCatalogCache(opts: CdcOptions) {
       cached.get(f) match {
         case Some(e) if e.len == len && e.modTime == mt => f -> e
         case _ =>
-          val m = CdcFiles.fileMeta(f, opts.versionColumn, opts.entityColumn)
+          val m = CdcFiles.fileMeta(f, opts.versionColumn, opts.entityColumn,
+            opts.operationColumn)
           f -> CdcFileEntry(f, len, mt, m.minVersion, m.maxVersion,
-            m.versionRep, m.entityRep)
+            m.versionRep, m.entityRep, m.opRep)
       }
     }.toMap
     listing.map { case (f, _, _) => cached(f) }
@@ -320,7 +356,9 @@ class CdcCatalogCache(opts: CdcOptions) {
 case class CdcInputPartition(file: String, lo: Long, hi: Long,
                              versionCol: String, entityCol: String,
                              versionRep: String, entityRep: String,
-                             onNullEntity: String)
+                             onNullEntity: String,
+                             opCol: Option[String] = None,
+                             opRep: Option[String] = None)
   extends InputPartition
 
 class CdcBatch(opts: CdcOptions, lo: Long = Long.MinValue,
@@ -417,13 +455,33 @@ class CdcPartitionReader(p: CdcInputPartition)
   // of a `required` column (non-nullable writers emit required int64).
   // Repetitions were captured from the footer at planning time and ship
   // in the partition, so no executor-side footer re-open.
+  private val opField = (p.opCol, p.opRep) match {
+    case (Some(c), Some(rep)) => s" $rep binary $c (UTF8);"
+    case _ => ""
+  }
   conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
     s"message projection { ${p.entityRep} int64 ${p.entityCol}; " +
-      s"${p.versionRep} int64 ${p.versionCol}; }")
+      s"${p.versionRep} int64 ${p.versionCol};$opField }")
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
 
   private var row: InternalRow = _
+
+  /** The optional operation value of the current record as Spark's
+    * string type (null when the column is absent or the value null —
+    * an operation is advisory metadata, not a key). */
+  private def opValue(g: org.apache.parquet.example.data.Group): Any =
+    p.opCol match {
+      case Some(c) if g.getFieldRepetitionCount(c) > 0 =>
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          g.getBinary(c, 0).getBytes)
+      case _ => null
+    }
+
+  private def mkRow(g: org.apache.parquet.example.data.Group,
+                    entity: Any, v: Long): InternalRow =
+    if (p.opCol.isDefined) InternalRow(entity, v, opValue(g))
+    else InternalRow(entity, v)
 
   override def next(): Boolean = {
     var g = reader.read()
@@ -451,11 +509,11 @@ class CdcPartitionReader(p: CdcInputPartition)
                   "(set onNullEntity=skip|keep to read past such rows)")
             case "skip" => // drop the row
             case "keep" =>
-              row = InternalRow(null, v)
+              row = mkRow(g, null, v)
               return true
           }
         } else {
-          row = InternalRow(g.getLong(p.entityCol, 0), v)
+          row = mkRow(g, g.getLong(p.entityCol, 0), v)
           return true
         }
       }

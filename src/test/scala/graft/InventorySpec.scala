@@ -44,6 +44,7 @@ class InventorySpec extends SparkSpec {
     "agg_rollup", "agg_percentile", "window_running_sum",
     "fn_regexp_extract", "agg_approx_distinct",
     "cdc_source_scan", "cdc_source_pushdown", "cdc_snapshot_asof",
+    "cdc_source_ops", "cdc_deletes",
     "stream_sessionize",
     "view_adhoc_sql", "llm_dedup_ngram", "llm_dedup_simhash",
     "llm_dedup_embedding", "llm_simsearch_ann", "llm_simsearch_topk_agg",
