@@ -139,11 +139,20 @@ object TombstoneCdc {
   def rehydrateTombstonePage(spark: SparkSession, dir: String,
                              keys: Seq[(Long, Long, String)]): DataFrame = {
     import spark.implicits._
-    val page = broadcast(
+    rehydratePageDf(spark, dir,
       keys.toDF("invoice_id", "change_version", "change_operation"))
+  }
+
+  /** DataFrame flavor of [[rehydrateTombstonePage]] — the page is any
+    * bounded (invoice_id, change_version, change_operation) relation
+    * (typically a LocalTableScan of collected cursor rows). */
+  def rehydratePageDf(spark: SparkSession, dir: String,
+                      pageDf: DataFrame): DataFrame = {
+    val page = broadcast(pageDf)
     val hdr = Tables.orders(spark, dir)
     val lines = InvoiceCdc.nestedLines(Tables.lineitem(spark, dir)
-      .join(broadcast(keys.map(_._1).toDF("l_orderkey")), Seq("l_orderkey"), "left_semi"))
+      .join(broadcast(pageDf.select(col("invoice_id").as("l_orderkey"))),
+        Seq("l_orderkey"), "left_semi"))
     projectWithTombstones(
       page
         .join(hdr, page("invoice_id") === hdr("o_orderkey"), "left")
@@ -165,27 +174,19 @@ class TombstoneFeed(spark: SparkSession, dir: String,
       .select(col("invoice_id"), col("change_version"))
 
   /** The collected page is (id, version); the operation of each key is
-    * re-derived from the same deterministic rule the feed used — a
-    * bounded broadcast lookup (which feed carried the newest version =
-    * does the invoice have lines), no second feed pass. */
+    * re-derived by VERSION PARITY — the synthetic feed mints even
+    * versions from the header feed (2k) and odd from the line feed
+    * (2k+1), so the newest change's feed, and with it the op rule, is
+    * the collapsed version's parity. Evaluated with the same
+    * headerOp/lineOp column expressions the feeds use (no duplicated
+    * rule constants), over the local page only — no big-table pass. */
   override protected def rehydrate(keys: Seq[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    if (keys.isEmpty)
-      return TombstoneCdc.rehydrateTombstonePage(spark, dir, Nil)
-    val ids = keys.map(_._1).toDF("l_orderkey")
-    val withLines = graft.Tables.lineitem(spark, dir)
-      .join(broadcast(ids), Seq("l_orderkey"), "left_semi")
-      .select(col("l_orderkey")).distinct()
-      .as[Long].collect().toSet
-    val opsKeys = keys.map { case (id, v) =>
-      val op =
-        if (withLines(id)) { // newest change came from the line feed
-          if (id % 7 == 0) "D" else if (id % 7 == 1) "I" else "U"
-        } else {
-          if (id % 10 == 0) "D" else if (id % 10 < 3) "I" else "U"
-        }
-      (id, v, op)
-    }
-    TombstoneCdc.rehydrateTombstonePage(spark, dir, opsKeys)
+    val page = keys.toDF("invoice_id", "change_version")
+      .withColumn("change_operation",
+        when(pmod(col("change_version"), lit(2)) === 1,
+          TombstoneCdc.lineOp(col("invoice_id")))
+          .otherwise(TombstoneCdc.headerOp(col("invoice_id"))))
+    TombstoneCdc.rehydratePageDf(spark, dir, page)
   }
 }

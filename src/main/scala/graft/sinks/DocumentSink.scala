@@ -55,9 +55,13 @@ object DocumentSink {
       // a tombstone is a VALID document despite its null payload — it is
       // the delete notification itself (dropping it to the error dir
       // would re-create the reference's ghost-state bug downstream)
+      // `<=>` (null-safe): a null is_tombstone must evaluate the OR to
+      // false, not SQL NULL — with `===`, a malformed row (null number
+      // AND null flag) fails BOTH filter(ok) and filter(!ok) and is
+      // silently dropped instead of landing in the error dir
       val ok =
         if (df.columns.contains("is_tombstone"))
-          (col("invoice_number").isNotNull || col("is_tombstone") === 1) &&
+          (col("invoice_number").isNotNull || (col("is_tombstone") <=> 1)) &&
             col("change_version").isNotNull
         else
           col("invoice_number").isNotNull && col("change_version").isNotNull

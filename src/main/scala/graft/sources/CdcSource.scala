@@ -231,20 +231,30 @@ object CdcFiles {
         s"graft-cdc: column '$colName' in $file must be INT64 (long); found: $t")
   }
 
-  /** Fail fast when the operation column is missing or not a string
-    * (parquet BINARY) — the I/U/D contract is textual. */
+  /** Fail fast when the operation column is missing or not a string —
+    * the I/U/D contract is textual. Parquet strings are BINARY + the
+    * UTF8/String LOGICAL type annotation; a raw-bytes BINARY column is
+    * rejected too (accepting it would decode arbitrary bytes as garbage
+    * text via UTF8String.fromBytes). */
   private def validateString(schema: org.apache.parquet.schema.MessageType,
                              colName: String, file: String): Unit = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     if (!schema.containsField(colName))
       throw new IllegalArgumentException(
         s"graft-cdc: operation column '$colName' not found in $file; available: " +
           schema.getFields.asScala.map(_.getName).mkString(", "))
     val t = schema.getFields.asScala.find(_.getName == colName).get
-    if (!t.isPrimitive || t.asPrimitiveType().getPrimitiveTypeName != PrimitiveTypeName.BINARY)
+    val isString = t.isPrimitive && {
+      val p = t.asPrimitiveType()
+      p.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+        p.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    }
+    if (!isString)
       throw new IllegalArgumentException(
         s"graft-cdc: operation column '$colName' in $file must be a string " +
-          s"(parquet BINARY); found: $t")
+          s"(parquet BINARY annotated UTF8/String); found: $t")
   }
 
   /** Version min/max + column repetitions of one file, from the footer

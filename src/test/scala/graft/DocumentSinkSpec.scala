@@ -29,6 +29,25 @@ class DocumentSinkSpec extends SparkSpec {
     assert(bad.count() == 1)
   }
 
+  test("S4: a null-flag malformed row routes to the error dir, never vanishes") {
+    val dir = tmpDir("sink")
+    val err = tmpDir("sinkerr")
+    // null invoice_number AND null is_tombstone: with a non-null-safe
+    // comparison `ok` evaluates to SQL NULL and the row fails BOTH
+    // filter(ok) and filter(!ok) — silently dropped
+    val page = Seq(
+      (1L, Some("INV-000000001"), Some(1L), 10L),  // live doc
+      (2L, None, Some(1L), 11L),                   // tombstone (valid)
+      (3L, None, None, 12L)                        // malformed
+    ).toDF("invoice_id", "invoice_number", "is_tombstone", "change_version")
+    DocumentSink.writeVersioned(page, dir, err)
+    assert(DocumentSink.readBack(spark, dir).count() == 2,
+      "live doc + tombstone delivered")
+    val bad = spark.read.json(err)
+    assert(bad.count() == 1, "malformed row must land in the error dir")
+    assert(bad.select("invoice_id").head().getLong(0) == 3L)
+  }
+
   test("S6: read-by-version prunes to one bucket dir and row-filters inside") {
     val dir = tmpDir("sink")
     val err = tmpDir("e")

@@ -63,6 +63,37 @@ class TombstoneSpec extends SparkSpec {
       s"unhelpful error: ${messages(e)}")
   }
 
+  test("DSv2 source: a raw-bytes BINARY op column (no UTF8 annotation) is rejected") {
+    val out = tmpDir("ops-src-rawbin")
+    // Spark writes BinaryType as parquet BINARY with NO String logical
+    // annotation — exactly the column that must not pass for 'string'
+    Seq((1L, 10L, Array[Byte](0x49)))
+      .toDF("entity_id", "change_version", "op")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("path", out).option("operationColumn", "op").load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("op") && m.contains("UTF8")),
+      s"raw BINARY accepted as string: ${messages(e)}")
+  }
+
+  test("rehydrate derives each key's op by version parity == collapse op") {
+    val store = new ConsumerStateStore(spark, tmpDir("parity-state"))
+    val feed = new TombstoneFeed(spark, sf, store)
+    val page = feed.poll("parity", limit = 200).data
+      .select($"invoice_id".cast("long"), $"change_operation")
+      .as[(Long, String)].collect().toMap
+    assert(page.nonEmpty)
+    val truth = TombstoneCdc.changedInvoicesOps(spark, sf, 0L, Long.MaxValue)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    page.foreach { case (id, op) =>
+      assert(op == truth(id), s"invoice $id: rehydrated op $op != collapse op ${truth(id)}")
+    }
+  }
+
   test("latest-op-wins collapse: final op comes from the newest feed row") {
     val collapsed = TombstoneCdc.changedInvoicesOps(spark, sf, 0L, Long.MaxValue)
       .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
