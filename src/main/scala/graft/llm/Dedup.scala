@@ -92,14 +92,46 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Default giant-bucket cap: a bucket wider than this is split before
+    * pair explosion. 256 keeps per-sub-bucket pair counts ≤ ~32k while
+    * leaving every realistic LSH bucket (a handful of docs) untouched. */
+  val DefaultMaxBucket = 256
+
+  /** The giant-bucket guard: buckets wider than `maxBucket` are split by
+    * a secondary hash of the doc id into ~maxBucket-sized sub-buckets
+    * BEFORE pair explosion, turning a degenerate bucket's O(b²) pair
+    * blowup (empty/boilerplate texts all hash identically) into
+    * O(b·maxBucket). Buckets at or under the cap keep `sub = 0`, so
+    * normal pairs and recall are untouched; the only pairs traded away
+    * straddle sub-buckets of a giant bucket, whose members are mutual
+    * near-dups of the same boilerplate anyway. The window's count
+    * partitions on the bucket key the downstream groupBy/join uses, so
+    * the cap rides the shuffle that stage already pays (a skewed count
+    * partition is linear in b, not quadratic). */
+  private[llm] def withBucketCap(df: DataFrame, keyCols: Seq[String],
+                                 idCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    df.withColumn("_bn", count(lit(1)).over(w))
+      .withColumn("sub",
+        when(col("_bn") <= maxBucket, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol)),
+            ceil(col("_bn").cast("double") / maxBucket).cast("long"))))
+      .drop("_bn")
+  }
+
   /** Candidate pairs from banded LSH rows: group by (band, bucket),
     * emit all in-bucket pairs. One evaluation of the signature pipeline
     * and one shuffle — the self-join formulation evaluates the pipeline
-    * once per join side. Skew note: a pathological bucket of b docs
-    * emits O(b²) pairs; at corpus scale cap bucket width upstream
-    * (split giant buckets by a secondary hash) before pair explosion. */
-  private def bucketPairs(bandsDf: DataFrame, idCol: String): DataFrame =
-    bandsDf.groupBy(col("band"), col("bucket"))
+    * once per join side. Pathological buckets are width-capped by
+    * [[withBucketCap]]; the groupBy key gains the `sub` column, which
+    * Catalyst satisfies with the window's (band, bucket) partitioning —
+    * no extra exchange. */
+  private def bucketPairs(bandsDf: DataFrame, idCol: String,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame =
+    withBucketCap(bandsDf, Seq("band", "bucket"), idCol, maxBucket)
+      .groupBy(col("band"), col("bucket"), col("sub"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -114,9 +146,11 @@ object Dedup {
     * (id_a, id_b, jaccard_e4), id_a < id_b. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 16,
-                      bands: Int = 8, minJaccardE4: Long = 7000): DataFrame = {
+                      bands: Int = 8, minJaccardE4: Long = 7000,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val candidates =
-      bucketPairs(minhashBands(df, idCol, textCol, shingleN, numHashes, bands), idCol)
+      bucketPairs(minhashBands(df, idCol, textCol, shingleN, numHashes, bands),
+        idCol, maxBucket)
     val sh = df.select(col(idCol),
       shingleHashSet(col(textCol), shingleN).as("sh"))
     candidates
@@ -177,22 +211,25 @@ object Dedup {
     * least one chunk, so the self-join keys on (chunk_idx, chunk_value)
     * — same LSH-bucket shape as MinHash, no all-pairs. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunks = maxDist + 1
     val bits = 64 / chunks
     val sigs = simhashSigs(df, idCol, textCol)
-    val banded = sigs.select(col(idCol), col("sig"), explode(
-      array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * bits)
-            .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))
-      }: _*)).as("cb"))
-      .select(col(idCol), col("sig"), col("cb.chunk"), col("cb.ckey"))
+    val banded = withBucketCap(
+      sigs.select(col(idCol), col("sig"), explode(
+        array((0 until chunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("sig"), c * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))
+        }: _*)).as("cb"))
+        .select(col(idCol), col("sig"), col("cb.chunk"), col("cb.ckey")),
+      Seq("chunk", "ckey"), idCol, maxBucket)
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("chunk"), col("ckey"))
+      col("chunk"), col("ckey"), col("sub"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("chunk"), col("ckey"))
-    a.join(b, Seq("chunk", "ckey"))
+      col("chunk"), col("ckey"), col("sub"))
+    a.join(b, Seq("chunk", "ckey", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("dist"))
@@ -220,14 +257,19 @@ object Dedup {
     * SimSearch.hyperplaneSignature) + exact cosine verification. Pairs
     * with cosine ≥ minCosE6/1e6. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        planes: Int = 12, minCosE6: Long = 950000): DataFrame = {
+                        planes: Int = 12, minCosE6: Long = 950000,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val sigs = df.select(col(idCol),
-      SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"),
-      col(vecCol).as("v"))
-    val a = sigs.select(col(idCol).as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = sigs.select(col(idCol).as("id_b"), col("v").as("v_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val sigs = withBucketCap(
+      df.select(col(idCol),
+        SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"),
+        col(vecCol).as("v")),
+      Seq("bucket"), idCol, maxBucket)
+    val a = sigs.select(col(idCol).as("id_a"), col("v").as("v_a"),
+      col("bucket"), col("sub"))
+    val b = sigs.select(col(idCol).as("id_b"), col("v").as("v_b"),
+      col("bucket"), col("sub"))
+    a.join(b, Seq("bucket", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SimSearch.cosineE6(col("v_a"), col("v_b")).as("cos_e6"))

@@ -59,6 +59,76 @@ class LlmSpec extends SparkSpec {
     assert(kept.intersect(losers).isEmpty)
   }
 
+  test("N2 skew: a degenerate bucket is width-capped, normal recall intact") {
+    // 10k IDENTICAL texts — every one lands in the SAME bucket in EVERY
+    // band (identical shingle set ⇒ identical signature). Uncapped this
+    // explodes to ~10k²/2 pairs per band; capped it is O(b·maxBucket).
+    val boiler = spark.range(200000, 210000).select(
+      $"id".as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+    val skewed = withPlants.select($"doc_id", $"text").unionByName(boiler)
+    val cap = 16
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashNearDups(skewed, "doc_id", "text",
+      maxBucket = cap).cache()
+    try {
+      val boilerPairs = pairs.filter($"id_a" >= 200000).count()
+      // bounded: ≤ subBuckets · C(~2·cap, 2) — orders of magnitude under
+      // the uncapped C(10000, 2) ≈ 50M
+      val subBuckets = math.ceil(10000.0 / cap).toLong
+      assert(boilerPairs > 0, "identical docs must still pair within sub-buckets")
+      assert(boilerPairs < 5000000L,
+        s"pair explosion not capped: $boilerPairs pairs")
+      // every sub-bucket collapses internally: ≥ (10000 - subBuckets) losers
+      val boilerLosers = pairs.filter($"id_b" >= 200000)
+        .select("id_b").distinct().count()
+      assert(boilerLosers >= 10000 - subBuckets,
+        s"sub-buckets did not collapse: only $boilerLosers losers")
+      // normal pairs (the planted near-dups, all in sub-cap buckets) are
+      // untouched by the cap
+      val found = pairs.filter($"id_a" < 200000 && $"id_b" < 200000)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
+      assert(expected.subsetOf(found), s"cap broke normal recall: ${expected -- found}")
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 120, s"degenerate bucket not bounded: ${secs}s")
+    } finally pairs.unpersist()
+  }
+
+  test("N2 skew: the bucket-cap window adds no extra exchange") {
+    // the groupBy(band, bucket, sub) must reuse the window's
+    // (band, bucket) hash partitioning — one shuffle for count + group
+    val pairs = Dedup.minhashNearDups(withPlants, "doc_id", "text")
+    val plan = pairs.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // candidates: 1 shuffle to (band,bucket) [window+group], 1 for the
+    // pair distinct, 2 for the verify joins' two sides (+1 for the
+    // candidate side). Anything above 6 means the cap bought a new one.
+    assert(exchanges <= 6, s"unexpected exchange count $exchanges in:\n$plan")
+  }
+
+  test("N2'''' skew: embedding giant bucket capped, planted pairs intact") {
+    val base = Tables.embeddings(spark, sf).limit(100)
+      .select($"vec_id", $"embedding")
+    // 2000 identical vectors → one hyperplane bucket
+    val one = base.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val clones = spark.range(300000, 302000).select(
+      $"id".as("vec_id"),
+      typedLit(one).cast("array<float>").as("embedding"))
+    val skewed = base.unionByName(clones)
+    val pairs = Dedup.embeddingNearDups(skewed, "vec_id", "embedding",
+      maxBucket = 32, minCosE6 = 999000).cache()
+    try {
+      val clonePairs = pairs.filter($"id_a" >= 300000).count()
+      assert(clonePairs > 0 && clonePairs < 200000L,
+        s"clone-bucket pairs not capped: $clonePairs")
+      val cloneLosers = pairs.filter($"id_b" >= 300000)
+        .select("id_b").distinct().count()
+      assert(cloneLosers >= 2000 - math.ceil(2000.0 / 32).toLong,
+        s"clone sub-buckets did not collapse: $cloneLosers")
+    } finally pairs.unpersist()
+  }
+
   test("N2'': SimHash puts planted pairs within small hamming distance") {
     val sigs = withPlants
       .select($"doc_id", Dedup.simhash($"text").as("sig"))
