@@ -19,15 +19,17 @@ object LlmQueries {
       .select("fp", "doc_id", "n_copies")
       .orderBy("doc_id")
 
-  /** N2 — MinHash+LSH near-dup survivors (hash-based → rows-only check;
-    * pair-level correctness in LlmSpec with planted near-dups). */
+  /** N2 — MinHash+LSH near-dup survivors. Oracle: brute-force all-pairs
+    * shingle Jaccard in DuckDB (see shingleCte) — the LSH path's output
+    * equals ground truth on the driver corpus, where true near-dups sit
+    * at J ≥ 0.90. Pair-level recall also in LlmSpec with planted dups. */
   val dedupNear: Q = (s, d) =>
     Dedup.minhashDedup(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id").orderBy("doc_id")
 
   /** N2''' — n-gram Jaccard near-dup pairs (LSH candidates, exact
     * verification; threshold 0.5 so the corpus's planted near-dups
-    * surface). Hash-based → rows-only check, pair math in LlmSpec. */
+    * surface). Oracle: brute-force all-pairs Jaccard in DuckDB. */
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       shingleN = 3, minJaccardE4 = 5000)
@@ -39,7 +41,8 @@ object LlmQueries {
       .withColumnRenamed("sig", "simhash")
       .orderBy("doc_id")
 
-  /** N2'''' — embedding-cosine near-dup survivors. */
+  /** N2'''' — embedding-cosine near-dup survivors. Oracle: brute-force
+    * all-pairs cosine in DuckDB (same e6 rounding as cosineE6). */
   val dedupEmbedding: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val losers = Dedup.embeddingNearDups(emb, "vec_id", "embedding")
@@ -154,7 +157,51 @@ object LlmQueries {
   private def hits(l: String) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${lex(l)})))"
 
+  /** Brute-force all-pairs shingle CTE shared by the near-dup oracles:
+    * DuckDB string 3-gram shingles == Dedup.shingles (same tokenizer,
+    * same <n-token fallback), verified equal at sf0.001 and sf0.01. The
+    * oracle is O(n²) BY DESIGN — it is the ground truth the LSH path is
+    * checked against, never the scale path. The LSH output equals it
+    * because the corpus's true near-dups sit at J ≥ 0.90, where banded
+    * 16/8 MinHash recall is 1 − (1 − 0.9²)^8 ≈ 1 − 1e-8 — and the
+    * comparison is deterministic on the fixed driver data (verified
+    * byte-equal at both SFs before declaring). */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | s AS (SELECT doc_id,
+      |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |   ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
+      | p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |   CAST(round(10000.0 * len(list_intersect(a.sh, b.sh)) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS j
+      |   FROM s a JOIN s b ON a.doc_id < b.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "llm_dedup_near" -> (shingleCte +
+      """
+        | SELECT doc_id FROM documents
+        | WHERE doc_id NOT IN (SELECT ib FROM p WHERE j >= 7000)
+        | ORDER BY doc_id""".stripMargin),
+    "llm_dedup_ngram" -> (shingleCte +
+      """
+        | SELECT ia AS id_a, ib AS id_b, j AS jaccard_e4
+        | FROM p WHERE j >= 5000 ORDER BY id_a, id_b""".stripMargin),
+    "llm_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        | p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |   CAST(round(1000000.0 *
+        |     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) /
+        |     (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+        |              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) *
+        |      sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+        |              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+        |   ) AS BIGINT) AS c
+        |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | SELECT vec_id, label FROM embeddings
+        | WHERE vec_id NOT IN (SELECT ib FROM p WHERE c >= 950000)
+        | ORDER BY vec_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS doc_id, count(*) AS n_copies

@@ -66,10 +66,14 @@ class InventorySpec extends SparkSpec {
   test("every oracle key has a query, and oracle coverage is the declared set") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
-    // hash-based / filesystem-shape keys are rows-only by design
+    // rows-only by design: simhash emits engine-hash signatures (no
+    // DuckDB twin possible; completeness spec-proven vs brute force in
+    // LlmSpec), ANN is approximate-by-contract (recall spec), listing
+    // is filesystem shape, approx-distinct is sketch-valued. The
+    // near/ngram/embedding dedup family carries brute-force all-pairs
+    // DuckDB oracles since round 4.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expectedRowsOnly = Set("llm_dedup_near", "llm_dedup_ngram",
-      "llm_dedup_simhash", "llm_dedup_embedding", "llm_simsearch_ann",
+    val expectedRowsOnly = Set("llm_dedup_simhash", "llm_simsearch_ann",
       "sink_listing", "agg_approx_distinct")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +

@@ -153,7 +153,11 @@ class LlmSpec extends SparkSpec {
   }
 
   test("N2'': simhashNearDups candidate generation honors the pigeonhole bound") {
-    val small = withPlants.filter($"doc_id" < 10 || $"doc_id" >= 100000)
+    // the WHOLE corpus + plants: completeness below is the committed
+    // equality proof vs brute-force all-pairs hamming (the simhash
+    // family's no-DuckDB-oracle substitute — engine hash functions
+    // differ across engines by construction)
+    val small = withPlants
     val pairs = Dedup.simhashNearDups(small, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // every reported pair is within the bound …
