@@ -116,4 +116,41 @@ object SimSearch {
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
+
+  /** All bucket signatures within `probeHamming` bits of `qbucket` —
+    * the multi-probe set, enumerated driver-side (sum of C(planes, h)
+    * for h ≤ probeHamming values; 37 for 8 planes / hamming 2). */
+  private[graft] def probeBuckets(qbucket: Long, planes: Int,
+                                  probeHamming: Int): Seq[Long] = {
+    def flips(from: Int, h: Int): Seq[Long] =
+      if (h == 0) Seq(0L)
+      else (from until planes).flatMap(p =>
+        flips(p + 1, h - 1).map(_ | (1L << p)))
+    (0 to probeHamming).flatMap(flips(0, _)).distinct.map(_ ^ qbucket)
+  }
+
+  /** N3'-at-scale — ANN top-k over the [[writeBucketed]] IVF layout:
+    * the probe set is enumerated driver-side from the query's bucket,
+    * and the corpus read is PARTITION-PRUNED to exactly those bucket
+    * directories (`bucket IN (...)` prunes at the file index — a 100 TB
+    * corpus scan becomes probed-buckets/2^planes of that). Only the
+    * query row's own vector is fetched from `emb` (pushed-down id
+    * filter, one-row driver fetch). Same output contract as
+    * [[annTopK]]; identical results, spec-asserted. */
+  def annTopKBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, layoutPath: String,
+                      planes: Int = 8, probeHamming: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol), hyperplaneSignature(col(vecCol), planes)).head()
+    val qv = qRow.getSeq[Float](0)
+    val probes = probeBuckets(qRow.getLong(1), planes, probeHamming)
+    spark.read.parquet(layoutPath)
+      .filter(col("bucket").isin(probes: _*))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosineE6(col(vecCol), typedLit(qv)).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -225,6 +225,43 @@ class LlmSpec extends SparkSpec {
     assert(ids.size < emb.count(), "bucketing must actually partition the corpus")
   }
 
+  test("N3': bucketed ANN == in-memory ANN, scanning only the probed buckets") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = tmpDir("ivf-ann")
+    SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = 8, path)
+    val bucketed = SimSearch.annTopKBucketed(emb, "vec_id", "embedding",
+      queryId = 0L, k = 20, layoutPath = path)
+    val inMem = SimSearch.annTopK(emb, "vec_id", "embedding", 0L, 20)
+    assert(bucketed.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      inMem.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))),
+      "IVF-served ANN must return exactly the in-memory ANN result")
+    // the scan is pruned to the probe set: scanned == layout dirs that
+    // are probe buckets, strictly fewer than the layout's dirs
+    val qBucket = spark.read.parquet(path).filter($"vec_id" === 0L)
+      .select($"bucket".cast("long")).as[Long].head()
+    val probes = SimSearch.probeBuckets(qBucket, planes = 8, probeHamming = 2).toSet
+    val layoutBuckets = spark.read.parquet(path)
+      .select($"bucket".cast("long")).distinct().as[Long].collect().toSet
+    val expectScanned = layoutBuckets.intersect(probes).size
+    val scanned = bucketed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(expectScanned),
+      s"expected a scan of $expectScanned probed partitions, got $scanned")
+    assert(expectScanned < layoutBuckets.size,
+      "probe must not touch the whole layout")
+  }
+
+  test("N3': probeBuckets enumerates exactly the hamming ball") {
+    val probes = SimSearch.probeBuckets(0b10110L, planes = 8, probeHamming = 2)
+    assert(probes.size == 1 + 8 + 28, s"got ${probes.size}")
+    assert(probes.toSet.size == probes.size, "duplicates in probe set")
+    assert(probes.forall(p =>
+      java.lang.Long.bitCount(p ^ 0b10110L) <= 2))
+    assert(probes.contains(0b10110L), "ball must include the center")
+  }
+
   test("N3: brute-force top-k is ordered and self-consistent") {
     val emb = Tables.embeddings(spark, sf)
     val rows = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
