@@ -53,9 +53,17 @@ object CdcPipeline {
     * checkpoint dir (T1/T8); deleting the checkpoint = reset (T7). The
     * feed versions here are events (event_id/user_id), rehydrated
     * against the order state keyed by user-id-as-invoice-id — the
-    * testdata mapping of FIXTURES.md §C. */
+    * testdata mapping of FIXTURES.md §C.
+    *
+    * `onBatchDelivered(batchId)` fires AFTER the page reached the sink
+    * but BEFORE the checkpoint commit — the reference's per-poll
+    * delivery log hook (server.js:84). A crash in that window is the
+    * T2 hazard: the page is on disk, the offset is not; restart
+    * redelivers it and the append-idempotent sink collapses the double
+    * write (proven by the restart spec). */
   def deliver(spark: SparkSession, dir: String, sinkDir: String, errDir: String,
-              checkpointDir: String, pageVersions: Long = 1000L): StreamingQuery =
+              checkpointDir: String, pageVersions: Long = 1000L,
+              onBatchDelivered: Long => Unit = _ => ()): StreamingQuery =
     spark.readStream.format("graft-cdc")
       .option("path", s"$dir/events.parquet")
       .option("versionColumn", "event_id")
@@ -65,9 +73,10 @@ object CdcPipeline {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = assembleDocuments(batch.sparkSession, dir, batch)
         DocumentSink.writeVersioned(docs, sinkDir, errDir)
+        onBatchDelivered(batchId)
         ()
       }
       .start()
