@@ -141,4 +141,47 @@ object DocumentSink {
     docs.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Maintenance compaction: the append-only sink accumulates one file
+    * per (poll × bucket) plus redelivered duplicates; a month of polls
+    * degrades every read-back. This job rewrites the sink to the
+    * [[deduplicated]] survivors — last-writer-wins per (invoice,
+    * version) — repartitioned one file per bucket dir, then swaps the
+    * directory in. Read-back before and after is IDENTICAL by
+    * construction (the survivors keep their doc_name stamps).
+    *
+    * The swap is rename-based, not atomic: a reader racing the two
+    * renames can see a missing directory, and a crash between them
+    * leaves the data intact under `<dir>.compact-bak` (never lost —
+    * restore by renaming back). Run it like the reference runs its
+    * retention cleanup: as a scheduled maintenance window, not
+    * concurrent with delivery. */
+  def compact(spark: SparkSession, dir: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val survivors = {
+      val docs = readBack(spark, dir, schema)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("invoice_id"), col("change_version"))
+        .orderBy(col("doc_name").desc)
+      docs.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    val bak = dir.stripSuffix("/") + ".compact-bak"
+    survivors
+      .withColumn("version_bucket", expr(s"change_version div $VersionsPerBucket"))
+      .repartition(col("version_bucket"))
+      .write.mode("overwrite").partitionBy("version_bucket").json(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bakP = new org.apache.hadoop.fs.Path(bak)
+    if (fs.exists(bakP)) fs.delete(bakP, true)
+    if (!fs.rename(p, bakP))
+      throw new java.io.IOException(s"graft sink compact: cannot move $dir aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(bakP, p) // roll back: the original layout wins
+      throw new java.io.IOException(s"graft sink compact: cannot install $tmp")
+    }
+    fs.delete(bakP, true)
+  }
 }

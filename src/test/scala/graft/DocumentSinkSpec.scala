@@ -75,6 +75,47 @@ class DocumentSinkSpec extends SparkSpec {
     assert(noSchemaErr.getMessage.contains("never delivered"))
   }
 
+  test("S4'': compaction bounds file count; read-back identical") {
+    val dir = tmpDir("sink")
+    val err = tmpDir("e")
+    def page(n: Int) = Seq(
+      (1L, "INV-000000001", "CUST-1", 10L + n),
+      (2L, "INV-000000002", "CUST-2", 2500L + n)
+    ).toDF("invoice_id", "invoice_number", "customer_code", "change_version")
+    // 5 polls × 2 buckets, plus one full redelivery (duplicate appends)
+    (0 until 5).foreach(n => DocumentSink.writeVersioned(page(n), dir, err))
+    DocumentSink.writeVersioned(page(0), dir, err)
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".json")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val before = DocumentSink.deduplicated(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val filesBefore = dataFiles().size
+    assert(filesBefore >= 12, s"expected ≥12 pre-compaction files, got $filesBefore")
+
+    DocumentSink.compact(spark, dir)
+
+    // one file per bucket dir — bounded no matter how many polls ran
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("version_bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      val n = b.listFiles().count(_.getName.endsWith(".json"))
+      assert(n == 1, s"${b.getName}: $n files after compaction")
+    }
+    // redelivered duplicates are physically gone …
+    assert(DocumentSink.readBack(spark, dir).count() == before.size)
+    // … and the logical read-back is identical, stamps included
+    val after = DocumentSink.deduplicated(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change the read-back")
+    // version pruning still works on the compacted layout
+    assert(DocumentSink.readVersion(spark, dir, 2500L).count() == 1)
+  }
+
   test("S4 doc_name follows the reference filename scheme") {
     val dir = tmpDir("sink")
     DocumentSink.writeVersioned(samplePage().filter($"invoice_id" === 1), dir, tmpDir("e"))
