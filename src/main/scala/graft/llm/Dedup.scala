@@ -103,14 +103,30 @@ object Dedup {
     * blowup (empty/boilerplate texts all hash identically) into
     * O(b·maxBucket). Buckets at or under the cap keep `sub = 0`, so
     * normal pairs and recall are untouched; the only pairs traded away
-    * straddle sub-buckets of a giant bucket, whose members are mutual
-    * near-dups of the same boilerplate anyway. The window's count
+    * straddle sub-buckets of a giant bucket. The window's count
     * partitions on the bucket key the downstream groupBy/join uses, so
     * the cap rides the shuffle that stage already pays (a skewed count
-    * partition is linear in b, not quadratic). */
+    * partition is linear in b, not quadratic).
+    *
+    * WHEN the trade is sound depends on the bucket KEY SPACE. MinHash
+    * band buckets are 64-bit signature hashes: an over-cap bucket can
+    * only be ≥cap IDENTICAL signatures (random 64-bit collisions are
+    * negligible at any corpus size), i.e. genuinely degenerate
+    * boilerplate whose members are mutual dups — splitting loses
+    * nothing a dedup cares about, so the cap defaults ON there. SimHash
+    * chunk keys (16-bit) and hyperplane buckets (2^planes) are SMALL
+    * key spaces: at corpus scale every bucket fills with thousands of
+    * UNRELATED members, over-cap is routine, and splitting would drop
+    * genuine near-dup pairs wholesale — the cap defaults OFF there
+    * (pass a cap explicitly when boilerplate skew is the known hazard;
+    * the scale lever for those generators is more chunks/planes).
+    *
+    * `maxBucket = Int.MaxValue` disables the cap entirely — no window,
+    * no sort, `sub` pinned to 0. */
   private[llm] def withBucketCap(df: DataFrame, keyCols: Seq[String],
                                  idCol: String, maxBucket: Int): DataFrame = {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    if (maxBucket == Int.MaxValue) return df.withColumn("sub", lit(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
     df.withColumn("_bn", count(lit(1)).over(w))
@@ -209,10 +225,12 @@ object Dedup {
     * generation by the pigeonhole principle: split the signature into
     * (maxDist+1) chunks; any pair within maxDist matches exactly on at
     * least one chunk, so the self-join keys on (chunk_idx, chunk_value)
-    * — same LSH-bucket shape as MinHash, no all-pairs. */
+    * — same LSH-bucket shape as MinHash, no all-pairs. The bucket cap
+    * defaults OFF here: capping a 16-bit chunk-key space breaks the
+    * pigeonhole completeness guarantee (see withBucketCap). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val chunks = maxDist + 1
     val bits = 64 / chunks
     val sigs = simhashSigs(df, idCol, textCol)
@@ -255,10 +273,13 @@ object Dedup {
 
   /** N2'''' — embedding near-dup: random-hyperplane LSH buckets (see
     * SimSearch.hyperplaneSignature) + exact cosine verification. Pairs
-    * with cosine ≥ minCosE6/1e6. */
+    * with cosine ≥ minCosE6/1e6. The bucket cap defaults OFF here: the
+    * 2^planes bucket space fills with unrelated members at corpus
+    * scale, so capping would drop genuine pairs — add planes instead
+    * (see withBucketCap). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 12, minCosE6: Long = 950000,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val sigs = withBucketCap(
       df.select(col(idCol),

@@ -63,13 +63,24 @@ object LlmQueries {
     * exact + bucketed==in-memory equality asserted in LlmSpec. */
   val simsearchAnn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    // the layout is a pure function of (corpus dir, planes): build it
-    // once and reuse — the serving shape is probe-the-existing-index,
-    // not rebuild-the-index-per-query (a complete _SUCCESS marker makes
-    // the existence check crash-safe)
+    // the layout is a pure function of (corpus content, signature
+    // geometry): build it once and reuse — the serving shape is
+    // probe-the-existing-index, not rebuild-the-index-per-query. The
+    // cache key is an MD5 over the corpus file's identity (uri, size,
+    // mtime), the plane count, and a plane-function version tag, so a
+    // regenerated corpus, a planes change, or a hyperplane-geometry
+    // change each mint a FRESH layout instead of silently serving a
+    // stale one (a complete _SUCCESS marker makes the existence check
+    // crash-safe).
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.toUri}|${st.getLen}|${st.getModificationTime}|planes=8|hp-v1"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val layout = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft-ivf-" + java.lang.Integer.toHexString(d.hashCode))
+      System.getProperty("java.io.tmpdir"), s"graft-ivf-$key")
     if (!new java.io.File(layout, "_SUCCESS").exists())
       SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = 8,
         layout.getPath)

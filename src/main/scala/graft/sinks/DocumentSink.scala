@@ -132,9 +132,12 @@ object DocumentSink {
   }
 
   /** Exactly-once on redelivery: the same (invoice, version) appended
-    * twice collapses to one document — last-writer-wins on the stamp. */
-  def deduplicated(spark: SparkSession, dir: String): DataFrame = {
-    val docs = readBack(spark, dir)
+    * twice collapses to one document — last-writer-wins on the stamp.
+    * THE single survivor rule: [[compact]] physically materializes this
+    * exact DataFrame, so the two can never drift. */
+  def deduplicated(spark: SparkSession, dir: String,
+                   schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val docs = readBack(spark, dir, schema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("invoice_id"), col("change_version"))
       .orderBy(col("doc_name").desc)
@@ -158,14 +161,7 @@ object DocumentSink {
     * concurrent with delivery. */
   def compact(spark: SparkSession, dir: String,
               schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val survivors = {
-      val docs = readBack(spark, dir, schema)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("invoice_id"), col("change_version"))
-        .orderBy(col("doc_name").desc)
-      docs.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-    }
+    val survivors = deduplicated(spark, dir, schema)
     val tmp = dir.stripSuffix("/") + ".compact-tmp"
     val bak = dir.stripSuffix("/") + ".compact-bak"
     survivors

@@ -247,14 +247,18 @@ object CdcFiles {
     val t = schema.getFields.asScala.find(_.getName == colName).get
     val isString = t.isPrimitive && {
       val p = t.asPrimitiveType()
+      // ENUM is accepted too: parquet-avro writes enum-typed operation
+      // columns as BINARY+ENUM, and Spark itself reads ENUM as string
       p.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
-        p.getLogicalTypeAnnotation
-          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        (p.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+         p.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.EnumLogicalTypeAnnotation])
     }
     if (!isString)
       throw new IllegalArgumentException(
         s"graft-cdc: operation column '$colName' in $file must be a string " +
-          s"(parquet BINARY annotated UTF8/String); found: $t")
+          s"(parquet BINARY annotated UTF8/String or ENUM); found: $t")
   }
 
   /** Version min/max + column repetitions of one file, from the footer

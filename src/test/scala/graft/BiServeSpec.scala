@@ -35,8 +35,6 @@ class BiServeSpec extends SparkSpec {
   test("S7: an external SQL client (beeline, own JVM) queries the BI view") {
     // keep derby/operation-log litter out of the repo working dir
     System.setProperty("derby.system.home", tmpDir("derby"))
-    val port = freePort()
-    spark.conf.set("hive.server2.thrift.port", port.toString)
     spark.conf.set("hive.server2.thrift.bind.host", "127.0.0.1")
     spark.conf.set("hive.server2.logging.operation.log.location", tmpDir("oplog"))
     // (spark.sql.hive.thriftServer.singleSession is STATIC conf — cannot
@@ -50,10 +48,28 @@ class BiServeSpec extends SparkSpec {
     val expected = spark.table("vw_invoice_header_line").count()
     assert(expected > 0)
 
-    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-      .startWithContext(spark.sqlContext)
+    // freePort closes its probe socket before the server binds — a
+    // benign TOCTOU race in a busy CI box; retry with a fresh port
+    // rather than burning one long timeout on a stolen port. (The
+    // server class is private to its package, so it is held behind a
+    // stop closure rather than a named type.)
+    var port = -1
+    def tryStart(): Option[() => Unit] = {
+      port = freePort()
+      spark.conf.set("hive.server2.thrift.port", port.toString)
+      val s = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithContext(spark.sqlContext)
+      if (awaitPort(port, 30000)) Some(() => s.stop())
+      else { s.stop(); None }
+    }
+    var stopServer: Option[() => Unit] = None
+    var attempts = 0
+    while (stopServer.isEmpty && attempts < 3) {
+      attempts += 1
+      stopServer = tryStart()
+    }
+    assert(stopServer.nonEmpty, s"thrift server never bound after $attempts attempts")
     try {
-      assert(awaitPort(port, 60000), s"thrift server never opened port $port")
       val pb = new ProcessBuilder(
         "/opt/spark/bin/beeline",
         "-u", s"jdbc:hive2://127.0.0.1:$port/default",
@@ -78,6 +94,6 @@ class BiServeSpec extends SparkSpec {
       assert(p.exitValue() == 0, s"beeline rc=${p.exitValue()}:\n$out")
       assert(out.linesIterator.map(_.trim).contains(expected.toString),
         s"expected row count $expected in client output:\n$out")
-    } finally server.stop()
+    } finally stopServer.foreach(_())
   }
 }
