@@ -12,7 +12,9 @@ object PlanDump {
       "join_view_flat" -> "BI view flatten: broadcast-hash join, no shuffle of the big side at this SF; at scale both sides bucketed (see StateLayout).",
       "agg_max_version" -> "Change collapse: partial (map-side) + final hash aggregate — one shuffle on the entity key.",
       "llm_simsearch_topk" -> "Brute-force cosine: parquet scan with pushed filters + codegen VecDot + TakeOrderedAndProject; no shuffle.",
-      "llm_dedup_near" -> "MinHash LSH: codegen signatures, explode to bands, one shuffle to buckets, in-bucket pair explosion, broadcast verification joins.",
+      "llm_dedup_near" -> ("MinHash LSH: codegen signatures, explode to bands, one shuffle to buckets, in-bucket pair explosion, broadcast verification joins.\n\n" +
+        "Round 4: the giant-bucket cap (Dedup.withBucketCap) inserts a window count over (band, bucket) ahead of the pair groupBy - same shuffle key, so no new exchange (spec-asserted by self-baselining against the cap-disabled plan), but WindowExec adds a sort and two codegen stages. Bench cost ~2.0->3.0 s at sf0.1, nearly all cold-plan codegen (BenchProbe: cold=5.5 warm2=1.48). Accepted: the window spills via ExternalAppendOnlyUnsafeRowArray, so a degenerate bucket is linear+spill-safe where the uncapped pair explosion was O(b^2), and the collect-then-split alternative would buffer the whole bucket in one aggregation row. The cap defaults ON only for MinHash bands (64-bit bucket space: over-cap => identical signatures => mutual dups); simhash chunks (16-bit) and hyperplane buckets (2^planes) default OFF - small key spaces fill with unrelated members at corpus scale, so capping there would trade away genuine pairs (the scale lever is more chunks/planes)."),
+      "llm_simsearch_ann" -> "ANN over the IVF layout (round 4): the hamming-ball probe set is enumerated driver-side from the query's hyperplane signature and the bucketed parquet is read with bucket IN (...) - PartitionFilters prune the scan to exactly the probed bucket directories (spec asserts scanned == probed-and-present), then codegen VecDot exact rerank + TakeOrderedAndProject. At 100 TB the scan cost is probed/2^planes of the corpus.",
       "topk_by_version" -> "Version page: TakeOrderedAndProject directly over the scan.",
       "cdc_source_pushdown" -> "Version window pushed through the DSv2 connector (CdcScanBuilder): the BatchScan's description carries the narrowed (lo, hi] range and only files whose footer span intersects it are planned - the batch twin of a micro-batch offset window.",
       "view_adhoc_sql" -> "Ad-hoc SQL through the registered view: pushdown and pruning pass through; revenue as exact integer cents.",
