@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [NORTH-STAR] Corpus-curation operators for training-data pipelines:
+  * deterministic downsampling, per-group quota selection, and eval-set
+  * decontamination. All three are pure relational shapes (filter /
+  * window / broadcast anti join) with engine-portable arithmetic, so
+  * every one carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB): sampling is a stateless filter — no shuffle,
+  * evaluated at the scan. Quota is one window shuffle on the group key
+  * (groups = languages/sources: low cardinality, high volume — exactly
+  * the shape AQE skew-split handles). Decontamination broadcasts the
+  * eval-set fingerprints (an eval set is small by definition) into an
+  * anti join — the corpus side never shuffles.
+  */
+object Curate {
+
+  /** Lehmer / Park–Miller step, engine-portable: both operands stay
+    * under 2^46 so the product cannot overflow a 64-bit integer in ANY
+    * engine (DuckDB raises on BIGINT overflow rather than wrapping, so
+    * `id * largeConstant` formulations are NOT portable). */
+  private val Mersenne31 = 2147483647L // 2^31 - 1
+  private val Lehmer = 48271L
+
+  /** Uniform pseudo-random value in [0, 10000) derived from the id
+    * alone — rerunnable, seedless, identical in SQL:
+    * `((id % 2147483647) * 48271 % 2147483647) % 10000`. */
+  def hashPermilleE4(id: Column): Column =
+    pmod(pmod(pmod(id, lit(Mersenne31)) * Lehmer, lit(Mersenne31)), lit(10000L))
+
+  /** Deterministic id-hash sampling: keep ~`keepE4`/10000 of rows.
+    * Unlike `df.sample`, the decision is a pure function of the id —
+    * stable across reruns, partitionings, and engines, which is what a
+    * reproducible training-data pipeline needs. */
+  def sampleDeterministic(df: DataFrame, idCol: String, keepE4: Long): DataFrame = {
+    require(keepE4 >= 0 && keepE4 <= 10000, s"keepE4 out of range: $keepE4")
+    df.filter(hashPermilleE4(col(idCol)) < keepE4)
+  }
+
+  /** Per-group quota: the top `n` rows of each group by `orderBy`
+    * (descending, id tie-break) — "best N documents per language /
+    * source" curation. Adds `rk` (1-based rank within group). */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                    orderBy: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(orderBy.desc, col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+  }
+
+  /** Eval-set decontamination: drop every corpus row whose content
+    * fingerprint appears in `evalSet` — removing the eval documents AND
+    * all their exact duplicates (the leakage an id-based filter would
+    * miss). The eval side collapses to distinct fingerprints and
+    * broadcasts. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val evalFps = evalSet
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    corpus
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .join(broadcast(evalFps), Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+}

@@ -142,6 +142,32 @@ object LlmQueries {
         size(split(col("col"), " ")).cast("long").as("n_tokens"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** N6 — deterministic 10% corpus sample (engine-portable id hash). */
+  val sampleQ: Q = (s, d) =>
+    Curate.sampleDeterministic(Tables.documents(s, d), "doc_id", keepE4 = 1000)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  /** N6' — per-language quota: top-3 docs by quality score. */
+  val quotaQ: Q = (s, d) =>
+    Curate.quotaPerGroup(
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        round(lit(10000.0) * TextOps.stopwordHits(col("text")) /
+          size(TextOps.tokens(col("text")))).cast("long").as("quality_e4")),
+      "lang", "doc_id", col("quality_e4"), n = 3)
+      .select("lang", "rk", "doc_id", "quality_e4")
+      .orderBy("lang", "rk")
+
+  /** N6'' — eval-set decontamination: the synthetic eval set is every
+    * 97th document; survivors are corpus rows whose fingerprint matches
+    * no eval fingerprint (so exact dups of eval docs are removed too). */
+  val decontaminateQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curate.decontaminate(docs,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -173,7 +199,10 @@ object LlmQueries {
     "llm_chunking" -> chunking,
     "llm_token_count" -> tokenCount,
     "llm_fingerprint" -> fingerprintQ,
-    "llm_multimodal_project" -> multimodalProject
+    "llm_multimodal_project" -> multimodalProject,
+    "llm_sample" -> sampleQ,
+    "llm_quota_lang" -> quotaQ,
+    "llm_decontaminate" -> decontaminateQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -305,6 +334,28 @@ object LlmQueries {
     "llm_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_sample" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE ((doc_id % 2147483647) * 48271 % 2147483647) % 10000 < 1000
+        | ORDER BY doc_id""".stripMargin,
+    "llm_quota_lang" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |   CAST(round(10000.0 *
+         |     len(list_filter(string_split(text, ' '), t -> t IN ($stopAll)))
+         |     / len(string_split(text, ' '))) AS BIGINT) AS quality_e4
+         |   FROM documents)
+         | SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, quality_e4 FROM (
+         |   SELECT *, row_number() OVER
+         |     (PARTITION BY lang ORDER BY quality_e4 DESC, doc_id) AS rk
+         |   FROM q)
+         | WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "llm_decontaminate" ->
+      """WITH f AS (SELECT doc_id,
+        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   FROM documents),
+        | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+        | SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
+        | ORDER BY doc_id""".stripMargin,
     "llm_multimodal_project" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

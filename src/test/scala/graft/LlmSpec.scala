@@ -300,6 +300,37 @@ class LlmSpec extends SparkSpec {
     assert(small.select(max(length($"payload_small"))).head().getInt(0) <= 32)
   }
 
+  test("N6: deterministic sample is stable, unbiased-ish, and id-pure") {
+    val docs = Tables.documents(spark, sf)
+    val once = Curate.sampleDeterministic(docs, "doc_id", 1000)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Curate.sampleDeterministic(docs, "doc_id", 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again, "sample must be a pure function of the id")
+    val frac = once.size.toDouble / docs.count()
+    assert(frac > 0.05 && frac < 0.15, s"10% target, got $frac")
+    // monotone: widening the keep threshold only adds rows
+    val wider = Curate.sampleDeterministic(docs, "doc_id", 2000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once.subsetOf(wider))
+  }
+
+  test("N6'': decontamination removes eval docs AND their exact dups") {
+    val docs = Tables.documents(spark, sf)
+    // plant an exact copy (new id, same text) of eval doc 0
+    val evalDoc = docs.filter($"doc_id" === 0)
+    val planted = evalDoc.select(lit(900000L).as("doc_id"), $"text",
+      $"lang", $"source", $"n_chars")
+    val corpus = docs.unionByName(planted)
+    val evalSet = docs.filter($"doc_id" % 97 === 0) // includes doc 0
+    val kept = Curate.decontaminate(corpus, evalSet, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(0L), "eval doc itself removed")
+    assert(!kept.contains(900000L),
+      "an exact duplicate of an eval doc is leakage — must be removed")
+    assert(kept.nonEmpty && kept.exists(_ % 97 != 0))
+  }
+
   test("rolling hash is order-sensitive where md5-of-sorted-content is not") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "text")
     val rh = df.select(TextOps.rollingHash($"text")).as[Long].collect()
