@@ -18,7 +18,8 @@ object PlanDump {
       "topk_by_version" -> "Version page: TakeOrderedAndProject directly over the scan.",
       "cdc_source_pushdown" -> "Version window pushed through the DSv2 connector (CdcScanBuilder): the BatchScan's description carries the narrowed (lo, hi] range and only files whose footer span intersects it are planned - the batch twin of a micro-batch offset window.",
       "view_adhoc_sql" -> "Ad-hoc SQL through the registered view: pushdown and pruning pass through; revenue as exact integer cents.",
-      "llm_chunking" -> "Context-window chunking: single scan, higher-order transform + posexplode, no shuffle before the output sort.")
+      "llm_chunking" -> "Context-window chunking: single scan, higher-order transform + posexplode, no shuffle before the output sort.",
+      "llm_decontaminate" -> "Eval-set decontamination (round 4): the eval side collapses to distinct fingerprints and BROADCASTS into a left-anti hash join - the 100 TB corpus side never shuffles; fingerprinting is codegen md5 over normalized text at the scan.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the flagship queries (sf0.01, regenerate with `sbt \"runMain graft.PlanDump\"`)\n")
     for ((name, note) <- picks) {
