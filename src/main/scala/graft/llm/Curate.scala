@@ -52,6 +52,23 @@ object Curate {
       .filter(col("rk") <= n)
   }
 
+  /** Within-document repetition ratio (Gopher-style quality signal):
+    * the fraction of word 3-grams that are duplicates of an earlier
+    * 3-gram in the SAME document, scaled to 1e4. Boilerplate and
+    * template spam score high; clean prose scores near 0. Pure column
+    * expressions over one scan — no shuffle, no UDF. Texts shorter
+    * than `n` tokens count as one (unique) shingle, ratio 0. */
+  def repetitionE4(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val total = greatest(size(toks) - (n - 1), lit(1))
+    val distinctN = size(array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+    round(lit(10000.0) * (total - distinctN) / total).cast("long")
+  }
+
   /** Eval-set decontamination: drop every corpus row whose content
     * fingerprint appears in `evalSet` — removing the eval documents AND
     * all their exact duplicates (the leakage an id-based filter would

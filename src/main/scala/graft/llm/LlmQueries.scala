@@ -168,6 +168,14 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N6''' — within-document repetition ratio (duplicate 3-gram
+    * fraction, the Gopher-style boilerplate signal). */
+  val repetitionQ: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Curate.repetitionE4(col("text"), n = 3).as("rep_e4"))
+      .orderBy("doc_id")
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -202,7 +210,8 @@ object LlmQueries {
     "llm_multimodal_project" -> multimodalProject,
     "llm_sample" -> sampleQ,
     "llm_quota_lang" -> quotaQ,
-    "llm_decontaminate" -> decontaminateQ
+    "llm_decontaminate" -> decontaminateQ,
+    "llm_repetition" -> repetitionQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -356,6 +365,18 @@ object LlmQueries {
         | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
         | SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
         | ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id,
+        |   greatest(len(toks) - 2, 1) AS total,
+        |   len(list_distinct(
+        |     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_transform(generate_series(1, len(toks) - 2),
+        |          i -> array_to_string(toks[i:i+2], ' ')) END)) AS uniq
+        |   FROM t)
+        | SELECT doc_id,
+        |   CAST(round(10000.0 * (total - uniq) / total) AS BIGINT) AS rep_e4
+        | FROM g ORDER BY doc_id""".stripMargin,
     "llm_multimodal_project" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -331,6 +331,19 @@ class LlmSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.exists(_ % 97 != 0))
   }
 
+  test("N6''': repetition ratio — 0 for all-unique, high for looped text") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),            // all unique 3-grams
+      (2L, "spam ham spam ham spam ham spam ham spam ham"),   // looped
+      (3L, "ab")                                              // shorter than n
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Curate.repetitionE4($"text", 3).as("rep_e4"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows(1L) == 0L, s"unique text scored ${rows(1L)}")
+    assert(rows(2L) >= 7000L, s"looped text scored ${rows(2L)}")
+    assert(rows(3L) == 0L, "sub-n text is one unique shingle")
+  }
+
   test("rolling hash is order-sensitive where md5-of-sorted-content is not") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "text")
     val rh = df.select(TextOps.rollingHash($"text")).as[Long].collect()
