@@ -69,6 +69,34 @@ object Curate {
     round(lit(10000.0) * (total - distinctN) / total).cast("long")
   }
 
+  /** Greedy sequence-packing statistics: documents are packed
+    * shard-by-shard in id order into fixed `windowTokens` context
+    * windows (contiguous fill, documents may straddle windows — the
+    * pretraining-batch packing shape). Returns one row per
+    * (shard, bin): how many documents START in that window and their
+    * token mass.
+    *
+    * Scale: a GLOBAL ordered cumsum would serialize the corpus through
+    * one task; sharding first (hash of the id) keeps the window
+    * partitioned — each shard's running sum is independent, so the
+    * plan is one shuffle on shard + per-partition sort, parallel at
+    * any corpus size. */
+  def packShards(df: DataFrame, idCol: String, textCol: String,
+                 shards: Int, windowTokens: Int): DataFrame = {
+    require(shards > 0 && windowTokens > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      // the window a document STARTS in; integer div (not fp) so bin
+      // boundaries stay exact past 2^53 total tokens
+      .withColumn("bin", expr(s"(running - n_tokens) div $windowTokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
   /** Eval-set decontamination: drop every corpus row whose content
     * fingerprint appears in `evalSet` — removing the eval documents AND
     * all their exact duplicates (the leakage an id-based filter would

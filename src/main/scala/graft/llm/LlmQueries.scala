@@ -176,6 +176,12 @@ object LlmQueries {
       Curate.repetitionE4(col("text"), n = 3).as("rep_e4"))
       .orderBy("doc_id")
 
+  /** N6'''' — sequence-packing stats: 8 shards, 4096-token windows. */
+  val packingQ: Q = (s, d) =>
+    Curate.packShards(Tables.documents(s, d), "doc_id", "text",
+      shards = 8, windowTokens = 4096)
+      .orderBy("shard", "bin")
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -211,7 +217,8 @@ object LlmQueries {
     "llm_sample" -> sampleQ,
     "llm_quota_lang" -> quotaQ,
     "llm_decontaminate" -> decontaminateQ,
-    "llm_repetition" -> repetitionQ
+    "llm_repetition" -> repetitionQ,
+    "llm_packing" -> packingQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -365,6 +372,16 @@ object LlmQueries {
         | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
         | SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
         | ORDER BY doc_id""".stripMargin,
+    "llm_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |   FROM documents),
+        | r AS (SELECT *, sum(n_tokens) OVER
+        |     (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS running
+        |   FROM t)
+        | SELECT shard, CAST((running - n_tokens) // 4096 AS BIGINT) AS bin,
+        |   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        | FROM r GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | g AS (SELECT doc_id,

@@ -50,7 +50,8 @@ class InventorySpec extends SparkSpec {
     "llm_dedup_embedding", "llm_simsearch_ann", "llm_simsearch_topk_agg",
     "llm_langid", "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "llm_chunking",
-    "llm_sample", "llm_quota_lang", "llm_decontaminate", "llm_repetition")
+    "llm_sample", "llm_quota_lang", "llm_decontaminate", "llm_repetition",
+    "llm_packing")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
