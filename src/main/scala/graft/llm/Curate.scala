@@ -27,8 +27,11 @@ object Curate {
   private val Lehmer = 48271L
 
   /** Uniform pseudo-random value in [0, 10000) derived from the id
-    * alone — rerunnable, seedless, identical in SQL:
-    * `((id % 2147483647) * 48271 % 2147483647) % 10000`. */
+    * alone — rerunnable and seedless. Spark's pmod is always
+    * non-negative where ANSI `%` takes the dividend's sign, so the
+    * portable SQL twin must normalize each step:
+    * `((id % M + M) % M * 48271 % M + M) % M % 10000` with
+    * M = 2147483647 (for non-negative ids the plain `%` chain agrees). */
   def hashPermilleE4(id: Column): Column =
     pmod(pmod(pmod(id, lit(Mersenne31)) * Lehmer, lit(Mersenne31)), lit(10000L))
 
@@ -59,14 +62,10 @@ object Curate {
     * expressions over one scan — no shuffle, no UDF. Texts shorter
     * than `n` tokens count as one (unique) shingle, ratio 0. */
   def repetitionE4(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    val total = greatest(size(toks) - (n - 1), lit(1))
-    val distinctN = size(array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
-    round(lit(10000.0) * (total - distinctN) / total).cast("long")
+    val grams = TextOps.ngrams(text, n)
+    val total = greatest(size(TextOps.tokens(text)) - (n - 1), lit(1))
+    round(lit(10000.0) * (total - size(array_distinct(grams))) / total)
+      .cast("long")
   }
 
   /** Greedy sequence-packing statistics: documents are packed
@@ -103,7 +102,7 @@ object Curate {
     * miss). The eval side collapses to distinct fingerprints and
     * broadcasts. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
-                    idCol: String, textCol: String): DataFrame = {
+                    textCol: String): DataFrame = {
     val evalFps = evalSet
       .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
     corpus

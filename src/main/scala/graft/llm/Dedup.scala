@@ -33,14 +33,8 @@ object Dedup {
     * form (graft.functions.ShingleHashes) — hashes are 8 bytes instead
     * of n words and hash-set semantics are identical up to 64-bit
     * collisions. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextOps.ngrams(text, n))
 
   /** Hashed shingle set of a text column (codegen'd; requires
     * VectorFunctions.register on the session). */

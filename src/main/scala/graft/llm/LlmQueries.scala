@@ -119,8 +119,7 @@ object LlmQueries {
       size(TextOps.tokens(col("text"))).as("n_tokens"),
       TextOps.stopwordHits(col("text")).as("stop_hits"),
       TextOps.punctChars(col("text")).as("punct_chars"),
-      round(lit(10000.0) * TextOps.stopwordHits(col("text")) /
-        size(TextOps.tokens(col("text")))).cast("long").as("quality_e4"))
+      TextOps.qualityE4(col("text")).as("quality_e4"))
       .orderBy("doc_id")
 
   /** N4 — token counting: whitespace + BPE-ish subword counts. */
@@ -152,8 +151,7 @@ object LlmQueries {
     Curate.quotaPerGroup(
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
-        round(lit(10000.0) * TextOps.stopwordHits(col("text")) /
-          size(TextOps.tokens(col("text")))).cast("long").as("quality_e4")),
+        TextOps.qualityE4(col("text")).as("quality_e4")),
       "lang", "doc_id", col("quality_e4"), n = 3)
       .select("lang", "rk", "doc_id", "quality_e4")
       .orderBy("lang", "rk")
@@ -164,7 +162,7 @@ object LlmQueries {
   val decontaminateQ: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     Curate.decontaminate(docs,
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text")
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -351,8 +349,12 @@ object LlmQueries {
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin,
     "llm_sample" ->
+      // each step normalized non-negative: ANSI % takes the dividend's
+      // sign where Spark's pmod never goes negative — the (x % M + M) %
+      // M form agrees with pmod for ALL ids, not just positive ones
       """SELECT doc_id, lang FROM documents
-        | WHERE ((doc_id % 2147483647) * 48271 % 2147483647) % 10000 < 1000
+        | WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
+        |        * 48271 % 2147483647 + 2147483647) % 2147483647 % 10000 < 1000
         | ORDER BY doc_id""".stripMargin,
     "llm_quota_lang" ->
       s"""WITH q AS (SELECT doc_id, lang,
@@ -366,14 +368,18 @@ object LlmQueries {
          |   FROM q)
          | WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "llm_decontaminate" ->
+      // NOT EXISTS, not NOT IN: a NULL fingerprint under NOT IN would
+      // drop rows (or, inside the subquery, drop EVERY row) where the
+      // Spark left_anti join keeps them — anti-join semantics match
       """WITH f AS (SELECT doc_id,
         |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |   FROM documents),
         | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
-        | SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
+        | SELECT doc_id FROM f
+        | WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.fp = f.fp)
         | ORDER BY doc_id""".stripMargin,
     "llm_packing" ->
-      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      """WITH t AS (SELECT doc_id, (doc_id % 8 + 8) % 8 AS shard,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |   FROM documents),
         | r AS (SELECT *, sum(n_tokens) OVER

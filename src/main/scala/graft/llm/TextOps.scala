@@ -18,6 +18,24 @@ object TextOps {
   /** Whitespace tokenization (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Word n-grams IN ORDER (duplicates kept); a text shorter than `n`
+    * tokens is one whole-text gram. THE single n-gram definition —
+    * Dedup.shingles distincts it for Jaccard sets, Curate.repetitionE4
+    * counts its duplicates — so the dedup family, the repetition
+    * signal, and their DuckDB oracles can never de-synchronize. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Quality score: stopword-hit ratio scaled to 1e4 — THE single
+    * formula behind llm_quality_score and llm_quota_lang. */
+  def qualityE4(text: Column): Column =
+    round(lit(10000.0) * stopwordHits(text) / size(tokens(text))).cast("long")
+
   /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
     * single non-alphanumeric symbol — the classic pre-tokenizer regex. */
   def bpeTokenCount(text: Column): Column =

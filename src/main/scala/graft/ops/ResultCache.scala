@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * result cache in front of ad-hoc Superset SQL
   * (superset/superset_config.py:12-18: `CACHE_DEFAULT_TIMEOUT: 300`).
   *
-  * Keyed by whitespace-normalized SQL text; a hit returns the SAME
+  * Keyed by exact trimmed SQL text (see key() for why interior
+  * whitespace is deliberately NOT normalized); a hit returns the SAME
   * persisted DataFrame (Spark serves repeat actions from the cached
   * blocks instead of re-running the query), a miss — or an entry past
   * its TTL — re-plans, persists, and replaces the entry, unpersisting

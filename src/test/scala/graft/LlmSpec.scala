@@ -323,7 +323,7 @@ class LlmSpec extends SparkSpec {
       $"lang", $"source", $"n_chars")
     val corpus = docs.unionByName(planted)
     val evalSet = docs.filter($"doc_id" % 97 === 0) // includes doc 0
-    val kept = Curate.decontaminate(corpus, evalSet, "doc_id", "text")
+    val kept = Curate.decontaminate(corpus, evalSet, "text")
       .select("doc_id").as[Long].collect().toSet
     assert(!kept.contains(0L), "eval doc itself removed")
     assert(!kept.contains(900000L),
