@@ -19,7 +19,11 @@ object PlanDump {
       "cdc_source_pushdown" -> "Version window pushed through the DSv2 connector (CdcScanBuilder): the BatchScan's description carries the narrowed (lo, hi] range and only files whose footer span intersects it are planned - the batch twin of a micro-batch offset window.",
       "view_adhoc_sql" -> "Ad-hoc SQL through the registered view: pushdown and pruning pass through; revenue as exact integer cents.",
       "llm_chunking" -> "Context-window chunking: single scan, higher-order transform + posexplode, no shuffle before the output sort.",
-      "llm_decontaminate" -> "Eval-set decontamination (round 4): the eval side collapses to distinct fingerprints and BROADCASTS into a left-anti hash join - the 100 TB corpus side never shuffles; fingerprinting is codegen md5 over normalized text at the scan.")
+      "llm_decontaminate" -> "Eval-set decontamination (round 4): the eval side collapses to distinct fingerprints and BROADCASTS into a left-anti hash join - the 100 TB corpus side never shuffles; fingerprinting is codegen md5 over normalized text at the scan.",
+      "join_asof" -> "As-of join (round 4): union-tag both sides, ONE window pass per key (exactly one exchange, spec-asserted) carrying the latest right row forward via last(ignoreNulls) - no range-join pair explosion, cost independent of how many right rows precede each left row. Semantics byte-equal to DuckDB ASOF LEFT JOIN.",
+      "llm_boilerplate_ngrams" -> "Corpus-frequent n-grams (round 4): distinct 3-grams exploded at the scan, doc-frequency via partial (map-side) + final hash aggregate on the gram key, then TakeOrderedAndProject - k rows to the driver, one shuffle total.",
+      "llm_ivf_assign" -> "IVF assignment (round 4): corpus x BROADCAST(8 centroids) nested-loop join, integer-cosine argmax folded into a partial+final max(struct) aggregate on the vector id, then the per-centroid stats aggregate. The corpus is scanned once and shuffled only as (id, best) pairs; centroids-side cost is O(k).",
+      "llm_dedup_clusters" -> "Transitive dup clusters (round 4): the near-dup pair pipeline feeds iterative min-label propagation + pointer jumping (graft.llm.Cluster); each round is two id-keyed shuffles and ends in localCheckpoint, so the displayed plan stays O(1) deep regardless of rounds (the checkpoint scan below IS that truncation). Convergence for LSH dup graphs is 2-4 rounds; the driver sees one boolean per round.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the flagship queries (sf0.01, regenerate with `sbt \"runMain graft.PlanDump\"`)\n")
     for ((name, note) <- picks) {

@@ -96,6 +96,46 @@ object Curate {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
   }
 
+  /** Per-group stratified sampling: each group keeps its own rate
+    * (`ratesE4(group)`/10000, `defaultE4` for unlisted groups), decided
+    * by the same id-hash as [[sampleDeterministic]] — so the strata are
+    * nested (a doc kept at 10% is also kept at 20%) and the whole
+    * operator stays a stateless scan-time filter, no shuffle. The rate
+    * lookup is a when-chain over the (small) rate map — codegen'd
+    * branches, no join. */
+  def sampleStratified(df: DataFrame, idCol: String, groupCol: String,
+                       ratesE4: Map[String, Long],
+                       defaultE4: Long): DataFrame = {
+    (ratesE4.values.toSeq :+ defaultE4).foreach(r =>
+      require(r >= 0 && r <= 10000, s"rate out of range: $r"))
+    val rate = ratesE4.toSeq.sortBy(_._1).foldLeft(lit(defaultE4)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(hashPermilleE4(col(idCol)) < rate)
+  }
+
+  /** Temperature-resampling mixture weights (the multilingual-pretraining
+    * rebalance): per-group weight ∝ n^α with α = 0.5, i.e. weight_e6 =
+    * round(1e6·√n / Σ_g √n_g) — upweights tail languages, downweights the
+    * head. α is pinned at 0.5 because sqrt is IEEE-correctly-rounded in
+    * every engine while pow(n, α) is not — the cross-engine determinism
+    * the oracle hash needs; other temperatures are the same shape with
+    * `pow` and a documented tolerance. The Σ is a LEFT FOLD over the
+    * group-sorted per-group terms (collect_list is bounded by the number
+    * of GROUPS — languages/sources, not corpus rows), matching DuckDB's
+    * `list_sum(list(x ORDER BY g))` addition order exactly. */
+  def mixtureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(groupCol), sqrt(col("n_docs")).as("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"),
+        round(lit(1000000.0) * sqrt(col("n_docs")) / col("tot"))
+          .cast("long").as("weight_e6"))
+  }
+
   /** Eval-set decontamination: drop every corpus row whose content
     * fingerprint appears in `evalSet` — removing the eval documents AND
     * all their exact duplicates (the leakage an id-based filter would

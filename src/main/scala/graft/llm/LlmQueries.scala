@@ -35,6 +35,14 @@ object LlmQueries {
       shingleN = 3, minJaccardE4 = 5000)
       .orderBy("id_a", "id_b")
 
+  /** N2''''' — transitive dup clusters: connected components over the
+    * verified near-dup pairs (min-label propagation + pointer jumping,
+    * see [[Cluster]]). Oracle: recursive CTE over the brute-force pair
+    * graph. */
+  val dedupClusters: Q = (s, d) =>
+    Cluster.dupClusters(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("cluster_id", "doc_id")
+
   /** N2'' — SimHash signatures per document. */
   val dedupSimhash: Q = (s, d) =>
     Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
@@ -180,6 +188,44 @@ object LlmQueries {
       shards = 8, windowTokens = 4096)
       .orderBy("shard", "bin")
 
+  /** N6''''' — stratified sampling: per-language keep rates (en is the
+    * head language → sampled hardest), same Lehmer id-hash as
+    * `llm_sample` so strata nest. */
+  val sampleStratifiedQ: Q = (s, d) =>
+    Curate.sampleStratified(Tables.documents(s, d), "doc_id", "lang",
+      ratesE4 = Map("en" -> 2000L, "zh" -> 8000L), defaultE4 = 5000L)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  /** N6'''''' — temperature mixture weights (α = 0.5): per-language
+    * document counts and resampling weights ∝ √n. */
+  val mixtureWeightsQ: Q = (s, d) =>
+    Curate.mixtureWeights(Tables.documents(s, d), "lang")
+      .orderBy("lang")
+
+  /** N4'' — corpus-frequent 3-grams (C4-style boilerplate detection):
+    * doc-frequency of each distinct 3-gram, top-20. The aggregate is
+    * partial (map-side combine) on the gram key; the final top-20 is a
+    * TakeOrderedAndProject, k rows to the driver. */
+  val boilerplateNgrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(array_distinct(TextOps.ngrams(col("text"), 3))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(20)
+
+  /** N3''' — IVF assignment: every vector to its best of 8 fixed
+    * centroids (vectors 0-7), with per-cell counts and cosine mass —
+    * the partition-health stats an IVF build reports. */
+  val ivfAssignQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Ivf.assign(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("cos_e6")).as("sum_cos_e6"))
+      .orderBy("centroid_id")
+  }
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -200,6 +246,7 @@ object LlmQueries {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
     "llm_dedup_ngram" -> dedupNgram,
+    "llm_dedup_clusters" -> dedupClusters,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_embedding" -> dedupEmbedding,
     "llm_simsearch_topk" -> simsearchTopk,
@@ -216,7 +263,11 @@ object LlmQueries {
     "llm_quota_lang" -> quotaQ,
     "llm_decontaminate" -> decontaminateQ,
     "llm_repetition" -> repetitionQ,
-    "llm_packing" -> packingQ
+    "llm_packing" -> packingQ,
+    "llm_sample_stratified" -> sampleStratifiedQ,
+    "llm_mixture_weights" -> mixtureWeightsQ,
+    "llm_boilerplate_ngrams" -> boilerplateNgrams,
+    "llm_ivf_assign" -> ivfAssignQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -256,6 +307,21 @@ object LlmQueries {
       """
         | SELECT ia AS id_a, ib AS id_b, j AS jaccard_e4
         | FROM p WHERE j >= 5000 ORDER BY id_a, id_b""".stripMargin),
+    "llm_dedup_clusters" -> ("WITH RECURSIVE" +
+      shingleCte.stripPrefix("WITH") +
+      """,
+        | e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 7000
+        |       UNION ALL SELECT ib, ia FROM p WHERE j >= 7000),
+        | walk(id, comp) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+        | lab AS (SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id),
+        | sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+        |        GROUP BY cluster_id)
+        | SELECT lab.cluster_id, lab.id AS doc_id, sz.cluster_size
+        | FROM lab JOIN sz USING (cluster_id)
+        | ORDER BY cluster_id, doc_id""".stripMargin),
     "llm_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         | p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -400,6 +466,48 @@ object LlmQueries {
         | SELECT doc_id,
         |   CAST(round(10000.0 * (total - uniq) / total) AS BIGINT) AS rep_e4
         | FROM g ORDER BY doc_id""".stripMargin,
+    "llm_sample_stratified" ->
+      // same normalized Lehmer chain as llm_sample; per-lang thresholds
+      """SELECT doc_id, lang FROM documents
+        | WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
+        |        * 48271 % 2147483647 + 2147483647) % 2147483647 % 10000
+        |   < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 ELSE 5000 END
+        | ORDER BY doc_id""".stripMargin,
+    "llm_mixture_weights" ->
+      // the Σ√n is list_sum over lang-ordered terms — the same left-fold
+      // addition order as the Spark aggregate, so the double matches
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        | t AS (SELECT list_sum(list(sqrt(n_docs) ORDER BY lang)) AS tot FROM c)
+        | SELECT lang, n_docs,
+        |   CAST(round(1000000.0 * sqrt(n_docs) / tot) AS BIGINT) AS weight_e6
+        | FROM c, t ORDER BY lang""".stripMargin,
+    "llm_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+2], ' ')) END)) AS gram FROM t)
+        | SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
+        | ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+    "llm_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |           FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT e.vec_id, c.centroid_id,
+        |   CAST(round(1000000.0 *
+        |     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+        |     (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
+        |      sqrt(list_sum(list_transform(list_zip(c.cvec, c.cvec),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+        |   ) AS BIGINT) AS cos_e6
+        |   FROM embeddings e CROSS JOIN c),
+        | b AS (SELECT *, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cos_e6 DESC, centroid_id) AS rk
+        |   FROM s)
+        | SELECT centroid_id, count(*) AS n_assigned,
+        |   CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6
+        | FROM b WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "llm_multimodal_project" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

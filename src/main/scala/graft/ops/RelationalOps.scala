@@ -128,6 +128,26 @@ object RelationalOps {
     r.crossJoin(n).orderBy("r_regionkey", "n_nationkey")
   }
 
+  /** J7 — as-of join (beyond the reference): each purchase matched to the
+    * user's latest error at or before it — the "most recent prior state"
+    * shape ([[AsofJoin]]: one union + one window shuffle on the key, no
+    * range-join pair explosion). Times as epoch micros (ns files truncate
+    * identically in both engines); gap in whole ms. */
+  val joinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .select("event_id", "user_id", "event_type", "us")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "us")
+    AsofJoin.asofJoin(purchases, errors, "user_id", "us", "event_id")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("r_event_id").as("err_event_id"), col("r_us").as("err_us"),
+        expr("(us - r_us) div 1000").as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- A* ----
 
   /** A1 — latest version per entity (storedprocedure.sql:28-34). */
@@ -404,6 +424,7 @@ object RelationalOps {
     "join_semi_changed" -> joinSemiChanged,
     "join_nest_lines" -> joinNestLines,
     "join_cross_gen" -> joinCrossGen,
+    "join_asof" -> joinAsof,
     "agg_max_version" -> aggMaxVersion,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_collect_lines" -> aggCollectLines,
@@ -501,6 +522,16 @@ object RelationalOps {
     "join_cross_gen" ->
       """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
         | ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |      r AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        |           FROM events WHERE event_type = 'error')
+        | SELECT l.event_id, l.user_id, l.us AS purchase_us,
+        |   r.event_id AS err_event_id, r.us AS err_us,
+        |   (l.us - r.us) // 1000 AS gap_ms
+        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        | ORDER BY l.event_id""".stripMargin,
     "agg_max_version" ->
       """SELECT user_id, max(event_id) AS change_version FROM events
         | GROUP BY user_id ORDER BY user_id""".stripMargin,

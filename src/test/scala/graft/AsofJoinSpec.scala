@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsofJoin
+
+/** As-of join semantics (pinned to DuckDB ASOF LEFT JOIN by the
+  * `join_asof` oracle; these specs pin the corners the corpus may not
+  * exercise): inclusive bound, deterministic tie-break, left-outer
+  * nulls, and the one-shuffle plan shape. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (100L, 1L, 50L), // after two right rows at t=10,40
+    (101L, 1L, 10L), // equal-time: inclusive bound matches t=10
+    (102L, 1L, 5L),  // before every right row → null
+    (103L, 2L, 99L)  // key with no right rows at all → null
+  ).toDF("event_id", "user_id", "t")
+
+  private val right = Seq(
+    (200L, 1L, 10L),
+    (201L, 1L, 40L)
+  ).toDF("event_id", "user_id", "t")
+
+  private def run(l: org.apache.spark.sql.DataFrame,
+                  r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asofJoin(l, r, "user_id", "t", "event_id")
+      .select("event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("latest-at-or-before semantics, inclusive bound, outer nulls") {
+    assert(run(left, right) == Map(
+      100L -> Some(201L), 101L -> Some(200L),
+      102L -> None, 103L -> None))
+  }
+
+  test("ties among right rows at the same (key, time) take the max tie id") {
+    val r2 = right.unionByName(Seq((205L, 1L, 10L)).toDF("event_id", "user_id", "t"))
+    assert(run(left, r2)(101L) == Some(205L))
+  }
+
+  test("plan: one exchange on the key, no join/cartesian node") {
+    val plan = AsofJoin.asofJoin(left, right, "user_id", "t", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"as-of must not plan a join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange (the key window):\n$plan")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curate
+
+/** Curation operators beyond what the DuckDB oracles pin: the nesting
+  * property of stratified sampling and mixture-weight invariants. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("stratified strata NEST: raising a rate only adds documents") {
+    val low = Curate.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 1000L), 3000L).select("doc_id").as[Long].collect().toSet
+    val high = Curate.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 4000L), 6000L).select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high),
+      s"lost docs when raising rates: ${(low -- high).take(5)}")
+  }
+
+  test("stratified respects per-group rates (en sampled hardest)") {
+    val kept = Curate.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 0L, "zh" -> 10000L), 5000L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("en"), "rate 0 must drop every en doc")
+    assert(kept("zh") == totals("zh"), "rate 10000 must keep every zh doc")
+  }
+
+  test("mixture weights: flat across equal groups, sum ≈ 1e6, tail up") {
+    val flat = Seq.tabulate(40)(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "lang")
+    val w = Curate.mixtureWeights(flat, "lang")
+      .select("weight_e6").as[Long].collect()
+    assert(w.toSet == Set(250000L), s"equal groups must weigh equally: ${w.toSeq}")
+
+    val real = Curate.mixtureWeights(docs, "lang")
+      .select("lang", "n_docs", "weight_e6").as[(String, Long, Long)].collect()
+    val sum = real.map(_._3).sum
+    assert(math.abs(sum - 1000000L) <= real.length, s"weights sum to $sum")
+    // α = 0.5 upweights tails: weight ratio must be flatter than count ratio
+    val en = real.find(_._1 == "en").get
+    val de = real.find(_._1 == "de").get
+    assert(en._3.toDouble / de._3 < en._2.toDouble / de._2,
+      "temperature must compress the head/tail ratio")
+  }
+}

@@ -51,7 +51,9 @@ class InventorySpec extends SparkSpec {
     "llm_langid", "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "llm_chunking",
     "llm_sample", "llm_quota_lang", "llm_decontaminate", "llm_repetition",
-    "llm_packing")
+    "llm_packing",
+    "join_asof", "llm_dedup_clusters", "llm_sample_stratified",
+    "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
