@@ -42,14 +42,18 @@ object Cluster {
     * bound is ever hit the loop throws rather than returning a
     * half-converged labeling. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // materialize the (symmetrized) edge list ONCE: every round joins
-    // against it twice, and without the checkpoint each of those joins
-    // would re-run the upstream pair pipeline (for dupClusters, the
-    // whole LSH candidate+verify DAG) — measured 3× the query cost
-    val sym = edges
+    // materialize the edge list ONCE, before both the symmetrizing
+    // union and the per-round joins: without the checkpoint every
+    // downstream use would re-run the upstream pair pipeline (for
+    // dupClusters, the whole LSH candidate+verify DAG) — and a
+    // checkpoint placed after the union would still evaluate that DAG
+    // twice, once per orientation (the two Project parents defeat
+    // exchange reuse). Measured 3× the query cost.
+    val directed = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    val sym = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

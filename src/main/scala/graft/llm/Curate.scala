@@ -125,7 +125,10 @@ object Curate {
     * of GROUPS — languages/sources, not corpus rows), matching DuckDB's
     * `list_sum(list(x ORDER BY g))` addition order exactly. */
   def mixtureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    // materialized once: counts feeds both the Σ subtree and the output
+    // join — uncached, the full-corpus groupBy would run twice
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val total = counts.agg(
       aggregate(
         array_sort(collect_list(struct(col(groupCol), sqrt(col("n_docs")).as("s")))),

@@ -71,14 +71,19 @@ object Ivf {
       .unionByName(means)
   }
 
-  /** k-means training: first-k-by-id init (deterministic), `iters` Lloyd
+  /** k-means training: smallest-k-ids init (deterministic for ANY id
+    * space — a TakeOrdered, not an `id < k` filter, so hash-sampled
+    * inputs with sparse ids still seed k centroids), `iters` Lloyd
     * steps, lineage cut per step. Returns (centroid_id, cvec). */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0)
-    var centroids = emb.filter(col(idCol) < k)
+    var centroids = emb
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+      .orderBy("centroid_id").limit(k)
       .localCheckpoint()
+    require(centroids.count() == k,
+      s"need at least $k vectors to seed $k centroids")
     for (_ <- 0 until iters)
       centroids = lloydStep(emb, idCol, vecCol, centroids).localCheckpoint()
     centroids

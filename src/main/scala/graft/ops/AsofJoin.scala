@@ -25,8 +25,16 @@ import org.apache.spark.sql.types.StructType
   *  - inclusive bound (right.time == left.time matches) — the tag orders
   *    right rows BEFORE left rows at equal time;
   *  - ties among right rows at the same (key, time) resolve to the
-  *    largest `tieCol` (the order is total, so the result is
-  *    deterministic where a range-join + arbitrary max would not be);
+  *    largest `tieCol`. Here this operator is STRICTER than the pin:
+  *    DuckDB leaves the tie choice unspecified, so the two engines only
+  *    provably agree on inputs with no (key, time) right-side
+  *    duplicates (true of the driver corpus; the totally-ordered window
+  *    makes this side deterministic where a range-join + arbitrary max
+  *    would not be);
+  *  - a NULL-time right row never matches, and a NULL-time left row
+  *    matches nothing (SQL comparison-with-NULL semantics, which ASOF
+  *    inherits) — enforced below, since a raw NULLS FIRST sort would
+  *    instead treat null time as "before everything";
   *  - left rows with no prior right row keep NULL right columns.
   *
   * Skew note (100 TB): the window serializes each key through one task,
@@ -54,7 +62,12 @@ object AsofJoin {
       col(keyCol).as("_k"), col(timeCol).as("_t"), col(tieCol).as("_tie"),
       lit(1).as("_tag"),
       struct(lCols.map(col): _*).as("_l"), lit(null).cast(rType).as("_r"))
-    val taggedR = right.select(
+    // null-time right rows can never satisfy r.time <= l.time; dropping
+    // them here keeps them out of the NULLS FIRST sort, where last()
+    // would otherwise carry them into every left row as "before
+    // everything". Null-time LEFT rows stay (they sort first, see no
+    // prior right row, and correctly come back with NULL right columns).
+    val taggedR = right.filter(col(timeCol).isNotNull).select(
       col(keyCol).as("_k"), col(timeCol).as("_t"), col(tieCol).as("_tie"),
       lit(0).as("_tag"),
       lit(null).cast(lType).as("_l"),

@@ -39,6 +39,14 @@ class AsofJoinSpec extends SparkSpec {
     assert(run(left, r2)(101L) == Some(205L))
   }
 
+  test("NULL times: right row never matches, left row matches nothing") {
+    val l2 = Seq((110L, 1L, Option(60L)), (111L, 1L, Option.empty[Long]))
+      .toDF("event_id", "user_id", "t")
+    val r2 = Seq((210L, 1L, Option(55L)), (211L, 1L, Option.empty[Long]))
+      .toDF("event_id", "user_id", "t")
+    assert(run(l2, r2) == Map(110L -> Some(210L), 111L -> None))
+  }
+
   test("plan: one exchange on the key, no join/cartesian node") {
     val plan = AsofJoin.asofJoin(left, right, "user_id", "t", "event_id")
       .queryExecution.executedPlan.toString

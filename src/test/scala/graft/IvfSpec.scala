@@ -59,6 +59,16 @@ class IvfSpec extends SparkSpec {
     assert(byPlanted.values.flatten.toSet.size == 3, "clusters collapsed")
   }
 
+  test("lloyd seeds k centroids even when ids are sparse (sampled input)") {
+    // ids shifted far from 0 — an `id < k` init would seed zero centroids
+    val sparse = planted.withColumn("vec_id", col("vec_id") + 1000000L)
+    val trained = Ivf.lloyd(sparse, "vec_id", "embedding", k = 3, iters = 1)
+    assert(trained.count() == 3)
+    assertThrows[IllegalArgumentException] {
+      Ivf.lloyd(sparse.limit(2), "vec_id", "embedding", k = 3, iters = 0)
+    }
+  }
+
   test("empty cells keep their previous centroid through a Lloyd step") {
     // a far-away centroid no vector chooses must survive the step
     val cents = planted.filter(col("vec_id") < 3)
