@@ -43,6 +43,21 @@ object LlmQueries {
     Cluster.dupClusters(Tables.documents(s, d), "doc_id", "text")
       .orderBy("cluster_id", "doc_id")
 
+  /** N2'''''' — the transitive dedup RESULT: one survivor (the min id)
+    * per connected component, plus every unclustered document. Differs
+    * from pairwise `llm_dedup_near` on chain-shaped components: with
+    * edges (5,9) and (3,9) pairwise keeps both 3 and 5 (9 is the only
+    * pair loser) while transitive keeps only 3 — the curation-grade
+    * guarantee that no two surviving documents are connected. */
+  val dedupTransitive: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val losers = Cluster.dupClusters(docs, "doc_id", "text")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** N2'' — SimHash signatures per document. */
   val dedupSimhash: Q = (s, d) =>
     Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
@@ -247,6 +262,7 @@ object LlmQueries {
     "llm_dedup_near" -> dedupNear,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_dedup_clusters" -> dedupClusters,
+    "llm_dedup_transitive" -> dedupTransitive,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_embedding" -> dedupEmbedding,
     "llm_simsearch_topk" -> simsearchTopk,
@@ -322,6 +338,19 @@ object LlmQueries {
         | SELECT lab.cluster_id, lab.id AS doc_id, sz.cluster_size
         | FROM lab JOIN sz USING (cluster_id)
         | ORDER BY cluster_id, doc_id""".stripMargin),
+    "llm_dedup_transitive" -> ("WITH RECURSIVE" +
+      shingleCte.stripPrefix("WITH") +
+      """,
+        | e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 7000
+        |       UNION ALL SELECT ib, ia FROM p WHERE j >= 7000),
+        | walk(id, comp) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+        | lab AS (SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id)
+        | SELECT doc_id FROM documents
+        | WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
+        | ORDER BY doc_id""".stripMargin),
     "llm_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         | p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -148,6 +148,29 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** J8 — interval join: ALL errors within the hour preceding each
+    * purchase (the as-of join's "every prior row in range" sibling).
+    * Spark plans the equi key as the join key and the range as a join
+    * filter — the shuffle is on user_id, never a pair explosion across
+    * keys; within a key the range bound caps the match count. The
+    * streaming twin (watermarked state cleanup) is
+    * `streaming.EventStream.intervalJoin`, spec-verified. */
+  val joinInterval: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_event_id"),
+        col("user_id").as("e_uid"), col("us").as("e_us"))
+    p.join(e, col("user_id") === col("e_uid") &&
+        col("e_us") <= col("p_us") &&
+        col("e_us") > col("p_us") - lit(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("err_event_id"),
+        expr("(p_us - e_us) div 1000").as("gap_ms"))
+      .orderBy("event_id", "err_event_id")
+  }
+
   // ---------------------------------------------------------------- A* ----
 
   /** A1 — latest version per entity (storedprocedure.sql:28-34). */
@@ -425,6 +448,7 @@ object RelationalOps {
     "join_nest_lines" -> joinNestLines,
     "join_cross_gen" -> joinCrossGen,
     "join_asof" -> joinAsof,
+    "join_interval" -> joinInterval,
     "agg_max_version" -> aggMaxVersion,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_collect_lines" -> aggCollectLines,
@@ -532,6 +556,16 @@ object RelationalOps {
         |   (l.us - r.us) // 1000 AS gap_ms
         | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
         | ORDER BY l.event_id""".stripMargin,
+    "join_interval" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |      r AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        |           FROM events WHERE event_type = 'error')
+        | SELECT l.event_id, l.user_id, r.event_id AS err_event_id,
+        |   (l.us - r.us) // 1000 AS gap_ms
+        | FROM l JOIN r ON l.user_id = r.user_id
+        |   AND r.us <= l.us AND r.us > l.us - 3600000000
+        | ORDER BY 1, 3""".stripMargin,
     "agg_max_version" ->
       """SELECT user_id, max(event_id) AS change_version FROM events
         | GROUP BY user_id ORDER BY user_id""".stripMargin,

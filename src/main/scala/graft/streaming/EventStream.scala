@@ -82,4 +82,34 @@ object EventStream {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
+
+  /** [NORTH-STAR] T9' — stream-stream interval join: every `right` event
+    * within `lookback` BEFORE each `left` event with the same key — the
+    * streaming twin of the batch `join_interval` query.
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions (r.ts ≤ l.ts AND r.ts ≥ l.ts − lookback),
+    * which is exactly what Structured Streaming needs to age state out:
+    * a buffered right row can be dropped once the left watermark passes
+    * its ts + lookback, and a left row once the right watermark passes
+    * its ts. Without the lower bound the right buffer is immortal — the
+    * classic unbounded-state bug this helper exists to prevent.
+    *
+    * Inputs must have columns (key, ts, payload…); output = left columns
+    * plus the matched right's columns prefixed `r_`. Inner join: a left
+    * event with no prior right event in range emits nothing (use the
+    * batch as-of for enrich-with-latest semantics). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   lookback: String = "1 hour",
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.columns.foldLeft(right) { (df, c) =>
+        if (c == keyCol) df else df.withColumnRenamed(c, s"r_$c")
+      }.withWatermark("r_ts", watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol AND
+               r.r_ts <= l.ts AND
+               r.r_ts >= l.ts - INTERVAL $lookback"""))
+      .drop(col(s"r.$keyCol"))
+  }
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => CheckTest}
 import graft.ops.AsofJoin
 
 /** As-of join semantics (pinned to DuckDB ASOF LEFT JOIN by the
@@ -45,6 +47,30 @@ class AsofJoinSpec extends SparkSpec {
     val r2 = Seq((210L, 1L, Option(55L)), (211L, 1L, Option.empty[Long]))
       .toDF("event_id", "user_id", "t")
     assert(run(l2, r2) == Map(110L -> Some(210L), 111L -> None))
+  }
+
+  test("property: equals the naive per-row reference on random inputs") {
+    // small key/time domains force collisions: equal times across sides,
+    // right-side ties at one (key, time), empty keys — every corner the
+    // window ordering has to get right
+    val genSide = Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0L, 2L); t <- Gen.chooseNum(0L, 9L)
+    } yield (k, t))
+    val prop = forAll(genSide, genSide) { (ls, rs) =>
+      val lRows = ls.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) }
+      val rRows = rs.zipWithIndex.map { case ((k, t), i) => (500L + i, k, t) }
+      val got = run(lRows.toDF("event_id", "user_id", "t"),
+        rRows.toDF("event_id", "user_id", "t"))
+      val want = lRows.map { case (id, k, t) =>
+        val cands = rRows.filter(r => r._2 == k && r._3 <= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      got == want
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("plan: one exchange on the key, no join/cartesian node") {

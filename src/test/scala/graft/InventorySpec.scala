@@ -53,7 +53,8 @@ class InventorySpec extends SparkSpec {
     "llm_sample", "llm_quota_lang", "llm_decontaminate", "llm_repetition",
     "llm_packing",
     "join_asof", "llm_dedup_clusters", "llm_sample_stratified",
-    "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign")
+    "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign",
+    "join_interval", "llm_dedup_transitive")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
