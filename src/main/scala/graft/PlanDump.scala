@@ -23,7 +23,10 @@ object PlanDump {
       "join_asof" -> "As-of join (round 4): union-tag both sides, ONE window pass per key (exactly one exchange, spec-asserted) carrying the latest right row forward via last(ignoreNulls) - no range-join pair explosion, cost independent of how many right rows precede each left row. Semantics byte-equal to DuckDB ASOF LEFT JOIN.",
       "llm_boilerplate_ngrams" -> "Corpus-frequent n-grams (round 4): distinct 3-grams exploded at the scan, doc-frequency via partial (map-side) + final hash aggregate on the gram key, then TakeOrderedAndProject - k rows to the driver, one shuffle total.",
       "llm_ivf_assign" -> "IVF assignment (round 4): corpus x BROADCAST(8 centroids) nested-loop join, integer-cosine argmax folded into a partial+final max(struct) aggregate on the vector id, then the per-centroid stats aggregate. The corpus is scanned once and shuffled only as (id, best) pairs; centroids-side cost is O(k).",
-      "llm_dedup_clusters" -> "Transitive dup clusters (round 4): the near-dup pair pipeline feeds iterative min-label propagation + pointer jumping (graft.llm.Cluster); each round is two id-keyed shuffles and ends in localCheckpoint, so the displayed plan stays O(1) deep regardless of rounds (the checkpoint scan below IS that truncation). Convergence for LSH dup graphs is 2-4 rounds; the driver sees one boolean per round.")
+      "llm_dedup_clusters" -> "Transitive dup clusters (round 4): the near-dup pair pipeline feeds iterative min-label propagation + pointer jumping (graft.llm.Cluster); each round is two id-keyed shuffles and ends in localCheckpoint, so the displayed plan stays O(1) deep regardless of rounds (the checkpoint scan below IS that truncation). Convergence for LSH dup graphs is 2-4 rounds; the driver sees one boolean per round.",
+      "join_salted" -> "Salted skew join (round 4): the exchanges partition on (user_id, _salt) - a hot key's rows spread across 8 sub-keys instead of serializing through one task; the dimension side is replicated 8x (explode over the salt range) which is noise when that side is dimension-sized. Output is identical to the plain join (the DuckDB oracle IS the plain join).",
+      "llm_sample_bottomk" -> "Bottom-k sample (round 4): TakeOrderedAndProject over md5 priorities - per-partition top-k buffers merged once, no shuffle, exactly k rows out; deterministic across engines and reruns.",
+      "llm_rarest_term" -> "Rarest term per doc (round 4): the TF-IDF shape - vocabulary doc-frequency aggregate (partial+final on the term), join back to the exploded terms, per-doc argmin as a partial min(struct) aggregate. Both shuffles key on high-cardinality columns.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the flagship queries (sf0.01, regenerate with `sbt \"runMain graft.PlanDump\"`)\n")
     for ((name, note) <- picks) {

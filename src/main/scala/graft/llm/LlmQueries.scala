@@ -241,6 +241,39 @@ object LlmQueries {
       .orderBy("centroid_id")
   }
 
+  /** N6''''''' — exactly-k deterministic sample (bottom-k sketch): the
+    * 50 documents with the smallest md5 priority. Rate-based sampling
+    * (`llm_sample`) cannot hit an exact budget; bottom-k is the
+    * distributed idiom for "give me exactly k uniform docs" — a
+    * TakeOrderedAndProject (per-partition top-k, merge of k-row
+    * buffers), no shuffle, and the result is a pure function of ids so
+    * reruns and engines agree. */
+  val sampleBottomkQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":graft-v1"))).as("pri"))
+      .orderBy("pri", "doc_id").limit(50)
+      .orderBy("doc_id")
+
+  /** N4''' — rarest term per document: corpus-wide document frequency
+    * joined back to each document, argmin (df, term). The join-back of
+    * a corpus-level statistic is the TF-IDF shape; kept integer-valued
+    * (rank by raw df, no log) so the oracle hashes exactly. Scale: the
+    * vocabulary aggregate and join shuffle on the term — high
+    * cardinality, spreads evenly; the per-doc argmin is a partial
+    * min(struct) aggregate. */
+  val rarestTermQ: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "term")
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("df"), col("term"))).as("r"))
+      .select(col("doc_id"), col("r.term").as("term"), col("r.df").as("df"))
+      .orderBy("doc_id")
+  }
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -283,7 +316,9 @@ object LlmQueries {
     "llm_sample_stratified" -> sampleStratifiedQ,
     "llm_mixture_weights" -> mixtureWeightsQ,
     "llm_boilerplate_ngrams" -> boilerplateNgrams,
-    "llm_ivf_assign" -> ivfAssignQ
+    "llm_ivf_assign" -> ivfAssignQ,
+    "llm_sample_bottomk" -> sampleBottomkQ,
+    "llm_rarest_term" -> rarestTermQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -537,6 +572,20 @@ object LlmQueries {
         | SELECT centroid_id, count(*) AS n_assigned,
         |   CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6
         | FROM b WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "llm_sample_bottomk" ->
+      """SELECT doc_id, pri FROM (
+        |   SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':graft-v1') AS pri
+        |   FROM documents ORDER BY pri, doc_id LIMIT 50)
+        | ORDER BY doc_id""".stripMargin,
+    "llm_rarest_term" ->
+      """WITH tok AS (SELECT doc_id,
+        |     unnest(list_distinct(string_split(text, ' '))) AS term
+        |   FROM documents),
+        | dfq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+        | j AS (SELECT t.doc_id, t.term, dfq.df, row_number() OVER
+        |     (PARTITION BY t.doc_id ORDER BY dfq.df, t.term) AS rk
+        |   FROM tok t JOIN dfq USING (term))
+        | SELECT doc_id, term, df FROM j WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "llm_multimodal_project" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -171,6 +171,22 @@ object RelationalOps {
       .orderBy("event_id", "err_event_id")
   }
 
+  /** J9 — salted skew join: events (20 users × thousands of rows — the
+    * low-cardinality hot-key shape) joined to customer through
+    * [[SkewJoin.saltedJoin]]; identical output to the plain join (that
+    * IS the oracle), but the shuffle key is (user_id, salt) so one hot
+    * user spreads across 8 tasks instead of serializing through one. */
+  val joinSalted: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SkewJoin.saltedJoin(ev, cust, "user_id", col("event_id"), salt = 8)
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- A* ----
 
   /** A1 — latest version per entity (storedprocedure.sql:28-34). */
@@ -449,6 +465,7 @@ object RelationalOps {
     "join_cross_gen" -> joinCrossGen,
     "join_asof" -> joinAsof,
     "join_interval" -> joinInterval,
+    "join_salted" -> joinSalted,
     "agg_max_version" -> aggMaxVersion,
     "agg_distinct_ids" -> aggDistinctIds,
     "agg_collect_lines" -> aggCollectLines,
@@ -566,6 +583,11 @@ object RelationalOps {
         | FROM l JOIN r ON l.user_id = r.user_id
         |   AND r.us <= l.us AND r.us > l.us - 3600000000
         | ORDER BY 1, 3""".stripMargin,
+    "join_salted" ->
+      // the oracle is the PLAIN join: salting must be output-invisible
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        | FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        | ORDER BY e.event_id""".stripMargin,
     "agg_max_version" ->
       """SELECT user_id, max(event_id) AS change_version FROM events
         | GROUP BY user_id ORDER BY user_id""".stripMargin,

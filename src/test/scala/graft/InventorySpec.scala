@@ -54,7 +54,8 @@ class InventorySpec extends SparkSpec {
     "llm_packing",
     "join_asof", "llm_dedup_clusters", "llm_sample_stratified",
     "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign",
-    "join_interval", "llm_dedup_transitive")
+    "join_interval", "llm_dedup_transitive",
+    "join_salted", "llm_sample_bottomk", "llm_rarest_term")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
