@@ -274,6 +274,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N4'''' — per-language quality deciles: ntile(10) over the quality
+    * score within each language — the binning step before "train on the
+    * top-N deciles" curation. One window shuffle on the language key. */
+  val qualityDecilesQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityE4(col("text")).as("quality_e4"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("quality_e4").desc, col("doc_id"))).cast("long"))
+      .orderBy("doc_id")
+
+  /** N7 — the end-to-end curation pipeline, one declared query that
+    * composes five operators the way a real pretraining-data build
+    * does: stratified sample → eval-set decontamination → transitive
+    * near-dup dedup → quality floor → sequence-packing stats. Each
+    * stage is the already-verified operator; the oracle is the same
+    * composition in SQL, so the hash check covers the COMPOSITION
+    * (stage ordering, column threading), not just the pieces. */
+  val pipelineQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sampled = Curate.sampleStratified(docs, "doc_id", "lang",
+      ratesE4 = Map("en" -> 6000L), defaultE4 = 8000L)
+    val clean = Curate.decontaminate(sampled,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
+    val losers = Cluster.dupClusters(clean, "doc_id", "text")
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val deduped = clean.join(losers, Seq("doc_id"), "left_anti")
+    val kept = deduped.filter(TextOps.qualityE4(col("text")) >= 1500L)
+    Curate.packShards(kept, "doc_id", "text", shards = 4, windowTokens = 4096)
+      .orderBy("shard", "bin")
+  }
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -318,7 +351,9 @@ object LlmQueries {
     "llm_boilerplate_ngrams" -> boilerplateNgrams,
     "llm_ivf_assign" -> ivfAssignQ,
     "llm_sample_bottomk" -> sampleBottomkQ,
-    "llm_rarest_term" -> rarestTermQ
+    "llm_rarest_term" -> rarestTermQ,
+    "llm_quality_deciles" -> qualityDecilesQ,
+    "llm_pipeline_e2e" -> pipelineQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -586,6 +621,58 @@ object LlmQueries {
         |     (PARTITION BY t.doc_id ORDER BY dfq.df, t.term) AS rk
         |   FROM tok t JOIN dfq USING (term))
         | SELECT doc_id, term, df FROM j WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "llm_quality_deciles" ->
+      s"""SELECT doc_id, lang, quality_e4,
+         |   CAST(ntile(10) OVER (PARTITION BY lang
+         |     ORDER BY quality_e4 DESC, doc_id) AS BIGINT) AS decile
+         | FROM (SELECT doc_id, lang,
+         |   CAST(round(10000.0 *
+         |     len(list_filter(string_split(text, ' '), t -> t IN ($stopAll)))
+         |     / len(string_split(text, ' '))) AS BIGINT) AS quality_e4
+         |   FROM documents)
+         | ORDER BY doc_id""".stripMargin,
+    "llm_pipeline_e2e" ->
+      s"""WITH RECURSIVE base AS (
+         |   SELECT doc_id, text, lang FROM documents
+         |   WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
+         |          * 48271 % 2147483647 + 2147483647) % 2147483647 % 10000
+         |     < CASE lang WHEN 'en' THEN 6000 ELSE 8000 END),
+         | evalf AS (SELECT DISTINCT
+         |     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |   FROM documents WHERE doc_id % 97 = 0),
+         | clean AS (SELECT b.* FROM base b
+         |   WHERE NOT EXISTS (SELECT 1 FROM evalf WHERE evalf.fp =
+         |     md5(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))),
+         | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM clean),
+         | sh AS (SELECT doc_id,
+         |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |   ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |        i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
+         | p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |   CAST(round(10000.0 * len(list_intersect(a.sh, b.sh)) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS j
+         |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         | e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 7000
+         |       UNION ALL SELECT ib, ia FROM p WHERE j >= 7000),
+         | walk(id, comp) AS (
+         |   SELECT DISTINCT a, a FROM e
+         |   UNION
+         |   SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.id),
+         | lab AS (SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         | kept AS (SELECT doc_id, text FROM clean
+         |   WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
+         |     AND CAST(round(10000.0 *
+         |       len(list_filter(string_split(text, ' '), t2 -> t2 IN ($stopAll)))
+         |       / len(string_split(text, ' '))) AS BIGINT) >= 1500),
+         | pk AS (SELECT doc_id, (doc_id % 4 + 4) % 4 AS shard,
+         |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |   FROM kept),
+         | r AS (SELECT *, sum(n_tokens) OVER
+         |     (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS running
+         |   FROM pk)
+         | SELECT shard, CAST((running - n_tokens) // 4096 AS BIGINT) AS bin,
+         |   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         | FROM r GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "llm_multimodal_project" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -55,7 +55,8 @@ class InventorySpec extends SparkSpec {
     "join_asof", "llm_dedup_clusters", "llm_sample_stratified",
     "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign",
     "join_interval", "llm_dedup_transitive",
-    "join_salted", "llm_sample_bottomk", "llm_rarest_term")
+    "join_salted", "llm_sample_bottomk", "llm_rarest_term",
+    "llm_quality_deciles", "llm_pipeline_e2e")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
