@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => CheckTest}
 import graft.llm.Cluster
 
 /** Connected-components clustering: transitivity (the property pair-wise
@@ -30,6 +32,31 @@ class ClusterSpec extends SparkSpec {
   test("maxIter guard throws instead of returning half-converged labels") {
     val edges = (0L until 63L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] { cc(edges, maxIter = 2) }
+  }
+
+  test("property: equals union-find on random graphs") {
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 30L); b <- Gen.chooseNum(0L, 30L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    val prop = forAll(genEdges) { edges =>
+      val want = {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.map(x => x -> find(x)).toMap
+      }
+      cc(edges) == want
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("dupClusters: cluster id is the min member, size counts members") {

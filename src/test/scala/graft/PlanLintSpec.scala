@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan lint over the ENTIRE declared-query registry: every query must
+  * analyze + optimize cleanly at plan time, and none may plan a
+  * CartesianProduct — the one silent scale-killer a green small-SF
+  * correctness row would never catch (the declared J6 generator over
+  * region×nation is the only sanctioned cross join, and even it must
+  * come out as a broadcast NLJ, never a shuffled cartesian). */
+class PlanLintSpec extends SparkSpec {
+
+  // queries that do real filesystem/state side effects at CONSTRUCTION
+  // time (sink writes, consumer-state commits, IVF layout builds); they
+  // have their own specs and are skipped here to keep lint plan-only
+  private val stateful = Set("sink_versioned", "sink_listing",
+    "cdc_consumer_state", "cdc_incremental_poll", "cdc_pagination",
+    "cdc_reset", "llm_simsearch_ann", "cdc_deletes")
+
+  test("no declared query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => stateful(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product: $offenders")
+  }
+}
