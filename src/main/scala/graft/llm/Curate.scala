@@ -139,6 +139,31 @@ object Curate {
           .cast("long").as("weight_e6"))
   }
 
+  /** N-gram decontamination: drop every corpus row sharing at least
+    * `minShared` distinct word `n`-grams with the eval set — the
+    * any-collision long-n-gram method, which catches PARTIAL overlap
+    * (an eval question embedded in a larger page) that the exact-
+    * fingerprint [[decontaminate]] misses. Scale shape: the eval side
+    * collapses to a distinct gram set and BROADCASTS (an eval set is
+    * small by definition); the corpus side explodes grams at the scan
+    * into the broadcast join, and only the contaminated ids — bounded
+    * by the leak count, not the corpus — reach a shuffle. */
+  def decontaminateNgrams(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8, minShared: Long = 1L): DataFrame = {
+    require(n > 0 && minShared >= 1)
+    def grams(df: DataFrame, cols: Column*) = df.select(
+      (cols :+ explode(array_distinct(TextOps.ngrams(col(textCol), n)))
+        .as("gram")): _*)
+    val evalGrams = grams(evalSet).select("gram").distinct()
+    val bad = grams(corpus, col(idCol))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Eval-set decontamination: drop every corpus row whose content
     * fingerprint appears in `evalSet` — removing the eval documents AND
     * all their exact duplicates (the leakage an id-based filter would

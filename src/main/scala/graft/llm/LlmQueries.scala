@@ -189,6 +189,16 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N6''+ — n-gram decontamination: any document sharing an 8-gram
+    * with the eval set (every 97th doc) is removed — catches partial
+    * overlap the fingerprint method misses. */
+  val decontaminateNgramQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curate.decontaminateNgrams(docs,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** N6''' — within-document repetition ratio (duplicate 3-gram
     * fraction, the Gopher-style boilerplate signal). */
   val repetitionQ: Q = (s, d) =>
@@ -353,7 +363,8 @@ object LlmQueries {
     "llm_sample_bottomk" -> sampleBottomkQ,
     "llm_rarest_term" -> rarestTermQ,
     "llm_quality_deciles" -> qualityDecilesQ,
-    "llm_pipeline_e2e" -> pipelineQ
+    "llm_pipeline_e2e" -> pipelineQ,
+    "llm_decontaminate_ngram" -> decontaminateNgramQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -621,6 +632,18 @@ object LlmQueries {
         |     (PARTITION BY t.doc_id ORDER BY dfq.df, t.term) AS rk
         |   FROM tok t JOIN dfq USING (term))
         | SELECT doc_id, term, df FROM j WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "llm_decontaminate_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 7),
+        |        i -> array_to_string(toks[i:i+7], ' ')) END)) AS gram FROM t),
+        | eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        | bad AS (SELECT g.doc_id FROM g JOIN eg USING (gram)
+        |         GROUP BY g.doc_id HAVING count(*) >= 1)
+        | SELECT doc_id FROM documents
+        | WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        | ORDER BY doc_id""".stripMargin,
     "llm_quality_deciles" ->
       s"""SELECT doc_id, lang, quality_e4,
          |   CAST(ntile(10) OVER (PARTITION BY lang

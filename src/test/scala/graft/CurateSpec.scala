@@ -28,6 +28,29 @@ class CurateSpec extends SparkSpec {
     assert(kept("zh") == totals("zh"), "rate 10000 must keep every zh doc")
   }
 
+  test("n-gram decontamination drops partial overlap exact-fp misses") {
+    val eval_ = Seq((1L, "q one two three four five six seven eight end"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds eval 8-gram "one two ... eight" inside unrelated text
+      (10L, "intro words here one two three four five six seven eight and more trailing prose"),
+      (11L, "totally unrelated document with none of those words at all okay"),
+      (12L, "q one two three four five six seven eight end")) // exact copy
+      .toDF("doc_id", "text")
+    val kept = Curate.decontaminateNgrams(corpus, eval_, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L), s"partial (10) and exact (12) must drop: $kept")
+    // exact-fingerprint decontamination misses the embedded overlap
+    val keptFp = Curate.decontaminate(corpus, eval_, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFp == Set(10L, 11L), "sanity: fp method keeps the partial leak")
+    // minShared above the actual overlap keeps the partial doc
+    val keptStrict = Curate.decontaminateNgrams(corpus, eval_, "doc_id",
+      "text", minShared = 5L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStrict.contains(10L))
+  }
+
   test("mixture weights: flat across equal groups, sum ≈ 1e6, tail up") {
     val flat = Seq.tabulate(40)(i => (i.toLong, s"g${i % 4}"))
       .toDF("id", "lang")

@@ -56,7 +56,7 @@ class InventorySpec extends SparkSpec {
     "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign",
     "join_interval", "llm_dedup_transitive",
     "join_salted", "llm_sample_bottomk", "llm_rarest_term",
-    "llm_quality_deciles", "llm_pipeline_e2e")
+    "llm_quality_deciles", "llm_pipeline_e2e", "llm_decontaminate_ngram")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
