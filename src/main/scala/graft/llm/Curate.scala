@@ -150,13 +150,17 @@ object Curate {
     * by the leak count, not the corpus — reach a shuffle. */
   def decontaminateNgrams(corpus: DataFrame, evalSet: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int = 8, minShared: Long = 1L): DataFrame = {
+                          n: Int = 8, minShared: Long = 1L,
+                          evalTextCol: String = null): DataFrame = {
     require(n > 0 && minShared >= 1)
-    def grams(df: DataFrame, cols: Column*) = df.select(
-      (cols :+ explode(array_distinct(TextOps.ngrams(col(textCol), n)))
+    def grams(df: DataFrame, text: String, cols: Column*) = df.select(
+      (cols :+ explode(array_distinct(TextOps.ngrams(col(text), n)))
         .as("gram")): _*)
-    val evalGrams = grams(evalSet).select("gram").distinct()
-    val bad = grams(corpus, col(idCol))
+    // eval sets often name their text differently (question/prompt);
+    // default to the corpus column name
+    val evalGrams = grams(evalSet,
+      Option(evalTextCol).getOrElse(textCol)).select("gram").distinct()
+    val bad = grams(corpus, textCol, col(idCol))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -36,6 +36,9 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBy: Column, salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not carry a _salt column — it is the operator's " +
+        "internal key and would be clobbered, then dropped, silently")
     val b = big.withColumn("_salt", pmod(xxhash64(saltBy), lit(salt.toLong)))
     val s = small.withColumn("_salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))

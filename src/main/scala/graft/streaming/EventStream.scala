@@ -88,8 +88,10 @@ object EventStream {
     * streaming twin of the batch `join_interval` query.
     *
     * Both sides carry watermarks and the join condition bounds event
-    * time in BOTH directions (r.ts ≤ l.ts AND r.ts ≥ l.ts − lookback),
-    * which is exactly what Structured Streaming needs to age state out:
+    * time in BOTH directions (r.ts ≤ l.ts AND r.ts > l.ts − lookback —
+    * the same half-open window as the batch `join_interval` query and
+    * its oracle, so the twins agree at the lookback boundary), which is
+    * exactly what Structured Streaming needs to age state out:
     * a buffered right row can be dropped once the left watermark passes
     * its ts + lookback, and a left row once the right watermark passes
     * its ts. Without the lower bound the right buffer is immortal — the
@@ -109,7 +111,7 @@ object EventStream {
     l.join(r,
       expr(s"""l.$keyCol = r.$keyCol AND
                r.r_ts <= l.ts AND
-               r.r_ts >= l.ts - INTERVAL $lookback"""))
+               r.r_ts > l.ts - INTERVAL $lookback"""))
       .drop(col(s"r.$keyCol"))
   }
 }

@@ -27,10 +27,13 @@ class StreamingIntervalJoinSpec extends SparkSpec {
       .queryName("ivj_out").outputMode("append").start()
     try {
       // purchase at t=90min; errors at t=20 (70 min before → outside the
-      // 1 h lookback), t=40 (in), t=85 (in), t=100 (after → out), and
-      // t=88 for a different user (out)
-      rMem.addData((200L, ts(20), 1L), (201L, ts(40), 1L),
-        (202L, ts(85), 1L), (203L, ts(100), 1L), (204L, ts(88), 2L))
+      // 1 h lookback), t=30 (EXACTLY lookback before → excluded: the
+      // window is half-open, matching the batch join_interval oracle),
+      // t=40 (in), t=85 (in), t=100 (after → out), and t=88 for a
+      // different user (out)
+      rMem.addData((200L, ts(20), 1L), (205L, ts(30), 1L),
+        (201L, ts(40), 1L), (202L, ts(85), 1L),
+        (203L, ts(100), 1L), (204L, ts(88), 2L))
       lMem.addData((100L, ts(90), 1L))
       q.processAllAvailable()
       val got = spark.table("ivj_out")
