@@ -284,6 +284,35 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N4''''' — TF-IDF top term per document: term frequency × inverse
+    * document frequency, the canonical relevance weight. Extends
+    * `llm_rarest_term`'s join-back shape with the corpus-size scalar:
+    * N rides in as a one-row broadcast (plans as BroadcastNestedLoop
+    * over a single row — never a shuffled cartesian, never a driver
+    * collect). Scale: tf and df aggregate on (doc, term) / term — high
+    * cardinality, even spread; the vocabulary join shuffles on term at
+    * real-corpus vocab sizes (no broadcast assumption); per-doc argmax
+    * is a partial max(struct). Score ln-weighted, emitted e4-rounded —
+    * engine-portable (verified empirically at both SFs). */
+  val tfidfTopTermQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_e4",
+        round(col("tf") * log(col("n").cast("double") / col("df")) * 10000)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score_e4"), col("term"))).as("m"))
+      .select(col("doc_id"), col("m.term").as("top_term"),
+        col("m.score_e4").as("score_e4"))
+      .orderBy("doc_id")
+  }
+
   /** N4'''' — per-language quality deciles: ntile(10) over the quality
     * score within each language — the binning step before "train on the
     * top-N deciles" curation. One window shuffle on the language key. */
@@ -362,6 +391,7 @@ object LlmQueries {
     "llm_ivf_assign" -> ivfAssignQ,
     "llm_sample_bottomk" -> sampleBottomkQ,
     "llm_rarest_term" -> rarestTermQ,
+    "llm_tfidf_top_term" -> tfidfTopTermQ,
     "llm_quality_deciles" -> qualityDecilesQ,
     "llm_pipeline_e2e" -> pipelineQ,
     "llm_decontaminate_ngram" -> decontaminateNgramQ
@@ -632,6 +662,21 @@ object LlmQueries {
         |     (PARTITION BY t.doc_id ORDER BY dfq.df, t.term) AS rk
         |   FROM tok t JOIN dfq USING (term))
         | SELECT doc_id, term, df FROM j WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "llm_tfidf_top_term" ->
+      """WITH toks AS (SELECT doc_id,
+        |     unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf
+        |   FROM toks GROUP BY 1, 2),
+        | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | scored AS (SELECT tf.doc_id, tf.term,
+        |     CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) * 10000)
+        |       AS BIGINT) AS score_e4
+        |   FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        | SELECT doc_id, term AS top_term, score_e4 FROM (
+        |   SELECT doc_id, term, score_e4, row_number() OVER (
+        |     PARTITION BY doc_id ORDER BY score_e4 DESC, term DESC) AS rk
+        |   FROM scored) t WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "llm_decontaminate_ngram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | g AS (SELECT doc_id, unnest(list_distinct(

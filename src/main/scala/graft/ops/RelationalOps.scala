@@ -278,6 +278,108 @@ object RelationalOps {
       .orderBy("l_returnflag", "rn")
   }
 
+  /** W3 — LAG delta (beyond the reference): per-entity change of the
+    * event value vs the previous event — the derivative every metrics
+    * consumer computes over a changefeed. All time math on epoch-ms
+    * integers (ns files vs µs Spark timestamps never touch the output
+    * or the ordering), money as cents; first event per user is null. */
+  val windowLagDelta: Q = (s, d) => {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), cents.as("cents"))
+      .select(col("user_id"), col("event_id"),
+        (col("cents") - lag(col("cents"), 1).over(w)).as("delta_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W4 — sessionization, gaps-and-islands (beyond the reference; the
+    * batch twin of `stream_sessionize`'s state semantics): a session
+    * breaks when a user is idle longer than the gap. Two windows over
+    * ONE (user_id) shuffle — Catalyst plans both in a single Window
+    * node chain, no second exchange; the per-user rows-unbounded frame
+    * is a linear scan. Session times emitted as epoch ms (never raw
+    * ns-file timestamps), boundaries compared on epoch-ms integers so
+    * both engines split identically at the gap edge. */
+  val windowSessionize: Q = (s, d) => {
+    val gapMs = 6L * 3600 * 1000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("new_s",
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** W5 — resample + gap-fill (beyond the reference): hourly event
+    * counts per type with missing hours emitted as 0 — the dense grid
+    * every time-series chart and forecast model needs. The grid is
+    * GENERATED per key from its own min/max hour (sequence + explode),
+    * never collected to the driver; grid size is types × hours — bounded
+    * by wall-clock span, independent of row count, so the left join's
+    * build side stays small at any data scale. */
+  val windowGapfill: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts
+      .groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    grid.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** A9 — pivot (beyond the reference): per-entity counts of each event
+    * type as columns. Values are DECLARED (the reference's five event
+    * kinds), not discovered — discovery costs an extra distinct pass
+    * over the data at scale and makes the schema data-dependent. Plans
+    * as one hash aggregate; absent combinations surface as 0, not null. */
+  val aggPivot: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** A10 — CUBE over (lang, source) (beyond the reference): every
+    * grouping-set margin in one pass — the other half of the A7 ROLLUP
+    * surface. Grouping nulls renamed 'ALL' (both dims are non-null in
+    * the data) so cross-engine ordering is stable. */
+  val aggCube: Q = (s, d) =>
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n"), col("chars"))
+      .orderBy("lang", "source")
+
   // ---------------------------------------------------------------- O* ----
 
   /** O1 — top-K oldest-first page (TOP(@Limit) ORDER BY ChangeVersion,
@@ -476,6 +578,11 @@ object RelationalOps {
     "agg_percentile" -> aggPercentile,
     "window_row_number" -> windowRowNumber,
     "window_running_sum" -> windowRunningSum,
+    "window_lag_delta" -> windowLagDelta,
+    "window_sessionize" -> windowSessionize,
+    "window_gapfill" -> windowGapfill,
+    "agg_pivot" -> aggPivot,
+    "agg_cube" -> aggCube,
     "topk_by_version" -> topkByVersion,
     "sort_desc" -> sortDesc,
     "union_all_feeds" -> unionAllFeeds,
@@ -622,6 +729,61 @@ object RelationalOps {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS running_cents
         | FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_lag_delta" ->
+      """WITH e AS (
+        |   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |     CAST(round(value * 100) AS BIGINT) AS cents
+        |   FROM events)
+        | SELECT user_id, event_id,
+        |   cents - lag(cents) OVER (
+        |     PARTITION BY user_id ORDER BY ts_ms, event_id) AS delta_cents
+        | FROM e ORDER BY user_id, event_id""".stripMargin,
+    "window_sessionize" ->
+      """WITH e AS (
+        |   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        | f AS (
+        |   SELECT user_id, event_id, ts_ms,
+        |     CASE WHEN lag(ts_ms) OVER w IS NULL
+        |            OR ts_ms - lag(ts_ms) OVER w > 21600000
+        |          THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        | s AS (
+        |   SELECT user_id, event_id, ts_ms,
+        |     CAST(sum(new_s) OVER (
+        |       PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |   FROM f)
+        | SELECT user_id, session_id,
+        |   min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |   count(*) AS n_events,
+        |   min(event_id) AS first_event, max(event_id) AS last_event
+        | FROM s GROUP BY user_id, session_id
+        | ORDER BY user_id, session_id""".stripMargin,
+    "window_gapfill" ->
+      """WITH b AS (
+        |   SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |   FROM events GROUP BY 1, 2),
+        | r AS (
+        |   SELECT event_type,
+        |     unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR))
+        |       AS hour
+        |   FROM b GROUP BY event_type)
+        | SELECT r.event_type, r.hour, coalesce(b.n, 0) AS n
+        | FROM r LEFT JOIN b ON r.event_type = b.event_type AND r.hour = b.hour
+        | ORDER BY 1, 2""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |   count(*) FILTER (event_type = 'click') AS click,
+        |   count(*) FILTER (event_type = 'error') AS error,
+        |   count(*) FILTER (event_type = 'purchase') AS purchase,
+        |   count(*) FILTER (event_type = 'signup') AS signup,
+        |   count(*) FILTER (event_type = 'view') AS view
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |   count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        | FROM documents GROUP BY CUBE (lang, source)
+        | ORDER BY lang, source""".stripMargin,
     "window_row_number" ->
       """SELECT * FROM (
         |   SELECT l_returnflag, l_orderkey, l_linenumber,

@@ -56,7 +56,9 @@ class InventorySpec extends SparkSpec {
     "llm_mixture_weights", "llm_boilerplate_ngrams", "llm_ivf_assign",
     "join_interval", "llm_dedup_transitive",
     "join_salted", "llm_sample_bottomk", "llm_rarest_term",
-    "llm_quality_deciles", "llm_pipeline_e2e", "llm_decontaminate_ngram")
+    "llm_quality_deciles", "llm_pipeline_e2e", "llm_decontaminate_ngram",
+    "window_lag_delta", "window_sessionize", "window_gapfill",
+    "agg_pivot", "agg_cube", "llm_tfidf_top_term")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
