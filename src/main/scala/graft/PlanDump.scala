@@ -26,7 +26,10 @@ object PlanDump {
       "llm_dedup_clusters" -> "Transitive dup clusters (round 4): the near-dup pair pipeline feeds iterative min-label propagation + pointer jumping (graft.llm.Cluster); each round is two id-keyed shuffles and ends in localCheckpoint, so the displayed plan stays O(1) deep regardless of rounds (the checkpoint scan below IS that truncation). Convergence for LSH dup graphs is 2-4 rounds; the driver sees one boolean per round.",
       "join_salted" -> "Salted skew join (round 4): the exchanges partition on (user_id, _salt) - a hot key's rows spread across 8 sub-keys instead of serializing through one task; the dimension side is replicated 8x (explode over the salt range) which is noise when that side is dimension-sized. Output is identical to the plain join (the DuckDB oracle IS the plain join).",
       "llm_sample_bottomk" -> "Bottom-k sample (round 4): TakeOrderedAndProject over md5 priorities - per-partition top-k buffers merged once, no shuffle, exactly k rows out; deterministic across engines and reruns.",
-      "llm_rarest_term" -> "Rarest term per doc (round 4): the TF-IDF shape - vocabulary doc-frequency aggregate (partial+final on the term), join back to the exploded terms, per-doc argmin as a partial min(struct) aggregate. Both shuffles key on high-cardinality columns.")
+      "llm_rarest_term" -> "Rarest term per doc (round 4): the TF-IDF shape - vocabulary doc-frequency aggregate (partial+final on the term), join back to the exploded terms, per-doc argmin as a partial min(struct) aggregate. Both shuffles key on high-cardinality columns.",
+      "window_sessionize" -> "Gaps-and-islands sessionization (round 4): the lag flag and the running session-id sum are BOTH WindowExec nodes over the same (user_id) partitioning and (ts_ms, event_id) order - one exchange feeds the whole chain, then the per-session aggregate is a partial+final hash agg on (user_id, session_id) with no further shuffle of raw rows. All boundary math on epoch-ms longs: the ns-precision files and Spark's us timestamps can never split sessions differently than the oracle.",
+      "window_gapfill" -> "Resample + gap-fill (round 4): per-type hourly counts (partial+final hash agg), per-type min/max hour, dense grid via sequence+explode, left join back. The grid side is generated distributed - no driver collect, no literal range baked into the plan. Note Catalyst COLLAPSES the written agg-of-agg (min over hourly mins) into a direct per-type min/max over the raw scan, so the plan reads the 2-column projection twice rather than reusing the counts exchange; the second pass folds to map-side partials (5 rows out per task), so at 100 TB it costs one extra columnar scan, not a shuffle. The counts side broadcasts into the left join - types x hours is bounded by wall-clock span, not data volume.",
+      "llm_tfidf_top_term" -> "TF-IDF top term (round 4): tf agg on (doc, term), vocabulary df agg on term, corpus count as a ONE-ROW broadcast riding a BroadcastNestedLoopJoin (the only safe cartesian: 1 x n), per-doc argmax as partial+final max(struct). Two honest tradeoffs, same as llm_rarest_term's shape: (1) the tokenize+tf subtree appears under both join inputs and AQE does NOT reuse the exchange across the broadcast-stage boundary (verified on the executed plan), so the corpus is tokenized twice - at 100 TB you stage the token table once (parquet/bucketed, the StateLayout pattern) and both aggregates read the staging; (2) df-join-back over a term key, NOT a count window over term partitions - a stopword's window partition cannot be split, but AQE skew-join can split the join, and map-side partial counts already collapse the df aggregate's skew.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the flagship queries (sf0.01, regenerate with `sbt \"runMain graft.PlanDump\"`)\n")
     for ((name, note) <- picks) {
