@@ -151,7 +151,7 @@ object Curate {
   def decontaminateNgrams(corpus: DataFrame, evalSet: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 8, minShared: Long = 1L,
-                          evalTextCol: String = null): DataFrame = {
+                          evalTextCol: Option[String] = None): DataFrame = {
     require(n > 0 && minShared >= 1)
     def grams(df: DataFrame, text: String, cols: Column*) = df.select(
       (cols :+ explode(array_distinct(TextOps.ngrams(col(text), n)))
@@ -159,7 +159,7 @@ object Curate {
     // eval sets often name their text differently (question/prompt);
     // default to the corpus column name
     val evalGrams = grams(evalSet,
-      Option(evalTextCol).getOrElse(textCol)).select("gram").distinct()
+      evalTextCol.getOrElse(textCol)).select("gram").distinct()
     val bad = grams(corpus, textCol, col(idCol))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("shared"))

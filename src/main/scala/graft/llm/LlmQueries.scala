@@ -292,8 +292,12 @@ object LlmQueries {
     * collect). Scale: tf and df aggregate on (doc, term) / term — high
     * cardinality, even spread; the vocabulary join shuffles on term at
     * real-corpus vocab sizes (no broadcast assumption); per-doc argmax
-    * is a partial max(struct). Score ln-weighted, emitted e4-rounded —
-    * engine-portable (verified empirically at both SFs). */
+    * is a partial max(struct). The idf is QUANTIZED before the tf
+    * product — `round(ln(N/df)·1e4)` per distinct (N, df), then an
+    * exact integer multiply — so cross-engine float agreement is needed
+    * only on ~vocab-many ln evaluations, not on every (doc, term)
+    * product; the emitted scores are exact integers whenever the
+    * rounded idfs agree (verified empirically at both SFs). */
   val tfidfTopTermQ: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tf = docs
@@ -303,9 +307,9 @@ object LlmQueries {
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
-      .withColumn("score_e4",
-        round(col("tf") * log(col("n").cast("double") / col("df")) * 10000)
-          .cast("long"))
+      .withColumn("idf_e4",
+        round(log(col("n").cast("double") / col("df")) * 10000).cast("long"))
+      .withColumn("score_e4", col("tf") * col("idf_e4"))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("score_e4"), col("term"))).as("m"))
       .select(col("doc_id"), col("m.term").as("top_term"),
@@ -670,7 +674,7 @@ object LlmQueries {
         | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         | n AS (SELECT count(*) AS n FROM documents),
         | scored AS (SELECT tf.doc_id, tf.term,
-        |     CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) * 10000)
+        |     tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / dfq.df) * 10000)
         |       AS BIGINT) AS score_e4
         |   FROM tf JOIN dfq USING (term) CROSS JOIN n)
         | SELECT doc_id, term AS top_term, score_e4 FROM (

@@ -49,6 +49,12 @@ class CurateSpec extends SparkSpec {
       "text", minShared = 5L)
       .select("doc_id").as[Long].collect().toSet
     assert(keptStrict.contains(10L))
+    // an eval set naming its text column differently (question/prompt)
+    val evalQ = eval_.withColumnRenamed("text", "question")
+    val keptQ = Curate.decontaminateNgrams(corpus, evalQ, "doc_id",
+      "text", evalTextCol = Some("question"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptQ == Set(11L), s"renamed eval column must behave identically: $keptQ")
   }
 
   test("mixture weights: flat across equal groups, sum ≈ 1e6, tail up") {

@@ -10,18 +10,18 @@ import org.apache.spark.sql.SparkSession
   * come out as a broadcast NLJ, never a shuffled cartesian). */
 class PlanLintSpec extends SparkSpec {
 
-  // Skipped: (a) queries with real filesystem/state side effects at
-  // CONSTRUCTION time (sink writes, consumer-state commits, IVF layout
-  // builds) — they have their own specs; (b) the iterative clustering
-  // queries, whose construction RUNS the LSH + label-propagation loop
-  // (localCheckpoint is eager) and whose final plan is checkpoint-
-  // truncated — a cartesian upstream would be invisible here anyway,
-  // so their guard is AsofJoinSpec/ClusterSpec plan assertions plus the
-  // PLANS.md notes, not this lint.
+  // Skipped entirely: queries with real filesystem/state side effects
+  // at CONSTRUCTION time (sink writes, consumer-state commits, IVF
+  // layout builds) — they have their own specs. The iterative
+  // clustering queries are NOT skipped: their construction runs the
+  // LSH + label-propagation loop (localCheckpoint is eager, a few
+  // seconds at sf0.001) and the loop's own subtree is checkpoint-
+  // truncated out of the final plan (ClusterSpec covers it), but every
+  // post-checkpoint stage — decontaminate join, quality floor, packing
+  // — is still visible here and stays linted.
   private val stateful = Set("sink_versioned", "sink_listing",
     "cdc_consumer_state", "cdc_incremental_poll", "cdc_pagination",
-    "cdc_reset", "llm_simsearch_ann", "cdc_deletes",
-    "llm_dedup_clusters", "llm_dedup_transitive", "llm_pipeline_e2e")
+    "cdc_reset", "llm_simsearch_ann", "cdc_deletes")
 
   test("no declared query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq
