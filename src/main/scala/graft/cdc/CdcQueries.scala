@@ -171,7 +171,25 @@ object CdcQueries {
       .agg(max(col("event_id")).as("version_asof"))
       .orderBy("entity_id")
 
+  /** T5''/A1' — SCD Type-2 history: each change becomes a half-open
+    * validity interval per entity via one partitioned window pass (see
+    * [[Scd2]]). Bounded to ids ≤ 3000 so the declared output stays a
+    * page-sized relation at every SF. */
+  val cdcScd2: Q = (s, d) =>
+    Scd2.invoiceHistory(s, d)
+      .filter(col("invoice_id") <= 3000)
+      .orderBy("invoice_id", "valid_from")
+
+  /** S3'' — point-in-time read compiled from the SCD2 history: state
+    * as of version 4000 (deletes excluded — the entity did not exist). */
+  val cdcScd2Asof: Q = (s, d) =>
+    Scd2.snapshotAt(Scd2.invoiceHistory(s, d), 4000L)
+      .filter(col("invoice_id") <= 3000)
+      .orderBy("invoice_id")
+
   val queries: Map[String, Q] = Map(
+    "cdc_scd2" -> cdcScd2,
+    "cdc_scd2_asof" -> cdcScd2Asof,
     "cdc_scan" -> cdcScan,
     "cdc_source_scan" -> cdcSourceScan,
     "cdc_source_pushdown" -> cdcSourcePushdown,
@@ -197,7 +215,46 @@ object CdcQueries {
       |   SELECT invoice_id, max(change_version) AS change_version
       |   FROM feeds GROUP BY invoice_id)""".stripMargin
 
+  /** The ops feeds (header mod-10 / line mod-7 rules) as a CTE — the
+    * SQL twin of TombstoneCdc.headerFeedOps ∪ lineFeedOps. */
+  private val feedsOpsCte =
+    """feeds AS (
+      |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version,
+      |     CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+      |          WHEN o_orderkey % 10 < 3 THEN 'I' ELSE 'U' END AS change_operation
+      |   FROM orders
+      |   UNION ALL
+      |   SELECT l_orderkey, l_orderkey * 2 + 1,
+      |     CASE WHEN l_orderkey % 7 = 0 THEN 'D'
+      |          WHEN l_orderkey % 7 = 1 THEN 'I' ELSE 'U' END
+      |   FROM lineitem)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "cdc_scd2" ->
+      s"""WITH $feedsOpsCte,
+         | hist AS (
+         |   SELECT invoice_id, change_operation,
+         |     change_version AS valid_from,
+         |     lead(change_version) OVER
+         |       (PARTITION BY invoice_id ORDER BY change_version) AS valid_to
+         |   FROM (SELECT DISTINCT * FROM feeds))
+         | SELECT invoice_id, change_operation, valid_from, valid_to,
+         |   CAST(valid_to IS NULL AS BIGINT) AS is_current
+         | FROM hist WHERE invoice_id <= 3000
+         | ORDER BY invoice_id, valid_from""".stripMargin,
+    "cdc_scd2_asof" ->
+      s"""WITH $feedsOpsCte,
+         | hist AS (
+         |   SELECT invoice_id, change_operation,
+         |     change_version AS valid_from,
+         |     lead(change_version) OVER
+         |       (PARTITION BY invoice_id ORDER BY change_version) AS valid_to
+         |   FROM (SELECT DISTINCT * FROM feeds))
+         | SELECT invoice_id, change_operation, valid_from AS version_at
+         | FROM hist
+         | WHERE valid_from <= 4000 AND (valid_to IS NULL OR valid_to > 4000)
+         |   AND change_operation <> 'D' AND invoice_id <= 3000
+         | ORDER BY invoice_id""".stripMargin,
     "cdc_consumer_state" ->
       s"""WITH $feedsCte,
          | page AS (SELECT * FROM agg ORDER BY change_version, invoice_id LIMIT 100)

@@ -35,6 +35,42 @@ object Curate {
   def hashPermilleE4(id: Column): Column =
     pmod(pmod(pmod(id, lit(Mersenne31)) * Lehmer, lit(Mersenne31)), lit(10000L))
 
+  /** Full-range Lehmer value in [0, 2^31-1): the deterministic shuffle
+    * key — the [[hashPermilleE4]] chain applied TWICE. One step is not
+    * enough: for ids below ⌊M/48271⌋ ≈ 44488 the product never wraps
+    * past the modulus, so a single step is monotonic in the id and the
+    * "shuffle" would preserve id order exactly (Wave5Spec pins this).
+    * The second multiply always wraps (48271² > M), scattering small
+    * ids too. Intermediate products stay < 2^47 — overflow-safe in any
+    * engine. */
+  def shuffleKey(id: Column): Column = {
+    val step1 = pmod(pmod(id, lit(Mersenne31)) * Lehmer, lit(Mersenne31))
+    pmod(step1 * Lehmer, lit(Mersenne31))
+  }
+
+  /** Deterministic global corpus shuffle — the pretraining data-order
+    * step: a total order by (id-hash, id) that is a pure function of
+    * the ids, so every rerun (and every engine) deals the same order.
+    * Scale: `orderBy` plans as a range-partitioned sort (sampled range
+    * exchange + per-partition sort) — no global window, no single-task
+    * bottleneck; shard files then come straight off the sorted
+    * partitions. */
+  def globalShuffle(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(idCol)))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  /** PII scrub: redact email addresses and phone-shaped digit runs to
+    * typed placeholder tags — the compliance pass every web-scale
+    * training corpus runs before tokenization. Pure codegen'd
+    * `regexp_replace` chain at the scan (no UDF, no shuffle); patterns
+    * are deliberately RE2-compatible so the same scrub runs identically
+    * on engines with RE2 regexes. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
+
   /** Deterministic id-hash sampling: keep ~`keepE4`/10000 of rows.
     * Unlike `df.sample`, the decision is a pure function of the id —
     * stable across reruns, partitionings, and engines, which is what a

@@ -199,6 +199,36 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N6b — deterministic global corpus shuffle: a total order that is
+    * a pure function of the ids (range-partitioned sort, no global
+    * window — see Curate.globalShuffle). */
+  val shuffleOrderQ: Q = (s, d) =>
+    Curate.globalShuffle(Tables.documents(s, d), "doc_id")
+      .select("doc_id", "shuffle_key")
+
+  /** N6c — PII scrub over a synthesized PII-bearing column (the corpus
+    * text carries no PII by construction, so the query plants a
+    * deterministic email + phone per doc and asserts the scrub): the
+    * redacted text is a pure regexp_replace chain at the scan. */
+  val piiScrubQ: Q = (s, d) => {
+    val planted = concat(
+      substring(col("text"), 1, 24), lit(" "),
+      col("source"), lit("@example.com tel 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Curate.piiScrub(planted).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** N6d — corpus length histogram: 100-char buckets, the size-profile
+    * scan every curation run starts with (one hash-agg pass). */
+  val lengthHistogramQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy((col("n_chars") - pmod(col("n_chars"), lit(100)))
+        .as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("len_bucket")
+
   /** N6''' — within-document repetition ratio (duplicate 3-gram
     * fraction, the Gopher-style boilerplate signal). */
   val repetitionQ: Q = (s, d) =>
@@ -385,6 +415,9 @@ object LlmQueries {
     "llm_fingerprint" -> fingerprintQ,
     "llm_multimodal_project" -> multimodalProject,
     "llm_sample" -> sampleQ,
+    "llm_shuffle_order" -> shuffleOrderQ,
+    "llm_pii_scrub" -> piiScrubQ,
+    "llm_length_histogram" -> lengthHistogramQ,
     "llm_quota_lang" -> quotaQ,
     "llm_decontaminate" -> decontaminateQ,
     "llm_repetition" -> repetitionQ,
@@ -566,6 +599,29 @@ object LlmQueries {
         | WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
         |        * 48271 % 2147483647 + 2147483647) % 2147483647 % 10000 < 1000
         | ORDER BY doc_id""".stripMargin,
+    "llm_shuffle_order" ->
+      // the normalized Lehmer chain of llm_sample applied twice (one
+      // step is monotonic for small ids — see Curate.shuffleKey)
+      """SELECT doc_id,
+        |   ((((doc_id % 2147483647 + 2147483647) % 2147483647)
+        |     * 48271 % 2147483647 + 2147483647) % 2147483647
+        |    * 48271 % 2147483647 + 2147483647) % 2147483647 AS shuffle_key
+        | FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "llm_pii_scrub" ->
+      // DuckDB regexes are RE2 — the scrub patterns are written to the
+      // RE2 subset on purpose; 'g' because DuckDB replaces only the
+      // first match by default where Spark replaces all
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |     substring(text, 1, 24) || ' ' || source ||
+        |       '@example.com tel 555-' ||
+        |       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean_text
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_length_histogram" ->
+      """SELECT n_chars - n_chars % 100 AS len_bucket, count(*) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS total_chars
+        | FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin,
     "llm_quota_lang" ->
       s"""WITH q AS (SELECT doc_id, lang,
          |   CAST(round(10000.0 *

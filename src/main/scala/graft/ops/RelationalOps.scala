@@ -380,6 +380,54 @@ object RelationalOps {
         col("n"), col("chars"))
       .orderBy("lang", "source")
 
+  /** A11 — explicit GROUPING SETS (beyond the reference): the exact
+    * margin list ((type, band), (band), ()) in one pass — the sets CUBE
+    * and ROLLUP can't express (no (type) margin). Grouping nulls
+    * renamed 'ALL' so cross-engine null ordering never matters. */
+  val aggGroupingSets: Q = (s, d) => {
+    val band = when(col("value") < 50, lit("low")).otherwise(lit("high"))
+    Tables.events(s, d)
+      .select(col("event_type"), band.as("band"), col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("band")), Seq(col("band")), Seq.empty),
+        col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("band"), lit("ALL")).as("band"),
+        col("n"), col("value_cents"))
+      .orderBy("event_type", "band")
+  }
+
+  /** W5 — ntile + lead + first_value in ONE window pass (beyond the
+    * reference): quartile of each event within its type by amount, the
+    * next-smaller amount, and the type's maximum — three window
+    * functions sharing one sort/shuffle (the plan has a single Window
+    * node; a per-function formulation would re-sort three times). */
+  val windowNtile: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead(col("cents"), 1).over(w).as("next_cents"),
+        first_value(col("cents")).over(w).as("top_cents"))
+      .orderBy("event_id")
+  }
+
+  /** F14 — edit distance (beyond the reference): levenshtein between
+    * the head and the tail of each document — the codegen'd built-in,
+    * the fuzzy-match primitive near-dup QC pipelines use. */
+  val fnLevenshtein: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      levenshtein(substring(col("text"), 1, 20),
+        substring(col("text"), 21, 20)).cast("long").as("edit_dist"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- O* ----
 
   /** O1 — top-K oldest-first page (TOP(@Limit) ORDER BY ChangeVersion,
@@ -583,6 +631,9 @@ object RelationalOps {
     "window_gapfill" -> windowGapfill,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "window_ntile" -> windowNtile,
+    "fn_levenshtein" -> fnLevenshtein,
     "topk_by_version" -> topkByVersion,
     "sort_desc" -> sortDesc,
     "union_all_feeds" -> unionAllFeeds,
@@ -784,6 +835,29 @@ object RelationalOps {
         |   count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         | FROM documents GROUP BY CUBE (lang, source)
         | ORDER BY lang, source""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |   coalesce(band, 'ALL') AS band, count(*) AS n,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM (SELECT event_type,
+        |         CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band, value
+        |       FROM events)
+        | GROUP BY GROUPING SETS ((event_type, band), (band), ())
+        | ORDER BY event_type, band""".stripMargin,
+    "window_ntile" ->
+      """SELECT event_id, event_type,
+        |   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |   lead(cents) OVER w AS next_cents,
+        |   first_value(cents) OVER w AS top_cents
+        | FROM (SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        | WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC, event_id)
+        | ORDER BY event_id""".stripMargin,
+    "fn_levenshtein" ->
+      """SELECT doc_id,
+        |   CAST(levenshtein(substring(text, 1, 20), substring(text, 21, 20))
+        |     AS BIGINT) AS edit_dist
+        | FROM documents ORDER BY doc_id""".stripMargin,
     "window_row_number" ->
       """SELECT * FROM (
         |   SELECT l_returnflag, l_orderkey, l_linenumber,

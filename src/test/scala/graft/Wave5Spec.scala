@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curate
+import graft.ops.RelationalOps
+
+/** Properties of the round-4 additions the DuckDB oracles can't
+  * express: scrub completeness, shuffle permutation/stability, and the
+  * shared-window plan shape. */
+class Wave5Spec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("piiScrub redacts every planted email and phone") {
+    val planted = docs.select(
+      concat(col("text"), lit(" a.user+tag@sub.example.org or 555-0199 x"),
+        col("source"), lit("@host.io")).as("dirty"))
+    val leaked = planted.select(Curate.piiScrub(col("dirty")).as("clean"))
+      .filter(col("clean").rlike("@") || col("clean").rlike("[0-9]{3}-[0-9]{4}"))
+    assert(leaked.isEmpty,
+      s"PII survived: ${leaked.limit(3).collect().mkString("; ")}")
+    // and the tags landed (scrub is a replace, not a delete)
+    val tagged = planted.select(Curate.piiScrub(col("dirty")).as("clean"))
+    assert(tagged.filter(col("clean").contains("<EMAIL>") &&
+      col("clean").contains("<PHONE>")).count() == docs.count())
+  }
+
+  test("globalShuffle is a stable permutation that scatters id order") {
+    val n = docs.count()
+    val shuffled = Curate.globalShuffle(docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(shuffled.length == n && shuffled.toSet.size == n,
+      "shuffle must be a permutation of the corpus")
+    // deterministic: a rerun deals the identical order
+    val again = Curate.globalShuffle(docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(shuffled.sameElements(again), "shuffle order must be stable")
+    // and it actually shuffles: few fixed points vs the sorted order
+    val sorted = shuffled.sorted
+    val fixed = shuffled.zip(sorted).count { case (a, b) => a == b }
+    assert(fixed < n / 10, s"$fixed of $n docs kept their sorted position")
+  }
+
+  test("window_ntile plans ONE window node (three fns share the sort)") {
+    val plan = RelationalOps.windowNtile(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected one shared Window node:\n$plan")
+  }
+
+  test("grouping sets margins are internally consistent") {
+    val rows = RelationalOps.aggGroupingSets(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val grand = rows.collect { case ("ALL", "ALL", c) => c }.sum
+    val bandMargin = rows.collect { case ("ALL", b, c) if b != "ALL" => c }.sum
+    val leaves = rows.collect {
+      case (t, b, c) if t != "ALL" && b != "ALL" => c }.sum
+    assert(grand == bandMargin && grand == leaves,
+      s"margins disagree: grand=$grand bands=$bandMargin leaves=$leaves")
+  }
+}
