@@ -86,6 +86,16 @@ object LlmQueries {
     * exact + bucketed==in-memory equality asserted in LlmSpec. */
   val simsearchAnn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    // bucket count TRACKS the corpus: planes = ⌈log2(n/64)⌉ clamped to
+    // [4,16], i.e. ~64 vectors per bucket. A fixed plane count is
+    // mis-sized at both ends — 256 dirs for 2k vectors pays the
+    // per-file write constant 128× over (measured: the layout build was
+    // the whole bench cost), while 256 buckets for 10^9 vectors prunes
+    // nothing. n comes from a count over the footer row-counts, not a
+    // data scan.
+    val n = emb.count()
+    val planes = math.max(4, math.min(16,
+      math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
     // the layout is a pure function of (corpus content, signature
     // geometry): build it once and reuse — the serving shape is
     // probe-the-existing-index, not rebuild-the-index-per-query. The
@@ -99,16 +109,16 @@ object LlmQueries {
     val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(src)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.toUri}|${st.getLen}|${st.getModificationTime}|planes=8|hp-v1"
+      .digest(s"${src.toUri}|${st.getLen}|${st.getModificationTime}|planes=$planes|hp-v1"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val layout = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-ivf-$key")
     if (!new java.io.File(layout, "_SUCCESS").exists())
-      SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = 8,
+      SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = planes,
         layout.getPath)
     SimSearch.annTopKBucketed(emb, "vec_id", "embedding", queryId = 0L,
-      k = 20, layoutPath = layout.getPath)
+      k = 20, layoutPath = layout.getPath, planes = planes)
   }
 
   /** N3'' — Aggregator-based top-k; same contract and oracle as the

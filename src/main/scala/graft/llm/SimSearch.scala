@@ -112,8 +112,13 @@ object SimSearch {
   def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
                     planes: Int, path: String): Unit = {
     VectorFunctions.register(emb.sparkSession)
+    // co-locate each bucket before the partitioned write: one file per
+    // bucket dir instead of one per (task × bucket) — without this the
+    // build creates up to tasks·2^planes tiny files (the measured cost
+    // was the file mint, not the signature pass)
     emb.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
