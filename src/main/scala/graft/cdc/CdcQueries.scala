@@ -187,7 +187,16 @@ object CdcQueries {
       .filter(col("invoice_id") <= 3000)
       .orderBy("invoice_id")
 
+  /** T5'''/J2'' — MERGE/upsert state maintenance: the snapshot at
+    * version 3000 plus the (3000, 6000] change batch — must equal the
+    * direct snapshot at 6000 (the property MergeSpec checks across
+    * random splits; here one split is declared for the oracle). */
+  val cdcMergeUpsert: Q = (s, d) =>
+    Merge.incrementalSnapshot(s, d, v0 = 3000L, v1 = 6000L)
+      .orderBy("invoice_id")
+
   val queries: Map[String, Q] = Map(
+    "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2Asof,
     "cdc_scan" -> cdcScan,
@@ -230,6 +239,29 @@ object CdcQueries {
       |   FROM lineitem)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_merge_upsert" ->
+      s"""WITH $feedsOpsCte,
+         | snap AS (
+         |   SELECT invoice_id, max(change_version) AS s_version,
+         |     arg_max(change_operation, change_version) AS s_op
+         |   FROM feeds WHERE change_version <= 3000 GROUP BY invoice_id),
+         | live AS (SELECT * FROM snap WHERE s_op <> 'D'),
+         | chg AS (
+         |   SELECT invoice_id, max(change_version) AS c_version,
+         |     arg_max(change_operation, change_version) AS c_op
+         |   FROM feeds WHERE change_version > 3000 AND change_version <= 6000
+         |   GROUP BY invoice_id),
+         | merged AS (
+         |   SELECT coalesce(l.invoice_id, c.invoice_id) AS invoice_id,
+         |     CASE WHEN l.s_version IS NULL OR
+         |               (c.c_version IS NOT NULL AND c.c_version >= l.s_version)
+         |          THEN c.c_version ELSE l.s_version END AS change_version,
+         |     CASE WHEN l.s_version IS NULL OR
+         |               (c.c_version IS NOT NULL AND c.c_version >= l.s_version)
+         |          THEN c.c_op ELSE l.s_op END AS change_operation
+         |   FROM live l FULL JOIN chg c ON l.invoice_id = c.invoice_id)
+         | SELECT * FROM merged WHERE change_operation <> 'D'
+         | ORDER BY invoice_id""".stripMargin,
     "cdc_scd2" ->
       s"""WITH $feedsOpsCte,
          | hist AS (

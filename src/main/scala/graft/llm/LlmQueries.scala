@@ -127,6 +127,26 @@ object LlmQueries {
     SimSearch.topKAggregated(Tables.embeddings(s, d),
       "vec_id", "embedding", queryId = 0L, k = 20)
 
+  /** N3''' — kNN classification: majority label of the 20 exact
+    * nearest neighbors (smaller label wins vote ties). */
+  val knnClassifyQ: Q = (s, d) =>
+    SimSearch.knnClassify(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label", queryId = 0L, k = 20)
+
+  /** N3'''' — per-label centroids, integer-exact: posexplode the
+    * vector to (label, dim) and sum e6-quantized components — the
+    * column-wise vector aggregate (class means, cluster stats) as ONE
+    * partial+final hash agg; no collect, no UDAF, dims×labels output
+    * rows regardless of corpus size. */
+  val labelCentroidsQ: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(sum(round(col("v").cast("double") * 1000000).cast("long"))
+        .as("sum_e6"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
   /** N4 — per-language corpus statistics. */
   val textStats: Q = (s, d) =>
     Tables.documents(s, d)
@@ -417,6 +437,8 @@ object LlmQueries {
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,
+    "llm_knn_classify" -> knnClassifyQ,
+    "llm_label_centroids" -> labelCentroidsQ,
     "llm_text_stats" -> textStats,
     "llm_langid" -> langId,
     "llm_quality_score" -> qualityScore,
@@ -528,6 +550,31 @@ object LlmQueries {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS doc_id, count(*) AS n_copies
         | FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "llm_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+        | scored AS (
+        |   SELECT e.vec_id,
+        |     CAST(round(1000000.0 *
+        |       list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+        |                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+        |     ) AS BIGINT) AS cos_e6
+        |   FROM e, q WHERE e.vec_id <> 0),
+        | topk AS (SELECT vec_id FROM scored ORDER BY cos_e6 DESC, vec_id LIMIT 20)
+        | SELECT CAST(em.label AS BIGINT) AS predicted_label, count(*) AS votes
+        | FROM topk t JOIN embeddings em ON t.vec_id = em.vec_id
+        | GROUP BY 1 ORDER BY votes DESC, predicted_label LIMIT 1""".stripMargin,
+    "llm_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+        |   CAST(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+        |     AS BIGINT)) AS BIGINT) AS sum_e6,
+        |   count(*) AS n
+        | FROM embeddings, range(64) t(i)
+        | GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "llm_simsearch_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         | q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),

@@ -107,6 +107,21 @@ object SimSearch {
       .orderBy(col("cos_e6").desc, col(idCol))
   }
 
+  /** kNN classification: majority label among the query's k exact
+    * nearest neighbors (vote ties broken by the smaller label — a
+    * deterministic rule both engines share). The neighbor set is the
+    * [[bruteForceTopK]] page (k rows), so the label join and the vote
+    * count are driver-page-sized; the corpus is scanned once. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryId: Long, k: Int): DataFrame = {
+    val topk = bruteForceTopK(emb, idCol, vecCol, queryId, k)
+    topk.join(emb.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(labelCol).cast("long").as("predicted_label"))
+      .agg(count(lit(1)).as("votes"))
+      .orderBy(col("votes").desc, col("predicted_label"))
+      .limit(1)
+  }
+
   /** IVF-style layout: write the corpus partitioned by bucket so probe
     * queries prune partitions at the source (the 100 TB serving shape). */
   def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,

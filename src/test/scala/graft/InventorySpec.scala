@@ -57,6 +57,7 @@ class InventorySpec extends SparkSpec {
     "join_interval", "llm_dedup_transitive",
     "join_salted", "llm_sample_bottomk", "llm_rarest_term",
     "llm_quality_deciles", "llm_pipeline_e2e", "llm_decontaminate_ngram",
+    "cdc_merge_upsert", "llm_knn_classify", "llm_label_centroids",
     "cdc_scd2", "cdc_scd2_asof", "llm_shuffle_order", "llm_pii_scrub",
     "llm_length_histogram", "agg_grouping_sets", "window_ntile",
     "fn_levenshtein",
