@@ -418,6 +418,64 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** W6 — percent_rank + cume_dist (beyond the reference): rank
+    * position as a fraction of the partition, e6-quantized. Exact
+    * small-rational doubles — (rank-1)/(n-1) and rows≤/n — so the
+    * quantized value is engine-independent. Shares one window pass. */
+  val windowPercentRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("event_type"),
+        round(percent_rank().over(w) * 1000000).cast("long").as("pr_e6"),
+        round(cume_dist().over(w) * 1000000).cast("long").as("cd_e6"))
+      .orderBy("event_id")
+  }
+
+  /** A12 — sorted distinct collection (beyond the reference): the set
+    * of event types per entity as one canonical string — collect_set
+    * sorted then joined, so the aggregate is order-insensitive and the
+    * output deterministic (the array-typed flavor would hash-compare
+    * engine-dependent list renderings; the string is the stable form). */
+  val aggCollectSetSorted: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+
+  /** A13 — Pearson correlation from EXACT integer sufficient
+    * statistics (beyond the reference): per-row integer quantities
+    * (cents / whole dollars), decimal sums (Σx Σy Σxy Σx² Σy² never
+    * overflow — the 100 TB-safe accumulator), and the final formula in
+    * double from those exact integers — bit-identical across engines,
+    * where each engine's own corr() differs by accumulation order.
+    * One partial+final aggregate, no shuffle of raw rows. */
+  val aggCorrManual: Q = (s, d) => {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice")).cast("long")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    Tables.lineitem(s, d)
+      .select(x.as("x"), y.as("y"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      .select(
+        col("n").cast("long").as("n"),
+        round(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .cast("long").as("corr_e6"))
+  }
+
   /** F14 — edit distance (beyond the reference): levenshtein between
     * the head and the tail of each document — the codegen'd built-in,
     * the fuzzy-match primitive near-dup QC pipelines use. */
@@ -633,6 +691,9 @@ object RelationalOps {
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_ntile" -> windowNtile,
+    "window_percent_rank" -> windowPercentRank,
+    "agg_collect_set_sorted" -> aggCollectSetSorted,
+    "agg_corr_manual" -> aggCorrManual,
     "fn_levenshtein" -> fnLevenshtein,
     "topk_by_version" -> topkByVersion,
     "sort_desc" -> sortDesc,
@@ -858,6 +919,37 @@ object RelationalOps {
         |   CAST(levenshtein(substring(text, 1, 20), substring(text, 21, 20))
         |     AS BIGINT) AS edit_dist
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT event_id, event_type,
+        |   CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6,
+        |   CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
+        | FROM (SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        | WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
+        | ORDER BY event_id""".stripMargin,
+    "agg_collect_set_sorted" ->
+      """SELECT user_id,
+        |   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_corr_manual" ->
+      """WITH q AS (
+        |   SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |     CAST(round(l_extendedprice) AS BIGINT) AS y
+        |   FROM lineitem),
+        | sums AS (
+        |   SELECT CAST(count(*) AS DOUBLE) AS n,
+        |     CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |     CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |     CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |     CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |     CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |   FROM q)
+        | SELECT CAST(n AS BIGINT) AS n,
+        |   CAST(round(1000000.0 * (n * sxy - sx * sy) /
+        |     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS BIGINT)
+        |     AS corr_e6
+        | FROM sums""".stripMargin,
     "window_row_number" ->
       """SELECT * FROM (
         |   SELECT l_returnflag, l_orderkey, l_linenumber,
