@@ -195,7 +195,24 @@ object CdcQueries {
     Merge.incrementalSnapshot(s, d, v0 = 3000L, v1 = 6000L)
       .orderBy("invoice_id")
 
+  /** T1' — consumer freshness: the lag between the feed head and the
+    * committed cursor after one bounded poll — the monitoring metric
+    * every CDC deployment alerts on (the reference surfaces it as the
+    * 'Last Sync Version' panel, server.js). Deterministic: the cursor
+    * lands on the 100th oldest change, the head is max(version). */
+  val cdcFreshness: Q = (s, d) => {
+    val store = new ConsumerStateStore(s, tmp("graft-state"))
+    val feed = new ChangeFeed(s, d, store)
+    feed.pollAndDeliver("c1", limit = 100)(_.count())
+    val st = store.get("c1")
+    val cur = InvoiceCdc.currentVersion(s, d)
+    import s.implicits._
+    Seq((st.syncName, cur - st.lastSyncVersion))
+      .toDF("sync_name", "version_lag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_freshness" -> cdcFreshness,
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2Asof,
@@ -239,6 +256,15 @@ object CdcQueries {
       |   FROM lineitem)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_freshness" ->
+      s"""WITH $feedsCte,
+         | page AS (SELECT * FROM agg ORDER BY change_version, invoice_id LIMIT 100),
+         | cur AS (SELECT change_version FROM page
+         |   ORDER BY change_version DESC, invoice_id DESC LIMIT 1)
+         | SELECT 'c1' AS sync_name,
+         |   (SELECT max(change_version) FROM feeds) - cur.change_version
+         |     AS version_lag
+         | FROM cur""".stripMargin,
     "cdc_merge_upsert" ->
       s"""WITH $feedsOpsCte,
          | snap AS (

@@ -418,6 +418,47 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** W7 — linear interpolation over time-series gaps (beyond the
+    * reference): the gap-filled hourly grid with missing hours filled
+    * by linear interpolation between the neighboring present hours —
+    * the resample step every metrics/feature pipeline runs. The
+    * carried-forward/backward neighbors are last/first IGNORE NULLS
+    * over the same (event_type, hour) window partitioning — all four
+    * window columns share one exchange; the fraction is exact epoch-ms
+    * integer arithmetic pushed into one deterministic double divide. */
+  val windowInterpolate: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("cents")).as("cents"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hms = unix_millis(col("hour"))
+    val presentMs = when(col("cents").isNotNull, hms)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wp))
+      .withColumn("ph", last(presentMs, ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wn))
+      .withColumn("nh", first(presentMs, ignoreNulls = true).over(wn))
+      .select(col("event_type"), col("hour"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+            ((hms - col("ph")).cast("double") /
+             (col("nh") - col("ph")).cast("double"))))
+          .cast("long").as("cents_interp"))
+      .orderBy("event_type", "hour")
+  }
+
   /** W6 — percent_rank + cume_dist (beyond the reference): rank
     * position as a fraction of the partition, e6-quantized. Exact
     * small-rational doubles — (rank-1)/(n-1) and rows≤/n — so the
@@ -692,6 +733,7 @@ object RelationalOps {
     "agg_grouping_sets" -> aggGroupingSets,
     "window_ntile" -> windowNtile,
     "window_percent_rank" -> windowPercentRank,
+    "window_interpolate" -> windowInterpolate,
     "agg_collect_set_sorted" -> aggCollectSetSorted,
     "agg_corr_manual" -> aggCorrManual,
     "fn_levenshtein" -> fnLevenshtein,
@@ -927,6 +969,39 @@ object RelationalOps {
         |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         | WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
         | ORDER BY event_id""".stripMargin,
+    "window_interpolate" ->
+      """WITH b AS (
+        |   SELECT event_type, date_trunc('hour', ts) AS hour,
+        |     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |   FROM events GROUP BY 1, 2),
+        | r AS (
+        |   SELECT event_type,
+        |     unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR))
+        |       AS hour
+        |   FROM b GROUP BY event_type),
+        | j AS (
+        |   SELECT r.event_type, r.hour, b.cents
+        |   FROM r LEFT JOIN b ON r.event_type = b.event_type AND r.hour = b.hour),
+        | w AS (
+        |   SELECT event_type, hour, cents, epoch_ms(hour) AS hms,
+        |     last_value(cents IGNORE NULLS) OVER wp AS pv,
+        |     last_value(CASE WHEN cents IS NOT NULL THEN epoch_ms(hour) END
+        |       IGNORE NULLS) OVER wp AS ph,
+        |     first_value(cents IGNORE NULLS) OVER wn AS nv,
+        |     first_value(CASE WHEN cents IS NOT NULL THEN epoch_ms(hour) END
+        |       IGNORE NULLS) OVER wn AS nh
+        |   FROM j
+        |   WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wn AS (PARTITION BY event_type ORDER BY hour
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        | SELECT event_type, hour,
+        |   CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |     WHEN pv IS NULL THEN nv
+        |     WHEN nv IS NULL THEN pv
+        |     ELSE round(pv + (nv - pv) * (CAST(hms - ph AS DOUBLE) /
+        |       CAST(nh - ph AS DOUBLE))) END AS BIGINT) AS cents_interp
+        | FROM w ORDER BY event_type, hour""".stripMargin,
     "agg_collect_set_sorted" ->
       """SELECT user_id,
         |   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
