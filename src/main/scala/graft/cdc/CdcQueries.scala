@@ -358,16 +358,7 @@ object CdcQueries {
         | event_type AS change_operation
         | FROM events ORDER BY change_version""".stripMargin,
     "cdc_deletes" ->
-      """WITH feeds AS (
-        |   SELECT o_orderkey AS invoice_id, o_orderkey * 2 AS change_version,
-        |     CASE WHEN o_orderkey % 10 = 0 THEN 'D'
-        |          WHEN o_orderkey % 10 < 3 THEN 'I' ELSE 'U' END AS change_operation
-        |   FROM orders
-        |   UNION ALL
-        |   SELECT l_orderkey, l_orderkey * 2 + 1,
-        |     CASE WHEN l_orderkey % 7 = 0 THEN 'D'
-        |          WHEN l_orderkey % 7 = 1 THEN 'I' ELSE 'U' END
-        |   FROM lineitem),
+      s"""WITH $feedsOpsCte,
         | agg AS (
         |   SELECT invoice_id, max(change_version) AS change_version,
         |     arg_max(change_operation, change_version) AS change_operation

@@ -86,37 +86,47 @@ object LlmQueries {
     * exact + bucketed==in-memory equality asserted in LlmSpec. */
   val simsearchAnn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    // the layout is a pure function of (corpus content, signature
+    // geometry): build it once and reuse — the serving shape is
+    // probe-the-existing-index, not rebuild-the-index-per-query. The
+    // cache key is an MD5 over the corpus file's identity (uri, size,
+    // mtime) and a geometry version tag, so a regenerated corpus or a
+    // hyperplane-geometry change mints a FRESH layout instead of
+    // silently serving a stale one.
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${src.toUri}|${st.getLen}|${st.getModificationTime}|adaptive-v2|hp-v1"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val layout = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-ivf-$key")
+    val planesFile = new java.io.File(layout, "_PLANES")
     // bucket count TRACKS the corpus: planes = ⌈log2(n/64)⌉ clamped to
     // [4,16], i.e. ~64 vectors per bucket. A fixed plane count is
     // mis-sized at both ends — 256 dirs for 2k vectors pays the
     // per-file write constant 128× over (measured: the layout build was
     // the whole bench cost), while 256 buckets for 10^9 vectors prunes
-    // nothing. n comes from a count over the footer row-counts, not a
-    // data scan.
-    val n = emb.count()
-    val planes = math.max(4, math.min(16,
-      math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
-    // the layout is a pure function of (corpus content, signature
-    // geometry): build it once and reuse — the serving shape is
-    // probe-the-existing-index, not rebuild-the-index-per-query. The
-    // cache key is an MD5 over the corpus file's identity (uri, size,
-    // mtime), the plane count, and a plane-function version tag, so a
-    // regenerated corpus, a planes change, or a hyperplane-geometry
-    // change each mint a FRESH layout instead of silently serving a
-    // stale one (a complete _SUCCESS marker makes the existence check
-    // crash-safe).
-    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(src)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.toUri}|${st.getLen}|${st.getModificationTime}|planes=$planes|hp-v1"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    val layout = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft-ivf-$key")
-    if (!new java.io.File(layout, "_SUCCESS").exists())
-      SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = planes,
-        layout.getPath)
+    // nothing. The count job runs ONLY on a cache miss — the cached
+    // layout records its planes, so the steady-state probe path is the
+    // pruned read alone (the layout is valid when BOTH the _SUCCESS
+    // marker and the planes record exist; a crash mid-build leaves one
+    // missing and the next query rebuilds).
+    val planes =
+      if (new java.io.File(layout, "_SUCCESS").exists() && planesFile.exists())
+        new String(java.nio.file.Files.readAllBytes(planesFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      else {
+        val n = emb.count()
+        val p = math.max(4, math.min(16,
+          math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
+        SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = p,
+          layout.getPath)
+        java.nio.file.Files.write(planesFile.toPath,
+          p.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        p
+      }
     SimSearch.annTopKBucketed(emb, "vec_id", "embedding", queryId = 0L,
       k = 20, layoutPath = layout.getPath, planes = planes)
   }

@@ -109,13 +109,20 @@ object SimSearch {
 
   /** kNN classification: majority label among the query's k exact
     * nearest neighbors (vote ties broken by the smaller label — a
-    * deterministic rule both engines share). The neighbor set is the
-    * [[bruteForceTopK]] page (k rows), so the label join and the vote
-    * count are driver-page-sized; the corpus is scanned once. */
+    * deterministic rule both engines share). The label rides the
+    * scored projection through TakeOrderedAndProject — ONE corpus
+    * scan, not a second label-join pass — and the vote count runs
+    * over the k-row page. */
   def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
                   labelCol: String, queryId: Long, k: Int): DataFrame = {
-    val topk = bruteForceTopK(emb, idCol, vecCol, queryId, k)
-    topk.join(emb.select(col(idCol), col(labelCol)), Seq(idCol))
+    VectorFunctions.register(emb.sparkSession)
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    emb.join(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(labelCol),
+        cosineE6(col(vecCol), col("qv")).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(idCol))
+      .limit(k)
       .groupBy(col(labelCol).cast("long").as("predicted_label"))
       .agg(count(lit(1)).as("votes"))
       .orderBy(col("votes").desc, col("predicted_label"))

@@ -35,10 +35,19 @@ object StreamingMerge {
   private val stateSchema = StructType.fromDDL(
     "invoice_id LONG, change_version LONG, change_operation STRING")
 
-  /** Current state table (empty relation before the first batch). */
+  /** Current state table (empty relation before the first batch). A
+    * crash BETWEEN the swap's two renames leaves the state only under
+    * `<state>.merge-bak` — restore it before reading, or the next merge
+    * would silently start from empty and the bak cleanup would destroy
+    * the sole surviving copy. */
   def stateTable(spark: SparkSession, statePath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bakP = new org.apache.hadoop.fs.Path(
+      statePath.stripSuffix("/") + ".merge-bak")
+    if (!fs.exists(p) && fs.exists(bakP) && !fs.rename(bakP, p))
+      throw new java.io.IOException(
+        s"graft merge: cannot restore $bakP after interrupted swap")
     if (fs.exists(p)) spark.read.schema(stateSchema).parquet(statePath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
