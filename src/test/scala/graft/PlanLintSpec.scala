@@ -23,14 +23,26 @@ class PlanLintSpec extends SparkSpec {
     "cdc_consumer_state", "cdc_incremental_poll", "cdc_pagination",
     "cdc_reset", "llm_simsearch_ann", "cdc_deletes")
 
-  test("no declared query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq
+  test("no declared query plans a CartesianProduct or a global window") {
+    val plans = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => stateful(name) }
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+      .map { case (name, fn) =>
+        name -> fn(spark, sf).queryExecution.executedPlan.toString
       }
-    assert(offenders.isEmpty,
-      s"queries planning a cartesian product: $offenders")
+    val cartesian = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(cartesian.isEmpty,
+      s"queries planning a cartesian product: $cartesian")
+    // a Window with an EMPTY partition list serializes the whole input
+    // through one task — the silent scale-killer this lint exists for
+    // (WindowExec prints `Window [funcs], [partitionExprs], [order]`;
+    // empty partitioning shows as `], [], [`)
+    val globalWindow = plans.collect {
+      case (name, plan) if plan.linesIterator.exists(l =>
+        l.contains("Window [") && l.contains("], [], [")) => name
+    }
+    assert(globalWindow.isEmpty,
+      s"queries planning a GLOBAL (unpartitioned) window: $globalWindow")
   }
 }
