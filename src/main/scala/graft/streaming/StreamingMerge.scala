@@ -41,13 +41,9 @@ object StreamingMerge {
     * would silently start from empty and the bak cleanup would destroy
     * the sole surviving copy. */
   def stateTable(spark: SparkSession, statePath: String): DataFrame = {
+    DirSwap.restoreIfTorn(spark, statePath)
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bakP = new org.apache.hadoop.fs.Path(
-      statePath.stripSuffix("/") + ".merge-bak")
-    if (!fs.exists(p) && fs.exists(bakP) && !fs.rename(bakP, p))
-      throw new java.io.IOException(
-        s"graft merge: cannot restore $bakP after interrupted swap")
     if (fs.exists(p)) spark.read.schema(stateSchema).parquet(statePath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
@@ -64,24 +60,12 @@ object StreamingMerge {
         col("m.change_operation").as("change_operation"))
 
   /** One maintenance step: merge a collapsed batch into the state
-    * table and swap the new state in (rename pair, rollback-safe). */
+    * table and swap the new state in ([[DirSwap]], rollback-safe). */
   private[streaming] def applyBatch(spark: SparkSession, statePath: String,
                                     collapsed: DataFrame): Unit = {
     val next = Merge.mergeUpsert(stateTable(spark, statePath), collapsed)
-    val tmp = statePath.stripSuffix("/") + ".merge-tmp"
-    val bak = statePath.stripSuffix("/") + ".merge-bak"
-    next.write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bakP = new org.apache.hadoop.fs.Path(bak)
-    if (fs.exists(bakP)) fs.delete(bakP, true)
-    if (fs.exists(p) && !fs.rename(p, bakP))
-      throw new java.io.IOException(s"graft merge: cannot move $statePath aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
-      if (fs.exists(bakP)) fs.rename(bakP, p) // roll back
-      throw new java.io.IOException(s"graft merge: cannot install $tmp")
-    }
-    fs.delete(bakP, true)
+    DirSwap.install(spark, statePath)(tmp =>
+      next.write.mode("overwrite").parquet(tmp))
   }
 
   /** Launch continuous state maintenance over a change-table file:
