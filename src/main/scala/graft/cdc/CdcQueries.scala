@@ -211,7 +211,26 @@ object CdcQueries {
       .toDF("sync_name", "version_lag")
   }
 
+  /** J5⁻¹ — document SHREDDING: the consumer-side inverse of the nest —
+    * parse the delivered documents' `lines` JSON back into relational
+    * line rows (consumer.js materializes documents; a warehouse
+    * consumer shreds them into tables). Round-trip correctness: the
+    * oracle recomputes the rows from ground-truth lineitem, so
+    * nest → to_json → from_json → explode must be lossless. */
+  val cdcShredDocuments: Q = (s, d) => {
+    val page = InvoiceCdc.pageQueryMaterialized(s, d, 0L, Long.MaxValue, 100)
+    val lineSchema = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "line_no LONG, part_key LONG, qty LONG, price_cents LONG"))
+    page.select(col("invoice_id"),
+        explode(from_json(col("lines"), lineSchema)).as("ln"))
+      .select(col("invoice_id"), col("ln.line_no"), col("ln.part_key"),
+        col("ln.qty"), col("ln.price_cents"))
+      .orderBy("invoice_id", "line_no", "part_key", "qty", "price_cents")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_shred_documents" -> cdcShredDocuments,
     "cdc_freshness" -> cdcFreshness,
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_scd2" -> cdcScd2,
@@ -256,6 +275,17 @@ object CdcQueries {
       |   FROM lineitem)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_shred_documents" ->
+      s"""WITH $feedsCte,
+         | page AS (SELECT invoice_id FROM agg
+         |   ORDER BY change_version, invoice_id LIMIT 100)
+         | SELECT l.l_orderkey AS invoice_id,
+         |   CAST(l.l_linenumber AS BIGINT) AS line_no,
+         |   l.l_partkey AS part_key,
+         |   CAST(round(l.l_quantity, 0) AS BIGINT) AS qty,
+         |   CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+         | FROM lineitem l JOIN page p ON l.l_orderkey = p.invoice_id
+         | ORDER BY invoice_id, line_no, part_key, qty, price_cents""".stripMargin,
     "cdc_freshness" ->
       s"""WITH $feedsCte,
          | page AS (SELECT * FROM agg ORDER BY change_version, invoice_id LIMIT 100),

@@ -59,6 +59,20 @@ object Curate {
     df.withColumn("shuffle_key", shuffleKey(col(idCol)))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Write the shuffled corpus as training shards: range-partition on
+    * the shuffle key (each shard owns a contiguous key range, sampled
+    * boundaries — no single-task sort), sort within each shard, one
+    * file per shard. Reading shard files in key order reproduces the
+    * exact [[globalShuffle]] order — the property CurateSpec pins. */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int,
+                  path: String): Unit = {
+    require(numShards > 0, s"numShards out of range: $numShards")
+    df.withColumn("shuffle_key", shuffleKey(col(idCol)))
+      .repartitionByRange(numShards, col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** PII scrub: redact email addresses and phone-shaped digit runs to
     * typed placeholder tags — the compliance pass every web-scale
     * training corpus runs before tokenization. Pure codegen'd

@@ -74,4 +74,31 @@ class CurateSpec extends SparkSpec {
     assert(en._3.toDouble / de._3 < en._2.toDouble / de._2,
       "temperature must compress the head/tail ratio")
   }
+
+  test("training shards reproduce the global shuffle order exactly") {
+    val path = tmpDir("curate-shards")
+    Curate.writeShards(docs, "doc_id", numShards = 4, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count(), "shards must hold every doc once")
+    // reading shards in key order reproduces the exact shuffle order
+    val fromShards = back.orderBy($"shuffle_key", $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val direct = Curate.globalShuffle(docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(fromShards == direct, "shard order must equal globalShuffle")
+    // shards own DISJOINT contiguous key ranges (range partitioning,
+    // not hash): max(key) of shard i < min(key) of shard i+1
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val ranges = back
+      .select(input_file_name().as("f"), $"shuffle_key")
+      .groupBy($"f").agg(fmin($"shuffle_key").as("lo"), fmax($"shuffle_key").as("hi"))
+      .orderBy($"lo")
+      .select("lo", "hi").as[(Long, Long)].collect().toSeq
+    assert(ranges.size > 1, "expected multiple shard files")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"shard ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }

@@ -59,7 +59,7 @@ class InventorySpec extends SparkSpec {
     "llm_quality_deciles", "llm_pipeline_e2e", "llm_decontaminate_ngram",
     "cdc_merge_upsert", "llm_knn_classify", "llm_label_centroids",
     "window_percent_rank", "agg_collect_set_sorted", "agg_corr_manual",
-    "window_interpolate", "cdc_freshness",
+    "window_interpolate", "cdc_freshness", "cdc_shred_documents",
     "cdc_scd2", "cdc_scd2_asof", "llm_shuffle_order", "llm_pii_scrub",
     "llm_length_histogram", "agg_grouping_sets", "window_ntile",
     "fn_levenshtein",
