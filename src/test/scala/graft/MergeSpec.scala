@@ -29,6 +29,40 @@ class MergeSpec extends SparkSpec {
       "replaying the same batch must not change the state")
   }
 
+  test("ScalaCheck: incremental == direct for arbitrary feeds and splits") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // generic collapse/live over an arbitrary feed — the same
+    // latest-op-wins shape TombstoneCdc uses on the synthetic feed
+    def collapse(feed: org.apache.spark.sql.DataFrame,
+                 since: Long, to: Long) =
+      feed.filter(col("change_version") > since && col("change_version") <= to)
+        .groupBy(col("invoice_id"))
+        .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+        .select(col("invoice_id"),
+          col("m.change_version").as("change_version"),
+          col("m.change_operation").as("change_operation"))
+    def live(feed: org.apache.spark.sql.DataFrame, v: Long) =
+      collapse(feed, 0L, v).filter(col("change_operation") =!= "D")
+    val genRow = for {
+      id <- Gen.choose(1L, 20L)
+      v <- Gen.choose(1L, 40L)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (id, v, op)
+    val prop = forAll(Gen.listOfN(60, genRow), Gen.choose(0L, 40L)) {
+      (rows, v0) =>
+        val feed = rows.toDF("invoice_id", "change_version", "change_operation")
+        val inc = Merge.mergeUpsert(live(feed, v0), collapse(feed, v0, 40L))
+        val direct = live(feed, 40L)
+        inc.exceptAll(direct).isEmpty && direct.exceptAll(inc).isEmpty
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a winning delete removes the entity from the state") {
     // header deletes every 10th id at version 2k; an id whose line
     // change (version 2k+1, the newer one) is ALSO a delete must be
