@@ -87,21 +87,27 @@ object DocumentSink {
 
   /** S5 — sink listing, newest first with size (server.js:368-398).
     * binaryFile gives (path, modificationTime, length) without reading
-    * content — a distributed `ls`. */
-  def listSink(spark: SparkSession, dir: String): DataFrame =
+    * content — a distributed `ls`. Restores a compaction interrupted
+    * between its two renames first (the sink would otherwise read as
+    * missing until manual intervention). */
+  def listSink(spark: SparkSession, dir: String): DataFrame = {
+    graft.streaming.DirSwap.restoreIfTorn(spark, dir, "compact")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.json")
       .load(dir)
       .select(col("path"), col("length"), col("modificationTime"))
       .orderBy(col("modificationTime").desc, col("path"))
+  }
 
   /** S6 — document read-back (server.js:401-421). Pass `schema` when the
     * page shape is known — JSON schema inference costs a full extra pass
-    * over every sink file. */
+    * over every sink file. Restores a torn compaction first. */
   def readBack(spark: SparkSession, dir: String,
-               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    graft.streaming.DirSwap.restoreIfTorn(spark, dir, "compact")
     schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
       .drop("version_bucket")
+  }
 
   /** Read the documents of one change version. The bucket directory is
     * derivable from the version, so ONLY that directory is listed, read —
@@ -155,29 +161,18 @@ object DocumentSink {
     *
     * The swap is rename-based, not atomic: a reader racing the two
     * renames can see a missing directory, and a crash between them
-    * leaves the data intact under `<dir>.compact-bak` (never lost —
-    * restore by renaming back). Run it like the reference runs its
-    * retention cleanup: as a scheduled maintenance window, not
-    * concurrent with delivery. */
+    * leaves the data intact under `<dir>.compact-bak` — every sink
+    * reader restores it automatically ([[graft.streaming.DirSwap]]).
+    * Run it like the reference runs its retention cleanup: as a
+    * scheduled maintenance window, not concurrent with delivery. */
   def compact(spark: SparkSession, dir: String,
               schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val survivors = deduplicated(spark, dir, schema)
-    val tmp = dir.stripSuffix("/") + ".compact-tmp"
-    val bak = dir.stripSuffix("/") + ".compact-bak"
-    survivors
-      .withColumn("version_bucket", expr(s"change_version div $VersionsPerBucket"))
-      .repartition(col("version_bucket"))
-      .write.mode("overwrite").partitionBy("version_bucket").json(tmp)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bakP = new org.apache.hadoop.fs.Path(bak)
-    if (fs.exists(bakP)) fs.delete(bakP, true)
-    if (!fs.rename(p, bakP))
-      throw new java.io.IOException(s"graft sink compact: cannot move $dir aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
-      fs.rename(bakP, p) // roll back: the original layout wins
-      throw new java.io.IOException(s"graft sink compact: cannot install $tmp")
-    }
-    fs.delete(bakP, true)
+    graft.streaming.DirSwap.install(spark, dir, "compact")(tmp =>
+      survivors
+        .withColumn("version_bucket",
+          expr(s"change_version div $VersionsPerBucket"))
+        .repartition(col("version_bucket"))
+        .write.mode("overwrite").partitionBy("version_bucket").json(tmp))
   }
 }

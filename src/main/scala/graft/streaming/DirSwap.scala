@@ -1,40 +1,50 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Rollback-safe directory install shared by the streaming state
-  * maintainers ([[StreamingMerge]], [[StreamingScd2]]): write the new
-  * generation to `<dir>.merge-tmp`, move the old aside to
-  * `<dir>.merge-bak`, install, drop the bak. A crash between the two
-  * renames leaves the only copy under the bak path —
-  * [[restoreIfTorn]] puts it back before any reader starts from
-  * empty (the silent-state-loss hazard). */
-private[streaming] object DirSwap {
+  * maintainers ([[StreamingMerge]], [[StreamingScd2]]) and the sink
+  * compaction ([[graft.sinks.DocumentSink.compact]]): write the new
+  * generation to `<dir>.<tag>-tmp`, move the old aside to
+  * `<dir>.<tag>-bak`, install, drop the bak. A crash between the two
+  * renames leaves the only copy under the bak path — [[restoreIfTorn]]
+  * puts it back before any reader starts from empty (the
+  * silent-state-loss hazard), and [[install]] runs it FIRST so a
+  * direct caller can never delete the sole surviving copy. */
+private[graft] object DirSwap {
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def bakPath(path: String): String = path.stripSuffix("/") + ".merge-bak"
-  def tmpPath(path: String): String = path.stripSuffix("/") + ".merge-tmp"
+  def bakPath(path: String, tag: String = "merge"): String =
+    path.stripSuffix("/") + s".$tag-bak"
+  def tmpPath(path: String, tag: String = "merge"): String =
+    path.stripSuffix("/") + s".$tag-tmp"
 
-  /** Restore `<dir>.merge-bak` → `<dir>` after an interrupted swap. */
-  def restoreIfTorn(spark: SparkSession, path: String): Unit = {
+  /** Restore `<dir>.<tag>-bak` → `<dir>` after an interrupted swap. */
+  def restoreIfTorn(spark: SparkSession, path: String,
+                    tag: String = "merge"): Unit = {
     val fs = fsOf(spark, path)
     val p = new Path(path)
-    val bakP = new Path(bakPath(path))
+    val bakP = new Path(bakPath(path, tag))
     if (!fs.exists(p) && fs.exists(bakP) && !fs.rename(bakP, p))
       throw new java.io.IOException(
         s"graft swap: cannot restore $bakP after interrupted swap")
   }
 
-  /** Run `write` against the tmp path, then swap it in. */
-  def install(spark: SparkSession, path: String)(write: String => Unit): Unit = {
-    val tmp = tmpPath(path)
+  /** Run `write` against the tmp path, then swap it in. Restores a
+    * torn previous swap first — deleting the bak before that would
+    * destroy the only surviving copy. */
+  def install(spark: SparkSession, path: String, tag: String = "merge")
+             (write: String => Unit): Unit = {
+    restoreIfTorn(spark, path, tag)
+    val tmp = tmpPath(path, tag)
     write(tmp)
     val fs = fsOf(spark, path)
     val p = new Path(path)
-    val bakP = new Path(bakPath(path))
+    val bakP = new Path(bakPath(path, tag))
     if (fs.exists(bakP)) fs.delete(bakP, true)
     if (fs.exists(p) && !fs.rename(p, bakP))
       throw new java.io.IOException(s"graft swap: cannot move $path aside")
@@ -43,5 +53,17 @@ private[streaming] object DirSwap {
       throw new java.io.IOException(s"graft swap: cannot install $tmp")
     }
     fs.delete(bakP, true)
+  }
+
+  /** Read the state table at `path` (restoring a torn swap first), or
+    * an empty relation with `schema` before the first install. */
+  def readOrEmpty(spark: SparkSession, path: String, schema: StructType,
+                  tag: String = "merge"): DataFrame = {
+    restoreIfTorn(spark, path, tag)
+    val fs = fsOf(spark, path)
+    if (fs.exists(new Path(path)))
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

@@ -35,19 +35,10 @@ object StreamingMerge {
   private val stateSchema = StructType.fromDDL(
     "invoice_id LONG, change_version LONG, change_operation STRING")
 
-  /** Current state table (empty relation before the first batch). A
-    * crash BETWEEN the swap's two renames leaves the state only under
-    * `<state>.merge-bak` — restore it before reading, or the next merge
-    * would silently start from empty and the bak cleanup would destroy
-    * the sole surviving copy. */
-  def stateTable(spark: SparkSession, statePath: String): DataFrame = {
-    DirSwap.restoreIfTorn(spark, statePath)
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(stateSchema).parquet(statePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-  }
+  /** Current state table (empty relation before the first batch;
+    * restores a torn swap first — see [[DirSwap.readOrEmpty]]). */
+  def stateTable(spark: SparkSession, statePath: String): DataFrame =
+    DirSwap.readOrEmpty(spark, statePath, stateSchema)
 
   /** Collapse one micro-batch of change records latest-op-wins per
     * entity — same single-aggregate shape as
@@ -68,29 +59,18 @@ object StreamingMerge {
       next.write.mode("overwrite").parquet(tmp))
   }
 
-  /** Launch continuous state maintenance over a change-table file:
-    * one consumer = one checkpoint dir; bounded pages via
-    * `maxVersionsPerBatch`. `onBatchMerged(batchId)` fires after the
-    * swap, before the checkpoint commit — the T2 crash window. */
+  /** Launch continuous state maintenance over a change-table file —
+    * scaffold contract in [[ChangeStream.maintain]];
+    * `onBatchMerged(batchId)` fires after the swap, before the
+    * checkpoint commit (the T2 crash window). */
   def maintain(spark: SparkSession, changeTablePath: String,
                versionColumn: String, entityColumn: String,
                operationColumn: String, statePath: String,
                checkpointDir: String, pageVersions: Long = 1000L,
                onBatchMerged: Long => Unit = _ => ()): StreamingQuery =
-    spark.readStream.format("graft-cdc")
-      .option("path", changeTablePath)
-      .option("versionColumn", versionColumn)
-      .option("entityColumn", entityColumn)
-      .option("operationColumn", operationColumn)
-      .option("maxVersionsPerBatch", pageVersions.toString)
-      .load()
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, statePath, collapseBatch(batch))
-        onBatchMerged(batchId)
-        ()
-      }
-      .start()
+    ChangeStream.maintain(spark, changeTablePath, versionColumn,
+      entityColumn, operationColumn, checkpointDir, pageVersions,
+      onBatchMerged) { (batch, _) =>
+      applyBatch(batch.sparkSession, statePath, collapseBatch(batch))
+    }
 }

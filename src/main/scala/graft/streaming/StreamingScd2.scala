@@ -32,15 +32,9 @@ object StreamingScd2 {
       "valid_to LONG, is_current LONG")
 
   /** Current history table (empty before the first batch; restores a
-    * torn swap first — see [[DirSwap]]). */
-  def historyTable(spark: SparkSession, historyPath: String): DataFrame = {
-    DirSwap.restoreIfTorn(spark, historyPath)
-    val p = new org.apache.hadoop.fs.Path(historyPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(historySchema).parquet(historyPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
-  }
+    * torn swap first — see [[DirSwap.readOrEmpty]]). */
+  def historyTable(spark: SparkSession, historyPath: String): DataFrame =
+    DirSwap.readOrEmpty(spark, historyPath, historySchema)
 
   /** One maintenance step: rebuild the touched entities' histories
     * from (stored changes ∪ batch changes), pass untouched entities
@@ -64,29 +58,17 @@ object StreamingScd2 {
   }
 
   /** Launch continuous history maintenance over a change-table file —
-    * same source/trigger/checkpoint contract as
-    * [[StreamingMerge.maintain]]. */
+    * scaffold contract in [[ChangeStream.maintain]]. */
   def maintain(spark: SparkSession, changeTablePath: String,
                versionColumn: String, entityColumn: String,
                operationColumn: String, historyPath: String,
                checkpointDir: String, pageVersions: Long = 1000L,
                onBatchApplied: Long => Unit = _ => ()): StreamingQuery =
-    spark.readStream.format("graft-cdc")
-      .option("path", changeTablePath)
-      .option("versionColumn", versionColumn)
-      .option("entityColumn", entityColumn)
-      .option("operationColumn", operationColumn)
-      .option("maxVersionsPerBatch", pageVersions.toString)
-      .load()
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, historyPath,
-          batch.select(col("entity_id").as("invoice_id"),
-            col("change_version"), col("change_operation")))
-        onBatchApplied(batchId)
-        ()
-      }
-      .start()
+    ChangeStream.maintain(spark, changeTablePath, versionColumn,
+      entityColumn, operationColumn, checkpointDir, pageVersions,
+      onBatchApplied) { (batch, _) =>
+      applyBatch(batch.sparkSession, historyPath,
+        batch.select(col("entity_id").as("invoice_id"),
+          col("change_version"), col("change_operation")))
+    }
 }
