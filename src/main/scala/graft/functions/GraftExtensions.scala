@@ -19,9 +19,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * reference exposes its whole surface through SQL Server.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.builders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
     }
+    // bounded edit-distance rewrites (length prefilter + banded DP)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+  }
 }

@@ -47,4 +47,43 @@ class GraftExtensionsSpec extends SparkSpec {
       default.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("bounded levenshtein gets the length prefilter + threshold rewrite") {
+    spark.sparkContext
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      // parquet-backed input so ConvertToLocalRelation can't fold the
+      // filter away before the rule is visible in the optimized plan
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      val expr = "levenshtein(substring(text, 1, 8), lang) <= 3"
+      val q = docs.filter(expr)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("abs((length(") || optimized.contains("abs(length("),
+        s"length guard missing from:\n$optimized")
+      assert(optimized.contains("Some(3)) >= 0"),
+        s"thresholded levenshtein missing from:\n$optimized")
+      // semantics unchanged vs the un-extended shared session (whose
+      // optimizer has no such rule), on the same data and predicate
+      val got = q.count()
+      val want = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(expr).count()
+      assert(got == want, s"rewrite changed semantics: got $got want $want")
+      // and the guard is REACHABLE: some rows prune on length alone
+      // (8-char head vs 2-char lang code exceeds the bound k=3...)
+      assert(q.count() < docs.count(),
+        "test predicate must actually filter something")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
