@@ -239,6 +239,31 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N2b — fuzzy near-match pairs by bounded edit distance: BLOCKED
+    * self-join (source is the blocking key — the LSH-bucket shape, so
+    * the pair space is per-block, never corpus²) + levenshtein ≤ 12 on
+    * the 30-char heads. The bound uses the THRESHOLDED levenshtein
+    * directly — banded O(k·n) DP with early exit instead of the full
+    * O(n²) table (2.5× at this geometry; same value for kept rows:
+    * distance ≤ threshold ⇒ exact). The LevenshteinPrefilter rule
+    * rewrites the plain `<= k` form to this shape automatically in
+    * extension-injected sessions. */
+  val fuzzyPairsQ: Q = (s, d) => {
+    val h = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      substring(col("text"), 1, 30).as("head"))
+    val a = h.select(col("source"), col("doc_id").as("id_a"),
+      col("head").as("head_a"))
+    val b = h.select(col("source"), col("doc_id").as("id_b"),
+      col("head").as("head_b"))
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("head_a"), col("head_b"), 12).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("source"), col("id_a"), col("id_b"), col("dist"))
+      .orderBy("source", "id_a", "id_b")
+  }
+
   /** N6b — deterministic global corpus shuffle: a total order that is
     * a pure function of the ids (range-partitioned sort, no global
     * window — see Curate.globalShuffle). */
@@ -457,6 +482,7 @@ object LlmQueries {
     "llm_fingerprint" -> fingerprintQ,
     "llm_multimodal_project" -> multimodalProject,
     "llm_sample" -> sampleQ,
+    "llm_fuzzy_pairs" -> fuzzyPairsQ,
     "llm_shuffle_order" -> shuffleOrderQ,
     "llm_pii_scrub" -> piiScrubQ,
     "llm_length_histogram" -> lengthHistogramQ,
@@ -666,6 +692,15 @@ object LlmQueries {
         | WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
         |        * 48271 % 2147483647 + 2147483647) % 2147483647 % 10000 < 1000
         | ORDER BY doc_id""".stripMargin,
+    "llm_fuzzy_pairs" ->
+      """WITH h AS (
+        |   SELECT doc_id, source, substring(text, 1, 30) AS head
+        |   FROM documents)
+        | SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        | FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE levenshtein(a.head, b.head) <= 12
+        | ORDER BY a.source, id_a, id_b""".stripMargin,
     "llm_shuffle_order" ->
       // the normalized Lehmer chain of llm_sample applied twice (one
       // step is monotonic for small ids — see Curate.shuffleKey)
