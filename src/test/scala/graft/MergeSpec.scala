@@ -63,6 +63,38 @@ class MergeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("bucketed state merges without shuffling the state side") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB claim in Merge's doc: with the state table bucketed on
+    // the entity key, the full-outer merge join needs no exchange on
+    // the state side — only the (small) change batch sorts/shuffles
+    graft.plans.StateLayout.writeBucketed(
+      Merge.liveSnapshot(spark, sf, 3000L), "merge_state_b", "invoice_id", 4)
+    val state = spark.table("merge_state_b")
+    val changes = TombstoneCdc.changedInvoicesOps(spark, sf, 3000L, 6000L)
+    val merged = Merge.mergeUpsert(state, changes)
+    // correctness first: bucketed-state merge == plain merge
+    val plain = Merge.incrementalSnapshot(spark, sf, 3000L, 6000L)
+    assert(merged.exceptAll(plain).isEmpty && plain.exceptAll(merged).isEmpty)
+    // plan: exactly one shuffle (the changes side); the state side
+    // reads its buckets in place
+    merged.queryExecution.executedPlan.execute().count()
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      p match {
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case s: QueryStageExec => countShuffles(s.plan)
+        case e: ShuffleExchangeLike => 1 + e.children.map(countShuffles).sum
+        case other => other.children.map(countShuffles).sum
+      }
+    }
+    val n = countShuffles(merged.queryExecution.executedPlan)
+    assert(n <= 1,
+      s"expected at most one exchange (the change batch); got $n:\n" +
+        merged.queryExecution.executedPlan)
+  }
+
   test("a winning delete removes the entity from the state") {
     // header deletes every 10th id at version 2k; an id whose line
     // change (version 2k+1, the newer one) is ALSO a delete must be
