@@ -437,25 +437,10 @@ object RelationalOps {
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
           .as("hour"))
-    val wp = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val hms = unix_millis(col("hour"))
-    val presentMs = when(col("cents").isNotNull, hms)
-    grid.join(hourly, Seq("event_type", "hour"), "left")
-      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wp))
-      .withColumn("ph", last(presentMs, ignoreNulls = true).over(wp))
-      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wn))
-      .withColumn("nh", first(presentMs, ignoreNulls = true).over(wn))
-      .select(col("event_type"), col("hour"),
-        when(col("cents").isNotNull, col("cents"))
-          .when(col("pv").isNull, col("nv"))
-          .when(col("nv").isNull, col("pv"))
-          .otherwise(round(col("pv") + (col("nv") - col("pv")) *
-            ((hms - col("ph")).cast("double") /
-             (col("nh") - col("ph")).cast("double"))))
-          .cast("long").as("cents_interp"))
+    Interpolate.linear(
+        grid.join(hourly, Seq("event_type", "hour"), "left"),
+        "event_type", "hour", "cents", "cents_interp")
+      .select("event_type", "hour", "cents_interp")
       .orderBy("event_type", "hour")
   }
 

@@ -49,6 +49,22 @@ class Wave5Spec extends SparkSpec {
     assert(windows == 1, s"expected one shared Window node:\n$plan")
   }
 
+  test("Interpolate.linear: interior line, leading backfill, trailing carry") {
+    import spark.implicits._
+    val grid = Seq(
+      ("a", "2024-01-01 00:00:00", null.asInstanceOf[java.lang.Long]), // leading → backfill 100
+      ("a", "2024-01-01 01:00:00", java.lang.Long.valueOf(100L)),
+      ("a", "2024-01-01 02:00:00", null.asInstanceOf[java.lang.Long]), // 1/3 of the way 100→400
+      ("a", "2024-01-01 03:00:00", null.asInstanceOf[java.lang.Long]), // 2/3
+      ("a", "2024-01-01 04:00:00", java.lang.Long.valueOf(400L)),
+      ("a", "2024-01-01 05:00:00", null.asInstanceOf[java.lang.Long])  // trailing → carry 400
+    ).toDF("k", "ts", "v")
+      .select($"k", $"ts".cast("timestamp").as("ts"), $"v")
+    val got = graft.ops.Interpolate.linear(grid, "k", "ts", "v", "out")
+      .orderBy("ts").select("out").as[Long].collect().toSeq
+    assert(got == Seq(100L, 100L, 200L, 300L, 400L, 400L), s"got $got")
+  }
+
   test("grouping sets margins are internally consistent") {
     val rows = RelationalOps.aggGroupingSets(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
