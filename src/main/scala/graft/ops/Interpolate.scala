@@ -20,11 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Interpolate {
 
+  private val TmpPrefix = "__graft_interp_"
+
   /** Fill the nullable `valueCol` (integer units, e.g. cents) of a
     * (key, time)-gridded series by linear interpolation. `timeCol`
-    * must be a timestamp; rows are one per grid step per key. */
+    * must be a timestamp; rows are one per grid step per key. The
+    * caller's frame must not carry `__graft_interp_*` columns (the
+    * op's internal namespace — rejected rather than silently
+    * overwritten). */
   def linear(grid: DataFrame, keyCol: String, timeCol: String,
              valueCol: String, outCol: String): DataFrame = {
+    require(!grid.columns.exists(_.startsWith(TmpPrefix)),
+      s"input columns may not start with $TmpPrefix (internal namespace)")
+    val pv = TmpPrefix + "pv"; val ph = TmpPrefix + "ph"
+    val nv = TmpPrefix + "nv"; val nh = TmpPrefix + "nh"
     val wp = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
@@ -34,17 +43,17 @@ object Interpolate {
     val presentMs = when(v.isNotNull, tms)
     val interp: Column =
       when(v.isNotNull, v)
-        .when(col("_pv").isNull, col("_nv"))
-        .when(col("_nv").isNull, col("_pv"))
-        .otherwise(round(col("_pv") + (col("_nv") - col("_pv")) *
-          ((tms - col("_ph")).cast("double") /
-           (col("_nh") - col("_ph")).cast("double"))))
+        .when(col(pv).isNull, col(nv))
+        .when(col(nv).isNull, col(pv))
+        .otherwise(round(col(pv) + (col(nv) - col(pv)) *
+          ((tms - col(ph)).cast("double") /
+           (col(nh) - col(ph)).cast("double"))))
     grid
-      .withColumn("_pv", last(v, ignoreNulls = true).over(wp))
-      .withColumn("_ph", last(presentMs, ignoreNulls = true).over(wp))
-      .withColumn("_nv", first(v, ignoreNulls = true).over(wn))
-      .withColumn("_nh", first(presentMs, ignoreNulls = true).over(wn))
+      .withColumn(pv, last(v, ignoreNulls = true).over(wp))
+      .withColumn(ph, last(presentMs, ignoreNulls = true).over(wp))
+      .withColumn(nv, first(v, ignoreNulls = true).over(wn))
+      .withColumn(nh, first(presentMs, ignoreNulls = true).over(wn))
       .withColumn(outCol, interp.cast("long"))
-      .drop("_pv", "_ph", "_nv", "_nh")
+      .drop(pv, ph, nv, nh)
   }
 }

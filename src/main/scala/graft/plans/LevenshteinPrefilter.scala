@@ -28,25 +28,30 @@ import org.apache.spark.sql.types.IntegerType
 object LevenshteinPrefilter extends Rule[LogicalPlan] {
 
   /** Match `levenshtein(a,b) <= k` / `< k` with a non-negative int
-    * literal bound and no threshold already present; normalize to the
-    * inclusive bound. */
-  private def bounded(e: Expression): Option[(Expression, Expression, Int)] =
-    e match {
-      case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-        if k >= 0 => Some((a, b, k))
-      case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-        if k >= 1 => Some((a, b, k - 1))
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-        if k >= 0 => Some((a, b, k))
-      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-        if k >= 1 => Some((a, b, k - 1))
-      case _ => None
+    * literal bound, DETERMINISTIC operands (the rewrite evaluates each
+    * operand twice — duplicating a non-deterministic expression would
+    * change results), and no threshold already present; normalize to
+    * the inclusive bound. */
+  private object Bounded {
+    def unapply(e: Expression): Option[(Expression, Expression, Int)] = {
+      val m = e match {
+        case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+          if k >= 0 => Some((a, b, k))
+        case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+          if k >= 1 => Some((a, b, k - 1))
+        case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+          if k >= 0 => Some((a, b, k))
+        case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+          if k >= 1 => Some((a, b, k - 1))
+        case _ => None
+      }
+      m.filter { case (a, b, _) => a.deterministic && b.deterministic }
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case e if bounded(e).isDefined =>
-        val (a, b, k) = bounded(e).get
+      case Bounded(a, b, k) =>
         And(
           LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), Literal(k)),
           GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0)))

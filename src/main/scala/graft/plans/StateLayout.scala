@@ -41,11 +41,11 @@ object StateLayout {
     l.join(r, l(leftKey) === r(rightKey), "inner")
   }
 
-  /** True if executing the plan performs any shuffle exchange — the
-    * property bucketing is meant to eliminate. Forces execution first so
-    * AQE finalizes, then walks through adaptive plan/query-stage
-    * boundaries (stages are leaf nodes a plain collect won't enter). */
-  def hasShuffle(df: DataFrame): Boolean = {
+  /** Number of shuffle exchanges the executed plan performs — the cost
+    * bucketing is meant to eliminate. Forces execution first so AQE
+    * finalizes, then walks through adaptive plan/query-stage boundaries
+    * (stages are leaf nodes a plain collect won't enter). */
+  def countShuffles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -53,12 +53,15 @@ object StateLayout {
     // driver (executeCollect on a large join would OOM the driver; an
     // RDD count runs the same stages and discards the rows)
     df.queryExecution.executedPlan.execute().count()
-    def scan(p: SparkPlan): Boolean = p match {
+    def scan(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
-      case _: ShuffleExchangeLike => true
       case s: QueryStageExec => scan(s.plan)
-      case other => other.children.exists(scan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(scan).sum
+      case other => other.children.map(scan).sum
     }
     scan(df.queryExecution.executedPlan)
   }
+
+  /** True if executing the plan performs any shuffle exchange. */
+  def hasShuffle(df: DataFrame): Boolean = countShuffles(df) > 0
 }

@@ -78,18 +78,7 @@ class MergeSpec extends SparkSpec {
     assert(merged.exceptAll(plain).isEmpty && plain.exceptAll(merged).isEmpty)
     // plan: exactly one shuffle (the changes side); the state side
     // reads its buckets in place
-    merged.queryExecution.executedPlan.execute().count()
-    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      p match {
-        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
-        case s: QueryStageExec => countShuffles(s.plan)
-        case e: ShuffleExchangeLike => 1 + e.children.map(countShuffles).sum
-        case other => other.children.map(countShuffles).sum
-      }
-    }
-    val n = countShuffles(merged.queryExecution.executedPlan)
+    val n = graft.plans.StateLayout.countShuffles(merged)
     assert(n <= 1,
       s"expected at most one exchange (the change batch); got $n:\n" +
         merged.queryExecution.executedPlan)
