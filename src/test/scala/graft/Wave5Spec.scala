@@ -65,6 +65,51 @@ class Wave5Spec extends SparkSpec {
     assert(got == Seq(100L, 100L, 200L, 300L, 400L, 400L), s"got $got")
   }
 
+  test("ScalaCheck: Interpolate.linear matches a straight-line model") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    import spark.implicits._
+    // per-key series: strictly increasing hour indexes, ≥1 present value
+    val genSeries = for {
+      n <- Gen.choose(1, 12)
+      vals <- Gen.listOfN(n, Gen.option(Gen.choose(-500L, 500L)))
+      if vals.exists(_.isDefined)
+    } yield vals
+    def model(vals: List[Option[Long]]): List[Long] = {
+      val idx = vals.zipWithIndex
+      val present = idx.collect { case (Some(v), i) => (i, v) }
+      idx.map {
+        case (Some(v), _) => v
+        case (None, i) =>
+          val prev = present.filter(_._1 < i).lastOption
+          val next = present.find(_._1 > i)
+          (prev, next) match {
+            case (Some((pi, pv)), Some((ni, nv))) =>
+              // same rounding as the op: double math, HALF_UP
+              BigDecimal(pv + (nv - pv) *
+                ((i - pi).toDouble / (ni - pi).toDouble))
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            case (Some((_, pv)), None) => pv
+            case (None, Some((_, nv))) => nv
+            case _ => sys.error("unreachable: ≥1 present value")
+          }
+      }
+    }
+    val prop = forAll(genSeries) { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("k", new java.sql.Timestamp(3600000L * i),
+          v.map(java.lang.Long.valueOf).orNull)
+      }
+      val grid = rows.toDF("k", "ts", "v")
+      val got = graft.ops.Interpolate.linear(grid, "k", "ts", "v", "out")
+        .orderBy("ts").select("out").as[Long].collect().toList
+      got == model(vals)
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("grouping sets margins are internally consistent") {
     val rows = RelationalOps.aggGroupingSets(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
