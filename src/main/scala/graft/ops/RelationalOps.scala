@@ -682,6 +682,47 @@ object RelationalOps {
     * the Superset serving surface, spark.sql end-to-end. */
   val viewAdhocSql: Q = (s, d) => Views.adhocRevenueByStatus(s, d)
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** S9 — CSV ingestion (beyond the reference's parquet/JSON surface):
+    * write the feed as headered CSV, read it back with an EXPLICIT
+    * schema (no inference pass — the engine rule, SURVEY §1.2), and
+    * aggregate. The oracle computes the same aggregate from the
+    * original parquet, so the text round trip is proven lossless for
+    * the integer-quantized columns. */
+  val sourceCsvIngest: Q = (s, d) => {
+    val dir = tmp("graft-csv")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .coalesce(4)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, cents LONG")
+      .option("header", "true").csv(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("event_type")
+  }
+
+  /** S10 — ORC round trip with predicate pushdown: write a projection
+    * as ORC (Spark's other first-class columnar format), read it back
+    * with a key filter that reaches the ORC reader's search argument,
+    * and aggregate. Oracle from the original parquet. */
+  val sourceOrcRoundtrip: Q = (s, d) => {
+    val dir = tmp("graft-orc")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_orderkey") <= 1000)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_cents")).as("cents"))
+      .orderBy("l_orderkey")
+  }
+
   // ------------------------------------------------------------ registry --
 
   val queries: Map[String, Q] = Map(
@@ -738,6 +779,8 @@ object RelationalOps {
     "fn_duration_format" -> fnDurationFormat,
     "fn_regexp_extract" -> fnRegexpExtract,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "source_csv_ingest" -> sourceCsvIngest,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "gen_synthetic" -> genSynthetic
   )
 
@@ -954,6 +997,16 @@ object RelationalOps {
         |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         | WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
         | ORDER BY event_id""".stripMargin,
+    "source_csv_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS cents
+        | FROM lineitem WHERE l_orderkey <= 1000
+        | GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "window_interpolate" ->
       """WITH b AS (
         |   SELECT event_type, date_trunc('hour', ts) AS hour,

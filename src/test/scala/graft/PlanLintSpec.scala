@@ -25,7 +25,9 @@ class PlanLintSpec extends SparkSpec {
     // construction collects the key page eagerly; the interesting
     // half of its plan (feed collapse + top-K) is a LocalTableScan by
     // the time a lint could look — covered by PageQuerySpec instead
-    "cdc_shred_documents")
+    "cdc_shred_documents",
+    // write a tmp CSV/ORC copy at construction time
+    "source_csv_ingest", "source_orc_roundtrip")
 
   test("no declared query plans a CartesianProduct or a global window") {
     import org.apache.spark.sql.execution.SparkPlan
