@@ -706,6 +706,22 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** S11 — raw text-lines ingestion (the shape every web-scale corpus
+    * lands in first: one document per line of a .txt dump): write the
+    * corpus as text, read it back with `spark.read.text`, tokenize and
+    * aggregate. Oracle from the original parquet — the line round trip
+    * is exact because the corpus is single-line by construction
+    * (newline-bearing documents would need the JSONL flavor, which the
+    * document sink already covers). */
+  val sourceTextIngest: Q = (s, d) => {
+    val dir = tmp("graft-text")
+    Tables.documents(s, d).select(col("text"))
+      .coalesce(4).write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(size(split(col("value"), " ")).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** S10 — ORC round trip with predicate pushdown: write a projection
     * as ORC (Spark's other first-class columnar format), read it back
     * with a key filter that reaches the ORC reader's search argument,
@@ -781,6 +797,7 @@ object RelationalOps {
     "agg_approx_distinct" -> aggApproxDistinct,
     "source_csv_ingest" -> sourceCsvIngest,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "source_text_ingest" -> sourceTextIngest,
     "gen_synthetic" -> genSynthetic
   )
 
@@ -1001,6 +1018,10 @@ object RelationalOps {
       """SELECT event_type, count(*) AS n,
         |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "source_text_ingest" ->
+      """SELECT count(*) AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        | FROM documents""".stripMargin,
     "source_orc_roundtrip" ->
       """SELECT l_orderkey, count(*) AS n_lines,
         |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
