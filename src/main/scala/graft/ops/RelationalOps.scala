@@ -682,17 +682,22 @@ object RelationalOps {
     * the Superset serving surface, spark.sql end-to-end. */
   val viewAdhocSql: Q = (s, d) => Views.adhocRevenueByStatus(s, d)
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Deterministic per-query scratch dir: the format round-trip
+    * queries rewrite it with mode=overwrite on every run, so repeated
+    * Bench/Verify/probe invocations cap at ONE copy on disk instead of
+    * leaking a fresh temp dir per call. */
+  private def scratch(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-src-$name").getPath
 
   /** S9 — CSV ingestion (beyond the reference's parquet/JSON surface):
     * write the feed as headered CSV, read it back with an EXPLICIT
     * schema (no inference pass — the engine rule, SURVEY §1.2), and
-    * aggregate. The oracle computes the same aggregate from the
-    * original parquet, so the text round trip is proven lossless for
-    * the integer-quantized columns. */
+    * aggregate over EVERY round-tripped column (id sums constrain the
+    * key columns too — a positional swap of the two LONG columns would
+    * fail the oracle). */
   val sourceCsvIngest: Q = (s, d) => {
-    val dir = tmp("graft-csv")
+    val dir = scratch("csv")
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -702,7 +707,9 @@ object RelationalOps {
       .schema("event_id LONG, user_id LONG, event_type STRING, cents LONG")
       .option("header", "true").csv(dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        sum(col("event_id")).as("sum_event_id"),
+        sum(col("user_id")).as("sum_user_id"))
       .orderBy("event_type")
   }
 
@@ -714,7 +721,7 @@ object RelationalOps {
     * (newline-bearing documents would need the JSONL flavor, which the
     * document sink already covers). */
   val sourceTextIngest: Q = (s, d) => {
-    val dir = tmp("graft-text")
+    val dir = scratch("text")
     Tables.documents(s, d).select(col("text"))
       .coalesce(4).write.mode("overwrite").text(dir)
     s.read.text(dir)
@@ -727,7 +734,7 @@ object RelationalOps {
     * with a key filter that reaches the ORC reader's search argument,
     * and aggregate. Oracle from the original parquet. */
   val sourceOrcRoundtrip: Q = (s, d) => {
-    val dir = tmp("graft-orc")
+    val dir = scratch("orc")
     Tables.lineitem(s, d)
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
@@ -1016,7 +1023,9 @@ object RelationalOps {
         | ORDER BY event_id""".stripMargin,
     "source_csv_ingest" ->
       """SELECT event_type, count(*) AS n,
-        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |   CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |   CAST(sum(user_id) AS BIGINT) AS sum_user_id
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "source_text_ingest" ->
       """SELECT count(*) AS n_docs,
