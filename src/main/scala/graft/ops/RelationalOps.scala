@@ -729,6 +729,24 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** S12 — hive-partitioned corpus layout: write the documents
+    * partitioned by language (one dir per lang, co-located before the
+    * write — the per-language shard layout multilingual corpora use),
+    * then read ONE language back: the lang filter prunes to that
+    * single partition directory at the file index, so the read cost is
+    * that language's share of the corpus regardless of total size. */
+  val sourcePartitionedCorpus: Q = (s, d) => {
+    val dir = scratch("bylang")
+    Tables.documents(s, d)
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("sum_doc_id"))
+  }
+
   /** S10 — ORC round trip with predicate pushdown: write a projection
     * as ORC (Spark's other first-class columnar format), read it back
     * with a key filter that reaches the ORC reader's search argument,
@@ -805,6 +823,7 @@ object RelationalOps {
     "source_csv_ingest" -> sourceCsvIngest,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_text_ingest" -> sourceTextIngest,
+    "source_partitioned_corpus" -> sourcePartitionedCorpus,
     "gen_synthetic" -> genSynthetic
   )
 
@@ -1027,6 +1046,11 @@ object RelationalOps {
         |   CAST(sum(event_id) AS BIGINT) AS sum_event_id,
         |   CAST(sum(user_id) AS BIGINT) AS sum_user_id
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "source_partitioned_corpus" ->
+      """SELECT count(*) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        | FROM documents WHERE lang = 'en'""".stripMargin,
     "source_text_ingest" ->
       """SELECT count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens

@@ -27,7 +27,8 @@ class PlanLintSpec extends SparkSpec {
     // the time a lint could look — covered by PageQuerySpec instead
     "cdc_shred_documents",
     // write a tmp CSV/ORC copy at construction time
-    "source_csv_ingest", "source_orc_roundtrip", "source_text_ingest")
+    "source_csv_ingest", "source_orc_roundtrip", "source_text_ingest",
+    "source_partitioned_corpus")
 
   test("no declared query plans a CartesianProduct or a global window") {
     import org.apache.spark.sql.execution.SparkPlan

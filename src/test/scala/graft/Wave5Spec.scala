@@ -110,6 +110,19 @@ class Wave5Spec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("partitioned corpus read prunes to the one lang directory") {
+    val q = RelationalOps.sourcePartitionedCorpus(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(l => l.contains("lang") && l.contains("= en")),
+      s"expected the lang filter in PartitionFilters:\n$plan")
+    // the filter must be a PARTITION filter, not a post-scan data filter
+    assert(scanLine.exists(_.contains("PushedFilters: []")) ||
+      !plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang should prune partitions, not push into row groups:\n$plan")
+  }
+
   test("grouping sets margins are internally consistent") {
     val rows = RelationalOps.aggGroupingSets(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
