@@ -444,6 +444,25 @@ object RelationalOps {
       .orderBy("event_type", "hour")
   }
 
+  /** W8 — RANGE-framed sliding window (beyond the reference): the
+    * trailing-hour moving sum per entity, framed by the ORDER VALUE
+    * (epoch-ms) rather than row count — rows with equal timestamps all
+    * enter the frame together, so the sum is deterministic under ties
+    * where a ROWS frame would depend on tie order. The time-based
+    * moving aggregate every metrics pipeline needs; one window
+    * exchange on the entity key. */
+  val windowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("cents")).over(w).as("hour_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** W6 — percent_rank + cume_dist (beyond the reference): rank
     * position as a fraction of the partition, e6-quantized. Exact
     * small-rational doubles — (rank-1)/(n-1) and rows≤/n — so the
@@ -800,6 +819,7 @@ object RelationalOps {
     "agg_grouping_sets" -> aggGroupingSets,
     "window_ntile" -> windowNtile,
     "window_percent_rank" -> windowPercentRank,
+    "window_range_frame" -> windowRangeFrame,
     "window_interpolate" -> windowInterpolate,
     "agg_collect_set_sorted" -> aggCollectSetSorted,
     "agg_corr_manual" -> aggCorrManual,
@@ -1032,6 +1052,14 @@ object RelationalOps {
         |   CAST(levenshtein(substring(text, 1, 20), substring(text, 21, 20))
         |     AS BIGINT) AS edit_dist
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "window_range_frame" ->
+      """SELECT user_id, event_id,
+        |   CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS hour_cents
+        | FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        | ORDER BY user_id, event_id""".stripMargin,
     "window_percent_rank" ->
       """SELECT event_id, event_type,
         |   CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6,

@@ -61,7 +61,7 @@ class InventorySpec extends SparkSpec {
     "window_percent_rank", "agg_collect_set_sorted", "agg_corr_manual",
     "window_interpolate", "cdc_freshness", "cdc_shred_documents",
     "llm_fuzzy_pairs", "source_csv_ingest", "source_orc_roundtrip",
-    "source_text_ingest", "source_partitioned_corpus",
+    "source_text_ingest", "source_partitioned_corpus", "window_range_frame",
     "cdc_scd2", "cdc_scd2_asof", "llm_shuffle_order", "llm_pii_scrub",
     "llm_length_histogram", "agg_grouping_sets", "window_ntile",
     "fn_levenshtein",
