@@ -414,15 +414,26 @@ object LlmQueries {
 
   /** N4'''' — per-language quality deciles: ntile(10) over the quality
     * score within each language — the binning step before "train on the
-    * top-N deciles" curation. One window shuffle on the language key. */
-  val qualityDecilesQ: Q = (s, d) =>
-    Tables.documents(s, d)
+    * top-N deciles" curation. A language is an UNSPLITTABLE window
+    * partition (a handful of values; at 100 TB one task would sort one
+    * language's entire corpus), so the decile comes from the two-pass
+    * banded rank ([[graft.ops.ScalableRank]]): quantile-banded
+    * (lang, band) local sort + broadcast band offsets, then ntile as
+    * arithmetic on (rank, n). Output-identical (oracle-pinned); the
+    * extra cost is the band-boundary sampling pass — the same trade
+    * `repartitionByRange` makes. */
+  val qualityDecilesQ: Q = (s, d) => {
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextOps.qualityE4(col("text")).as("quality_e4"))
-      .withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-          .orderBy(col("quality_e4").desc, col("doc_id"))).cast("long"))
+    graft.ops.ScalableRank.withRank(base, col("lang"),
+        Seq(col("quality_e4").desc, col("doc_id")), -col("quality_e4"),
+        "__r", "__n")
+      .select(col("doc_id"), col("lang"), col("quality_e4"),
+        graft.ops.ScalableRank.ntileFromRank(col("__r"), col("__n"), 10)
+          .as("decile"))
       .orderBy("doc_id")
+  }
 
   /** N7 — the end-to-end curation pipeline, one declared query that
     * composes five operators the way a real pretraining-data build

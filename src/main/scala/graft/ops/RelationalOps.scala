@@ -400,21 +400,34 @@ object RelationalOps {
       .orderBy("event_type", "band")
   }
 
-  /** W5 — ntile + lead + first_value in ONE window pass (beyond the
-    * reference): quartile of each event within its type by amount, the
-    * next-smaller amount, and the type's maximum — three window
-    * functions sharing one sort/shuffle (the plan has a single Window
-    * node; a per-function formulation would re-sort three times). */
+  /** W5 — ntile + lead + first_value (beyond the reference): quartile
+    * of each event within its type by amount, the next-smaller amount,
+    * and the type's maximum. event_type has FIVE values — a plain
+    * `Window.partitionBy(event_type)` sorts a fifth of the corpus in
+    * one task at any scale, so the rank comes from the two-pass banded
+    * shape ([[ScalableRank]]): quartile is arithmetic on (rank, n),
+    * lead is a self-join on the unique high-cardinality (type, rank)
+    * key (rank r+1's cents — shuffle-splittable, unlike the window),
+    * and first_value over a DESC order is just the group max riding
+    * the tiny broadcast side. Output-identical to the single-window
+    * form (oracle-pinned); every task's sort is bounded by band. */
   val windowNtile: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("cents").desc, col("event_id"))
-    Tables.events(s, d)
+    val base = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+    val ranked = ScalableRank.withRank(base, col("event_type"),
+      Seq(col("cents").desc, col("event_id")), -col("cents"), "__r", "__n")
+    val next = ranked.select(col("event_type").as("__et"),
+      (col("__r") - 1).as("__rp"), col("cents").as("next_cents"))
+    val top = base.groupBy(col("event_type").as("__tt"))
+      .agg(max(col("cents")).as("top_cents"))
+    ranked
+      .join(next, col("event_type") === col("__et") &&
+        col("__r") === col("__rp"), "left")
+      .join(broadcast(top), col("event_type") === col("__tt"))
       .select(col("event_id"), col("event_type"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        lead(col("cents"), 1).over(w).as("next_cents"),
-        first_value(col("cents")).over(w).as("top_cents"))
+        ScalableRank.ntileFromRank(col("__r"), col("__n"), 4).as("quartile"),
+        col("next_cents"), col("top_cents"))
       .orderBy("event_id")
   }
 
@@ -465,17 +478,23 @@ object RelationalOps {
 
   /** W6 — percent_rank + cume_dist (beyond the reference): rank
     * position as a fraction of the partition, e6-quantized. Exact
-    * small-rational doubles — (rank-1)/(n-1) and rows≤/n — so the
-    * quantized value is engine-independent. Shares one window pass. */
+    * small-rational doubles — (rank-1)/(n-1) and rank/n under the
+    * total (cents, event_id) order — so the quantized value is
+    * engine-independent. The rank itself comes from the two-pass
+    * banded shape ([[ScalableRank]]): event_type has five values, so a
+    * whole-partition window would sort a fifth of the corpus in one
+    * task; the banded form bounds every sort at |group|/bands. */
   val windowPercentRank: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("cents"), col("event_id"))
-    Tables.events(s, d)
+    val base = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+    ScalableRank.withRank(base, col("event_type"),
+        Seq(col("cents"), col("event_id")), col("cents"), "__r", "__n")
       .select(col("event_id"), col("event_type"),
-        round(percent_rank().over(w) * 1000000).cast("long").as("pr_e6"),
-        round(cume_dist().over(w) * 1000000).cast("long").as("cd_e6"))
+        round(ScalableRank.percentRankFromRank(col("__r"), col("__n"))
+          * 1000000).cast("long").as("pr_e6"),
+        round(ScalableRank.cumeDistFromRank(col("__r"), col("__n"))
+          * 1000000).cast("long").as("cd_e6"))
       .orderBy("event_id")
   }
 

@@ -64,5 +64,58 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(globalWindow.isEmpty,
       s"queries planning a GLOBAL (unpartitioned) window: $globalWindow")
+    // a window partitioned SOLELY on a known-low-cardinality key is
+    // nearly as bad as a global one: at 100 TB one task sorts one
+    // language's / event type's entire corpus. Exempt when the plan
+    // carries a WindowGroupLimit (a rank<=k filter bounds each map
+    // partition's emission to k rows per group before the exchange) or
+    // the window input is a bounded aggregate (the hour grid).
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val lowCard = Set("lang", "event_type", "l_returnflag", "source",
+      "status", "o_orderstatus")
+    val boundedInput = Set(
+      // windows over the per-(type, hour) AGGREGATED grid — group size
+      // is bounded by the time range, not the corpus
+      "window_gapfill", "window_interpolate")
+    val lowCardWindow = plans.collect {
+      case (name, ns) if !boundedInput(name) &&
+        !ns.exists(_.getClass.getSimpleName.startsWith("WindowGroupLimit")) &&
+        ns.exists {
+          case w: WindowExec => w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall {
+              case a: AttributeReference => lowCard(a.name)
+              case _ => false
+            }
+          case _ => false
+        } => name
+    }
+    assert(lowCardWindow.isEmpty,
+      s"queries planning a whole-group window over a low-cardinality " +
+        s"key (unsplittable at scale — use the ScalableRank two-pass " +
+        s"shape): $lowCardWindow")
+  }
+
+  test("window_row_number / llm_quota_lang keep their WindowGroupLimit") {
+    // the rank<=k filter over row_number is only scale-safe because
+    // InferWindowGroupLimit turns it into Partial+Final WindowGroupLimit
+    // (each map partition emits <=k rows per group BEFORE the exchange);
+    // nothing else guards that the shape keeps optimizing
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    for (name <- Seq("window_row_number", "llm_quota_lang")) {
+      val ns = nodes(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan)
+      val limits = ns.filter(
+        _.getClass.getSimpleName.startsWith("WindowGroupLimit"))
+      assert(limits.size >= 2, s"$name: expected Partial+Final " +
+        s"WindowGroupLimit, plan has ${limits.size}")
+    }
   }
 }

@@ -41,12 +41,27 @@ class Wave5Spec extends SparkSpec {
     assert(fixed < n / 10, s"$fixed of $n docs kept their sorted position")
   }
 
-  test("window_ntile plans ONE window node (three fns share the sort)") {
-    val plan = RelationalOps.windowNtile(spark, sf)
-      .queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    val windows = plan.linesIterator.count(_.contains("Window ["))
-    assert(windows == 1, s"expected one shared Window node:\n$plan")
+  test("window_ntile ranks via banded windows, never a whole event_type") {
+    // the two-pass ScalableRank shape: every Window node partitions on
+    // (event_type, __band) — the band column bounds each task's sort at
+    // |group|/bands, so no task ever sorts one event type's whole corpus
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    val windows = nodes(RelationalOps.windowNtile(spark, sf)
+      .queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the banded rank windows")
+    val wholeGroup = windows.filter(_.partitionSpec.forall(
+      _.references.map(_.name).toSet.subsetOf(Set("event_type"))))
+    assert(wholeGroup.isEmpty,
+      s"window sorts a whole event_type in one task:\n${wholeGroup.mkString}")
   }
 
   test("Interpolate.linear: interior line, leading backfill, trailing carry") {
