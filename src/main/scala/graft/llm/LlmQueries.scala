@@ -368,9 +368,16 @@ object LlmQueries {
     * cardinality, spreads evenly; the per-doc argmin is a partial
     * min(struct) aggregate. */
   val rarestTermQ: Q = (s, d) => {
+    // the (doc, term) table feeds BOTH the vocabulary aggregate and the
+    // join probe; without staging, Catalyst plans the tokenize scan
+    // under each input (exchange reuse does not cross the broadcast
+    // stage boundary) and the corpus is tokenized twice. localCheckpoint
+    // materializes it once — the "stage the token table" step a 100 TB
+    // TF-IDF build does explicitly.
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .localCheckpoint(true)
     val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tok.join(dfreq, "term")
       .groupBy(col("doc_id"))
@@ -395,9 +402,15 @@ object LlmQueries {
     * rounded idfs agree (verified empirically at both SFs). */
   val tfidfTopTermQ: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // stage the aggregated (doc, term, tf) table once (localCheckpoint):
+    // it feeds both the df vocabulary aggregate and the scoring probe,
+    // and without staging each input re-runs the tokenize scan. The
+    // remaining second `documents` access is the corpus-size count — a
+    // zero-column scan (parquet footer counts), not a tokenize.
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(dfreq, "term")
