@@ -37,9 +37,13 @@ object Scd2 {
     * on all columns and cost a second exchange, where both window
     * functions here share one shuffle + one sort (asserted in
     * Scd2Spec). Duplicate rows are identical by the feed contract, so
-    * keeping the first in window order is deterministic. */
+    * keeping the first in window order is deterministic. The order
+    * carries `change_operation` as a tiebreaker so that even a feed
+    * VIOLATING that contract (two different ops at one version) picks
+    * its survivor deterministically instead of by partition layout. */
   def history(feedOps: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("invoice_id")).orderBy(col("change_version"))
+    val w = Window.partitionBy(col("invoice_id"))
+      .orderBy(col("change_version"), col("change_operation"))
     feedOps
       .select(col("invoice_id"), col("change_operation"), col("change_version"))
       .withColumn("prev_version", lag(col("change_version"), 1).over(w))

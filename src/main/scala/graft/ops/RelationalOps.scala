@@ -723,10 +723,13 @@ object RelationalOps {
   /** Deterministic per-query scratch dir: the format round-trip
     * queries rewrite it with mode=overwrite on every run, so repeated
     * Bench/Verify/probe invocations cap at ONE copy on disk instead of
-    * leaking a fresh temp dir per call. */
-  private def scratch(name: String): String =
+    * leaking a fresh temp dir per call. Scoped by the Spark
+    * applicationId so two concurrent JVMs (or another user's run on a
+    * shared host) never interleave overwrite-and-read on one path —
+    * within a JVM the id is stable, so the one-copy cap still holds. */
+  private def scratch(s: SparkSession, name: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-src-$name").getPath
+      s"graft-src-${s.sparkContext.applicationId}-$name").getPath
 
   /** S9 — CSV ingestion (beyond the reference's parquet/JSON surface):
     * write the feed as headered CSV, read it back with an EXPLICIT
@@ -735,7 +738,7 @@ object RelationalOps {
     * key columns too — a positional swap of the two LONG columns would
     * fail the oracle). */
   val sourceCsvIngest: Q = (s, d) => {
-    val dir = scratch("csv")
+    val dir = scratch(s, "csv")
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -759,7 +762,7 @@ object RelationalOps {
     * (newline-bearing documents would need the JSONL flavor, which the
     * document sink already covers). */
   val sourceTextIngest: Q = (s, d) => {
-    val dir = scratch("text")
+    val dir = scratch(s, "text")
     Tables.documents(s, d).select(col("text"))
       .coalesce(4).write.mode("overwrite").text(dir)
     s.read.text(dir)
@@ -774,7 +777,7 @@ object RelationalOps {
     * single partition directory at the file index, so the read cost is
     * that language's share of the corpus regardless of total size. */
   val sourcePartitionedCorpus: Q = (s, d) => {
-    val dir = scratch("bylang")
+    val dir = scratch(s, "bylang")
     Tables.documents(s, d)
       .repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
@@ -790,7 +793,7 @@ object RelationalOps {
     * with a key filter that reaches the ORC reader's search argument,
     * and aggregate. Oracle from the original parquet. */
   val sourceOrcRoundtrip: Q = (s, d) => {
-    val dir = scratch("orc")
+    val dir = scratch(s, "orc")
     Tables.lineitem(s, d)
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))

@@ -23,13 +23,18 @@ private[graft] object DirSwap {
   def tmpPath(path: String, tag: String = "merge"): String =
     path.stripSuffix("/") + s".$tag-tmp"
 
-  /** Restore `<dir>.<tag>-bak` → `<dir>` after an interrupted swap. */
+  /** Restore `<dir>.<tag>-bak` → `<dir>` after an interrupted swap.
+    * Two concurrent readers may both observe the torn state and race
+    * the rename; the loser's rename fails even though the directory
+    * was just restored and is healthy — so only throw if the target
+    * is STILL missing after the failed rename. */
   def restoreIfTorn(spark: SparkSession, path: String,
                     tag: String = "merge"): Unit = {
     val fs = fsOf(spark, path)
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
-    if (!fs.exists(p) && fs.exists(bakP) && !fs.rename(bakP, p))
+    if (!fs.exists(p) && fs.exists(bakP) && !fs.rename(bakP, p) &&
+        !fs.exists(p))
       throw new java.io.IOException(
         s"graft swap: cannot restore $bakP after interrupted swap")
   }
