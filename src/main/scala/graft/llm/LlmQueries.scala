@@ -485,7 +485,21 @@ object LlmQueries {
         col("meta.durationMs").as("duration_ms"))
       .orderBy("media_id")
 
+  /** N5' — binary-payload ingestion through Spark's `binaryFile`
+    * source: per-payload files staged from the documents table (id in
+    * the directory name), read back as opaque bytes + metadata, digest
+    * computed over the binary column. The files layout every image /
+    * audio corpus ships in; see [[Multimodal.binaryIngest]] for the
+    * scale notes. Oracle: byte length and md5 recomputed from the
+    * source text in DuckDB. */
+  val multimodalIngest: Q = (s, d) => {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-mm-${s.sparkContext.applicationId}").getPath
+    Multimodal.binaryIngest(s, Tables.documents(s, d), dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_multimodal_ingest" -> multimodalIngest,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
     "llm_dedup_ngram" -> dedupNgram,
@@ -927,6 +941,13 @@ object LlmQueries {
          | SELECT shard, CAST((running - n_tokens) // 4096 AS BIGINT) AS bin,
          |   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          | FROM r GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "llm_multimodal_ingest" ->
+      """SELECT doc_id AS media_id,
+        | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        | CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+        | md5(text || chr(10)) AS digest
+        | FROM documents WHERE doc_id < 64
+        | ORDER BY media_id""".stripMargin,
     "llm_multimodal_project" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

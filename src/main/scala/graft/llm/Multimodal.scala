@@ -102,4 +102,43 @@ object Multimodal {
     media.toDF().select(col("mediaId").as("media_id"), col("kind"),
       expr(s"substring(payload, 1, $maxBytes)").as("payload_small"),
       col("meta"))
+
+  /** [NORTH-STAR] Binary-file ingestion — the layout every image/audio
+    * corpus starts in: one payload per file on a shared store, ingested
+    * with Spark's `binaryFile` source into (path, modificationTime,
+    * length, content) rows with the payload as an opaque binary column.
+    * The media id rides in the directory name (the hive-ish `doc_id=N/`
+    * layout), and the digest/feature step runs straight over the bytes
+    * — no driver-side file handling anywhere.
+    *
+    * Here the payload files are STAGED from the documents table (one
+    * text payload per file — the container has no image assets), which
+    * is what makes the read-back DuckDB-oracle-checkable: byte length
+    * and md5 of each file must equal the same expressions over the
+    * source text (+1 for the writer's newline). Scale: binaryFile packs
+    * small files into FilePartitions by `maxPartitionBytes`, so task
+    * count follows volume, not file count; `pathGlobFilter` prunes
+    * non-payload files at the file index, and metadata-only predicates
+    * (path, length) never touch the bytes. */
+  def binaryIngest(spark: SparkSession, docs: DataFrame,
+                   scratchDir: String, maxId: Long = 64L): DataFrame = {
+    docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id"), col("text").as("value"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").partitionBy("doc_id").text(scratchDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(scratchDir)
+      .select(
+        regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long")
+          .as("media_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .withColumn("kind", element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("media_id") % 3 + 1).cast("int")))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"))
+      .orderBy("media_id")
+  }
 }

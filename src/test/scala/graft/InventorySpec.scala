@@ -66,7 +66,8 @@ class InventorySpec extends SparkSpec {
     "llm_length_histogram", "agg_grouping_sets", "window_ntile",
     "fn_levenshtein",
     "window_lag_delta", "window_sessionize", "window_gapfill",
-    "agg_pivot", "agg_cube", "llm_tfidf_top_term")
+    "agg_pivot", "agg_cube", "llm_tfidf_top_term",
+    "llm_multimodal_ingest")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -28,7 +28,9 @@ class PlanLintSpec extends SparkSpec {
     "cdc_shred_documents",
     // write a tmp CSV/ORC copy at construction time
     "source_csv_ingest", "source_orc_roundtrip", "source_text_ingest",
-    "source_partitioned_corpus")
+    "source_partitioned_corpus",
+    // stages per-payload binary files at construction time
+    "llm_multimodal_ingest")
 
   test("no declared query plans a CartesianProduct or a global window") {
     import org.apache.spark.sql.execution.SparkPlan

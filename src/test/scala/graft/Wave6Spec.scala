@@ -39,4 +39,22 @@ class Wave6Spec extends SparkSpec {
     assert(tokenizeScans("llm_tfidf_top_term").isEmpty,
       "the (doc, term, tf) table must be staged once, not re-tokenized per input")
   }
+
+  test("llm_multimodal_ingest reads through the binaryFile source") {
+    val df = SparkEntry.queries("llm_multimodal_ingest")(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "digest"))
+    // the read path must be the binaryFile format (opaque bytes +
+    // metadata), not a text/parquet re-read of the staged payloads
+    assert(df.queryExecution.executedPlan.toString.contains("binaryFile"),
+      "expected a binaryFile FileScan")
+    // one row per staged payload file, ids intact
+    import org.apache.spark.sql.functions._
+    val ids = df.select("media_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val want = Tables.documents(spark, sf).filter(col("doc_id") < 64)
+      .select("doc_id").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(ids.sameElements(want), "one output row per source doc")
+  }
 }
