@@ -1,0 +1,95 @@
+package graft
+
+import graft.cdc.{Maintenance, Retention}
+import graft.sinks.DocumentSink
+import org.apache.spark.sql.functions._
+
+/** T6 end-to-end maintenance: expire + log-compact the change table and
+  * compact the sink in ONE job — file counts bounded after N polls,
+  * read-back identical, rerunnable. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filesUnder(dir: String, suffix: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).map(_.getName).filter(_.endsWith(suffix))
+  }
+
+  test("one maintenance window bounds files and preserves read-back") {
+    val changeDir = tmpDir("mchg")
+    val sinkDir = tmpDir("msink")
+    val errDir = tmpDir("merr")
+    // N=5 polls: each appends one version page of changes AND delivers
+    // its documents; page 3 is redelivered (crash retry), so the sink
+    // carries duplicates the compaction must collapse
+    val feed = Tables.events(spark, sf).select(
+      col("user_id").as("entity_id"),
+      col("event_id").as("change_version"),
+      element_at(array(lit("I"), lit("U"), lit("D")),
+        (col("event_id") % 3 + 1).cast("int")).as("change_operation"))
+    val pages = (0 until 5).map { i =>
+      feed.filter(col("change_version") > i * 200L &&
+        col("change_version") <= (i + 1) * 200L)
+    }
+    pages.foreach(_.write.mode("append").parquet(changeDir))
+    def docsOf(p: org.apache.spark.sql.DataFrame) = p.select(
+      col("entity_id").as("invoice_id"),
+      concat(lit("INV-"), lpad(col("entity_id").cast("string"), 9, "0"))
+        .as("invoice_number"),
+      col("change_version"))
+    pages.foreach(p => DocumentSink.writeVersioned(docsOf(p), sinkDir, errDir))
+    DocumentSink.writeVersioned(docsOf(pages(3)), sinkDir, errDir) // redelivery
+
+    val sinkBefore = DocumentSink.deduplicated(spark, sinkDir)
+      .select("invoice_id", "invoice_number", "change_version", "doc_name")
+      .as[(Long, String, Long, String)].collect().toSet
+    val preFiles = filesUnder(sinkDir, ".json").size
+    assert(preFiles > 5, s"fixture should accumulate poll files, got $preFiles")
+
+    val report = Maintenance.run(spark, changeDir, sinkDir,
+      watermark = 200L, compactUpTo = 600L, nFiles = 4)
+
+    // change table: expired prefix gone, one newest FULL row per entity
+    // in the compacted segment, tail untouched, bounded file count
+    val after = spark.read.parquet(changeDir).cache()
+    assert(after.agg(min($"change_version")).head().getLong(0) > 200L)
+    val oldSeg = after.filter($"change_version" <= 600L)
+    assert(oldSeg.groupBy($"entity_id").count().filter($"count" > 1).isEmpty,
+      "log-compacted segment must hold one row per entity")
+    val expectedOld = feed
+      .filter($"change_version" > 200L && $"change_version" <= 600L)
+      .groupBy($"entity_id").agg(max($"change_version").as("v"))
+      .as[(Long, Long)].collect().toSet
+    assert(oldSeg.select($"entity_id", $"change_version")
+      .as[(Long, Long)].collect().toSet == expectedOld)
+    assert(oldSeg.columns.contains("change_operation"),
+      "full rows survive, not key projections")
+    assert(after.filter($"change_version" > 600L).count() ==
+      feed.filter($"change_version" > 600L).count())
+    assert(report.changeFiles == 4L,
+      s"expected nFiles parquet files, got ${report.changeFiles}")
+    // the cdc source still reads the rewritten table (footer pruning path)
+    assert(spark.read.format("graft-cdc").option("path", changeDir).load()
+      .count() == report.changeRows)
+
+    // sink: identical read-back (survivors keep their stamps), one file
+    // per bucket dir instead of one per poll
+    val sinkAfter = DocumentSink.deduplicated(spark, sinkDir)
+      .select("invoice_id", "invoice_number", "change_version", "doc_name")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(sinkAfter == sinkBefore, "sink read-back must be identical")
+    val buckets = new java.io.File(sinkDir).listFiles()
+      .count(_.getName.startsWith("version_bucket="))
+    assert(report.sinkFiles == buckets.toLong,
+      s"expected one file per bucket ($buckets), got ${report.sinkFiles}")
+
+    // rerunnable: a second window is a no-op on rows and files
+    val again = Maintenance.run(spark, changeDir, sinkDir,
+      watermark = 200L, compactUpTo = 600L, nFiles = 4)
+    assert(again.changeRows == report.changeRows &&
+      again.sinkDocs == report.sinkDocs &&
+      again.changeFiles == report.changeFiles &&
+      again.sinkFiles == report.sinkFiles)
+  }
+}
