@@ -20,10 +20,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    VectorFunctions.builders.foreach { case (name, cls, builder) =>
-      ext.injectFunction((
-        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
-    }
+    (VectorFunctions.builders ++ BloomFunctions.builders)
+      .foreach { case (name, cls, builder) =>
+        ext.injectFunction((
+          FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+      }
     // bounded edit-distance rewrites (length prefilter + banded DP)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.BloomFunctions
 
 /** [NORTH-STAR] Corpus-curation operators for training-data pipelines:
   * deterministic downsampling, per-group quota selection, and eval-set
@@ -216,6 +217,43 @@ object Curate {
       .filter(col("shared") >= minShared)
       .select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-filter decontamination — the scale path of [[decontaminate]]
+    * for when the eval side does NOT fit in a broadcast (a multi-
+    * billion-row held-out set at 100 TB). Three stages:
+    *
+    *  1. the eval fingerprints fold into one Bloom filter via the
+    *     distributed aggregate — only the fixed-size bit array
+    *     (`numBits/8` bytes, independent of eval cardinality) crosses
+    *     to the driver, like a scalar-subquery runtime filter;
+    *  2. the corpus tests membership AT THE SCAN (`might_contain` on a
+    *     literal — codegen'd, no join, no shuffle). No false negatives,
+    *     so the overwhelming definitely-clean majority is done here;
+    *  3. only the might-contain candidates — bounded by true leaks +
+    *     the false-positive rate, not corpus size — meet the eval set
+    *     in an exact anti-join (shuffled on fp, NOT broadcast: the
+    *     premise is an unbroadcastable eval side).
+    *
+    * Output identical to [[decontaminate]] for any `numBits` (the
+    * exact confirm absorbs false positives); `numBits` only moves the
+    * candidate volume. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+                         textCol: String, expectedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    BloomFunctions.register(corpus.sparkSession)
+    val evalFps = evalSet
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    val bloomBytes = evalFps
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("fp")), expectedItems,
+        numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fpd = corpus.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val hit = BloomFunctions.mightContain(bloomBytes, xxhash64(col("fp")))
+    val clean = fpd.filter(!hit)
+    val survivors = fpd.filter(hit)
+      .join(evalFps, Seq("fp"), "left_anti")
+    clean.unionByName(survivors).drop("fp")
   }
 
   /** Eval-set decontamination: drop every corpus row whose content

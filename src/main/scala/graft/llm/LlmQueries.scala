@@ -229,6 +229,20 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N6''++ — Bloom-filter decontamination: same contract (and same
+    * oracle-checked output) as [[decontaminateQ]], via the scale path
+    * for an UNBROADCASTABLE eval set — eval fingerprints folded into a
+    * fixed-size Bloom filter, corpus probed at the scan, only
+    * might-contain candidates exact-confirmed in a (non-broadcast)
+    * anti join. Physical strategy differs; rows don't — the salted-join
+    * proof pattern. */
+  val decontaminateBloomQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curate.decontaminateBloom(docs,
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** N6''+ — n-gram decontamination: any document sharing an 8-gram
     * with the eval set (every 97th doc) is removed — catches partial
     * overlap the fingerprint method misses. */
@@ -526,6 +540,7 @@ object LlmQueries {
     "llm_length_histogram" -> lengthHistogramQ,
     "llm_quota_lang" -> quotaQ,
     "llm_decontaminate" -> decontaminateQ,
+    "llm_decontaminate_bloom" -> decontaminateBloomQ,
     "llm_repetition" -> repetitionQ,
     "llm_packing" -> packingQ,
     "llm_sample_stratified" -> sampleStratifiedQ,
@@ -777,6 +792,16 @@ object LlmQueries {
       // NOT EXISTS, not NOT IN: a NULL fingerprint under NOT IN would
       // drop rows (or, inside the subquery, drop EVERY row) where the
       // Spark left_anti join keeps them — anti-join semantics match
+      """WITH f AS (SELECT doc_id,
+        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   FROM documents),
+        | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+        | SELECT doc_id FROM f
+        | WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.fp = f.fp)
+        | ORDER BY doc_id""".stripMargin,
+    "llm_decontaminate_bloom" ->
+      // same contract as llm_decontaminate — the Bloom prefilter +
+      // exact confirm must be output-invisible (the salted-join proof)
       """WITH f AS (SELECT doc_id,
         |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |   FROM documents),

@@ -57,4 +57,52 @@ class Wave6Spec extends SparkSpec {
         org.apache.spark.sql.Encoders.scalaLong).collect().sorted
     assert(ids.sameElements(want), "one output row per source doc")
   }
+
+  test("decontaminateBloom: exact output even under forced false positives") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val eval = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val expect = graft.llm.Curate.decontaminate(docs, eval, "text")
+      .select("doc_id").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    // 64 bits for ~hundreds of eval fingerprints saturates the filter —
+    // nearly every corpus row becomes a might-contain candidate; the
+    // exact confirm must absorb every false positive
+    val got = graft.llm.Curate.decontaminateBloom(docs, eval, "text",
+        expectedItems = 8, numBits = 64)
+      .select("doc_id").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(got.sameElements(expect),
+      "Bloom prefilter + exact confirm must be output-invisible")
+  }
+
+  test("llm_decontaminate_bloom: clean path is scan-only, no join") {
+    // the scale contract: the definitely-clean side (no Bloom hit) goes
+    // scan -> filter -> union with NO join and NO exchange — only the
+    // bounded candidate side meets the eval set
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("llm_decontaminate_bloom")(spark, sf)
+      .queryExecution.executedPlan
+    val unions = nodes(plan).collect { case u: UnionExec => u }
+    assert(unions.size == 1, s"expected one union, got ${unions.size}")
+    val sides = unions.head.children.map(nodes)
+    val joinFree = sides.filter(s => !s.exists(_.isInstanceOf[BaseJoinExec])
+      && !s.exists(_.isInstanceOf[Exchange]))
+    assert(joinFree.size == 1,
+      "exactly one union side (the clean majority) must be join- and " +
+        "exchange-free; the other carries the bounded candidate confirm")
+    // the premise is an unbroadcastable eval side, so the code must
+    // not FORCE a broadcast — the physical strategy stays AQE's call
+    // (broadcast at this test scale, shuffle at 100 TB). Assert no
+    // hint in the logical plan rather than banning the physical
+    // broadcast AQE correctly picks here.
+    val logical = SparkEntry.queries("llm_decontaminate_bloom")(spark, sf)
+      .queryExecution.analyzed
+    assert(!logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.exists(_ => true),
+      "the confirm join must not carry a broadcast hint")
+  }
 }
