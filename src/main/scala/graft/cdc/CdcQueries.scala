@@ -229,7 +229,30 @@ object CdcQueries {
       .orderBy("invoice_id", "line_no", "part_key", "qty", "price_cents")
   }
 
+  /** S2' — schema evolution across feed pages: even-keyed "pages"
+    * written under the v1 payload schema (amount only), odd-keyed
+    * pages under v2 (+ status). Old files stay untouched (no rewrite
+    * at an ALTER); the merged read null-backfills v1 rows at the scan.
+    * One scratch round-trip, then a pure scan — no shuffle. */
+  val cdcSchemaEvolution: Q = (s, d) => {
+    val dir = tmp("graft-evolve")
+    val o = Tables.orders(s, d)
+    def page(parity: Int, extra: Seq[org.apache.spark.sql.Column]) =
+      o.filter(pmod(col("o_orderkey"), lit(2)) === parity)
+        .select(Seq(
+          col("o_orderkey").as("entity_id"),
+          col("o_orderkey").as("change_version"),
+          round(col("o_totalprice") * 100).cast("long").as("amount_cents"))
+          ++ extra: _*)
+    page(0, Seq.empty).write.mode("overwrite").parquet(dir)
+    page(1, Seq(col("o_orderstatus").as("status")))
+      .write.mode("append").parquet(dir)
+    SchemaEvolution.readEvolved(s, dir, Seq("entity_id", "change_version"))
+      .orderBy("entity_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_schema_evolution" -> cdcSchemaEvolution,
     "cdc_shred_documents" -> cdcShredDocuments,
     "cdc_freshness" -> cdcFreshness,
     "cdc_merge_upsert" -> cdcMergeUpsert,
@@ -275,6 +298,12 @@ object CdcQueries {
       |   FROM lineitem)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_schema_evolution" ->
+      // v1 pages (even keys) predate the status column: NULL backfill
+      """SELECT o_orderkey AS entity_id, o_orderkey AS change_version,
+        |   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amount_cents,
+        |   CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+        | FROM orders ORDER BY entity_id""".stripMargin,
     "cdc_shred_documents" ->
       s"""WITH $feedsCte,
          | page AS (SELECT invoice_id FROM agg

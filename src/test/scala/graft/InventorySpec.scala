@@ -67,7 +67,8 @@ class InventorySpec extends SparkSpec {
     "fn_levenshtein",
     "window_lag_delta", "window_sessionize", "window_gapfill",
     "agg_pivot", "agg_cube", "llm_tfidf_top_term",
-    "llm_multimodal_ingest", "llm_decontaminate_bloom")
+    "llm_multimodal_ingest", "llm_decontaminate_bloom",
+    "cdc_schema_evolution")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

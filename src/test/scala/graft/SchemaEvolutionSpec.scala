@@ -1,0 +1,61 @@
+package graft
+
+import graft.cdc.SchemaEvolution
+import org.apache.spark.sql.functions._
+
+/** Additive schema evolution on the change table: old pages stay
+  * untouched on disk, the merged read null-backfills, the T5 collapse
+  * keeps latest-row-wins semantics, and the DSv2 cdc source still
+  * serves the key feed from the evolved directory. */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvolved(dir: String): Unit = {
+    // v1 pages: (entity, version, amount) — versions 1..4
+    Seq((1L, 1L, 100L), (2L, 2L, 200L), (1L, 3L, 150L), (3L, 4L, 300L))
+      .toDF("entity_id", "change_version", "amount_cents")
+      .write.mode("overwrite").parquet(dir)
+    // the ALTER: later pages add `status` — versions 5..6
+    Seq((2L, 5L, 250L, "paid"), (4L, 6L, 400L, "open"))
+      .toDF("entity_id", "change_version", "amount_cents", "status")
+      .write.mode("append").parquet(dir)
+  }
+
+  test("readEvolved: union schema, null backfill, canonical order") {
+    val dir = tmpDir("evolve")
+    writeEvolved(dir)
+    val df = SchemaEvolution.readEvolved(spark, dir,
+      Seq("entity_id", "change_version"))
+    assert(df.columns.toSeq ==
+      Seq("entity_id", "change_version", "amount_cents", "status"))
+    val rows = df.as[(Long, Long, Long, Option[String])]
+      .collect().sortBy(_._2)
+    assert(rows.map(_._4).toSeq ==
+      Seq(None, None, None, None, Some("paid"), Some("open")),
+      "pre-evolution rows must be null-backfilled, later rows intact")
+  }
+
+  test("latestSnapshot: latest-row-wins, no per-column splice") {
+    val dir = tmpDir("evolve-snap")
+    writeEvolved(dir)
+    val snap = SchemaEvolution.latestSnapshot(spark, dir,
+        Seq("entity_id", "change_version"))
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(snap.keySet == Set(1L, 2L, 3L, 4L))
+    // entity 1's winner (v3) predates the evolution: NULL status
+    assert(snap(1L) == ((1L, 3L, 150L, None)))
+    // entity 2's winner (v5) is post-evolution: carries status
+    assert(snap(2L) == ((2L, 5L, 250L, Some("paid"))))
+  }
+
+  test("the DSv2 cdc source still serves the key feed after evolution") {
+    val dir = tmpDir("evolve-dsv2")
+    writeEvolved(dir)
+    val feed = spark.read.format("graft-cdc").option("path", dir).load()
+    assert(feed.columns.toSeq == Seq("entity_id", "change_version"))
+    assert(feed.count() == 6L)
+    // version pushdown across old- and new-schema files alike
+    assert(feed.filter($"change_version" > 4L).count() == 2L)
+  }
+}
