@@ -290,4 +290,100 @@ object Dedup {
         SimSearch.cosineE6(col("v_a"), col("v_b")).as("cos_e6"))
       .filter(col("cos_e6") >= minCosE6)
   }
+
+  // --------------------------------------------------- incremental ----
+
+  /** Incremental EXACT dedup — the growing-corpus shape: a new ingest
+    * batch is checked against the fingerprint INDEX of everything
+    * already accepted, then within itself; the accepted corpus is
+    * never re-deduped. Cost ∝ batch: the index side is one anti-join
+    * probe keyed on `fp` (riding the index table's fp-bucketed layout
+    * at scale), old-vs-old work never happens. Returns the surviving
+    * batch rows (all columns); their fingerprints are the index delta
+    * the caller appends for the next batch. */
+  def incrementalExact(batch: DataFrame, indexFps: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val fpd = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val fresh = fpd.join(
+      indexFps.select(col("fp").as("__fp")).distinct(), Seq("__fp"), "left_anti")
+    val winners = fresh.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col("__fp"), col(idCol))
+    fresh.join(winners, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** Incremental NEAR-dup pairs — every verified pair with at least one
+    * member in the new batch. The index is the corpus's banded LSH rows
+    * (`minhashBands` output, persisted once per accepted doc); the
+    * batch's bands semi-join it to pull ONLY the buckets the batch
+    * touches, so pair formation and verification are bounded by the
+    * batch's bucket footprint — old-vs-old pairs are never formed and
+    * the corpus text is read only for the implicated ids (a bounded
+    * id-keyed join against `corpusTexts`, which must NOT contain the
+    * batch). Same LSH params as the index build; a bucket is only ever
+    * SMALLER here than in the full run, so the cap can't split a pair
+    * the full run kept. */
+  def incrementalNearDups(batch: DataFrame, indexBands: DataFrame,
+                          corpusTexts: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, numHashes: Int = 16,
+                          bands: Int = 8, minJaccardE4: Long = 7000,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bBands = minhashBands(batch, idCol, textCol, shingleN, numHashes,
+      bands)
+    val touched = bBands.select(col("band"), col("bucket")).distinct()
+    val rows = bBands.withColumn("is_new", lit(true)).unionByName(
+      indexBands.select(col(idCol), col("band"), col("bucket"))
+        .join(touched, Seq("band", "bucket"), "left_semi")
+        .withColumn("is_new", lit(false)))
+    val pairs = withBucketCap(rows, Seq("band", "bucket"), idCol, maxBucket)
+      .groupBy(col("band"), col("bucket"), col("sub"))
+      .agg(array_sort(collect_list(struct(col(idCol), col("is_new"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x(idCol).as("id_a"), y(idCol).as("id_b"),
+            (x("is_new") || y("is_new")).as("any_new"))))))
+        .as("p"))
+      .filter(col("p.any_new"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val implicated = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sh = corpusTexts.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+      .join(implicated, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardE4(col("sh_a"), col("sh_b")).as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= minJaccardE4)
+  }
+
+  /** Incremental near-dedup RESULT: the batch rows that survive against
+    * the accepted corpus and lower-id batch members. Loser rule, given
+    * pairs are ordered (id_a < id_b) and every pair has a batch member:
+    * a batch id_b always loses (its partner is a corpus doc or a
+    * lower-id batch doc); a batch id_a loses only to a corpus partner.
+    * The pair table is staged once (bounded by the batch's bucket
+    * footprint) so the two loser branches don't recompute the LSH. */
+  def incrementalNearDedup(batch: DataFrame, indexBands: DataFrame,
+                           corpusTexts: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val batchIds = batch.select(col(idCol))
+    val pairs = incrementalNearDups(batch, indexBands, corpusTexts,
+      idCol, textCol).localCheckpoint()
+    val losers = pairs
+      .join(batchIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_b").as(idCol))
+      .unionByName(pairs
+        .join(batchIds.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+        .join(batchIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+        .select(col("id_a").as(idCol)))
+      .distinct()
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
 }

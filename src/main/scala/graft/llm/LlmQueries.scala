@@ -229,6 +229,37 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N1' — incremental EXACT dedup: the corpus (non-multiple-of-5 ids)
+    * is already accepted; the new ingest batch (ids % 5 = 0) checks its
+    * fingerprints against the corpus index, then within itself. The
+    * accepted side is never re-deduped — cost ∝ batch, the
+    * growing-corpus contract. */
+  val dedupIncrementalQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.incrementalExact(batch,
+        corpus.select(TextOps.fingerprint(col("text")).as("fp")),
+        "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** N2'' — incremental NEAR dedup: the batch's LSH bands probe the
+    * corpus's persisted band index; only batch-touched buckets form
+    * pairs (old-vs-old never happens) and only implicated ids fetch
+    * text for exact-Jaccard verification. A batch doc yields to ANY
+    * near-dup corpus doc (the accepted corpus is immutable — unlike a
+    * full re-dedup, which would drop whichever has the higher id). */
+  val dedupIncrementalNearQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.incrementalNearDedup(batch,
+        Dedup.minhashBands(corpus, "doc_id", "text"), corpus,
+        "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** N6''++ — Bloom-filter decontamination: same contract (and same
     * oracle-checked output) as [[decontaminateQ]], via the scale path
     * for an UNBROADCASTABLE eval set — eval fingerprints folded into a
@@ -541,6 +572,8 @@ object LlmQueries {
     "llm_quota_lang" -> quotaQ,
     "llm_decontaminate" -> decontaminateQ,
     "llm_decontaminate_bloom" -> decontaminateBloomQ,
+    "llm_dedup_incremental" -> dedupIncrementalQ,
+    "llm_dedup_incremental_near" -> dedupIncrementalNearQ,
     "llm_repetition" -> repetitionQ,
     "llm_packing" -> packingQ,
     "llm_sample_stratified" -> sampleStratifiedQ,
@@ -592,6 +625,29 @@ object LlmQueries {
       """
         | SELECT ia AS id_a, ib AS id_b, j AS jaccard_e4
         | FROM p WHERE j >= 5000 ORDER BY id_a, id_b""".stripMargin),
+    "llm_dedup_incremental" ->
+      // batch (ids % 5 = 0) vs accepted-corpus fingerprint index, then
+      // lowest-id-wins within the batch
+      """WITH f AS (SELECT doc_id,
+        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   FROM documents),
+        | b AS (SELECT * FROM f WHERE doc_id % 5 = 0)
+        | SELECT doc_id FROM b
+        | WHERE NOT EXISTS (SELECT 1 FROM f i
+        |     WHERE i.doc_id % 5 <> 0 AND i.fp = b.fp)
+        |   AND NOT EXISTS (SELECT 1 FROM b b2
+        |     WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)
+        | ORDER BY doc_id""".stripMargin,
+    "llm_dedup_incremental_near" -> (shingleCte +
+      // a batch doc (id % 5 = 0) yields to any near-dup partner with a
+      // smaller id (pair order makes that every ib = d case) and to a
+      // corpus partner with a larger id; it beats only higher-id BATCH
+      // partners
+      """
+        | SELECT doc_id FROM documents d WHERE doc_id % 5 = 0
+        |   AND NOT EXISTS (SELECT 1 FROM p WHERE j >= 7000 AND
+        |     (ib = d.doc_id OR (ia = d.doc_id AND ib % 5 <> 0)))
+        | ORDER BY doc_id""".stripMargin),
     "llm_dedup_clusters" -> ("WITH RECURSIVE" +
       shingleCte.stripPrefix("WITH") +
       """,

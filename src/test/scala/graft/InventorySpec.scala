@@ -68,7 +68,8 @@ class InventorySpec extends SparkSpec {
     "window_lag_delta", "window_sessionize", "window_gapfill",
     "agg_pivot", "agg_cube", "llm_tfidf_top_term",
     "llm_multimodal_ingest", "llm_decontaminate_bloom",
-    "cdc_schema_evolution")
+    "cdc_schema_evolution", "llm_dedup_incremental",
+    "llm_dedup_incremental_near")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
