@@ -229,6 +229,17 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N4''+ — exact top-20 corpus tokens via the Misra–Gries sketch:
+    * the vocabulary NEVER shuffles — sketch-sized partials merge into a
+    * bounded candidate set, then only candidates are exact-recounted
+    * (the [[graft.functions.HeavyHitters]] two-pass). Oracle is the
+    * brute-force count — the sketch must be output-invisible. */
+  val heavyHittersQ: Q = (s, d) =>
+    graft.functions.HeavyHitters.topTerms(
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term")),
+      "term", k = 20, capacity = 1024)
+
   /** N1' — incremental EXACT dedup: the corpus (non-multiple-of-5 ids)
     * is already accepted; the new ingest batch (ids % 5 = 0) checks its
     * fingerprints against the corpus index, then within itself. The
@@ -574,6 +585,7 @@ object LlmQueries {
     "llm_decontaminate_bloom" -> decontaminateBloomQ,
     "llm_dedup_incremental" -> dedupIncrementalQ,
     "llm_dedup_incremental_near" -> dedupIncrementalNearQ,
+    "llm_heavy_hitters" -> heavyHittersQ,
     "llm_repetition" -> repetitionQ,
     "llm_packing" -> packingQ,
     "llm_sample_stratified" -> sampleStratifiedQ,
@@ -638,6 +650,12 @@ object LlmQueries {
         |   AND NOT EXISTS (SELECT 1 FROM b b2
         |     WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)
         | ORDER BY doc_id""".stripMargin,
+    "llm_heavy_hitters" ->
+      // brute force — the MG sketch + recount must be output-invisible
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |   FROM documents)
+        | SELECT term, count(*) AS freq FROM t GROUP BY term
+        | ORDER BY freq DESC, term LIMIT 20""".stripMargin,
     "llm_dedup_incremental_near" -> (shingleCte +
       // a batch doc (id % 5 = 0) yields to any near-dup partner with a
       // smaller id (pair order makes that every ib = d case) and to a

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{HeavyHitters, MisraGries}
+import graft.llm.TextOps
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy hitters: the sketch guarantee, merge safety, and
+  * the exact-recount contract of the two-pass operator. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a deterministic skewed stream: term "t<i>" appears i^2 times
+  private def stream(maxI: Int): Seq[String] =
+    (1 to maxI).flatMap(i => Seq.fill(i * i)(s"t$i"))
+
+  test("MG guarantee: freq > n/(cap+1) terms survive, error bounded") {
+    val cap = 8
+    val xs = stream(20) // n = sum i^2 = 2870
+    val n = xs.size.toLong
+    val mg = new MisraGries(cap)
+    val sketch = xs.foldLeft(mg.zero)(mg.reduce)
+    assert(sketch.size <= cap)
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (cap + 1)
+    exact.foreach { case (t, f) =>
+      if (f > bound)
+        assert(sketch.contains(t), s"$t (freq $f > $bound) missing")
+      sketch.get(t).foreach { est =>
+        assert(est <= f && est >= f - bound,
+          s"$t: estimate $est outside [${f - bound}, $f]")
+      }
+    }
+  }
+
+  test("MG merge keeps the bound across arbitrary splits") {
+    val cap = 8
+    val xs = stream(20)
+    val n = xs.size.toLong
+    val mg = new MisraGries(cap)
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (cap + 1)
+    for (parts <- Seq(2, 3, 7)) {
+      val merged = xs.grouped((xs.size + parts - 1) / parts)
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      assert(merged.size <= cap)
+      exact.foreach { case (t, f) =>
+        if (f > bound)
+          assert(merged.contains(t), s"parts=$parts: $t missing")
+      }
+    }
+  }
+
+  test("topTerms equals the exact brute force on the corpus") {
+    val terms = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+    val exact = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"term").limit(20)
+      .as[(String, Long)].collect().toSeq
+    val got = HeavyHitters.topTerms(terms, "term", 20, capacity = 1024)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("returned counts are exact even when capacity truncates the set") {
+    val terms = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+    val exact = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toMap
+    // capacity 8 cannot hold the full top-20 — the result may MISS
+    // heavy terms, but every row it does return must carry the exact
+    // recount, never a sketch estimate
+    val got = HeavyHitters.topTerms(terms, "term", 20, capacity = 8)
+      .as[(String, Long)].collect()
+    got.foreach { case (t, f) =>
+      assert(f == exact(t), s"$t: returned $f, exact ${exact(t)}")
+    }
+  }
+}

@@ -69,7 +69,7 @@ class InventorySpec extends SparkSpec {
     "agg_pivot", "agg_cube", "llm_tfidf_top_term",
     "llm_multimodal_ingest", "llm_decontaminate_bloom",
     "cdc_schema_evolution", "llm_dedup_incremental",
-    "llm_dedup_incremental_near")
+    "llm_dedup_incremental_near", "llm_heavy_hitters")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
