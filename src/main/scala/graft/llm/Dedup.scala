@@ -329,8 +329,11 @@ object Dedup {
                           shingleN: Int = 3, numHashes: Int = 16,
                           bands: Int = 8, minJaccardE4: Long = 7000,
                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // staged once: the band rows feed BOTH the touched-bucket probe and
+    // the pair-formation union — without the checkpoint the batch would
+    // be shingled+signed twice (batch-sized, so the stage is bounded)
     val bBands = minhashBands(batch, idCol, textCol, shingleN, numHashes,
-      bands)
+      bands).localCheckpoint()
     val touched = bBands.select(col("band"), col("bucket")).distinct()
     val rows = bBands.withColumn("is_new", lit(true)).unionByName(
       indexBands.select(col(idCol), col("band"), col("bucket"))
