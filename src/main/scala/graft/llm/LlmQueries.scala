@@ -229,6 +229,21 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N4''++ — the sketch-table rollup: per-(source, lang) HLL sketches
+    * of content fingerprints built in ONE raw pass, then per-source
+    * distinct estimates from sketch unions alone — the re-aggregatable
+    * serving shape (any coarsening answered from kilobytes per group,
+    * never a raw re-scan). Estimates are engine-specific → rows-only
+    * oracle; SketchTableSpec bounds them against exact. */
+  val sketchRollupQ: Q = (s, d) => {
+    val fps = Tables.documents(s, d).select(col("source"), col("lang"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    graft.ops.SketchTable.rollup(
+        graft.ops.SketchTable.build(fps, Seq("source", "lang"), "fp"),
+        Seq("source"))
+      .orderBy("source")
+  }
+
   /** N4''+ — exact top-20 corpus tokens via the Misra–Gries sketch:
     * the vocabulary NEVER shuffles — sketch-sized partials merge into a
     * bounded candidate set, then only candidates are exact-recounted
@@ -586,6 +601,7 @@ object LlmQueries {
     "llm_dedup_incremental" -> dedupIncrementalQ,
     "llm_dedup_incremental_near" -> dedupIncrementalNearQ,
     "llm_heavy_hitters" -> heavyHittersQ,
+    "llm_sketch_rollup" -> sketchRollupQ,
     "llm_repetition" -> repetitionQ,
     "llm_packing" -> packingQ,
     "llm_sample_stratified" -> sampleStratifiedQ,

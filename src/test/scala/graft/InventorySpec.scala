@@ -69,7 +69,8 @@ class InventorySpec extends SparkSpec {
     "agg_pivot", "agg_cube", "llm_tfidf_top_term",
     "llm_multimodal_ingest", "llm_decontaminate_bloom",
     "cdc_schema_evolution", "llm_dedup_incremental",
-    "llm_dedup_incremental_near", "llm_heavy_hitters")
+    "llm_dedup_incremental_near", "llm_heavy_hitters",
+    "llm_sketch_rollup")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -89,12 +90,13 @@ class InventorySpec extends SparkSpec {
     // rows-only by design: simhash emits engine-hash signatures (no
     // DuckDB twin possible; completeness spec-proven vs brute force in
     // LlmSpec), ANN is approximate-by-contract (recall spec), listing
-    // is filesystem shape, approx-distinct is sketch-valued. The
-    // near/ngram/embedding dedup family carries brute-force all-pairs
-    // DuckDB oracles since round 4.
+    // is filesystem shape, approx-distinct and the HLL sketch-table
+    // rollup are sketch-valued (SketchTableSpec bounds the estimates
+    // against exact). The near/ngram/embedding dedup family carries
+    // brute-force all-pairs DuckDB oracles since round 4.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expectedRowsOnly = Set("llm_dedup_simhash", "llm_simsearch_ann",
-      "sink_listing", "agg_approx_distinct")
+      "sink_listing", "agg_approx_distinct", "llm_sketch_rollup")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

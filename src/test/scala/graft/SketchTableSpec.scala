@@ -1,0 +1,49 @@
+package graft
+
+import graft.llm.TextOps
+import graft.ops.SketchTable
+import org.apache.spark.sql.functions._
+
+/** HLL sketch table: rollups answered from sketches alone stay within
+  * HLL error of exact, row counts stay exact, and a rollup through the
+  * fine-grained table matches sketching the raw data directly. */
+class SketchTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fps = Tables.documents(spark, sf)
+    .select(col("source"), col("lang"),
+      TextOps.fingerprint(col("text")).as("fp"))
+
+  test("per-source rollup within 5% of exact, row counts exact") {
+    val table = SketchTable.build(fps, Seq("source", "lang"), "fp")
+    val rolled = SketchTable.rollup(table, Seq("source"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = fps.groupBy($"source")
+      .agg(countDistinct($"fp").as("d"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rolled.keySet == exact.keySet)
+    exact.foreach { case (src, (d, n)) =>
+      val (ad, an) = rolled(src)
+      assert(an == n, s"$src: row count must be exact ($an vs $n)")
+      assert(math.abs(ad - d).toDouble / d <= 0.05,
+        s"$src: approx $ad vs exact $d")
+    }
+  }
+
+  test("rollup through the sketch table == sketching raw data directly") {
+    // the mergeability contract: union of per-(source, lang) sketches
+    // is THE SAME sketch state as one pass per source — identical
+    // estimate, not merely close
+    val viaTable = SketchTable.rollup(
+        SketchTable.build(fps, Seq("source", "lang"), "fp"), Seq("source"))
+      .select($"source", $"approx_distinct")
+      .as[(String, Long)].collect().toMap
+    val direct = fps.groupBy($"source")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"fp"))
+        .as("approx_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(viaTable == direct)
+  }
+}
