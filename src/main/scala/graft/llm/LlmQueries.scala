@@ -229,6 +229,31 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N4+ — one-pass column profiling (the data-quality pass every
+    * pipeline runs before training): per column, row/present/distinct
+    * counts and min/max. Shape: UNPIVOT to (col_name, value) at the
+    * scan — one corpus pass, ×ncols rows into ONE partial-aggregated
+    * shuffle on the column-name key — instead of N independent
+    * `count(DISTINCT col)` aggregations (each its own expand +
+    * double shuffle). Values profiled as strings so the plan is
+    * column-type-agnostic; at 100 TB swap `count_distinct` for the
+    * HLL sketch ([[sketchRollupQ]]) and the shape is unchanged. */
+  val profileQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val unpivoted = docs.select(explode(array(
+      Seq("lang", "source", "n_chars").map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value")))
+        : _*)).as("u"))
+      .select(col("u.col_name"), col("u.value"))
+    unpivoted.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_present"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("col_name")
+  }
+
   /** N4''++ — the sketch-table rollup: per-(source, lang) HLL sketches
     * of content fingerprints built in ONE raw pass, then per-source
     * distinct estimates from sketch unions alone — the re-aggregatable
@@ -602,6 +627,7 @@ object LlmQueries {
     "llm_dedup_incremental_near" -> dedupIncrementalNearQ,
     "llm_heavy_hitters" -> heavyHittersQ,
     "llm_sketch_rollup" -> sketchRollupQ,
+    "llm_profile" -> profileQ,
     "llm_repetition" -> repetitionQ,
     "llm_packing" -> packingQ,
     "llm_sample_stratified" -> sampleStratifiedQ,
@@ -666,6 +692,16 @@ object LlmQueries {
         |   AND NOT EXISTS (SELECT 1 FROM b b2
         |     WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)
         | ORDER BY doc_id""".stripMargin,
+    "llm_profile" ->
+      """WITH u AS (
+        |   SELECT 'lang' AS col_name, lang AS value FROM documents
+        |   UNION ALL SELECT 'source', source FROM documents
+        |   UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |     FROM documents)
+        | SELECT col_name, count(*) AS n_rows, count(value) AS n_present,
+        |   count(DISTINCT value) AS n_distinct, min(value) AS min_value,
+        |   max(value) AS max_value
+        | FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
     "llm_heavy_hitters" ->
       // brute force — the MG sketch + recount must be output-invisible
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
