@@ -51,6 +51,30 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("ScalaCheck: the MG bound holds for arbitrary streams and splits") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    val stream = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"t$i"))
+    val capG = Gen.chooseNum(1, 12)
+    val partsG = Gen.chooseNum(1, 5)
+    val prop = forAll(stream, capG, partsG) { (xs, cap, parts) =>
+      val mg = new MisraGries(cap)
+      val merged = xs.grouped(math.max(1, (xs.size + parts - 1) / parts))
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val bound = xs.size.toLong / (cap + 1)
+      merged.size <= cap &&
+        exact.forall { case (t, f) =>
+          (f <= bound || merged.contains(t)) &&
+            merged.get(t).forall(e => e <= f && e >= f - bound)
+        }
+    }
+    val r = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("topTerms equals the exact brute force on the corpus") {
     val terms = Tables.documents(spark, sf)
       .select(explode(TextOps.tokens(col("text"))).as("term"))
