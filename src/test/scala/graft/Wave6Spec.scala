@@ -76,6 +76,31 @@ class Wave6Spec extends SparkSpec {
       "Bloom prefilter + exact confirm must be output-invisible")
   }
 
+  test("the scale-path decontamination composes identically in the pipeline") {
+    // swap the broadcast decontaminate inside the e2e pipeline for the
+    // Bloom flavor: the composed output must be row-identical — the
+    // scale path is a drop-in physical strategy, not a semantic fork
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Cluster, Curate, TextOps}
+    val docs = Tables.documents(spark, sf)
+    val sampled = Curate.sampleStratified(docs, "doc_id", "lang",
+      ratesE4 = Map("en" -> 6000L), defaultE4 = 8000L)
+    val eval = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    def rest(clean: org.apache.spark.sql.DataFrame) = {
+      val losers = Cluster.dupClusters(clean, "doc_id", "text")
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val deduped = clean.join(losers, Seq("doc_id"), "left_anti")
+      val kept = deduped.filter(TextOps.qualityE4(col("text")) >= 1500L)
+      Curate.packShards(kept, "doc_id", "text", shards = 4,
+          windowTokens = 4096)
+        .orderBy("shard", "bin")
+        .collect().toSeq
+    }
+    val viaBroadcast = rest(Curate.decontaminate(sampled, eval, "text"))
+    val viaBloom = rest(Curate.decontaminateBloom(sampled, eval, "text"))
+    assert(viaBloom == viaBroadcast)
+  }
+
   test("llm_decontaminate_bloom: clean path is scan-only, no join") {
     // the scale contract: the definitely-clean side (no Bloom hit) goes
     // scan -> filter -> union with NO join and NO exchange — only the
