@@ -49,6 +49,24 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(snap(2L) == ((2L, 5L, 250L, Some("paid"))))
   }
 
+  test("three generations: each page backfills exactly its own gaps") {
+    val dir = tmpDir("evolve-3gen")
+    writeEvolved(dir) // gen1: amount; gen2: +status
+    Seq((5L, 7L, 500L, "void", "eu")) // gen3: +region
+      .toDF("entity_id", "change_version", "amount_cents", "status",
+        "region")
+      .write.mode("append").parquet(dir)
+    val df = SchemaEvolution.readEvolved(spark, dir,
+      Seq("entity_id", "change_version"))
+    assert(df.columns.toSeq == Seq("entity_id", "change_version",
+      "amount_cents", "region", "status"))
+    val byVer = df.as[(Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(byVer(1L) == ((1L, 1L, 100L, None, None)))
+    assert(byVer(5L) == ((2L, 5L, 250L, None, Some("paid"))))
+    assert(byVer(7L) == ((5L, 7L, 500L, Some("eu"), Some("void"))))
+  }
+
   test("the DSv2 cdc source still serves the key feed after evolution") {
     val dir = tmpDir("evolve-dsv2")
     writeEvolved(dir)

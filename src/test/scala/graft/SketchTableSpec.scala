@@ -32,6 +32,23 @@ class SketchTableSpec extends SparkSpec {
     }
   }
 
+  test("sketches survive a parquet round-trip — the stored-table pattern") {
+    // the serving shape: the sketch table is PERSISTED once and every
+    // later question aggregates the stored binaries, raw data long gone
+    val path = tmpDir("sketch-table") + "/t"
+    SketchTable.build(fps, Seq("source", "lang"), "fp")
+      .write.parquet(path)
+    val restored = SketchTable.rollup(spark.read.parquet(path),
+        Seq("source"))
+      .select($"source", $"approx_distinct")
+      .as[(String, Long)].collect().toMap
+    val live = SketchTable.rollup(
+        SketchTable.build(fps, Seq("source", "lang"), "fp"), Seq("source"))
+      .select($"source", $"approx_distinct")
+      .as[(String, Long)].collect().toMap
+    assert(restored == live)
+  }
+
   test("rollup through the sketch table == sketching raw data directly") {
     // the mergeability contract: union of per-(source, lang) sketches
     // is THE SAME sketch state as one pass per source — identical
