@@ -76,4 +76,39 @@ class SchemaEvolutionSpec extends SparkSpec {
     // version pushdown across old- and new-schema files alike
     assert(feed.filter($"change_version" > 4L).count() == 2L)
   }
+
+  test("streaming: an evolution mid-stream is just more pages") {
+    val dir = tmpDir("evolve-stream")
+    val sink = tmpDir("evolve-stream-sink")
+    val ckpt = tmpDir("evolve-stream-ckpt")
+    // gen1 only
+    Seq((1L, 1L, 100L), (2L, 2L, 200L))
+      .toDF("entity_id", "change_version", "amount_cents")
+      .write.mode("overwrite").parquet(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(spark.read.parquet(sink).count() == 2L)
+    // the ALTER lands: later pages carry the extra column; the key-feed
+    // stream must resume from its checkpoint and serve ONLY the new
+    // versions, unaffected by the payload schema change
+    Seq((1L, 3L, 150L, "paid"), (3L, 4L, 300L, "open"))
+      .toDF("entity_id", "change_version", "amount_cents", "status")
+      .write.mode("append").parquet(dir)
+    drain()
+    val out = spark.read.parquet(sink)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (1L, 3L), (3L, 4L)),
+      s"exactly-once across the evolution boundary; got ${out.toSeq}")
+  }
 }
