@@ -311,6 +311,22 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N6''# — the contamination REPORT: which corpus docs carry an eval
+    * fingerprint (the inverse of [[decontaminateQ]] — operators drop,
+    * auditors need the list). Same broadcast shape, inner instead of
+    * anti; self-matches (the eval docs themselves) included by design:
+    * the report answers "every corpus row that would train on eval
+    * content", and the eval rows are exactly that. */
+  val leakReportQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalFps = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    docs.withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(broadcast(evalFps), Seq("fp"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** N6''++ — Bloom-filter decontamination: same contract (and same
     * oracle-checked output) as [[decontaminateQ]], via the scale path
     * for an UNBROADCASTABLE eval set — eval fingerprints folded into a
@@ -628,6 +644,7 @@ object LlmQueries {
     "llm_heavy_hitters" -> heavyHittersQ,
     "llm_sketch_rollup" -> sketchRollupQ,
     "llm_profile" -> profileQ,
+    "llm_leak_report" -> leakReportQ,
     "llm_repetition" -> repetitionQ,
     "llm_packing" -> packingQ,
     "llm_sample_stratified" -> sampleStratifiedQ,
@@ -924,6 +941,13 @@ object LlmQueries {
         | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
         | SELECT doc_id FROM f
         | WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.fp = f.fp)
+        | ORDER BY doc_id""".stripMargin,
+    "llm_leak_report" ->
+      """WITH f AS (SELECT doc_id,
+        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   FROM documents),
+        | b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+        | SELECT f.doc_id, f.fp FROM f JOIN b ON b.fp = f.fp
         | ORDER BY doc_id""".stripMargin,
     "llm_decontaminate_bloom" ->
       // same contract as llm_decontaminate — the Bloom prefilter +

@@ -70,7 +70,7 @@ class InventorySpec extends SparkSpec {
     "llm_multimodal_ingest", "llm_decontaminate_bloom",
     "cdc_schema_evolution", "llm_dedup_incremental",
     "llm_dedup_incremental_near", "llm_heavy_hitters",
-    "llm_sketch_rollup", "llm_profile")
+    "llm_sketch_rollup", "llm_profile", "llm_leak_report")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

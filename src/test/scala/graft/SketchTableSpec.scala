@@ -49,6 +49,50 @@ class SketchTableSpec extends SparkSpec {
     assert(restored == live)
   }
 
+  test("streaming build: per-batch sketch rows, rollup spans all history") {
+    // continuous profiling of an ingest stream: each micro-batch appends
+    // its own sketch rows; the rollup unions across batches — distinct
+    // counts over the whole ingest history without retaining raw rows
+    val srcDir = tmpDir("sketch-stream-src")
+    val tablePath = tmpDir("sketch-stream") + "/t"
+    import spark.implicits._
+    val gen1 = fps.filter($"fp".substr(1, 1) < "8")
+    val gen2 = fps.filter($"fp".substr(1, 1) >= "8")
+    gen1.write.mode("overwrite").parquet(srcDir)
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.schema(fps.schema).parquet(srcDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          SketchTable.build(b, Seq("source", "lang"), "fp")
+            .write.mode("append").parquet(tablePath)
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    val ckpt = tmpDir("sketch-stream-ckpt")
+    drain(ckpt)
+    gen2.write.mode("append").parquet(srcDir)
+    drain(ckpt)
+    val rolled = SketchTable.rollup(spark.read.parquet(tablePath),
+        Seq("source"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = fps.groupBy($"source")
+      .agg(countDistinct($"fp").as("d"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rolled.keySet == exact.keySet)
+    exact.foreach { case (src, (d, n)) =>
+      val (ad, an) = rolled(src)
+      assert(an == n, s"$src: row count must be exact across batches")
+      assert(math.abs(ad - d).toDouble / d <= 0.05,
+        s"$src: approx $ad vs exact $d")
+    }
+  }
+
   test("rollup through the sketch table == sketching raw data directly") {
     // the mergeability contract: union of per-(source, lang) sketches
     // is THE SAME sketch state as one pass per source — identical
