@@ -17,6 +17,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a restricted run writes a SUBSET manifest; into an outDir holding
+    // other queries' results it would silently shrink the next oracle
+    // check to the subset — refuse, point at a fresh dir
+    if (only.nonEmpty) {
+      val foreign = Option(new java.io.File(outDir).list())
+        .getOrElse(Array.empty[String])
+        .filter(n => n != "oracle_sql.json" && !only(n))
+      require(foreign.isEmpty,
+        s"restricted run into $outDir which already holds results for " +
+          s"${foreign.take(3).mkString(", ")}… — use a fresh outDir")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -235,7 +235,11 @@ object CdcQueries {
     * at an ALTER); the merged read null-backfills v1 rows at the scan.
     * One scratch round-trip, then a pure scan — no shuffle. */
   val cdcSchemaEvolution: Q = (s, d) => {
-    val dir = tmp("graft-evolve")
+    // appId-scoped scratch, NOT a fresh temp dir per call: repeated
+    // constructions (verify + bench warmups + plan lint) reuse one
+    // directory via the overwrite-then-append sequence below
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-evolve-${s.sparkContext.applicationId}").getPath
     val o = Tables.orders(s, d)
     def page(parity: Int, extra: Seq[org.apache.spark.sql.Column]) =
       o.filter(pmod(col("o_orderkey"), lit(2)) === parity)

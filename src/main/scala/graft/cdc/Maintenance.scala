@@ -68,11 +68,16 @@ object Maintenance {
           sinkSchema: Option[StructType] = None): Report = {
     maintainChangeTable(spark, changeDir, watermark, compactUpTo, nFiles)
     DocumentSink.compact(spark, sinkDir, sinkSchema)
+    // through the Hadoop FileSystem like every other path here — a
+    // java.io walk would silently report 0 on hdfs://-style stores
     def filesUnder(dir: String, suffix: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(suffix)) 1L else 0L
-      walk(new java.io.File(dir))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(suffix)) n += 1
+      n
     }
     Report(
       changeRows = spark.read.parquet(changeDir).count(),

@@ -248,6 +248,10 @@ object Curate {
       .agg(BloomFunctions.bloomAgg(xxhash64(col("fp")), expectedItems,
         numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // zero eval rows → the aggregate returns null; nothing can be
+    // contaminated, pass the corpus through (a null literal in
+    // might_contain would otherwise null-filter EVERY row)
+    if (bloomBytes == null) return corpus
     val fpd = corpus.withColumn("fp", TextOps.fingerprint(col(textCol)))
     val hit = BloomFunctions.mightContain(bloomBytes, xxhash64(col("fp")))
     val clean = fpd.filter(!hit)

@@ -72,8 +72,11 @@ object ScalableRank {
     val offsets = counts.select(col("__g"), col("__b"),
       (sum(col("__c")).over(wOff) - col("__c")).as("__off"),
       sum(col("__c")).over(wAll).as(nName))
+    // <=> on the group key: Window.partitionBy treats NULL as an
+    // ordinary partition, so the offset join must match it too — a
+    // plain === would silently DROP null-group rows
     local.join(broadcast(offsets),
-        group === col("__g") && col("__band") === col("__b"))
+        (group <=> col("__g")) && col("__band") === col("__b"))
       .withColumn(rankName, col("__off") + col("__lrn"))
       .drop("__bk", "__band", "__lrn", "__g", "__b", "__off")
   }

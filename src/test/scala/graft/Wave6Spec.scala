@@ -101,6 +101,32 @@ class Wave6Spec extends SparkSpec {
     assert(viaBloom == viaBroadcast)
   }
 
+  test("decontaminateBloom: an empty eval set passes the corpus through") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val emptyEval = docs.filter(lit(false))
+    val out = graft.llm.Curate.decontaminateBloom(docs, emptyEval, "text")
+    assert(out.count() == docs.count(),
+      "nothing can be contaminated by zero eval rows")
+  }
+
+  test("ScalableRank keeps null-group rows (Window.partitionBy parity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 10L), (2L, Some("a"), 20L),
+      (3L, None, 30L), (4L, None, 5L))
+      .toDF("id", "grp", "v")
+      .select($"id", $"grp".as("g"), $"v")
+    val ranked = graft.ops.ScalableRank.withRank(df, col("g"),
+        Seq(col("v"), col("id")), col("v"), "r", "n", bands = 2)
+      .select($"id", $"r", $"n")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(ranked.length == 4, "null-group rows must not be dropped")
+    assert(ranked.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 2L),
+      (3L, 2L, 2L), (4L, 1L, 2L)),
+      s"null group ranks as its own partition; got ${ranked.toSeq}")
+  }
+
   test("llm_decontaminate_bloom: clean path is scan-only, no join") {
     // the scale contract: the definitely-clean side (no Bloom hit) goes
     // scan -> filter -> union with NO join and NO exchange — only the
