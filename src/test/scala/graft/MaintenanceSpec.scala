@@ -92,4 +92,44 @@ class MaintenanceSpec extends SparkSpec {
       again.changeFiles == report.changeFiles &&
       again.sinkFiles == report.sinkFiles)
   }
+
+  test("a version-offset stream survives the compaction rewrite") {
+    import spark.implicits._
+    val dir = tmpDir("mstream")
+    val sink = tmpDir("mstream-sink")
+    val ckpt = tmpDir("mstream-ckpt")
+    Seq((1L, 1L, "I"), (2L, 2L, "I"), (1L, 3L, "U"), (3L, 4L, "I"))
+      .toDF("entity_id", "change_version", "change_operation")
+      .write.mode("overwrite").parquet(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", dir).load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain() // consumer is now committed through version 4
+    // maintenance rewrites the store into DIFFERENT files (expire
+    // nothing, collapse <=3, version-ordered rewrite); the consumer's
+    // checkpoint holds VERSION offsets, not file names, so the rewrite
+    // must be invisible to it
+    Maintenance.maintainChangeTable(spark, dir,
+      watermark = 0L, compactUpTo = 3L, nFiles = 2)
+    Seq((2L, 5L, "U"))
+      .toDF("entity_id", "change_version", "change_operation")
+      .write.mode("append").parquet(dir)
+    drain()
+    val out = spark.read.parquet(sink)
+      .select("entity_id", "change_version")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (1L, 3L), (3L, 4L),
+      (2L, 5L)),
+      s"only the post-checkpoint version may arrive after compaction; " +
+        s"got ${out.toSeq}")
+  }
 }
