@@ -40,6 +40,16 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
         .head().getDouble(0)
       assert(viaTemp == dot)
+      // the Bloom pair rides the same injector: build a filter over a
+      // subquery's hashes, probe members and a non-member from plain SQL
+      val hits = s.sql(
+        """SELECT graft_bloom_might_contain(
+          |    (SELECT graft_bloom_agg(xxhash64(x), 8L, 64L)
+          |     FROM VALUES ('a'), ('b') AS t(x)),
+          |    xxhash64(y)) AS hit
+          |  FROM VALUES ('a'), ('b') AS probe(y)""".stripMargin)
+        .collect().map(_.getBoolean(0))
+      assert(hits.forall(identity), "members must always hit (no false negatives)")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
