@@ -144,6 +144,25 @@ object SimSearch {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /** Incremental ingest into the [[writeBucketed]] IVF layout: sign the
+    * new batch and APPEND into the bucket directories — no rebuild,
+    * cost ∝ batch (the growing-corpus twin of
+    * [[graft.llm.Dedup.incrementalExact]]). Readers need no change:
+    * partition pruning sees old and new files alike, so a probe query
+    * serves the union immediately. File growth is bounded by the
+    * batch's bucket footprint (one file per touched bucket per
+    * append); fold them back to one file per bucket with a periodic
+    * [[writeBucketed]] rebuild — the maintenance-window trade the
+    * change table makes with log compaction. */
+  def appendBucketed(batch: DataFrame, idCol: String, vecCol: String,
+                     planes: Int, path: String): Unit = {
+    VectorFunctions.register(batch.sparkSession)
+    batch.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** All bucket signatures within `probeHamming` bits of `qbucket` —
     * the multi-probe set, enumerated driver-side (sum of C(planes, h)
     * for h ≤ probeHamming values; 37 for 8 planes / hamming 2). */

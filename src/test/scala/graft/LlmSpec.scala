@@ -257,6 +257,37 @@ class LlmSpec extends SparkSpec {
       "probe must not touch the whole layout")
   }
 
+  test("N3': incremental ingest — append serves the union, no rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 7 =!= 0 || $"vec_id" === 0L)
+    val batch = emb.filter($"vec_id" % 7 === 0 && $"vec_id" =!= 0L)
+    val grown = tmpDir("ivf-grow")
+    val rebuilt = tmpDir("ivf-rebuilt")
+    SimSearch.writeBucketed(corpus, "vec_id", "embedding", planes = 8,
+      grown)
+    SimSearch.appendBucketed(batch, "vec_id", "embedding", planes = 8,
+      grown)
+    SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = 8,
+      rebuilt)
+    def top(path: String) =
+      SimSearch.annTopKBucketed(emb, "vec_id", "embedding", queryId = 0L,
+        k = 20, layoutPath = path)
+        .as[(Long, Long)].collect().toSeq
+    assert(top(grown) == top(rebuilt),
+      "an appended layout must serve exactly what a full rebuild serves")
+    // growth bounded: at most one extra file per batch-touched bucket
+    val batchBuckets = batch.select(
+        SimSearch.hyperplaneSignature($"embedding", 8).as("b"))
+      .distinct().count()
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(files(grown) <= files(rebuilt) + batchBuckets,
+      "append may add at most one file per touched bucket")
+  }
+
   test("N3': probeBuckets enumerates exactly the hamming ball") {
     val probes = SimSearch.probeBuckets(0b10110L, planes = 8, probeHamming = 2)
     assert(probes.size == 1 + 8 + 28, s"got ${probes.size}")
