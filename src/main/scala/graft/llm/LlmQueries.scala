@@ -376,6 +376,24 @@ object LlmQueries {
       .orderBy("source", "id_a", "id_b")
   }
 
+  /** N2b' — edit-similarity join with NO blocking key (the scale path
+    * of the fuzzy family): corpus-wide pairs within edit distance 3 on
+    * the 30-char heads via the PassJoin segment pigeonhole
+    * ([[EditJoin]]) — candidates come from a high-cardinality
+    * (segment index, bytes) shuffle join, never a per-block cross
+    * product, and only candidates pay the banded DP verify. Where
+    * [[fuzzyPairsQ]] leans on the 5-value source block (O((n/5)²)
+    * pairs per block), this shape's cost is candidates + constant
+    * per-row enumeration at ANY corpus size. Oracle: the naive
+    * all-pairs DuckDB join — blocking must be output-invisible. */
+  val fuzzyPairsGlobalQ: Q = (s, d) => {
+    val heads = Tables.documents(s, d)
+      .filter(length(col("text")) >= 30)
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("head"))
+    EditJoin.fixedLenSelfJoin(heads, "doc_id", "head", len = 30, k = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** N6b — deterministic global corpus shuffle: a total order that is
     * a pure function of the ids (range-partitioned sort, no global
     * window — see Curate.globalShuffle). */
@@ -633,6 +651,7 @@ object LlmQueries {
     "llm_multimodal_project" -> multimodalProject,
     "llm_sample" -> sampleQ,
     "llm_fuzzy_pairs" -> fuzzyPairsQ,
+    "llm_fuzzy_pairs_global" -> fuzzyPairsGlobalQ,
     "llm_shuffle_order" -> shuffleOrderQ,
     "llm_pii_scrub" -> piiScrubQ,
     "llm_length_histogram" -> lengthHistogramQ,
@@ -897,6 +916,17 @@ object LlmQueries {
         | FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
         | WHERE levenshtein(a.head, b.head) <= 12
         | ORDER BY a.source, id_a, id_b""".stripMargin,
+    "llm_fuzzy_pairs_global" ->
+      // the naive corpus-wide all-pairs ground truth: the PassJoin
+      // segment blocking must be output-invisible
+      """WITH h AS (
+        |   SELECT doc_id, substring(text, 1, 30) AS head
+        |   FROM documents WHERE length(text) >= 30)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        | FROM h a JOIN h b ON a.doc_id < b.doc_id
+        | WHERE levenshtein(a.head, b.head) <= 3
+        | ORDER BY id_a, id_b""".stripMargin,
     "llm_shuffle_order" ->
       // the normalized Lehmer chain of llm_sample applied twice (one
       // step is monotonic for small ids — see Curate.shuffleKey)

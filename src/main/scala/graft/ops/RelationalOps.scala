@@ -788,6 +788,43 @@ object RelationalOps {
         sum(col("doc_id")).as("sum_doc_id"))
   }
 
+  /** S13 — Z-order (Morton) clustered layout ([[ZOrder]]): write the
+    * events z-ordered on (user_id, cents) so every file carries a
+    * tight min/max envelope on BOTH columns, then serve a 2-D box
+    * predicate over the clustered copy. The filter stays on the
+    * ORIGINAL columns (the z-value only drives write-side clustering
+    * — no BIGMIN math, stats-skipping is conservative), so the layout
+    * is output-invisible and the oracle is the same box over the
+    * un-clustered table. The box bounds are data-relative (middle
+    * third of users × lower half of cents, integer arithmetic both
+    * engines floor identically on these non-negative ranges) so the
+    * declared constants are not SF-bound. ZOrderSpec measures the
+    * actual skipping: the fraction of files whose stats envelope
+    * intersects the box, z-layout vs a single-column sort. */
+  val layoutZorderScan: Q = (s, d) => {
+    val dir = scratch(s, "zorder")
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("cents"), max("cents")).head() // one bounded driver row
+    val (uMin, uMax, cMin, cMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    ZOrder.layout(ev, dir, "user_id", uMin, uMax, "cents", cMin, cMax,
+      files = 8)
+    val (uLo, uHi) = (uMin + (uMax - uMin) / 3, uMin + 2 * (uMax - uMin) / 3)
+    val cHi = cMin + (cMax - cMin) / 2
+    s.read.parquet(dir)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("cents").between(cMin, cHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+        sum(col("event_id")).as("sum_event_id"))
+      .orderBy("event_type")
+  }
+
   /** S10 — ORC round trip with predicate pushdown: write a projection
     * as ORC (Spark's other first-class columnar format), read it back
     * with a key filter that reaches the ORC reader's search argument,
@@ -866,6 +903,7 @@ object RelationalOps {
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_text_ingest" -> sourceTextIngest,
     "source_partitioned_corpus" -> sourcePartitionedCorpus,
+    "layout_zorder_scan" -> layoutZorderScan,
     "gen_synthetic" -> genSynthetic
   )
 
@@ -1101,6 +1139,23 @@ object RelationalOps {
         |   CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         | FROM documents WHERE lang = 'en'""".stripMargin,
+    "layout_zorder_scan" ->
+      // the same data-relative 2-D box over the UN-clustered table:
+      // the z-layout must be output-invisible. `//` floors like the
+      // Scala long division on these non-negative ranges.
+      """WITH e AS (
+        |   SELECT event_id, user_id, event_type,
+        |     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |              min(cents) AS cmin, max(cents) AS cmax FROM e)
+        | SELECT e.event_type, count(*) AS n_events,
+        |   CAST(sum(e.cents) AS BIGINT) AS total_cents,
+        |   CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+        | FROM e, b
+        | WHERE e.user_id BETWEEN b.umin + (b.umax - b.umin) // 3
+        |                     AND b.umin + 2 * (b.umax - b.umin) // 3
+        |   AND e.cents BETWEEN b.cmin AND b.cmin + (b.cmax - b.cmin) // 2
+        | GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "source_text_ingest" ->
       """SELECT count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens

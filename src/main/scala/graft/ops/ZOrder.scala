@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data layout: interleave the bits of two scaled
+  * dimensions so that sorting by the single z-value co-locates rows
+  * that are close in BOTH dimensions, giving every written file a
+  * tight min/max envelope on each source column simultaneously — the
+  * multi-dimensional clustering that makes stats-based skipping
+  * (parquet row-group stats today, a table-format file index at
+  * 100 TB) effective for 2-D box predicates. A single-column sort
+  * tightens stats only on the sort key: every file still spans the
+  * full range of the other column, and a predicate on it prunes
+  * nothing.
+  *
+  * All pure column math (shift/and/or on longs — whole-stage codegen,
+  * no UDF): each dimension is affinely scaled to a 16-bit code, the
+  * codes are bit-spread with the classic Morton magic masks, and the
+  * z-value is their interleave. The scan-time predicate stays on the
+  * ORIGINAL columns — the z-value only drives the write-side
+  * clustering, so there is no BIGMIN/false-negative concern: skipping
+  * comes from per-file column stats, which are conservative.
+  *
+  * Reference anchor: the reference's only layout lever is the rowversion
+  * clustered index (sqls/setup-invoice-db.sql:21-28, single-dimension);
+  * multi-dimensional clustering is part of the 100 TB curation surface
+  * the [NORTH-STAR] rows mandate (SURVEY §2.11).
+  */
+object ZOrder {
+
+  /** Max code per dimension: 16 bits → z fits in 32 of a long's 64. */
+  val MaxCode: Long = (1L << 16) - 1
+
+  /** Spread the low 16 bits of `c` so bit i lands at position 2i
+    * (Morton magic masks). */
+  def spread16(c: Column): Column = {
+    val masked = c.bitwiseAND(lit(MaxCode))
+    val s1 = masked.bitwiseOR(shiftleft(masked, 8))
+      .bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Affine scale of a long column with known [min, max] bounds to a
+    * 16-bit code. Bounds come from a one-row aggregate (driver-side
+    * literals — same trick as the ScalableRank band boundaries). The
+    * multiply stays exact long arithmetic; only the final divide goes
+    * through double (Column `/` is double division), exact while
+    * (max−min)·65535 < 2⁵³ — any 37-bit domain. */
+  def scale16(c: Column, min: Long, max: Long): Column =
+    if (max <= min) lit(0L)
+    else floor((c.cast("long") - lit(min)) * lit(MaxCode) / lit(max - min))
+      .cast("long")
+
+  /** The interleaved z-value of two 16-bit codes (a even bits, b odd). */
+  def z2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Write `df` z-ordered by (`colA`, `colB`) (longs with the given
+    * bounds) into `files` parquet files at `path`: range-partition by
+    * z so each file owns a contiguous z-interval, sort within, drop
+    * the helper column. `files` scales with data volume at the
+    * caller (rows / target-file-rows), fixed small here for the test
+    * geometry. */
+  def layout(df: DataFrame, path: String,
+             colA: String, aMin: Long, aMax: Long,
+             colB: String, bMin: Long, bMax: Long,
+             files: Int): Unit =
+    df.withColumn("__z", z2(
+        scale16(col(colA), aMin, aMax), scale16(col(colB), bMin, bMax)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

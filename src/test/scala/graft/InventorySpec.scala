@@ -70,7 +70,8 @@ class InventorySpec extends SparkSpec {
     "llm_multimodal_ingest", "llm_decontaminate_bloom",
     "cdc_schema_evolution", "llm_dedup_incremental",
     "llm_dedup_incremental_near", "llm_heavy_hitters",
-    "llm_sketch_rollup", "llm_profile", "llm_leak_report")
+    "llm_sketch_rollup", "llm_profile", "llm_leak_report",
+    "llm_fuzzy_pairs_global", "layout_zorder_scan")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

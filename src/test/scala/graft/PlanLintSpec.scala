@@ -30,7 +30,9 @@ class PlanLintSpec extends SparkSpec {
     "source_csv_ingest", "source_orc_roundtrip", "source_text_ingest",
     "source_partitioned_corpus",
     // stages per-payload binary files at construction time
-    "llm_multimodal_ingest")
+    "llm_multimodal_ingest",
+    // writes the z-clustered scratch copy at construction time
+    "layout_zorder_scan")
 
   test("no declared query plans a CartesianProduct or a global window") {
     import org.apache.spark.sql.execution.SparkPlan
