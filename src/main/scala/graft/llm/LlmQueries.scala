@@ -376,6 +376,25 @@ object LlmQueries {
       .orderBy("source", "id_a", "id_b")
   }
 
+  /** N3''' — product-quantized top-k ([[Pq]]): codebooks trained
+    * in-query (2 Lloyd iterations, one corpus pass each for ALL
+    * subspaces), corpus PQ-encoded to 8 codes/vector, ADC scan over
+    * the codes + exact top-20 rerank. Scores are genuine cosines
+    * (rerank is exact); the code path is rows-only by design —
+    * codebook floats are summation-order-dependent like every
+    * distributed k-means — with recall pinned by PqSpec. */
+  val simsearchPqQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 8, dims = 64, ks = 16, iters = 2)
+    // codes staged once (the persisted-index serving reality): the ADC
+    // scan → TakeOrdered path then carries NO exchange (PqSpec asserts)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, m = 8, dims = 64)
+      .localCheckpoint()
+    Pq.adcTopK(emb, codes, cb, "vec_id", "embedding", queryId = 0L,
+      k = 20, m = 8, dims = 64, ks = 16, overfetch = 6)
+  }
+
   /** N2b' — edit-similarity join with NO blocking key (the scale path
     * of the fuzzy family): corpus-wide pairs within edit distance 3 on
     * the 30-char heads via the PassJoin segment pigeonhole
@@ -652,6 +671,7 @@ object LlmQueries {
     "llm_sample" -> sampleQ,
     "llm_fuzzy_pairs" -> fuzzyPairsQ,
     "llm_fuzzy_pairs_global" -> fuzzyPairsGlobalQ,
+    "llm_simsearch_pq" -> simsearchPqQ,
     "llm_shuffle_order" -> shuffleOrderQ,
     "llm_pii_scrub" -> piiScrubQ,
     "llm_length_histogram" -> lengthHistogramQ,

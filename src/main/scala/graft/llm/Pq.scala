@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [NORTH-STAR] Product quantization (PQ) — the MEMORY lever of the
+  * vector-search family, complementing the IVF/hyperplane layouts'
+  * scan-pruning lever: each 64-dim float vector (256 bytes) compresses
+  * to `m` one-byte codebook codes (8 bytes at m=8), so the ADC scan
+  * side touches 32× less data and a 100 TB embedding corpus serves
+  * from ~3 TB of codes. Search is two-stage: an asymmetric-distance
+  * (ADC) pass over the codes ranks candidates from a per-query lookup
+  * table (query-subvector · centroid dots — m×ks doubles, literal in
+  * the plan, no join), then the top `k·overfetch` candidates rerank
+  * EXACTLY against their true vectors, so returned scores are genuine
+  * cosines and approximation affects only recall, never score values.
+  *
+  * Scale shape: codebook training touches the corpus once per Lloyd
+  * iteration for ALL subspaces together (the subvector table carries a
+  * (j, subvec) pair per subspace — assignment is one broadcast join
+  * against m·ks centroid rows, never a corpus shuffle; the mean update
+  * shuffles (j, cid, dim) partials, codebook-sized). Encoding is one
+  * more pass; the ADC serving scan is shuffle-free (codes scan →
+  * lookup-table transform → TakeOrderedAndProject) and the exact
+  * rerank joins only k·overfetch ids back to the vector table.
+  *
+  * Determinism: assignment/encoding are argmin with ties to the
+  * smallest centroid id, and the ADC/rerank orderings tiebreak on
+  * vec_id — deterministic given a codebook. Trained codebooks use
+  * float `avg` (summation order is partition-dependent), so like every
+  * distributed k-means ([[Ivf]]) they are bit-nondeterministic across
+  * cluster layouts: the declared query is rows-only by design and
+  * PqSpec pins recall against the exact baseline instead of a hash.
+  *
+  * Reference anchor: no counterpart — mandated by the [NORTH-STAR]
+  * similarity-search rows (SURVEY §2.11 N3).
+  */
+object Pq {
+
+  /** (id, j, subvec): the corpus exploded to m subvectors of dims/m —
+    * every subspace trains from ONE shared pass over this table. */
+  private[llm] def subvectors(emb: DataFrame, idCol: String,
+                              vecCol: String, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    emb.select(col(idCol).as("__id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col(vecCol), j * sub + 1, sub).as("subvec"))): _*)).as("g"))
+      .select(col("__id"), col("g.j"), col("g.subvec"))
+  }
+
+  /** Squared L2 over float arrays in double HOF math — sequential
+    * per-pair fold, deterministic, whole-stage codegen. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Best centroid per (vector, subspace): argmin L2, ties to the
+    * smallest cid; carries the subvec so the mean update needs no
+    * second join. */
+  private def assign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("j"))
+      .select(col("__id"), col("j"),
+        struct(dist2(col("subvec"), col("cvec")).as("d2"),
+          col("cid"), col("subvec")).as("cand"))
+      .groupBy("__id", "j").agg(min("cand").as("best"))
+
+  /** Train per-subspace codebooks jointly: (j, cid, cvec) with
+    * cid ∈ [0, ks). Init seeds every subspace from the ks smallest
+    * ids' subvectors (deterministic for any id space); `iters` Lloyd
+    * steps follow, each ONE pass over the corpus for all subspaces.
+    * Empty cells keep their previous centroid (standard practice —
+    * dropping them would shrink ks mid-train). */
+  def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                     m: Int, dims: Int, ks: Int, iters: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val spark = emb.sparkSession
+    val subs = subvectors(emb, idCol, vecCol, m, dims).localCheckpoint()
+    val seedIds = emb.select(col(idCol).cast("long"))
+      .orderBy(idCol).limit(ks)
+      .collect().map(_.getLong(0)) // ks rows to the driver, bounded
+    require(seedIds.length == ks, s"need at least $ks vectors to seed")
+    val seedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedIds.zipWithIndex.toIndexedSeq.map { case (id, c) =>
+          org.apache.spark.sql.Row(id, c.toLong) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType))))
+    var cb = subs.join(broadcast(seedDf), Seq("__id"))
+      .select(col("j"), col("cid"), col("subvec").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val means = assign(subs, cb)
+        .select(col("j"), col("best.cid").as("cid"),
+          posexplode(col("best.subvec")))
+        .groupBy(col("j"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .groupBy(col("j"), col("cid"))
+        .agg(collect_list(struct(col("pos"), col("mv"))).as("dims"))
+        .select(col("j"), col("cid"),
+          transform(array_sort(col("dims")), x =>
+            x.getField("mv").cast("float")).as("cvec"))
+      cb = cb.join(means, Seq("j", "cid"), "left_anti")
+        .unionByName(means).localCheckpoint()
+    }
+    cb
+  }
+
+  /** PQ-encode the corpus: (id, codes) with codes(j) = best cid of
+    * subspace j — the 8-bytes-per-vector serving table. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             cb: DataFrame, m: Int, dims: Int): DataFrame =
+    assign(subvectors(emb, idCol, vecCol, m, dims), cb)
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("best.cid")))),
+        x => x.getField("cid")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+
+  /** Two-stage PQ top-k: ADC over the codes (lookup-table literal, no
+    * join, TakeOrdered) ranks `k·overfetch` candidates; the exact
+    * cosine rerank over their true vectors returns genuine scores.
+    * Returns (idCol, cos_e6), best first. */
+  def adcTopK(emb: DataFrame, codes: DataFrame, cb: DataFrame,
+              idCol: String, vecCol: String, queryId: Long, k: Int,
+              m: Int, dims: Int, ks: Int, overfetch: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val sub = dims / m
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(vecCol).head().getSeq[Float](0)
+    val lut = Array.ofDim[Double](m * ks)
+    cb.collect().foreach { r => // m·ks rows — codebook-sized by design
+      val j = r.getInt(r.fieldIndex("j"))
+      val cid = r.getLong(r.fieldIndex("cid")).toInt
+      val cvec = r.getSeq[Float](r.fieldIndex("cvec"))
+      var d = 0d
+      var i = 0
+      while (i < sub) { d += qv(j * sub + i).toDouble * cvec(i); i += 1 }
+      lut(j * ks + cid) = d
+    }
+    val lutLit = array(lut.toIndexedSeq.map(lit): _*)
+    val candidates = codes
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, j) => element_at(lutLit, (j * ks + c + 1).cast("int"))),
+        lit(0d), (acc, v) => acc + v))
+      .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
+      .select(col(idCol))
+    candidates.join(emb, Seq(idCol))
+      .select(col(idCol),
+        SimSearch.cosineE6(col(vecCol), typedlit(qv)).as("cos_e6"))
+      .orderBy(desc("cos_e6"), col(idCol)).limit(k)
+  }
+}

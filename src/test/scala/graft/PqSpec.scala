@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Pq, SimSearch}
+
+/** [[graft.llm.Pq]]: code-table shape, ADC+rerank recall against the
+  * exact baseline, and the exactness of returned scores. */
+class PqSpec extends SparkSpec {
+  import org.apache.spark.sql.Encoders
+
+  private val (m, dims, ks) = (8, 64, 16)
+
+  test("encode yields one code per subspace, all within the codebook") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m, dims, ks,
+      iters = 1)
+    assert(cb.count() == m.toLong * ks, "full codebook: m x ks centroids")
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, m, dims)
+    assert(codes.count() == emb.count(), "every vector encoded")
+    val bad = codes.filter(size(col("codes")) =!= m ||
+      exists(col("codes"), c => c < 0 || c >= ks)).count()
+    assert(bad == 0, "codes must be m entries in [0, ks)")
+  }
+
+  test("ADC + exact rerank recovers the exact top-k with high recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+    val got = SparkEntry.queries("llm_simsearch_pq")(spark, sf)
+      .select("vec_id", "cos_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 20)
+    val recall = exact.intersect(got.map(_._1).toSet).size.toDouble / 20
+    assert(recall >= 0.5, s"PQ recall=$recall vs exact top-20")
+    // the query vector itself must survive quantization and rank first
+    // with an exact self-cosine (rerank scores are genuine, not ADC)
+    assert(got.head._1 == 0L && got.head._2 == 1000000L,
+      s"query should top its own result list exactly, got ${got.head}")
+  }
+
+  test("the ADC candidate stage is shuffle-free over the staged codes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    val df = SparkEntry.queries("llm_simsearch_pq")(spark, sf)
+    val takes = nodes(df.queryExecution.executedPlan).filter(
+      _.getClass.getSimpleName.startsWith("TakeOrderedAndProject"))
+    assert(takes.nonEmpty, "ADC top-k should plan as TakeOrderedAndProject")
+    // the ADC TakeOrdered sits directly on the checkpointed code table:
+    // lookup-table transform + per-partition top-k, no exchange below it
+    assert(takes.exists(t => !nodes(t).drop(1).exists(
+        _.isInstanceOf[ShuffleExchangeLike])),
+      "expected a shuffle-free ADC scan → TakeOrdered stage")
+  }
+}
