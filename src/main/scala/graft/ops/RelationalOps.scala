@@ -816,9 +816,11 @@ object RelationalOps {
       files = 8)
     val (uLo, uHi) = (uMin + (uMax - uMin) / 3, uMin + 2 * (uMax - uMin) / 3)
     val cHi = cMin + (cMax - cMin) / 2
-    s.read.parquet(dir)
-      .filter(col("user_id").between(uLo, uHi) &&
-        col("cents").between(cMin, cHi))
+    // the serving read goes through the _ZSTATS file index: only files
+    // whose stats envelope intersects the box are planned (ZOrderSpec
+    // asserts the scanned set), and the re-applied box filter makes the
+    // skipping output-invisible — the oracle is the un-clustered table
+    ZOrder.prunedScan(s, dir, "user_id", uLo, uHi, "cents", cMin, cHi)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
         sum(col("event_id")).as("sum_event_id"))

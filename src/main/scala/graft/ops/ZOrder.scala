@@ -63,15 +63,66 @@ object ZOrder {
     * z so each file owns a contiguous z-interval, sort within, drop
     * the helper column. `files` scales with data volume at the
     * caller (rows / target-file-rows), fixed small here for the test
-    * geometry. */
+    * geometry. Alongside the data a `_ZSTATS` index records each
+    * file's (min, max) envelope on both columns — the file-skipping
+    * index [[prunedScan]] consults (what a table format keeps in its
+    * manifest; the leading underscore keeps parquet readers off it).
+    * The index is one aggregate over the written files, file-count
+    * rows to the driver. */
   def layout(df: DataFrame, path: String,
              colA: String, aMin: Long, aMax: Long,
              colB: String, bMin: Long, bMax: Long,
-             files: Int): Unit =
+             files: Int): Unit = {
     df.withColumn("__z", z2(
         scale16(col(colA), aMin, aMax), scale16(col(colB), bMin, bMax)))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("alo"), max(col(colA)).as("ahi"),
+        min(col(colB)).as("blo"), max(col(colB)).as("bhi"))
+      .collect() // one row per written file — bounded by `files`
+    val body = stats.map { r =>
+      Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)).mkString("\t")
+    }.sorted.mkString("", "\n", "\n")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_ZSTATS"), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Scan the z-layout at `path` reading ONLY the files whose `_ZSTATS`
+    * envelope intersects the [aLo,aHi]×[bLo,bHi] box — file-level
+    * skipping off the driver-side index (file-count-sized), the move a
+    * table-format scan makes from its manifest. The box filter is
+    * re-applied to the surviving rows (envelopes are conservative), so
+    * the result is identical to filtering a full scan. An empty
+    * candidate set returns the empty relation with the layout's
+    * schema. */
+  def prunedScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                 colA: String, aLo: Long, aHi: Long,
+                 colB: String, bLo: Long, bHi: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, "_ZSTATS"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val hot = lines.map(_.split('\t')).collect {
+      case Array(f, alo, ahi, blo, bhi)
+        if alo.toLong <= aHi && ahi.toLong >= aLo &&
+          blo.toLong <= bHi && bhi.toLong >= bLo => f
+    }
+    val scan =
+      if (hot.nonEmpty) spark.read.parquet(hot: _*)
+      else spark.read.parquet(path).limit(0)
+    scan.filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
+  }
 }

@@ -72,6 +72,22 @@ class ZOrderSpec extends SparkSpec {
 
     // the layout is lossless and the clustered read serves the same rows
     assert(spark.read.parquet(zdir).count() == ev.count())
+
+    // prunedScan plans ONLY the intersecting files off the _ZSTATS
+    // index, and re-filtering keeps it byte-identical to the full scan
+    val pruned = ZOrder.prunedScan(spark, zdir,
+      "user_id", uLo, uHi, "cents", cMin, cHi)
+    val scannedFiles = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hotFiles = zStats.filter(intersects).map(_.getString(0)).toSet
+    assert(scannedFiles.subsetOf(hotFiles),
+      s"pruned scan read a cold file: ${scannedFiles -- hotFiles}")
+    val full = spark.read.parquet(zdir)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("cents").between(cMin, cHi))
+    assert(pruned.orderBy("event_id").collect()
+      .sameElements(full.orderBy("event_id").collect()),
+      "file skipping must be output-invisible")
   }
 
   test("layout_zorder_scan declared query returns the box aggregate") {
