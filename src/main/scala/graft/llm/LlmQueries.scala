@@ -395,6 +395,25 @@ object LlmQueries {
       k = 20, m = 8, dims = 64, ks = 16, overfetch = 6)
   }
 
+  /** N3'''' — IVF-PQ top-k ([[Pq.writeIvfPq]]): the composed
+    * billion-scale serving shape — bucket directories prune the read
+    * to the hamming-ball probe set AND the index holds only 8-byte
+    * codes (true vectors fetched solely for the rerank). Rows-only
+    * like the other trained-index queries; PqSpec pins recall and the
+    * partition pruning. */
+  val simsearchIvfPqQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 8, dims = 64, ks = 16, iters = 2)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-ivfpq-${s.sparkContext.applicationId}").getPath
+    Pq.writeIvfPq(emb, "vec_id", "embedding", cb, m = 8, dims = 64,
+      planes = 6, dir)
+    Pq.ivfPqTopK(emb, dir, cb, "vec_id", "embedding", queryId = 0L,
+      k = 20, m = 8, dims = 64, ks = 16, planes = 6, probeHamming = 3,
+      overfetch = 6)
+  }
+
   /** N2b' — edit-similarity join with NO blocking key (the scale path
     * of the fuzzy family): corpus-wide pairs within edit distance 3 on
     * the 30-char heads via the PassJoin segment pigeonhole
@@ -672,6 +691,7 @@ object LlmQueries {
     "llm_fuzzy_pairs" -> fuzzyPairsQ,
     "llm_fuzzy_pairs_global" -> fuzzyPairsGlobalQ,
     "llm_simsearch_pq" -> simsearchPqQ,
+    "llm_simsearch_ivfpq" -> simsearchIvfPqQ,
     "llm_shuffle_order" -> shuffleOrderQ,
     "llm_pii_scrub" -> piiScrubQ,
     "llm_length_histogram" -> lengthHistogramQ,

@@ -123,17 +123,11 @@ object Pq {
         x => x.getField("cid")).as("codes"))
       .select(col("__id").as(idCol), col("codes"))
 
-  /** Two-stage PQ top-k: ADC over the codes (lookup-table literal, no
-    * join, TakeOrdered) ranks `k·overfetch` candidates; the exact
-    * cosine rerank over their true vectors returns genuine scores.
-    * Returns (idCol, cos_e6), best first. */
-  def adcTopK(emb: DataFrame, codes: DataFrame, cb: DataFrame,
-              idCol: String, vecCol: String, queryId: Long, k: Int,
-              m: Int, dims: Int, ks: Int, overfetch: Int = 4): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val sub = dims / m
-    val qv = emb.filter(col(idCol) === queryId)
-      .select(vecCol).head().getSeq[Float](0)
+  /** The per-query ADC lookup table: lut(j·ks + c) = q_j · centroid_{j,c}
+    * — m·ks doubles from the collected codebook, a literal in the
+    * serving plan (no join against the codebook at scan time). */
+  private def lutFor(qv: Seq[Float], cb: DataFrame,
+                     m: Int, ks: Int, sub: Int): Array[Double] = {
     val lut = Array.ofDim[Double](m * ks)
     cb.collect().foreach { r => // m·ks rows — codebook-sized by design
       val j = r.getInt(r.fieldIndex("j"))
@@ -144,12 +138,78 @@ object Pq {
       while (i < sub) { d += qv(j * sub + i).toDouble * cvec(i); i += 1 }
       lut(j * ks + cid) = d
     }
-    val lutLit = array(lut.toIndexedSeq.map(lit): _*)
+    lut
+  }
+
+  /** ADC score of a code array against a lookup-table literal. */
+  private def adcScore(codes: Column, lutLit: Column,
+                       m: Int, ks: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(lutLit, (j * ks + c + 1).cast("int"))),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Two-stage PQ top-k: ADC over the codes (lookup-table literal, no
+    * join, TakeOrdered) ranks `k·overfetch` candidates; the exact
+    * cosine rerank over their true vectors returns genuine scores.
+    * Returns (idCol, cos_e6), best first. */
+  def adcTopK(emb: DataFrame, codes: DataFrame, cb: DataFrame,
+              idCol: String, vecCol: String, queryId: Long, k: Int,
+              m: Int, dims: Int, ks: Int, overfetch: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(vecCol).head().getSeq[Float](0)
+    val lutLit = array(
+      lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
     val candidates = codes
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, j) => element_at(lutLit, (j * ks + c + 1).cast("int"))),
-        lit(0d), (acc, v) => acc + v))
+      .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
+      .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
+      .select(col(idCol))
+    candidates.join(emb, Seq(idCol))
+      .select(col(idCol),
+        SimSearch.cosineE6(col(vecCol), typedlit(qv)).as("cos_e6"))
+      .orderBy(desc("cos_e6"), col(idCol)).limit(k)
+  }
+
+  /** IVF-PQ index: the billion-scale serving layout — hyperplane
+    * bucket DIRECTORIES for partition pruning ([[SimSearch]]'s IVF
+    * lever) holding only (id, codes) rows (this file's memory lever):
+    * the index stores 8 bytes per vector, true vectors never enter it
+    * and are fetched only for the k·overfetch rerank. Bucket
+    * co-location before the write keeps it one file per bucket. */
+  def writeIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                 cb: DataFrame, m: Int, dims: Int, planes: Int,
+                 path: String): Unit = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col(idCol),
+        SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .join(encode(emb, idCol, vecCol, cb, m, dims), Seq(idCol))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe the [[writeIvfPq]] index: the hamming-ball probe set is
+    * enumerated driver-side and the code read is PARTITION-PRUNED to
+    * those bucket directories (a 100 TB index read becomes
+    * probed/2^planes of ~3 TB of codes); ADC ranks the probed codes
+    * off the lookup-table literal, then the exact rerank touches true
+    * vectors for k·overfetch ids only. Returns (idCol, cos_e6). */
+  def ivfPqTopK(emb: DataFrame, layoutPath: String, cb: DataFrame,
+                idCol: String, vecCol: String, queryId: Long, k: Int,
+                m: Int, dims: Int, ks: Int, planes: Int,
+                probeHamming: Int = 2, overfetch: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol),
+        SimSearch.hyperplaneSignature(col(vecCol), planes)).head()
+    val qv = qRow.getSeq[Float](0)
+    val probes = SimSearch.probeBuckets(qRow.getLong(1), planes, probeHamming)
+    val lutLit = array(
+      lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
+    val candidates = spark.read.parquet(layoutPath)
+      .filter(col("bucket").isin(probes: _*)) // prunes at the file index
+      .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
       .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
       .select(col(idCol))
     candidates.join(emb, Seq(idCol))

@@ -71,7 +71,8 @@ class InventorySpec extends SparkSpec {
     "cdc_schema_evolution", "llm_dedup_incremental",
     "llm_dedup_incremental_near", "llm_heavy_hitters",
     "llm_sketch_rollup", "llm_profile", "llm_leak_report",
-    "llm_fuzzy_pairs_global", "layout_zorder_scan", "llm_simsearch_pq")
+    "llm_fuzzy_pairs_global", "layout_zorder_scan", "llm_simsearch_pq",
+    "llm_simsearch_ivfpq")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -100,7 +101,7 @@ class InventorySpec extends SparkSpec {
       "sink_listing", "agg_approx_distinct", "llm_sketch_rollup",
       // PQ codebooks are float-avg trained (order-dependent like every
       // distributed k-means) — recall pinned by PqSpec instead
-      "llm_simsearch_pq")
+      "llm_simsearch_pq", "llm_simsearch_ivfpq")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

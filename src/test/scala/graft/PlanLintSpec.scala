@@ -32,7 +32,9 @@ class PlanLintSpec extends SparkSpec {
     // stages per-payload binary files at construction time
     "llm_multimodal_ingest",
     // writes the z-clustered scratch copy at construction time
-    "layout_zorder_scan")
+    "layout_zorder_scan",
+    // writes the IVF-PQ index scratch layout at construction time
+    "llm_simsearch_ivfpq")
 
   test("no declared query plans a CartesianProduct or a global window") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -38,6 +38,43 @@ class PqSpec extends SparkSpec {
       s"query should top its own result list exactly, got ${got.head}")
   }
 
+  test("IVF-PQ: pruned probe over a codes-only index keeps recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = graft.llm.Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m, dims, ks, iters = 2)
+    val path = tmpDir("ivfpq")
+    graft.llm.Pq.writeIvfPq(emb, "vec_id", "embedding", cb, m, dims,
+      planes = 6, path)
+    // the index holds ONLY (id, codes) + the bucket partition column —
+    // true vectors never enter it (the memory contract)
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet == Set("vec_id", "codes", "bucket"),
+      s"index must be codes-only, has ${idx.columns.mkString(",")}")
+    val got = graft.llm.Pq.ivfPqTopK(emb, path, cb, "vec_id", "embedding",
+      queryId = 0L, k = 20, m, dims, ks, planes = 6, probeHamming = 3,
+      overfetch = 6)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect()
+    assert(got.length == 20 && got.head == 0L,
+      "query must survive quantization + bucketing and rank first")
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+    val recall = exact.intersect(got.toSet).size.toDouble / 20
+    assert(recall >= 0.4, s"IVF-PQ recall=$recall vs exact top-20")
+    // and the probe is partition-pruned: strictly fewer bucket dirs
+    // scanned than the layout holds
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qBucket = idx.filter(col("vec_id") === 0L)
+      .select(col("bucket").cast("long")).as[Long](Encoders.scalaLong).head()
+    val probes = SimSearch.probeBuckets(qBucket, planes = 6, probeHamming = 3)
+    val probed = idx.filter(col("bucket").isin(probes: _*))
+    val scanned = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    val total = idx.select("bucket").distinct().count()
+    assert(scanned.nonEmpty && scanned.forall(_ < total),
+      s"probe must prune: scanned=$scanned of $total bucket dirs")
+  }
+
   test("the ADC candidate stage is shuffle-free over the staged codes") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
