@@ -51,8 +51,9 @@ object ZOrder {
     * (max−min)·65535 < 2⁵³ — any 37-bit domain. */
   def scale16(c: Column, min: Long, max: Long): Column =
     if (max <= min) lit(0L)
-    else floor((c.cast("long") - lit(min)) * lit(MaxCode) / lit(max - min))
-      .cast("long")
+    else greatest(lit(0L), least(lit(MaxCode),
+      floor((c.cast("long") - lit(min)) * lit(MaxCode) / lit(max - min))
+        .cast("long")))
 
   /** The interleaved z-value of two 16-bit codes (a even bits, b odd). */
   def z2(a: Column, b: Column): Column =
@@ -79,12 +80,45 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
-    val spark = df.sparkSession
+    writeStats(df.sparkSession, path, colA, colB)
+  }
+
+  /** Incremental ingest into a [[layout]]: z-sort the batch UNDER THE
+    * LAYOUT'S ORIGINAL BOUNDS (so old and new files share one curve)
+    * and append its files, then refresh the stats index — no rewrite
+    * of existing data, cost ∝ batch (the growing-corpus twin of the
+    * bucketed vector layouts' append). Each append adds `files` files;
+    * fold back with a periodic [[layout]] rebuild, the same
+    * maintenance-window trade the change table makes with log
+    * compaction. Out-of-bounds batch values are safe: [[scale16]]
+    * clamps their codes to the curve's edge cells and the stats index
+    * records the files' TRUE envelopes, so pruning stays conservative
+    * (edge files just carry wider envelopes until a rebuild). */
+  def append(batch: DataFrame, path: String,
+             colA: String, aMin: Long, aMax: Long,
+             colB: String, bMin: Long, bMax: Long,
+             files: Int): Unit = {
+    batch.withColumn("__z", z2(
+        scale16(col(colA), aMin, aMax), scale16(col(colB), bMin, bMax)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("append").parquet(path)
+    writeStats(batch.sparkSession, path, colA, colB)
+  }
+
+  /** (Re)build the `_ZSTATS` index: one aggregate over the layout,
+    * file-count rows to the driver, installed atomically enough for
+    * single-writer maintenance (readers that race a refresh see the
+    * previous complete index — `fs.create(overwrite)` replaces it
+    * whole). */
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String, colA: String, colB: String): Unit = {
     val stats = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(colA)).as("alo"), max(col(colA)).as("ahi"),
         min(col(colB)).as("blo"), max(col(colB)).as("bhi"))
-      .collect() // one row per written file — bounded by `files`
+      .collect() // one row per written file
     val body = stats.map { r =>
       Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)).mkString("\t")

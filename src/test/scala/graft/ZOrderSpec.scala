@@ -90,6 +90,40 @@ class ZOrderSpec extends SparkSpec {
       "file skipping must be output-invisible")
   }
 
+  test("append ingests a batch without rewriting existing files") {
+    val ev = Tables.events(spark, sf).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("cents"), max("cents")).head()
+    val (uMin, uMax, cMin, cMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val dir = tmpDir("graft-zorder-append")
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val batch = ev.filter(col("event_id") % 2 =!= 0)
+    ZOrder.layout(base, dir, "user_id", uMin, uMax, "cents", cMin, cMax, 4)
+    val baseFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    ZOrder.append(batch, dir, "user_id", uMin, uMax, "cents", cMin, cMax, 2)
+    val allFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(baseFiles.subsetOf(allFiles) && allFiles.size > baseFiles.size,
+      "append must add files, never rewrite the existing generation")
+    // the refreshed index covers old AND new files, and the pruned
+    // read over the union equals the plain filter over all rows
+    val (uLo, uHi) = (uMin + (uMax - uMin) / 3, uMin + 2 * (uMax - uMin) / 3)
+    val cHi = cMin + (cMax - cMin) / 2
+    val pruned = ZOrder.prunedScan(spark, dir,
+      "user_id", uLo, uHi, "cents", cMin, cHi)
+    val want = ev.filter(col("user_id").between(uLo, uHi) &&
+      col("cents").between(cMin, cHi))
+    assert(pruned.count() == want.count() && pruned.count() > 0,
+      "post-append pruned scan must serve the full union")
+  }
+
   test("layout_zorder_scan declared query returns the box aggregate") {
     val rows = SparkEntry.queries("layout_zorder_scan")(spark, sf).collect()
     assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0)
