@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * The pigeonhole: partition each string into `k+1` contiguous
   * segments. An edit script of at most `k` operations leaves at least
   * one segment untouched, and the untouched segment reappears in the
-  * other string shifted by at most `k` positions (the net
-  * insert/delete drift in front of it). So the candidate set
+  * other string shifted by the net insert/delete drift in front of it
+  * — for the EQUAL-LENGTH strings this object is scoped to, an
+  * optimal script has #inserts = #deletes ≤ ⌊k/2⌋, so any prefix's
+  * net drift (and hence the shift) is bounded by ⌊k/2⌋, not k. So
+  * the candidate set
   *
   *   segments(a) ⋈ shifted-substrings(b)  on (segment index, bytes)
   *
@@ -20,7 +23,7 @@ import org.apache.spark.sql.functions._
   * (index, segment bytes) is high-cardinality: corpus-scale candidate
   * generation is a plain shuffle join whose fan-out is bounded by the
   * constant enumeration factor ((k+1) segments one side,
-  * ≤ (k+1)·(2k+1) substrings the other), never |block|². Candidates
+  * ≤ (k+1)·(2⌊k/2⌋+1) substrings the other), never |block|². Candidates
   * are then verified with the THRESHOLDED banded levenshtein (O(k·n)
   * early-exit DP), so false candidates cost k·n character compares,
   * not a full DP table.
@@ -56,14 +59,20 @@ object EditJoin {
     }
   }
 
+  /** The probe-window half-width: an equal-length pair's optimal
+    * script has at most ⌊k/2⌋ insert/delete pairs, so no untouched
+    * segment shifts further than that. */
+  private[graft] def shift(k: Int): Int = k / 2
+
   /** All (segIndex, piece) probes of a string `s` under `scheme`:
     * every substring that could be some partner's untouched segment,
-    * i.e. each segment window slid by at most ±k. Mirrors the Spark
-    * enumeration; used by the spec's completeness property. */
+    * i.e. each segment window slid by at most ±⌊k/2⌋. Mirrors the
+    * Spark enumeration; used by the spec's completeness property. */
   private[graft] def probes(s: String, len: Int, k: Int): Set[(Int, String)] =
     (for {
       (i, start, l) <- scheme(len, k)
-      p <- math.max(1, start - k) to math.min(len - l + 1, start + k)
+      p <- math.max(1, start - shift(k)) to
+        math.min(len - l + 1, start + shift(k))
     } yield (i, s.substring(p - 1, p - 1 + l))).toSet
 
   /** Self-join `df` on `strCol` (exactly `len` chars; other lengths
@@ -87,7 +96,8 @@ object EditJoin {
     val subs = keys.select(col("__id").as("id_b"), col("__s").as("head_b"),
         explode(array_distinct(array((for {
           (i, start, l) <- sch
-          p <- math.max(1, start - k) to math.min(len - l + 1, start + k)
+          p <- math.max(1, start - shift(k)) to
+            math.min(len - l + 1, start + shift(k))
         } yield struct(lit(i).as("i"),
           substring(col("__s"), p, l).as("piece"))): _*))).as("g"))
       .select(col("id_b"), col("head_b"), col("g.i"), col("g.piece"))

@@ -405,8 +405,12 @@ object LlmQueries {
     val emb = Tables.embeddings(s, d)
     val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
       m = 8, dims = 64, ks = 16, iters = 2)
+    // dir keyed by app AND dataset: constructing this query for two
+    // scale factors in one application must not cross-serve indexes
+    // (the simsearchAnn cache-key lesson)
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-ivfpq-${s.sparkContext.applicationId}").getPath
+      s"graft-ivfpq-${s.sparkContext.applicationId}-" +
+        new java.io.File(d).getName).getPath
     Pq.writeIvfPq(emb, "vec_id", "embedding", cb, m = 8, dims = 64,
       planes = 6, dir)
     Pq.ivfPqTopK(emb, dir, cb, "vec_id", "embedding", queryId = 0L,

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   * the plan, no join), then the top `k·overfetch` candidates rerank
   * EXACTLY against their true vectors, so returned scores are genuine
   * cosines and approximation affects only recall, never score values.
+  * Like every simsearch family member, the query row itself is
+  * excluded — all k slots go to genuine neighbors.
   *
   * Scale shape: codebook training touches the corpus once per Lloyd
   * iteration for ALL subspaces together (the subvector table carries a
@@ -162,6 +164,7 @@ object Pq {
     val lutLit = array(
       lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
     val candidates = codes
+      .filter(col(idCol) =!= queryId) // the family contract: neighbors only
       .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
       .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
       .select(col(idCol))
@@ -209,6 +212,7 @@ object Pq {
       lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
     val candidates = spark.read.parquet(layoutPath)
       .filter(col("bucket").isin(probes: _*)) // prunes at the file index
+      .filter(col(idCol) =!= queryId) // the family contract: neighbors only
       .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
       .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
       .select(col(idCol))

@@ -85,15 +85,19 @@ object ZOrder {
 
   /** Incremental ingest into a [[layout]]: z-sort the batch UNDER THE
     * LAYOUT'S ORIGINAL BOUNDS (so old and new files share one curve)
-    * and append its files, then refresh the stats index — no rewrite
-    * of existing data, cost ∝ batch (the growing-corpus twin of the
-    * bucketed vector layouts' append). Each append adds `files` files;
-    * fold back with a periodic [[layout]] rebuild, the same
-    * maintenance-window trade the change table makes with log
-    * compaction. Out-of-bounds batch values are safe: [[scale16]]
-    * clamps their codes to the curve's edge cells and the stats index
-    * records the files' TRUE envelopes, so pruning stays conservative
-    * (edge files just carry wider envelopes until a rebuild). */
+    * and append its files, then extend the stats index with ONLY the
+    * new files' envelopes (existing files are immutable, their lines
+    * carry over) — no rewrite of existing data, cost ∝ batch (the
+    * growing-corpus twin of the bucketed vector layouts' append).
+    * Each append adds `files` files; fold back with a periodic
+    * [[layout]] rebuild, the same maintenance-window trade the change
+    * table makes with log compaction. Out-of-bounds batch values are
+    * safe: [[scale16]] clamps their codes to the curve's edge cells
+    * and the index records the files' TRUE envelopes, so pruning
+    * stays conservative (edge files just carry wider envelopes until
+    * a rebuild). A crash between the data commit and the index
+    * refresh is also safe: [[prunedScan]] treats files the index
+    * doesn't know as hot. */
   def append(batch: DataFrame, path: String,
              colA: String, aMin: Long, aMax: Long,
              colB: String, bMin: Long, bMax: Long,
@@ -104,56 +108,97 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("append").parquet(path)
-    writeStats(batch.sparkSession, path, colA, colB)
+    val spark = batch.sparkSession
+    val known = readStatsLines(spark, path)
+      .map(_.takeWhile(_ != '\t')).toSet
+    val newFiles = listDataFiles(spark, path).filterNot(known)
+    writeStats(spark, path, colA, colB, onlyFiles = Some(newFiles))
   }
 
-  /** (Re)build the `_ZSTATS` index: one aggregate over the layout,
-    * file-count rows to the driver, installed atomically enough for
-    * single-writer maintenance (readers that race a refresh see the
-    * previous complete index — `fs.create(overwrite)` replaces it
-    * whole). */
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The layout's data files, in `input_file_name()` URI form so index
+    * lines and listings compare exactly. */
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[String] =
+    fsOf(spark, path)
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toUri.toString)
+
+  private def readStatsLines(spark: org.apache.spark.sql.SparkSession,
+                             path: String): List[String] = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, "_ZSTATS")
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** (Re)build the `_ZSTATS` index — or, with `onlyFiles`, aggregate
+    * just those files' envelopes and carry the existing lines over
+    * (append cost ∝ batch). Installed via write-temp-then-rename so a
+    * racing reader sees either the previous or the new COMPLETE index,
+    * never a truncated one. */
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
-                         path: String, colA: String, colB: String): Unit = {
-    val stats = spark.read.parquet(path)
+                         path: String, colA: String, colB: String,
+                         onlyFiles: Option[Seq[String]] = None): Unit = {
+    val scan = onlyFiles match {
+      case Some(fs) if fs.isEmpty => return
+      case Some(fs) => spark.read.parquet(fs: _*)
+      case None => spark.read.parquet(path)
+    }
+    val stats = scan
       .groupBy(input_file_name().as("file"))
       .agg(min(col(colA)).as("alo"), max(col(colA)).as("ahi"),
         min(col(colB)).as("blo"), max(col(colB)).as("bhi"))
-      .collect() // one row per written file
-    val body = stats.map { r =>
+      .collect() // one row per aggregated file
+    val fresh = stats.map { r =>
       Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)).mkString("\t")
-    }.sorted.mkString("", "\n", "\n")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(path, "_ZSTATS"), true)
+    }
+    val carried =
+      if (onlyFiles.isEmpty) Nil else readStatsLines(spark, path)
+    val body = (carried ++ fresh).sorted.distinct.mkString("", "\n", "\n")
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path, "._ZSTATS-tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(path, "_ZSTATS")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"graft zstats: cannot install $dst")
   }
 
   /** Scan the z-layout at `path` reading ONLY the files whose `_ZSTATS`
     * envelope intersects the [aLo,aHi]×[bLo,bHi] box — file-level
     * skipping off the driver-side index (file-count-sized), the move a
-    * table-format scan makes from its manifest. The box filter is
-    * re-applied to the surviving rows (envelopes are conservative), so
-    * the result is identical to filtering a full scan. An empty
-    * candidate set returns the empty relation with the layout's
-    * schema. */
+    * table-format scan makes from its manifest. CONSERVATIVE on every
+    * edge: a data file the index doesn't know (crash between a data
+    * commit and the index refresh, or no index at all) is treated as
+    * hot and scanned — only a recorded non-intersecting envelope ever
+    * skips a file. The box filter is re-applied to the surviving rows
+    * (envelopes are conservative too), so the result is identical to
+    * filtering a full scan. An empty candidate set returns the empty
+    * relation with the layout's schema. */
   def prunedScan(spark: org.apache.spark.sql.SparkSession, path: String,
                  colA: String, aLo: Long, aHi: Long,
                  colB: String, bLo: Long, bHi: Long): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lines = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(path, "_ZSTATS"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    }
-    val hot = lines.map(_.split('\t')).collect {
+    val cold = readStatsLines(spark, path).map(_.split('\t')).collect {
       case Array(f, alo, ahi, blo, bhi)
-        if alo.toLong <= aHi && ahi.toLong >= aLo &&
-          blo.toLong <= bHi && bhi.toLong >= bLo => f
-    }
+        if alo.toLong > aHi || ahi.toLong < aLo ||
+          blo.toLong > bHi || bhi.toLong < bLo => f
+    }.toSet
+    val hot = listDataFiles(spark, path).filterNot(cold)
     val scan =
       if (hot.nonEmpty) spark.read.parquet(hot: _*)
       else spark.read.parquet(path).limit(0)

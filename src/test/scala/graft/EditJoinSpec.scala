@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 import org.apache.spark.sql.functions._
 import graft.llm.EditJoin
@@ -95,18 +93,11 @@ class EditJoinSpec extends SparkSpec {
 
   test("plan never forms a cross product — candidates come from the " +
       "(segment, bytes) shuffle join") {
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
     // inspect the INITIAL plan (the PlanLintSpec idiom): the final AQE
     // plan wraps operators inside query-stage leaves; the initial plan
     // shows the join strategy Catalyst actually picked
     val df = SparkEntry.queries("llm_fuzzy_pairs_global")(spark, sf)
-    val ns = nodes(df.queryExecution.executedPlan)
+    val ns = planNodes(df.queryExecution.executedPlan)
     assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
       !ns.exists(_.getClass.getSimpleName.startsWith("CartesianProduct")),
       "PassJoin must never fall back to a cross product")

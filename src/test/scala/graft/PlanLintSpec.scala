@@ -37,22 +37,12 @@ class PlanLintSpec extends SparkSpec {
     "llm_simsearch_ivfpq")
 
   test("no declared query plans a CartesianProduct or a global window") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    // collect ALL physical nodes, descending through the AQE wrapper
-    // (AdaptiveSparkPlanExec is a leaf to the normal collect)
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
+    // planNodes (SparkSpec) collects ALL physical nodes through AQE
     val plans = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => stateful(name) }
       .map { case (name, fn) =>
-        name -> nodes(fn(spark, sf).queryExecution.executedPlan)
+        name -> planNodes(fn(spark, sf).queryExecution.executedPlan)
       }
     val cartesian = plans.collect {
       case (name, ns) if ns.exists(
@@ -106,17 +96,8 @@ class PlanLintSpec extends SparkSpec {
     // InferWindowGroupLimit turns it into Partial+Final WindowGroupLimit
     // (each map partition emits <=k rows per group BEFORE the exchange);
     // nothing else guards that the shape keeps optimizing
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
     for (name <- Seq("window_row_number", "llm_quota_lang")) {
-      val ns = nodes(SparkEntry.queries(name)(spark, sf)
+      val ns = planNodes(SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan)
       val limits = ns.filter(
         _.getClass.getSimpleName.startsWith("WindowGroupLimit"))

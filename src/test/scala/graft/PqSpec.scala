@@ -32,10 +32,17 @@ class PqSpec extends SparkSpec {
     assert(got.length == 20)
     val recall = exact.intersect(got.map(_._1).toSet).size.toDouble / 20
     assert(recall >= 0.5, s"PQ recall=$recall vs exact top-20")
-    // the query vector itself must survive quantization and rank first
-    // with an exact self-cosine (rerank scores are genuine, not ADC)
-    assert(got.head._1 == 0L && got.head._2 == 1000000L,
-      s"query should top its own result list exactly, got ${got.head}")
+    // the family contract: the query row never occupies a result slot
+    // (bruteForceTopK / annTopK / annTopKBucketed all exclude it)
+    assert(!got.map(_._1).contains(0L), "query row must be excluded")
+    // rerank scores are genuine cosines (the exact baseline's top hit
+    // appears with the identical score when recalled)
+    val exactTop = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+        0L, 1).collect().map(r => (r.getLong(0), r.getLong(1))).head
+    got.find(_._1 == exactTop._1).foreach { hit =>
+      assert(hit._2 == exactTop._2,
+        s"recalled neighbor must carry the exact cosine: $hit vs $exactTop")
+    }
   }
 
   test("IVF-PQ: pruned probe over a codes-only index keeps recall") {
@@ -54,8 +61,8 @@ class PqSpec extends SparkSpec {
       queryId = 0L, k = 20, m, dims, ks, planes = 6, probeHamming = 3,
       overfetch = 6)
       .select("vec_id").as[Long](Encoders.scalaLong).collect()
-    assert(got.length == 20 && got.head == 0L,
-      "query must survive quantization + bucketing and rank first")
+    assert(got.length == 20 && !got.contains(0L),
+      "20 genuine neighbors, query row excluded (family contract)")
     val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
       .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
     val recall = exact.intersect(got.toSet).size.toDouble / 20
@@ -76,23 +83,14 @@ class PqSpec extends SparkSpec {
   }
 
   test("the ADC candidate stage is shuffle-free over the staged codes") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
     val df = SparkEntry.queries("llm_simsearch_pq")(spark, sf)
-    val takes = nodes(df.queryExecution.executedPlan).filter(
+    val takes = planNodes(df.queryExecution.executedPlan).filter(
       _.getClass.getSimpleName.startsWith("TakeOrderedAndProject"))
     assert(takes.nonEmpty, "ADC top-k should plan as TakeOrderedAndProject")
     // the ADC TakeOrdered sits directly on the checkpointed code table:
     // lookup-table transform + per-partition top-k, no exchange below it
-    assert(takes.exists(t => !nodes(t).drop(1).exists(
+    assert(takes.exists(t => !planNodes(t).drop(1).exists(
         _.isInstanceOf[ShuffleExchangeLike])),
       "expected a shuffle-free ADC scan → TakeOrdered stage")
   }

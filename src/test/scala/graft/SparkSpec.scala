@@ -12,6 +12,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** All physical nodes of a plan, descending through the AQE wrapper
+    * (AdaptiveSparkPlanExec is a leaf to the normal collect). Inspect
+    * the INITIAL plan (no collect() first) when asserting a join
+    * strategy — the final AQE plan hides operators inside
+    * query-stage leaves this traversal cannot enter. */
+  protected def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ inner).flatMap(planNodes)
+  }
 }
 
 object SparkSpec {

@@ -45,17 +45,8 @@ class Wave5Spec extends SparkSpec {
     // the two-pass ScalableRank shape: every Window node partitions on
     // (event_type, __band) — the band column bounds each task's sort at
     // |group|/bands, so no task ever sorts one event type's whole corpus
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ inner).flatMap(nodes)
-    }
-    val windows = nodes(RelationalOps.windowNtile(spark, sf)
+    val windows = planNodes(RelationalOps.windowNtile(spark, sf)
       .queryExecution.executedPlan).collect { case w: WindowExec => w }
     assert(windows.nonEmpty, "expected the banded rank windows")
     val wholeGroup = windows.filter(_.partitionSpec.forall(

@@ -1,26 +1,17 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.FileSourceScanExec
 
 /** Round-5 scale-hardening assertions: the TF-IDF family stages its
   * token table once (no double tokenize of the corpus), pinned at the
   * plan level. */
 class Wave6Spec extends SparkSpec {
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case _ => Seq.empty
-    }
-    p +: (p.children ++ inner).flatMap(nodes)
-  }
-
   /** FileScans of documents.parquet that read the `text` column — i.e.
     * scans that pay the tokenize. The staged token table makes these
     * vanish from the query plan (the one tokenize ran at staging). */
   private def tokenizeScans(name: String): Seq[FileSourceScanExec] =
-    nodes(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+    planNodes(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       .collect {
         case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(
@@ -136,9 +127,9 @@ class Wave6Spec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val plan = SparkEntry.queries("llm_decontaminate_bloom")(spark, sf)
       .queryExecution.executedPlan
-    val unions = nodes(plan).collect { case u: UnionExec => u }
+    val unions = planNodes(plan).collect { case u: UnionExec => u }
     assert(unions.size == 1, s"expected one union, got ${unions.size}")
-    val sides = unions.head.children.map(nodes)
+    val sides = unions.head.children.map(planNodes)
     val joinFree = sides.filter(s => !s.exists(_.isInstanceOf[BaseJoinExec])
       && !s.exists(_.isInstanceOf[Exchange]))
     assert(joinFree.size == 1,
