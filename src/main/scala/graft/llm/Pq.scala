@@ -191,6 +191,29 @@ object Pq {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /** Incremental ingest into a [[writeIvfPq]] index: sign + encode the
+    * batch AGAINST THE EXISTING CODEBOOK and append into the bucket
+    * directories — no retrain, no rebuild, cost ∝ batch (the
+    * growing-corpus contract shared with
+    * [[SimSearch.appendBucketed]] and the z-layout append). Probe
+    * queries serve the union immediately: partition pruning sees old
+    * and new files alike. The codebook staying fixed is the standard
+    * PQ serving trade — drift between the frozen centroids and a
+    * shifting embedding distribution degrades ADC ranking quality
+    * (never correctness: the exact rerank stands), and the periodic
+    * retrain+rebuild is the same maintenance window every index here
+    * already budgets. */
+  def appendIvfPq(batch: DataFrame, idCol: String, vecCol: String,
+                  cb: DataFrame, m: Int, dims: Int, planes: Int,
+                  path: String): Unit = {
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    batch.select(col(idCol),
+        SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .join(encode(batch, idCol, vecCol, cb, m, dims), Seq(idCol))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Probe the [[writeIvfPq]] index: the hamming-ball probe set is
     * enumerated driver-side and the code read is PARTITION-PRUNED to
     * those bucket directories (a 100 TB index read becomes

@@ -82,6 +82,30 @@ class PqSpec extends SparkSpec {
       s"probe must prune: scanned=$scanned of $total bucket dirs")
   }
 
+  test("IVF-PQ append: a batch encodes against the frozen codebook and " +
+      "probe queries serve the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m, dims, ks,
+      iters = 1)
+    val path = tmpDir("ivfpq-append")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    Pq.writeIvfPq(base, "vec_id", "embedding", cb, m, dims, 6, path)
+    val baseRows = spark.read.parquet(path).count()
+    Pq.appendIvfPq(batch, "vec_id", "embedding", cb, m, dims, 6, path)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == emb.count() && baseRows == base.count(),
+      "append must add exactly the batch's codes")
+    // a probe over the union finds neighbors from BOTH generations
+    val got = Pq.ivfPqTopK(emb, path, cb, "vec_id", "embedding",
+      queryId = 0L, k = 20, m, dims, ks, planes = 6, probeHamming = 3,
+      overfetch = 6)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect()
+    assert(got.length == 20)
+    assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 != 0),
+      s"union probe should surface both generations, got ${got.toSeq}")
+  }
+
   test("the ADC candidate stage is shuffle-free over the staged codes") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("llm_simsearch_pq")(spark, sf)
