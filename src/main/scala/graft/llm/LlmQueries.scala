@@ -440,6 +440,44 @@ object LlmQueries {
       overfetch = 6)
   }
 
+  /** N1'' — containment dedup: documents whose token sequence appears
+    * contiguously inside a LONGER document (the truncation/quote/
+    * chunk-overlap modality real curation pipelines remove — RefinedWeb
+    * -style substring dedup — distinct from similarity dedup: a short
+    * doc fully inside a long one can have near-zero Jaccard). Blocking
+    * is the containment pigeonhole: if inner ⊆ outer then EVERY
+    * w-token shingle of inner is a shingle of outer — in particular
+    * its MINIMUM hashed shingle — so candidates come from a join of
+    * inner-side min-shingles (1 row/doc) against outer-side exploded
+    * shingles (|tokens| rows/doc, the same linear explode the LSH
+    * family pays), keyed on the 64-bit shingle hash: high-cardinality,
+    * never all-pairs. Verification is exact space-padded substring
+    * containment — blocking is output-invisible; the oracle is the
+    * naive all-pairs DuckDB join. Scope: inner docs with ≥ w tokens
+    * (corpus minimum is 10; shorter docs would collapse to the
+    * whole-text shingle fallback, which outer sides don't carry). */
+  val dedupContainedQ: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val w = 8
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val outer = docs.select(col("doc_id").as("outer_id"),
+      col("text").as("outer_text"),
+      explode(Dedup.shingleHashSet(col("text"), w)).as("sh"))
+    val inner = docs
+      .filter(size(TextOps.tokens(col("text"))) >= w)
+      .select(col("doc_id").as("inner_id"), col("text").as("inner_text"),
+        array_min(Dedup.shingleHashSet(col("text"), w)).as("sh"))
+    inner.join(outer, Seq("sh"))
+      .filter(col("inner_id") =!= col("outer_id") &&
+        length(col("inner_text")) < length(col("outer_text")))
+      .select("inner_id", "inner_text", "outer_id", "outer_text")
+      .distinct() // a pair can collide on several shingles — verify once
+      .filter(contains(concat(lit(" "), col("outer_text"), lit(" ")),
+        concat(lit(" "), col("inner_text"), lit(" "))))
+      .select(col("inner_id"), col("outer_id"))
+      .orderBy("inner_id", "outer_id")
+  }
+
   /** N2b' — edit-similarity join with NO blocking key (the scale path
     * of the fuzzy family): corpus-wide pairs within edit distance 3 on
     * the 30-char heads via the PassJoin segment pigeonhole
@@ -716,6 +754,7 @@ object LlmQueries {
     "llm_sample" -> sampleQ,
     "llm_fuzzy_pairs" -> fuzzyPairsQ,
     "llm_fuzzy_pairs_global" -> fuzzyPairsGlobalQ,
+    "llm_dedup_contained" -> dedupContainedQ,
     "llm_simsearch_pq" -> simsearchPqQ,
     "llm_simsearch_ivfpq" -> simsearchIvfPqQ,
     "llm_shuffle_order" -> shuffleOrderQ,
@@ -982,6 +1021,17 @@ object LlmQueries {
         | FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
         | WHERE levenshtein(a.head, b.head) <= 12
         | ORDER BY a.source, id_a, id_b""".stripMargin,
+    "llm_dedup_contained" ->
+      // the naive all-pairs ground truth: the min-shingle blocking must
+      // be output-invisible. Space padding makes containment
+      // token-aligned, matching the shingle pigeonhole exactly.
+      """SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id <> b.doc_id
+        |  AND length(a.text) < length(b.text)
+        |  AND len(string_split(a.text, ' ')) >= 8
+        |  AND position((' ' || a.text || ' ') IN (' ' || b.text || ' ')) > 0
+        | ORDER BY inner_id, outer_id""".stripMargin,
     "llm_fuzzy_pairs_global" ->
       // the naive corpus-wide all-pairs ground truth: the PassJoin
       // segment blocking must be output-invisible

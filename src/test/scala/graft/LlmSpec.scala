@@ -383,4 +383,24 @@ class LlmSpec extends SparkSpec {
       .select(TextOps.rollingHash($"text")).as[Long].collect()
     assert(same(0) == same(1))
   }
+
+  test("N1'': containment dedup equals the naive all-pairs join") {
+    // the min-shingle pigeonhole must be output-invisible: every
+    // token-aligned (inner, outer) containment pair survives blocking
+    val got = SparkEntry.queries("llm_dedup_contained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val a = docs.select($"doc_id".as("inner_id"), $"text".as("ta"))
+    val b = docs.select($"doc_id".as("outer_id"), $"text".as("tb"))
+    val want = a.crossJoin(b)
+      .filter($"inner_id" =!= $"outer_id" &&
+        length($"ta") < length($"tb") &&
+        size(split($"ta", " ")) >= 8 &&
+        contains(concat(lit(" "), $"tb", lit(" ")),
+          concat(lit(" "), $"ta", lit(" "))))
+      .select("inner_id", "outer_id").orderBy("inner_id", "outer_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(want.nonEmpty, "fixture should contain truncation dups")
+    assert(got.sameElements(want))
+  }
 }
