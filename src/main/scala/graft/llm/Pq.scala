@@ -79,21 +79,19 @@ object Pq {
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                      m: Int, dims: Int, ks: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    val spark = emb.sparkSession
     val subs = subvectors(emb, idCol, vecCol, m, dims).localCheckpoint()
-    val seedIds = emb.select(col(idCol).cast("long"))
-      .orderBy(idCol).limit(ks)
-      .collect().map(_.getLong(0)) // ks rows to the driver, bounded
-    require(seedIds.length == ks, s"need at least $ks vectors to seed")
-    val seedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        seedIds.zipWithIndex.toIndexedSeq.map { case (id, c) =>
-          org.apache.spark.sql.Row(id, c.toLong) }),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.LongType))))
+    // seed on the ORIGINAL typed id column (no long cast — a string id
+    // space would null out under cast and drop seeds): the ks smallest
+    // ids take cids 0..ks-1 in id order. TakeOrdered(ks) then a window
+    // over those ks rows only — bounded, deterministic for any
+    // orderable id type.
+    val seedDf = emb.select(col(idCol).as("__id"))
+      .orderBy("__id").limit(ks)
+      .withColumn("cid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__id")) - 1)
+        .cast("long"))
+      .localCheckpoint()
+    require(seedDf.count() == ks, s"need at least $ks vectors to seed")
     var cb = subs.join(broadcast(seedDf), Seq("__id"))
       .select(col("j"), col("cid"), col("subvec").as("cvec"))
       .localCheckpoint()

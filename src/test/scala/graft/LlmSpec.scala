@@ -403,4 +403,52 @@ class LlmSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture should contain truncation dups")
     assert(got.sameElements(want))
   }
+
+  test("N1'': the containment verify runs once per pair, above the " +
+      "pair-dedup aggregate, with texts out of the candidate exchange") {
+    // a pair can collide on several shingles; if Catalyst pushed the
+    // substring Contains into the candidate join it would run per
+    // collision AND full texts would ride the distinct exchange as
+    // grouping keys — the declared shape dedups (inner_id, outer_id)
+    // first and joins texts back for ONE verify per pair
+    val df = SparkEntry.queries("llm_dedup_contained")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def hasPairDedupBelow(p: org.apache.spark.sql.execution.SparkPlan) =
+      planNodes(p).exists {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.map(_.name).toSet == Set("inner_id", "outer_id")
+        case _ => false
+      }
+    // the verify may surface as a Filter or get pushed into the text
+    // join-back's condition — both run once per pair PROVIDED the node
+    // sits above the pair-dedup aggregate (below it, a pair colliding
+    // on several shingles would re-verify per collision)
+    val verifies = planNodes(plan).collect {
+      case f: FilterExec if f.condition.toString.contains("Contains") => f
+      case j: BaseJoinExec
+          if j.condition.exists(_.toString.contains("Contains")) => j
+    }
+    assert(verifies.nonEmpty, "the substring verify must appear in the plan")
+    assert(verifies.forall(hasPairDedupBelow),
+      "every Contains must sit ABOVE the (inner_id, outer_id) " +
+        "pair-dedup aggregate")
+    // and the candidate shuffle below the aggregate never carries text:
+    // every exchange under the pair-dedup stage moves only ids/lengths/
+    // hashes, so long documents don't ride the exchanges as payload
+    val dedups = planNodes(plan).collect {
+      case a: BaseAggregateExec if a.groupingExpressions.map(_.name).toSet ==
+        Set("inner_id", "outer_id") => a
+    }
+    assert(dedups.nonEmpty)
+    val belowExchanges = dedups.flatMap(planNodes).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => e
+    }
+    assert(belowExchanges.forall(e => !e.output.exists(a =>
+        a.name.contains("text"))),
+      "candidate-stage exchanges must not carry text columns")
+  }
 }
