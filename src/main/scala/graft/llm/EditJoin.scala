@@ -28,12 +28,15 @@ import org.apache.spark.sql.functions._
   * early-exit DP), so false candidates cost k·n character compares,
   * not a full DP table.
   *
-  * Scope: string keys of exactly `len` characters (rows with any
-  * other length are dropped — the caller aligns them, e.g. fixed
-  * 30-char document heads). Variable-length PassJoin needs per-length
-  * partition schemes and a length-band join; the fixed-length form
-  * covers the fingerprint/prefix-key shape the curation pipeline
-  * uses. Contrast with [[LlmQueries.fuzzyPairsQ]]'s source-blocked
+  * Two forms: [[fixedLenSelfJoin]] scopes to keys of exactly `len`
+  * characters (the fingerprint/prefix-key shape — tighter ±⌊k/2⌋
+  * windows because equal lengths force #inserts = #deletes);
+  * [[selfJoin]] is the general variable-length PassJoin — per-length
+  * partition schemes plus a length-band probe (an indexed string of
+  * length l is probed by strings of length m ∈ [l−k, l+k], each
+  * segment window widened by the net length drift Δ = m−l: at most
+  * ⌊(k−Δ)/2⌋ deletes shift it left, ⌊(k+Δ)/2⌋ inserts shift it
+  * right). Contrast with [[LlmQueries.fuzzyPairsQ]]'s source-blocked
   * join: blocking on a 5-value domain key leaves O((n/5)²) pairs per
   * block, honest only while blocks stay small; this shape is the
   * 100 TB path when the threshold is tight (k ≪ len — at k close to
@@ -75,39 +78,156 @@ object EditJoin {
         math.min(len - l + 1, start + shift(k))
     } yield (i, s.substring(p - 1, p - 1 + l))).toSet
 
+  /** Variable-length probe mirror for [[selfJoin]]: the (segIndex,
+    * piece) windows of `t` against the scheme of an INDEXED length
+    * `lIndexed`, slid by the drift-refined bound for
+    * Δ = |t| − lIndexed. Used by the spec's completeness property. */
+  private[graft] def varProbes(t: String, lIndexed: Int,
+                               k: Int): Set[(Int, String)] = {
+    val m = t.length
+    val delta = m - lIndexed
+    (for {
+      (i, start, slen) <- scheme(lIndexed, k)
+      p <- math.max(1, start - (k - delta) / 2) to
+        math.min(m - slen + 1, start + (k + delta) / 2)
+    } yield (i, t.substring(p - 1, p - 1 + slen))).toSet
+  }
+
   /** Self-join `df` on `strCol` (exactly `len` chars; other lengths
-    * dropped) within edit distance `k`. Returns
-    * (id_a, id_b, dist): id_a < id_b, dist = exact levenshtein ≤ k. */
+    * dropped) within edit distance `k`; [[selfJoin]] is the
+    * variable-length form. `blockCols` adds domain blocking ON TOP of
+    * the segment pigeonhole (candidates must also match on them — the
+    * fail-over shape for [[LlmQueries.fuzzyPairsQ]]'s over-cap blocks:
+    * per-block pair space becomes candidates, never |block|²); the
+    * block columns prefix the output. Returns
+    * (blockCols..., id_a, id_b, dist): id_a < id_b,
+    * dist = exact levenshtein ≤ k. */
   def fixedLenSelfJoin(df: DataFrame, idCol: String, strCol: String,
-                       len: Int, k: Int): DataFrame = {
+                       len: Int, k: Int,
+                       blockCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && k + 1 <= len, s"need 1 <= k <= len-1, got k=$k len=$len")
     val sch = scheme(len, k)
+    val bc = blockCols.map(col)
     val keys = df.filter(length(col(strCol)) === len)
-      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .select(bc :+ col(idCol).as("__id") :+ col(strCol).as("__s"): _*)
 
-    val segs = keys.select(col("__id").as("id_a"), col("__s").as("head_a"),
+    val segs = keys.select(bc ++ Seq(col("__id").as("id_a"),
+        col("__s").as("head_a"),
         explode(array(sch.map { case (i, start, l) =>
           struct(lit(i).as("i"), substring(col("__s"), start, l).as("piece"))
-        }: _*)).as("g"))
-      .select(col("id_a"), col("head_a"), col("g.i"), col("g.piece"))
+        }: _*)).as("g")): _*)
+      .select(bc ++ Seq(col("id_a"), col("head_a"),
+        col("g.i"), col("g.piece")): _*)
 
     // array_distinct: repeated text can make two shift positions yield
     // the same (i, piece) probe — dedup before the join, not after
-    val subs = keys.select(col("__id").as("id_b"), col("__s").as("head_b"),
+    val subs = keys.select(bc ++ Seq(col("__id").as("id_b"),
+        col("__s").as("head_b"),
         explode(array_distinct(array((for {
           (i, start, l) <- sch
           p <- math.max(1, start - shift(k)) to
             math.min(len - l + 1, start + shift(k))
         } yield struct(lit(i).as("i"),
-          substring(col("__s"), p, l).as("piece"))): _*))).as("g"))
-      .select(col("id_b"), col("head_b"), col("g.i"), col("g.piece"))
+          substring(col("__s"), p, l).as("piece"))): _*))).as("g")): _*)
+      .select(bc ++ Seq(col("id_b"), col("head_b"),
+        col("g.i"), col("g.piece")): _*)
 
-    segs.join(subs, Seq("i", "piece"))
+    segs.join(subs, blockCols ++ Seq("i", "piece"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "head_a", "id_b", "head_b")
+      .select(blockCols ++ Seq("id_a", "head_a", "id_b", "head_b") map col: _*)
       .distinct() // a pair can collide on several segments — verify once
       .withColumn("dist",
         levenshtein(col("head_a"), col("head_b"), k).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(blockCols ++ Seq("id_a", "id_b", "dist") map col: _*)
+  }
+
+  /** Variable-length PassJoin self-join: every (id_a, id_b, dist) pair
+    * with levenshtein ≤ `k` over keys of ANY length, no blocking key.
+    *
+    * Shape: the per-length segment schemes are DRIVER-ENUMERATED into
+    * two literal tables — the length DOMAIN is bounded by the key
+    * width (distinct lengths ≤ max chars, a few dozen for head keys),
+    * never by corpus size — and broadcast-joined against the rows, so
+    * each row picks its own scheme with `Column.substr` arithmetic.
+    * The index side emits its k+1 segments keyed (own length, segment
+    * index, bytes); the probe side emits, for every indexable length
+    * l within ±k of its own length m, the segment windows of
+    * scheme(l, k) slid by the drift-refined bound (Δ = m − l: an
+    * optimal script has ≤ ⌊(k−Δ)/2⌋ deletes and ≤ ⌊(k+Δ)/2⌋ inserts,
+    * so an untouched segment shifts at most that far left/right —
+    * equal lengths recover the fixed form's ±⌊k/2⌋). The join key
+    * (l, i, piece) is high-cardinality; fan-out per row is a CONSTANT
+    * (≤ (2k+1)·(k+1) windows of ≤ 2k+1 positions), so candidate
+    * generation is a plain shuffle join at any corpus size. Candidate
+    * rows carry only ids — texts join back AFTER the pair distinct
+    * for exactly one banded-DP verify per pair.
+    *
+    * Keys shorter than k+1 characters can't host k+1 non-empty
+    * segments, so the pigeonhole doesn't apply — their pairs (partner
+    * length ≤ 2k, since distance ≥ length difference) go through a
+    * broadcast length-band join over the `len ≤ k` side instead:
+    * nothing is dropped, and that side is degenerate-tiny for any
+    * real key geometry (its value space is at most |Σ|^k). */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int,
+               maxDistinctLengths: Int = 4096): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      length(col(strCol)).as("__len"))
+    val lens = keys.select("__len").distinct().as[Int].collect().toSeq.sorted
+    require(lens.length <= maxDistinctLengths,
+      s"${lens.length} distinct key lengths exceed $maxDistinctLengths — " +
+        "not a bounded-width key column")
+    val mains = lens.filter(_ >= k + 1)
+
+    val segDf = (for {
+      l <- mains
+      (i, start, slen) <- scheme(l, k)
+    } yield (l, i, start, slen)).toDF("__len", "i", "start", "slen")
+    val probeDf = (for {
+      m <- mains
+      l <- mains if math.abs(l - m) <= k
+      delta = m - l
+      (i, start, slen) <- scheme(l, k)
+      p <- math.max(1, start - (k - delta) / 2) to
+        math.min(m - slen + 1, start + (k + delta) / 2)
+    } yield (m, l, i, p, slen)).toDF("__len", "l", "i", "p", "slen")
+
+    val index = keys.join(broadcast(segDf), Seq("__len"))
+      .select(col("__len").as("l"), col("i"),
+        col("__s").substr(col("start"), col("slen")).as("piece"),
+        col("__id").as("id_a"))
+    val probe = keys.join(broadcast(probeDf), Seq("__len"))
+      .select(col("l"), col("i"),
+        col("__s").substr(col("p"), col("slen")).as("piece"),
+        col("__id").as("id_b"))
+      .distinct() // overlapping windows over repeated text re-emit probes
+    val mainPairs = index.join(probe, Seq("l", "i", "piece"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
+    val shortA = keys.filter(col("__len") <= k)
+      .select(col("__id").as("id_a"), col("__len").as("len_a"))
+    val shortB = keys.filter(col("__len") <= 2 * k)
+      .select(col("__id").as("id_b"), col("__len").as("len_b"))
+    val shortPairs = broadcast(shortA).join(shortB,
+        col("id_a") =!= col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= k)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
+    val sA = keys.select(col("__id").as("id_a"), col("__s").as("__sa"))
+    val sB = keys.select(col("__id").as("id_b"), col("__s").as("__sb"))
+    // main (both lengths ≥ k+1) and short (one length ≤ k) pairs are
+    // disjoint by construction — union, dedup collisions, verify once
+    mainPairs.unionByName(shortPairs)
+      .distinct()
+      .join(sA, "id_a").join(sB, "id_b")
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), k).cast("long"))
       .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
   }

@@ -344,29 +344,80 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
-  /** N2b — fuzzy near-match pairs by bounded edit distance: BLOCKED
-    * self-join (source is the blocking key — the LSH-bucket shape, so
-    * the pair space is per-block, never corpus²) + levenshtein ≤ 12 on
-    * the 30-char heads. The bound uses the THRESHOLDED levenshtein
-    * directly — banded O(k·n) DP with early exit instead of the full
-    * O(n²) table (2.5× at this geometry; same value for kept rows:
-    * distance ≤ threshold ⇒ exact). The LevenshteinPrefilter rule
-    * rewrites the plain `<= k` form to this shape automatically in
-    * extension-injected sessions. */
-  val fuzzyPairsQ: Q = (s, d) => {
+  /** Above this per-block row count the blocked fuzzy join's |block|²
+    * pair space (≥ ~10⁸ banded-DP verifies per block) stops being
+    * honest and [[fuzzyPairsQ]] fails over to the segment-pigeonhole
+    * path. 10⁴ keeps the driver corpus (blocks of ~10²-10³) on the
+    * direct form while any corpus-scale block trips the guard. */
+  val FuzzyBlockedCap = 10000L
+
+  /** N2b — fuzzy near-match pairs by bounded edit distance within a
+    * domain block (source) + levenshtein ≤ 12 on the 30-char heads.
+    * The bound uses the THRESHOLDED levenshtein directly — banded
+    * O(k·n) DP with early exit instead of the full O(n²) table (2.5×
+    * at this geometry; same value for kept rows: distance ≤ threshold
+    * ⇒ exact). The LevenshteinPrefilter rule rewrites the plain
+    * `<= k` form to this shape automatically in extension-injected
+    * sessions.
+    *
+    * GUARDED against the blocked join's scale failure: blocking on a
+    * low-cardinality key leaves O(|block|²) pairs per block, honest
+    * only while blocks stay small, so the driver first reads the
+    * widest block's row count (one partial-aggregated pass, one row
+    * back) and over [[FuzzyBlockedCap]] fails over to the PassJoin
+    * segment pigeonhole WITHIN the block ([[EditJoin.fixedLenSelfJoin]]
+    * with source as a block column): per-block cost becomes
+    * candidates·O(k·n), never |block|². Both paths are
+    * output-identical (the all-pairs DuckDB oracle is path-blind;
+    * EditJoinSpec pins blocked ≡ failover on a forced tiny cap).
+    * Regime note: at k=12 on 30-char heads the untouched segments are
+    * 2-3 chars, so the pigeonhole prunes weakly — the failover bounds
+    * the blowup rather than making loose-threshold fuzzy matching
+    * cheap; the tight-threshold scale path is
+    * [[fuzzyPairsGlobalQ]] and the LSH family. */
+  val fuzzyPairsQ: Q = (s, d) => fuzzyPairs(s, d, FuzzyBlockedCap)
+
+  private[graft] def fuzzyPairs(s: SparkSession, d: String,
+                                blockedCap: Long): DataFrame = {
     val h = Tables.documents(s, d).select(col("doc_id"), col("source"),
       substring(col("text"), 1, 30).as("head"))
-    val a = h.select(col("source"), col("doc_id").as("id_a"),
-      col("head").as("head_a"))
-    val b = h.select(col("source"), col("doc_id").as("id_b"),
-      col("head").as("head_b"))
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist",
-        levenshtein(col("head_a"), col("head_b"), 12).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("source"), col("id_a"), col("id_b"), col("dist"))
-      .orderBy("source", "id_a", "id_b")
+    val widest = h.groupBy("source").count()
+      .agg(max("count")).head().getLong(0)
+    if (widest <= blockedCap) {
+      val a = h.select(col("source"), col("doc_id").as("id_a"),
+        col("head").as("head_a"))
+      val b = h.select(col("source"), col("doc_id").as("id_b"),
+        col("head").as("head_b"))
+      a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist",
+          levenshtein(col("head_a"), col("head_b"), 12).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("source"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("source", "id_a", "id_b")
+    } else {
+      // full-width heads ride the segment pigeonhole; the short-head
+      // remainder (documents shorter than the 30-char head — absent
+      // from this corpus, minor in any realistic one) pairs directly
+      // against the whole block so no row is silently dropped
+      val full = EditJoin.fixedLenSelfJoin(h, "doc_id", "head",
+        len = 30, k = 12, blockCols = Seq("source"))
+      val sa = h.filter(length(col("head")) < 30)
+        .select(col("source"), col("doc_id").as("id_a"),
+          col("head").as("head_a"))
+      val sb = h.select(col("source"), col("doc_id").as("id_b"),
+        col("head").as("head_b"))
+      val shortPairs = sa.join(sb, Seq("source"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("dist",
+          levenshtein(col("head_a"), col("head_b"), 12).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("source"), least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+        .distinct() // a short-short pair arrives in both orientations
+      full.unionByName(shortPairs)
+        .orderBy("source", "id_a", "id_b")
+    }
   }
 
   /** N3''' — product-quantized top-k ([[Pq]]): the codebook (2 Lloyd
@@ -498,6 +549,25 @@ object LlmQueries {
       .filter(length(col("text")) >= 30)
       .select(col("doc_id"), substring(col("text"), 1, 30).as("head"))
     EditJoin.fixedLenSelfJoin(heads, "doc_id", "head", len = 30, k = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** N2b'' — VARIABLE-length edit-similarity join ([[EditJoin.selfJoin]]):
+    * corpus-wide pairs within edit distance 3 over heads of 24-36
+    * chars (width modulated per doc id, so the length domain is
+    * genuinely mixed), no blocking key, rows of every length kept.
+    * Candidates ride the per-length segment schemes + drift-refined
+    * length-band probe — driver-enumerated literal scheme tables
+    * (bounded by the key width, not the corpus), one high-cardinality
+    * (l, i, piece) shuffle join, texts joined back post-distinct for
+    * one banded-DP verify per pair. Oracle: the naive all-pairs
+    * DuckDB join — the pigeonhole must be output-invisible; ScalaCheck
+    * completeness over random-length strings in EditJoinSpec. */
+  val fuzzyPairsVarlenQ: Q = (s, d) => {
+    val heads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").substr(lit(1),
+        (lit(24) + pmod(col("doc_id"), lit(13))).cast("int")).as("head"))
+    EditJoin.selfJoin(heads, "doc_id", "head", k = 3)
       .orderBy("id_a", "id_b")
   }
 
@@ -759,6 +829,7 @@ object LlmQueries {
     "llm_sample" -> sampleQ,
     "llm_fuzzy_pairs" -> fuzzyPairsQ,
     "llm_fuzzy_pairs_global" -> fuzzyPairsGlobalQ,
+    "llm_fuzzy_pairs_varlen" -> fuzzyPairsVarlenQ,
     "llm_dedup_contained" -> dedupContainedQ,
     "llm_simsearch_pq" -> simsearchPqQ,
     "llm_simsearch_ivfpq" -> simsearchIvfPqQ,
@@ -1043,6 +1114,19 @@ object LlmQueries {
       """WITH h AS (
         |   SELECT doc_id, substring(text, 1, 30) AS head
         |   FROM documents WHERE length(text) >= 30)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        | FROM h a JOIN h b ON a.doc_id < b.doc_id
+        | WHERE levenshtein(a.head, b.head) <= 3
+        | ORDER BY id_a, id_b""".stripMargin,
+    "llm_fuzzy_pairs_varlen" ->
+      // naive all-pairs over MIXED-length heads (24-36 chars, width a
+      // function of doc id): the per-length schemes + length-band
+      // probe must be output-invisible
+      """WITH h AS (
+        |   SELECT doc_id,
+        |     substr(text, 1, CAST(24 + doc_id % 13 AS INT)) AS head
+        |   FROM documents)
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
         | FROM h a JOIN h b ON a.doc_id < b.doc_id

@@ -106,4 +106,108 @@ class EditJoinSpec extends SparkSpec {
     assert(joins.exists(_.toString.contains("piece")),
       "candidate join must key on the segment bytes")
   }
+
+  // --------------------------------------------- variable-length form ----
+
+  /** Candidate predicate of [[EditJoin.selfJoin]]: the pair survives
+    * the main path (index side `a`, probe side `b`) or the short path. */
+  private def isVarCandidate(a: String, b: String): Boolean = {
+    val (la, lb) = (a.length, b.length)
+    if (la <= K || lb <= K) math.abs(la - lb) <= K // short length-band path
+    else {
+      val segs = EditJoin.scheme(la, K).map { case (i, st, l) =>
+        (i, a.substring(st - 1, st - 1 + l))
+      }.toSet
+      math.abs(la - lb) <= K &&
+        (segs intersect EditJoin.varProbes(b, la, K)).nonEmpty
+    }
+  }
+
+  /** Drift-refined completeness: ANY pair of variable-length strings
+    * within edit distance K must be a candidate in BOTH orientations
+    * (each orientation's pigeonhole stands on its own script). Edits
+    * here genuinely change lengths — independent inserts and deletes,
+    * not only compensating pairs. */
+  test("every variable-length pair within distance K is a candidate " +
+      "(property)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val baseGen = for {
+      n <- Gen.choose(1, 14)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    type Op = (String, Int, Char) => String
+    val subOp: Op = (s, p, c) =>
+      if (s.isEmpty) s else s.updated(p % s.length, c)
+    val insOp: Op = (s, p, c) => {
+      val at = p % (s.length + 1)
+      s.substring(0, at) + c + s.substring(at)
+    }
+    val delOp: Op = (s, p, _) =>
+      if (s.isEmpty) s
+      else { val at = p % s.length; s.substring(0, at) + s.substring(at + 1) }
+    val opGen = Gen.oneOf(subOp, insOp, delOp)
+    val editsGen = for {
+      nOps <- Gen.choose(0, K)
+      ops <- Gen.listOfN(nOps, Gen.zip(opGen, Gen.choose(0, 63), alpha))
+    } yield ops
+    val prop = forAll(baseGen, editsGen) { case (base, ops) =>
+      val edited = ops.foldLeft(base) { case (s, (op, p, c)) => op(s, p, c) }
+      val d = lev(base, edited)
+      d <= K &&
+        (d == 0 || (isVarCandidate(base, edited) &&
+          isVarCandidate(edited, base)))
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("selfJoin equals the naive all-pairs join on mixed-length keys, " +
+      "short strings included") {
+    import spark.implicits._
+    // the declared query's geometry (24-36 char heads) PLUS planted
+    // sub-(K+1) strings that must route through the length-band path
+    val heads = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").substr(lit(1),
+        (lit(24) + pmod(col("doc_id"), lit(13))).cast("int")).as("head"))
+      .unionByName(Seq((900001L, "ab"), (900002L, "b"), (900003L, "abc"),
+        (900004L, "abcd"), (900005L, "abcde"), (900006L, ""))
+        .toDF("doc_id", "head"))
+    val got = EditJoin.selfJoin(heads, "doc_id", "head", K)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = heads.select(col("doc_id").as("id_a"), col("head").as("ha"))
+    val b = heads.select(col("doc_id").as("id_b"), col("head").as("hb"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
+      .filter(col("dist") <= K)
+      .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(want.nonEmpty, "fixture should contain near-dup mixed heads")
+    // the planted shorts must appear in the result (short path works)
+    assert(want.exists(p => p._1 >= 900001L || p._2 >= 900001L),
+      "fixture shorts should pair up")
+    assert(got.sameElements(want))
+  }
+
+  test("the blocked fuzzy query and its over-cap failover are " +
+      "output-identical, and the failover keys on segments") {
+    import graft.llm.LlmQueries
+    val direct = LlmQueries.fuzzyPairs(spark, sf, Long.MaxValue)
+      .collect().map(_.toSeq)
+    assert(LlmQueries.fuzzyPairs(spark, sf, 0L)
+        .collect().map(_.toSeq).sameElements(direct),
+      "failover must be output-invisible")
+    // plan inspected on a FRESH instance, before any action — the
+    // final AQE plan hides joins inside query-stage leaves
+    val ns = planNodes(LlmQueries.fuzzyPairs(spark, sf, 0L)
+      .queryExecution.executedPlan)
+    assert(ns.filter(_.getClass.getSimpleName.matches(
+        ".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)Exec"))
+      .exists(j => j.toString.contains("piece") &&
+        j.toString.contains("source")),
+      "over-cap candidates must come from the (block, segment, bytes) join")
+  }
 }
