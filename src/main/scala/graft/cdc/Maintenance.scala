@@ -19,7 +19,13 @@ import graft.streaming.DirSwap
   *     parquet footer stats keep the cdc source's O(1)-files-per-page
   *     pruning,
   *  3. compact the document sink to its deduplicated survivors, one
-  *     file per version bucket.
+  *     file per version bucket,
+  *  4. optionally retrain + rebuild a serving IVF-PQ vector index
+  *     ([[VectorIndex]]) — incremental ingest
+  *     ([[graft.llm.Pq.appendIvfPq]]) encodes against a FROZEN
+  *     codebook, so a shifting embedding distribution drifts away from
+  *     the centroids and degrades ADC ranking (never correctness: the
+  *     exact rerank stands); the periodic retrain is this window.
   *
   * Both rewrites install via the rollback-safe [[DirSwap]], so a crash
   * mid-maintenance leaves the previous generation restorable and every
@@ -62,12 +68,49 @@ object Maintenance {
       Retention.writeCompacted(kept, tmp, nFiles))
   }
 
-  /** One full maintenance window over a change table + document sink. */
+  /** A serving IVF-PQ vector index due for its periodic
+    * retrain+rebuild: the embeddings corpus it serves, the layout
+    * directory probes read ([[graft.llm.Pq.ivfPqTopK]] — bucket dirs
+    * of (id, codes) rows plus the `_codebook` subdir), and the PQ/IVF
+    * geometry. Defaults match the declared `llm_simsearch_ivfpq`
+    * query's geometry. */
+  case class VectorIndex(embDir: String, layoutPath: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         m: Int = 8, dims: Int = 64, ks: Int = 16,
+                         planes: Int = 6, iters: Int = 2)
+
+  /** Retrain the PQ codebooks from the CURRENT corpus and rebuild the
+    * IVF-PQ layout — codes and codebook written as ONE new generation
+    * into the swap tmp dir, installed via the rollback-safe
+    * [[DirSwap]] (tag "vecidx"): probes either read the full old
+    * generation or the full new one, never a mix of new codes with an
+    * old codebook, and the probe path heals a crash window
+    * ([[graft.llm.Pq.indexCodebook]] restores before reading). Cost is
+    * the training passes (`iters` corpus scans) + one encode pass +
+    * the bucket-partitioned write — the same shape as the initial
+    * build, budgeted like every other rewrite in this window. */
+  def maintainVectorIndex(spark: SparkSession, vi: VectorIndex): Unit = {
+    val emb = spark.read.parquet(vi.embDir)
+    DirSwap.install(spark, vi.layoutPath, "vecidx") { tmp =>
+      val cb = graft.llm.Pq.trainCodebooks(emb, vi.idCol, vi.vecCol,
+        vi.m, vi.dims, vi.ks, vi.iters)
+      graft.llm.Pq.writeIvfPq(emb, vi.idCol, vi.vecCol, cb,
+        vi.m, vi.dims, vi.planes, tmp)
+      cb.write.mode("overwrite")
+        .parquet(tmp.stripSuffix("/") + "/_codebook")
+    }
+  }
+
+  /** One full maintenance window over a change table + document sink,
+    * plus any serving vector indexes due for retrain. */
   def run(spark: SparkSession, changeDir: String, sinkDir: String,
           watermark: Long, compactUpTo: Long, nFiles: Int,
-          sinkSchema: Option[StructType] = None): Report = {
+          sinkSchema: Option[StructType] = None,
+          vectorIndexes: Seq[VectorIndex] = Nil): Report = {
     maintainChangeTable(spark, changeDir, watermark, compactUpTo, nFiles)
     DocumentSink.compact(spark, sinkDir, sinkSchema)
+    vectorIndexes.foreach(maintainVectorIndex(spark, _))
     // through the Hadoop FileSystem like every other path here — a
     // java.io walk would silently report 0 on hdfs://-style stores
     def filesUnder(dir: String, suffix: String): Long = {

@@ -212,17 +212,32 @@ object Pq {
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Codebook of a serving index directory: the `_codebook` subdir a
+    * [[writeIvfPq]]-shaped layout carries (underscore-prefixed, so the
+    * code read never sees it). Heals a torn maintenance swap first —
+    * a probe arriving inside [[graft.cdc.Maintenance]]'s rebuild
+    * crash window restores the previous generation instead of reading
+    * an absent dir. */
+  def indexCodebook(spark: org.apache.spark.sql.SparkSession,
+                    layoutPath: String): DataFrame = {
+    graft.streaming.DirSwap.restoreIfTorn(spark, layoutPath, "vecidx")
+    spark.read.parquet(
+      layoutPath.stripSuffix("/") + "/_codebook")
+  }
+
   /** Probe the [[writeIvfPq]] index: the hamming-ball probe set is
     * enumerated driver-side and the code read is PARTITION-PRUNED to
     * those bucket directories (a 100 TB index read becomes
     * probed/2^planes of ~3 TB of codes); ADC ranks the probed codes
     * off the lookup-table literal, then the exact rerank touches true
-    * vectors for k·overfetch ids only. Returns (idCol, cos_e6). */
+    * vectors for k·overfetch ids only. Returns (idCol, cos_e6).
+    * Torn-swap-healing like [[indexCodebook]]. */
   def ivfPqTopK(emb: DataFrame, layoutPath: String, cb: DataFrame,
                 idCol: String, vecCol: String, queryId: Long, k: Int,
                 m: Int, dims: Int, ks: Int, planes: Int,
                 probeHamming: Int = 2, overfetch: Int = 4): DataFrame = {
     val spark = emb.sparkSession
+    graft.streaming.DirSwap.restoreIfTorn(spark, layoutPath, "vecidx")
     graft.functions.VectorFunctions.register(spark)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(col(vecCol),

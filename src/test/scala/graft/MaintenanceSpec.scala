@@ -93,6 +93,59 @@ class MaintenanceSpec extends SparkSpec {
       again.sinkFiles == report.sinkFiles)
   }
 
+  test("vector-index maintenance: retrain+rebuild behind DirSwap " +
+      "recovers recall after codebook drift, probes green across the swap") {
+    import org.apache.spark.sql.Encoders
+    import graft.llm.{Pq, SimSearch}
+    val (m, dims, ks, planes) = (8, 64, 16, 6)
+    val embDir = s"$sf/embeddings.parquet"
+    val emb = spark.read.parquet(embDir)
+    val layout = tmpDir("vecidx") + "/ivfpq"
+    // plant maximal drift: a zeroed codebook — every ADC score
+    // degenerates to 0, candidate selection falls to the id tiebreak
+    // (the extreme of centroids that stopped describing the corpus)
+    val dead = Pq.trainCodebooks(emb, "vec_id", "embedding", m, dims, ks,
+        iters = 0)
+      .withColumn("cvec", transform(col("cvec"), _ => lit(0.0f)))
+    Pq.writeIvfPq(emb, "vec_id", "embedding", dead, m, dims, planes, layout)
+    dead.write.parquet(layout + "/_codebook")
+
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+    def recall(): Double = {
+      val cb = Pq.indexCodebook(spark, layout)
+      val got = Pq.ivfPqTopK(emb, layout, cb, "vec_id", "embedding",
+        queryId = 0L, k = 20, m, dims, ks, planes, probeHamming = 3,
+        overfetch = 6)
+        .select("vec_id").as[Long](Encoders.scalaLong).collect()
+      assert(got.length == 20 && !got.contains(0L),
+        "probe must stay green: 20 neighbors, query row excluded")
+      exact.intersect(got.toSet).size / 20.0
+    }
+    val before = recall() // green but degraded — rerank saves what it can
+    Maintenance.maintainVectorIndex(spark,
+      Maintenance.VectorIndex(embDir, layout, m = m, dims = dims, ks = ks,
+        planes = planes, iters = 2))
+    val after = recall()
+    info(s"recall before=$before after=$after")
+    assert(after >= 0.5 && after > before,
+      s"retrain must recover ADC ranking: before=$before after=$after")
+    // crash window: the generation moved aside but not yet installed —
+    // the next probe heals it (DirSwap restore) and serves the SAME
+    // rebuilt generation
+    val fs = new org.apache.hadoop.fs.Path(layout).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(layout),
+      new org.apache.hadoop.fs.Path(layout + ".vecidx-bak")))
+    assert(recall() == after, "a probe in the crash window must heal " +
+      "the swap and serve the rebuilt generation")
+    // rerunnable: a second window keeps the index probe-green
+    Maintenance.maintainVectorIndex(spark,
+      Maintenance.VectorIndex(embDir, layout, m = m, dims = dims, ks = ks,
+        planes = planes, iters = 2))
+    assert(recall() >= 0.5)
+  }
+
   test("a version-offset stream survives the compaction rewrite") {
     import spark.implicits._
     val dir = tmpDir("mstream")
