@@ -102,15 +102,28 @@ object Maintenance {
     }
   }
 
+  /** A z-ordered layout ([[graft.ops.ZOrder]]) that has accumulated
+    * append generations: each [[graft.ops.ZOrder.appendN]] adds a file
+    * set and a `_ZSTATS` line per file, so after N ingests the file
+    * count (and the driver-side index) is N·files — the rebuild folds
+    * it back to `files` and re-tightens edge-clamped envelopes under
+    * the current bounds. */
+  case class ZLayout(path: String, dims: Seq[graft.ops.ZOrder.Dim],
+                     files: Int)
+
   /** One full maintenance window over a change table + document sink,
-    * plus any serving vector indexes due for retrain. */
+    * plus any serving vector indexes due for retrain and z-layouts
+    * due for re-clustering. */
   def run(spark: SparkSession, changeDir: String, sinkDir: String,
           watermark: Long, compactUpTo: Long, nFiles: Int,
           sinkSchema: Option[StructType] = None,
-          vectorIndexes: Seq[VectorIndex] = Nil): Report = {
+          vectorIndexes: Seq[VectorIndex] = Nil,
+          zLayouts: Seq[ZLayout] = Nil): Report = {
     maintainChangeTable(spark, changeDir, watermark, compactUpTo, nFiles)
     DocumentSink.compact(spark, sinkDir, sinkSchema)
     vectorIndexes.foreach(maintainVectorIndex(spark, _))
+    zLayouts.foreach(z =>
+      graft.ops.ZOrder.rebuild(spark, z.path, z.dims, z.files))
     // through the Hadoop FileSystem like every other path here — a
     // java.io walk would silently report 0 on hdfs://-style stores
     def filesUnder(dir: String, suffix: String): Long = {

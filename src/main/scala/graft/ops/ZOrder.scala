@@ -1,26 +1,29 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton) data layout: interleave the bits of two scaled
+/** Z-order (Morton) data layout: interleave the bits of 2–4 scaled
   * dimensions so that sorting by the single z-value co-locates rows
-  * that are close in BOTH dimensions, giving every written file a
+  * that are close in ALL dimensions, giving every written file a
   * tight min/max envelope on each source column simultaneously — the
   * multi-dimensional clustering that makes stats-based skipping
   * (parquet row-group stats today, a table-format file index at
-  * 100 TB) effective for 2-D box predicates. A single-column sort
+  * 100 TB) effective for box predicates. A single-column sort
   * tightens stats only on the sort key: every file still spans the
-  * full range of the other column, and a predicate on it prunes
+  * full range of the other columns, and a predicate on them prunes
   * nothing.
   *
   * All pure column math (shift/and/or on longs — whole-stage codegen,
-  * no UDF): each dimension is affinely scaled to a 16-bit code, the
-  * codes are bit-spread with the classic Morton magic masks, and the
-  * z-value is their interleave. The scan-time predicate stays on the
-  * ORIGINAL columns — the z-value only drives the write-side
-  * clustering, so there is no BIGMIN/false-negative concern: skipping
-  * comes from per-file column stats, which are conservative.
+  * no UDF): each dimension is affinely scaled to a fixed-width code
+  * (16/21/15 bits for 2/3/4 dims — the widest per-dim precision whose
+  * interleave stays inside a long's 63 value bits, so the z compare
+  * never crosses the sign bit), the codes are bit-spread with the
+  * classic Morton magic masks, and the z-value is their interleave.
+  * The scan-time predicate stays on the ORIGINAL columns — the
+  * z-value only drives the write-side clustering, so there is no
+  * BIGMIN/false-negative concern: skipping comes from per-file column
+  * stats, which are conservative.
   *
   * Reference anchor: the reference's only layout lever is the rowversion
   * clustered index (sqls/setup-invoice-db.sql:21-28, single-dimension);
@@ -28,6 +31,20 @@ import org.apache.spark.sql.functions._
   * the [NORTH-STAR] rows mandate (SURVEY §2.11).
   */
 object ZOrder {
+
+  /** One clustering dimension: a long column with known bounds. */
+  case class Dim(name: String, min: Long, max: Long)
+
+  /** Code width per dimension for an n-dim interleave: the widest
+    * precision with n·bits ≤ 63 that has a magic-mask spread (16·2,
+    * 21·3, 15·4 — 62/63/60 bits used). */
+  def bitsFor(n: Int): Int = n match {
+    case 2 => 16
+    case 3 => 21
+    case 4 => 15
+    case _ => throw new IllegalArgumentException(
+      s"z-order supports 2-4 dims, got $n")
+  }
 
   /** Max code per dimension: 16 bits → z fits in 32 of a long's 64. */
   val MaxCode: Long = (1L << 16) - 1
@@ -43,67 +60,122 @@ object ZOrder {
     s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
   }
 
+  /** Spread the low 21 bits of `c` so bit i lands at position 3i
+    * (the 3-D Morton masks). */
+  def spread21x3(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val s1 = m0.bitwiseOR(shiftleft(m0, 32))
+      .bitwiseAND(lit(0x1F00000000FFFFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 16))
+      .bitwiseAND(lit(0x1F0000FF0000FFL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 8))
+      .bitwiseAND(lit(0x100F00F00F00F00FL))
+    val s4 = s3.bitwiseOR(shiftleft(s3, 4))
+      .bitwiseAND(lit(0x10C30C30C30C30C3L))
+    s4.bitwiseOR(shiftleft(s4, 2))
+      .bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Spread the low 15 bits of `c` so bit i lands at position 4i
+    * (the 4-D Morton masks). */
+  def spread15x4(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(0x7FFFL))
+    val s1 = m0.bitwiseOR(shiftleft(m0, 24))
+      .bitwiseAND(lit(0x000000FF000000FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 12))
+      .bitwiseAND(lit(0x000F000F000F000FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 6))
+      .bitwiseAND(lit(0x0303030303030303L))
+    s3.bitwiseOR(shiftleft(s3, 3))
+      .bitwiseAND(lit(0x1111111111111111L))
+  }
+
   /** Affine scale of a long column with known [min, max] bounds to a
-    * 16-bit code. Bounds come from a one-row aggregate (driver-side
-    * literals — same trick as the ScalableRank band boundaries). The
-    * multiply stays exact long arithmetic; only the final divide goes
-    * through double (Column `/` is double division), exact while
-    * (max−min)·65535 < 2⁵³ — any 37-bit domain. */
-  def scale16(c: Column, min: Long, max: Long): Column =
+    * `bits`-wide code. Bounds come from a one-row aggregate
+    * (driver-side literals — same trick as the ScalableRank band
+    * boundaries). The multiply stays exact long arithmetic; only the
+    * final divide goes through double (Column `/` is double division),
+    * exact while (max−min)·(2^bits−1) < 2⁵³ — any 32-bit domain at
+    * the widest code. */
+  def scaleBits(c: Column, min: Long, max: Long, bits: Int): Column = {
+    val maxCode = (1L << bits) - 1
     if (max <= min) lit(0L)
-    else greatest(lit(0L), least(lit(MaxCode),
-      floor((c.cast("long") - lit(min)) * lit(MaxCode) / lit(max - min))
+    else greatest(lit(0L), least(lit(maxCode),
+      floor((c.cast("long") - lit(min)) * lit(maxCode) / lit(max - min))
         .cast("long")))
+  }
+
+  /** 16-bit scale — the 2-D form. */
+  def scale16(c: Column, min: Long, max: Long): Column =
+    scaleBits(c, min, max, 16)
 
   /** The interleaved z-value of two 16-bit codes (a even bits, b odd). */
   def z2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
-  /** Write `df` z-ordered by (`colA`, `colB`) (longs with the given
-    * bounds) into `files` parquet files at `path`: range-partition by
-    * z so each file owns a contiguous z-interval, sort within, drop
-    * the helper column. `files` scales with data volume at the
-    * caller (rows / target-file-rows), fixed small here for the test
+  /** The interleaved z-value of 2–4 codes (code i on bit lanes ≡ i). */
+  def zN(codes: Seq[Column]): Column = codes.length match {
+    case 2 => z2(codes(0), codes(1))
+    case 3 => codes.map(spread21x3).zipWithIndex
+      .map { case (s, i) => shiftleft(s, i) }.reduce(_ bitwiseOR _)
+    case 4 => codes.map(spread15x4).zipWithIndex
+      .map { case (s, i) => shiftleft(s, i) }.reduce(_ bitwiseOR _)
+    case n => throw new IllegalArgumentException(
+      s"z-order supports 2-4 dims, got $n")
+  }
+
+  private def zOf(dims: Seq[Dim]): Column = {
+    val bits = bitsFor(dims.length)
+    zN(dims.map(d => scaleBits(col(d.name), d.min, d.max, bits)))
+  }
+
+  /** Write `df` z-ordered by `dims` (longs with the given bounds) into
+    * `files` parquet files at `path`: range-partition by z so each
+    * file owns a contiguous z-interval, sort within, drop the helper
+    * column. `files` scales with data volume at the caller
+    * (rows / target-file-rows), fixed small here for the test
     * geometry. Alongside the data a `_ZSTATS` index records each
-    * file's (min, max) envelope on both columns — the file-skipping
-    * index [[prunedScan]] consults (what a table format keeps in its
-    * manifest; the leading underscore keeps parquet readers off it).
-    * The index is one aggregate over the written files, file-count
-    * rows to the driver. */
-  def layout(df: DataFrame, path: String,
-             colA: String, aMin: Long, aMax: Long,
-             colB: String, bMin: Long, bMax: Long,
-             files: Int): Unit = {
-    df.withColumn("__z", z2(
-        scale16(col(colA), aMin, aMax), scale16(col(colB), bMin, bMax)))
+    * file's (min, max) envelope on every dimension — the
+    * file-skipping index [[prunedScanN]] consults (what a table
+    * format keeps in its manifest; the leading underscore keeps
+    * parquet readers off it). The index is one aggregate over the
+    * written files, file-count rows to the driver. */
+  def layoutN(df: DataFrame, path: String, dims: Seq[Dim],
+              files: Int): Unit = {
+    df.withColumn("__z", zOf(dims))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
-    writeStats(df.sparkSession, path, colA, colB)
+    writeStats(df.sparkSession, path, dims.map(_.name))
   }
 
-  /** Incremental ingest into a [[layout]]: z-sort the batch UNDER THE
+  /** 2-D [[layoutN]] — the original form. */
+  def layout(df: DataFrame, path: String,
+             colA: String, aMin: Long, aMax: Long,
+             colB: String, bMin: Long, bMax: Long,
+             files: Int): Unit =
+    layoutN(df, path, Seq(Dim(colA, aMin, aMax), Dim(colB, bMin, bMax)),
+      files)
+
+  /** Incremental ingest into a [[layoutN]]: z-sort the batch UNDER THE
     * LAYOUT'S ORIGINAL BOUNDS (so old and new files share one curve)
     * and append its files, then extend the stats index with ONLY the
     * new files' envelopes (existing files are immutable, their lines
     * carry over) — no rewrite of existing data, cost ∝ batch (the
     * growing-corpus twin of the bucketed vector layouts' append).
     * Each append adds `files` files; fold back with a periodic
-    * [[layout]] rebuild, the same maintenance-window trade the change
-    * table makes with log compaction. Out-of-bounds batch values are
-    * safe: [[scale16]] clamps their codes to the curve's edge cells
-    * and the index records the files' TRUE envelopes, so pruning
-    * stays conservative (edge files just carry wider envelopes until
-    * a rebuild). A crash between the data commit and the index
-    * refresh is also safe: [[prunedScan]] treats files the index
-    * doesn't know as hot. */
-  def append(batch: DataFrame, path: String,
-             colA: String, aMin: Long, aMax: Long,
-             colB: String, bMin: Long, bMax: Long,
-             files: Int): Unit = {
-    batch.withColumn("__z", z2(
-        scale16(col(colA), aMin, aMax), scale16(col(colB), bMin, bMax)))
+    * [[rebuild]] — wired into [[graft.cdc.Maintenance]], the same
+    * maintenance-window trade the change table makes with log
+    * compaction. Out-of-bounds batch values are safe: [[scaleBits]]
+    * clamps their codes to the curve's edge cells and the index
+    * records the files' TRUE envelopes, so pruning stays conservative
+    * (edge files just carry wider envelopes until a rebuild). A crash
+    * between the data commit and the index refresh is also safe:
+    * [[prunedScanN]] treats files the index doesn't know as hot. */
+  def appendN(batch: DataFrame, path: String, dims: Seq[Dim],
+              files: Int): Unit = {
+    batch.withColumn("__z", zOf(dims))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -112,17 +184,39 @@ object ZOrder {
     val known = readStatsLines(spark, path)
       .map(_.takeWhile(_ != '\t')).toSet
     val newFiles = listDataFiles(spark, path).filterNot(known)
-    writeStats(spark, path, colA, colB, onlyFiles = Some(newFiles))
+    writeStats(spark, path, dims.map(_.name), onlyFiles = Some(newFiles))
   }
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+  /** 2-D [[appendN]] — the original form. */
+  def append(batch: DataFrame, path: String,
+             colA: String, aMin: Long, aMax: Long,
+             colB: String, bMin: Long, bMax: Long,
+             files: Int): Unit =
+    appendN(batch, path, Seq(Dim(colA, aMin, aMax), Dim(colB, bMin, bMax)),
+      files)
+
+  /** Fold a layout that has accumulated append generations back to
+    * `files` files (and a `files`-line `_ZSTATS`): one re-clustered
+    * generation written behind the rollback-safe
+    * [[graft.streaming.DirSwap]] (tag "zorder") — readers either see
+    * the old complete layout or the new one, and [[prunedScanN]]
+    * heals the crash window. The periodic rebuild is also where
+    * drifted bounds tighten: pass the CURRENT min/max so edge-clamped
+    * appends re-spread over the full curve. */
+  def rebuild(spark: SparkSession, path: String, dims: Seq[Dim],
+              files: Int): Unit =
+    graft.streaming.DirSwap.install(spark, path, "zorder") { tmp =>
+      layoutN(spark.read.parquet(path), tmp, dims, files)
+    }
+
+  private def fsOf(spark: SparkSession,
                    path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The layout's data files, in `input_file_name()` URI form so index
     * lines and listings compare exactly. */
-  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+  private def listDataFiles(spark: SparkSession,
                             path: String): Seq[String] =
     fsOf(spark, path)
       .listStatus(new org.apache.hadoop.fs.Path(path))
@@ -130,7 +224,7 @@ object ZOrder {
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.toUri.toString)
 
-  private def readStatsLines(spark: org.apache.spark.sql.SparkSession,
+  private def readStatsLines(spark: SparkSession,
                              path: String): List[String] = {
     val fs = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(path, "_ZSTATS")
@@ -145,25 +239,27 @@ object ZOrder {
 
   /** (Re)build the `_ZSTATS` index — or, with `onlyFiles`, aggregate
     * just those files' envelopes and carry the existing lines over
-    * (append cost ∝ batch). Installed via write-temp-then-rename so a
-    * racing reader sees either the previous or the new COMPLETE index,
-    * never a truncated one. */
-  private def writeStats(spark: org.apache.spark.sql.SparkSession,
-                         path: String, colA: String, colB: String,
+    * (append cost ∝ batch). Line format: file, then (lo, hi) per
+    * dimension, tab-separated. Installed via write-temp-then-rename
+    * so a racing reader sees either the previous or the new COMPLETE
+    * index, never a truncated one. */
+  private def writeStats(spark: SparkSession, path: String,
+                         cols: Seq[String],
                          onlyFiles: Option[Seq[String]] = None): Unit = {
     val scan = onlyFiles match {
       case Some(fs) if fs.isEmpty => return
       case Some(fs) => spark.read.parquet(fs: _*)
       case None => spark.read.parquet(path)
     }
+    val envelope = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_lo"), max(col(c)).as(s"${c}_hi")))
     val stats = scan
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(colA)).as("alo"), max(col(colA)).as("ahi"),
-        min(col(colB)).as("blo"), max(col(colB)).as("bhi"))
+      .agg(envelope.head, envelope.tail: _*)
       .collect() // one row per aggregated file
     val fresh = stats.map { r =>
-      Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)).mkString("\t")
+      (r.getString(0) +: (1 until r.length).map(r.getLong(_).toString))
+        .mkString("\t")
     }
     val carried =
       if (onlyFiles.isEmpty) Nil else readStatsLines(spark, path)
@@ -180,28 +276,39 @@ object ZOrder {
   }
 
   /** Scan the z-layout at `path` reading ONLY the files whose `_ZSTATS`
-    * envelope intersects the [aLo,aHi]×[bLo,bHi] box — file-level
-    * skipping off the driver-side index (file-count-sized), the move a
-    * table-format scan makes from its manifest. CONSERVATIVE on every
-    * edge: a data file the index doesn't know (crash between a data
-    * commit and the index refresh, or no index at all) is treated as
-    * hot and scanned — only a recorded non-intersecting envelope ever
-    * skips a file. The box filter is re-applied to the surviving rows
-    * (envelopes are conservative too), so the result is identical to
-    * filtering a full scan. An empty candidate set returns the empty
-    * relation with the layout's schema. */
-  def prunedScan(spark: org.apache.spark.sql.SparkSession, path: String,
-                 colA: String, aLo: Long, aHi: Long,
-                 colB: String, bLo: Long, bHi: Long): DataFrame = {
+    * envelope intersects the box (one (col, lo, hi) per dimension) —
+    * file-level skipping off the driver-side index (file-count-sized),
+    * the move a table-format scan makes from its manifest.
+    * CONSERVATIVE on every edge: a data file the index doesn't know
+    * (crash between a data commit and the index refresh, or no index
+    * at all) is treated as hot and scanned; a stats line with a
+    * different dimension count (pre-rebuild generation) never skips —
+    * only a recorded non-intersecting envelope ever skips a file. The
+    * box filter is re-applied to the surviving rows (envelopes are
+    * conservative too), so the result is identical to filtering a
+    * full scan. An empty candidate set returns the empty relation
+    * with the layout's schema. */
+  def prunedScanN(spark: SparkSession, path: String,
+                  box: Seq[(String, Long, Long)]): DataFrame = {
+    graft.streaming.DirSwap.restoreIfTorn(spark, path, "zorder")
+    val n = box.length
     val cold = readStatsLines(spark, path).map(_.split('\t')).collect {
-      case Array(f, alo, ahi, blo, bhi)
-        if alo.toLong > aHi || ahi.toLong < aLo ||
-          blo.toLong > bHi || bhi.toLong < bLo => f
+      case arr if arr.length == 1 + 2 * n &&
+        box.zipWithIndex.exists { case ((_, lo, hi), i) =>
+          arr(1 + 2 * i).toLong > hi || arr(2 + 2 * i).toLong < lo
+        } => arr(0)
     }.toSet
     val hot = listDataFiles(spark, path).filterNot(cold)
     val scan =
       if (hot.nonEmpty) spark.read.parquet(hot: _*)
       else spark.read.parquet(path).limit(0)
-    scan.filter(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
+    scan.filter(box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _))
   }
+
+  /** 2-D [[prunedScanN]] — the original form. */
+  def prunedScan(spark: SparkSession, path: String,
+                 colA: String, aLo: Long, aHi: Long,
+                 colB: String, bLo: Long, bHi: Long): DataFrame =
+    prunedScanN(spark, path, Seq((colA, aLo, aHi), (colB, bLo, bHi)))
 }

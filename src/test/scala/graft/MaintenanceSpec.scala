@@ -47,8 +47,21 @@ class MaintenanceSpec extends SparkSpec {
     val preFiles = filesUnder(sinkDir, ".json").size
     assert(preFiles > 5, s"fixture should accumulate poll files, got $preFiles")
 
+    // a z-layout with one appended generation rides the same window
+    import graft.ops.ZOrder
+    val zdir = tmpDir("mz") + "/layout"
+    val zdims = Seq(ZOrder.Dim("entity_id", 0L, 1000L),
+      ZOrder.Dim("change_version", 0L, 1000L))
+    ZOrder.layoutN(pages(0).toDF(), zdir, zdims, 2)
+    ZOrder.appendN(pages(1).toDF(), zdir, zdims, 2)
+    val zRows = spark.read.parquet(zdir).count()
+
     val report = Maintenance.run(spark, changeDir, sinkDir,
-      watermark = 200L, compactUpTo = 600L, nFiles = 4)
+      watermark = 200L, compactUpTo = 600L, nFiles = 4,
+      zLayouts = Seq(Maintenance.ZLayout(zdir, zdims, 2)))
+    assert(filesUnder(zdir, ".parquet").size == 2 &&
+      spark.read.parquet(zdir).count() == zRows,
+      "the window must fold the z-layout to its target file count")
 
     // change table: expired prefix gone, one newest FULL row per entity
     // in the compacted segment, tail untouched, bounded file count

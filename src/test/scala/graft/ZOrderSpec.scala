@@ -124,6 +124,139 @@ class ZOrderSpec extends SparkSpec {
       "post-append pruned scan must serve the full union")
   }
 
+  // ------------------------------------------------------ N-dim form ----
+
+  /** Reference interleave: bit i of code d lands at n·i + d. */
+  private def refZN(codes: Seq[Long], bits: Int): Long = {
+    val n = codes.length
+    var z = 0L
+    for (i <- 0 until bits; d <- 0 until n)
+      z |= ((codes(d) >> i) & 1L) << (n * i + d)
+    z
+  }
+
+  test("zN matches the reference interleave for 3 and 4 dims and stays " +
+      "inside the long's value bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(3, 4)) {
+      val bits = ZOrder.bitsFor(n)
+      val mask = (1L << bits) - 1
+      val rows = Seq.fill(512)(Seq.fill(n)(rnd.nextLong() & mask)) ++
+        Seq(Seq.fill(n)(0L), Seq.fill(n)(mask))
+      val padded = rows.map(r => r.padTo(4, 0L))
+        .map { case Seq(a, b, c, d) => (a, b, c, d) }
+      val cols = Seq(col("a"), col("b"), col("c"), col("d")).take(n)
+      val got = padded.toDF("a", "b", "c", "d")
+        .select(ZOrder.zN(cols)).as[Long].collect()
+      assert(got.sameElements(rows.map(refZN(_, bits))), s"n=$n")
+      assert(got.forall(_ >= 0), s"n=$n: sign bit must stay clear")
+    }
+  }
+
+  test("a 3-D z-layout prunes a 3-box at least as well as a single-sort " +
+      "and skips files") {
+    val ev = Tables.events(spark, sf).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("cents"),
+      max("cents"), min("event_id"), max("event_id")).head()
+    val (uMin, uMax, cMin, cMax, eMin, eMax) = (b.getLong(0), b.getLong(1),
+      b.getLong(2), b.getLong(3), b.getLong(4), b.getLong(5))
+    val dims = Seq(ZOrder.Dim("user_id", uMin, uMax),
+      ZOrder.Dim("cents", cMin, cMax), ZOrder.Dim("event_id", eMin, eMax))
+    // a quarter-width box anchored at the LOW corner: selective in all
+    // three dims and aligned with the curve's top splits, so the
+    // 64-file layout (two curve levels per dim) can actually skip —
+    // a box straddling every split line would touch all octants no
+    // matter how the data is clustered
+    def quarter(lo: Long, hi: Long): (Long, Long) = (lo, lo + (hi - lo) / 4)
+    val box = Seq(("user_id", quarter(uMin, uMax)),
+      ("cents", quarter(cMin, cMax)), ("event_id", quarter(eMin, eMax)))
+      .map { case (c, (lo, hi)) => (c, lo, hi) }
+
+    val zdir = tmpDir("graft-zorder-3d")
+    val ldir = tmpDir("graft-zorder-3d-linear")
+    ZOrder.layoutN(ev, zdir, dims, 64)
+    // contrast: single-column sort on ONE of the box dimensions — its
+    // files prune on that dimension only, full-range on the other two
+    ev.repartitionByRange(64, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(ldir)
+
+    def hotCount(dir: String): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(
+          min("user_id"), max("user_id"), min("cents"), max("cents"),
+          min("event_id"), max("event_id")).collect()
+      val hit = stats.count(r => box.zipWithIndex.forall {
+        case ((_, lo, hi), i) =>
+          r.getLong(1 + 2 * i) <= hi && r.getLong(2 + 2 * i) >= lo
+      })
+      (hit.toLong, stats.length.toLong)
+    }
+    val (zHit, zAll) = hotCount(zdir)
+    val (lHit, lAll) = hotCount(ldir)
+    assert(zAll == 64 && lAll == 64)
+    assert(zHit < lHit && zHit < zAll,
+      s"3-D clustering must prune the 3-box: z=$zHit/$zAll linear=$lHit/$lAll")
+
+    // prunedScanN off _ZSTATS is output-invisible vs the full scan
+    val pruned = ZOrder.prunedScanN(spark, zdir, box)
+    val full = spark.read.parquet(zdir).filter(box.map {
+      case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _))
+    assert(pruned.count() > 0 &&
+      pruned.orderBy("event_id").collect()
+        .sameElements(full.orderBy("event_id").collect()),
+      "3-D file skipping must be output-invisible")
+  }
+
+  test("rebuild folds appended generations back to the target file " +
+      "count and heals its crash window") {
+    val ev = Tables.events(spark, sf).select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("cents"),
+      max("cents"), min("event_id"), max("event_id")).head()
+    val dims = Seq(ZOrder.Dim("user_id", b.getLong(0), b.getLong(1)),
+      ZOrder.Dim("cents", b.getLong(2), b.getLong(3)),
+      ZOrder.Dim("event_id", b.getLong(4), b.getLong(5)))
+    val dir = tmpDir("graft-zorder-rebuild")
+    ZOrder.layoutN(ev.filter(col("event_id") % 4 === 0), dir, dims, 4)
+    (1 to 3).foreach(i =>
+      ZOrder.appendN(ev.filter(col("event_id") % 4 === i), dir, dims, 2))
+    def dataFiles(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    def statsLines(): Int = scala.io.Source.fromFile(
+      new java.io.File(dir, "_ZSTATS")).getLines().count(_.nonEmpty)
+    assert(dataFiles().size == 10 && statsLines() == 10,
+      s"fixture: 4 + 3x2 appended files, got ${dataFiles().size}")
+
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    ZOrder.rebuild(spark, dir, dims, 4)
+    assert(dataFiles().size == 4 && statsLines() == 4,
+      s"rebuild must fold to the target: ${dataFiles().size} files, " +
+        s"${statsLines()} index lines")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "rebuild must be lossless")
+
+    // crash window: generation moved aside, not yet installed — the
+    // next pruned scan heals the swap and serves the same rows
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".zorder-bak")))
+    val box = dims.map(d => (d.name, d.min, d.max))
+    assert(ZOrder.prunedScanN(spark, dir, box).count() == before.size,
+      "a scan in the crash window must heal the swap")
+  }
+
   test("layout_zorder_scan declared query returns the box aggregate") {
     val rows = SparkEntry.queries("layout_zorder_scan")(spark, sf).collect()
     assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0)
