@@ -237,7 +237,13 @@ object CdcQueries {
   val cdcSchemaEvolution: Q = (s, d) => {
     // appId-scoped scratch, NOT a fresh temp dir per call: repeated
     // constructions (verify + bench warmups + plan lint) reuse one
-    // directory via the overwrite-then-append sequence below
+    // directory via the overwrite-then-append sequence below.
+    // SINGLE-THREADED by contract: overwrite-then-append is not
+    // atomic, so a driver constructing/executing this query from two
+    // threads (or executing the returned lazy frame while a re-run
+    // rewrites the dir) could observe a one-page or torn directory —
+    // fine for the serial verify/bench harness; a concurrent driver
+    // would stage into a fresh subdir and DirSwap-install instead
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-evolve-${s.sparkContext.applicationId}").getPath
     val o = Tables.orders(s, d)

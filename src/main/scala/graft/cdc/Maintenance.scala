@@ -42,11 +42,19 @@ object Maintenance {
     * newer changes pass through untouched. Unlike
     * [[Retention.logCompact]] (the key-projection flavor) this keeps
     * every column — the rehydratable form a sink can replay from. One
-    * shuffle on the high-cardinality entity key. */
+    * shuffle on the high-cardinality entity key. The window order
+    * tiebreaks on the whole remaining row (as a struct) so that even a
+    * feed VIOLATING the one-row-per-(entity, version) contract keeps a
+    * deterministic survivor instead of one picked by partition layout
+    * — the same hardening as [[Scd2.history]]'s operation tiebreaker. */
   def logCompactRows(changes: DataFrame, upTo: Long,
                      entityCol: String = "entity_id",
                      versionCol: String = "change_version"): DataFrame = {
-    val w = Window.partitionBy(col(entityCol)).orderBy(col(versionCol).desc)
+    val payload = changes.columns
+      .filterNot(c => c == entityCol || c == versionCol)
+    val w = Window.partitionBy(col(entityCol)).orderBy(
+      col(versionCol).desc +:
+        payload.map(c => col(c).asc_nulls_first): _*)
     changes.filter(col(versionCol) <= upTo)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

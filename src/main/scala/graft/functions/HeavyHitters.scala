@@ -73,8 +73,15 @@ class MisraGries(capacity: Int)
   * Exactness condition (MG guarantee): the true k-th frequency exceeds
   * n/(capacity+1) — then every true top-k term is in the candidate
   * set and the recount makes the result exact, oracle-checkable
-  * against brute force. The returned frame carries exact counts
-  * either way; under-capacity corpora are exact trivially. */
+  * against brute force. The condition is CHECKED, not assumed: on a
+  * vocabulary too flat for the sketch to certify (k-th recounted
+  * frequency at or below n/(capacity+1), or fewer than k candidates),
+  * the query falls back to the full vocabulary aggregate — correct
+  * over fast, the same trade as an AQE re-plan — instead of silently
+  * returning a wrong "exact" top-k. Guard cost: one column-pruned
+  * row count always; the ≤k-row recount materializes early only when
+  * the sketch actually decremented (an under-capacity corpus — sketch
+  * mass equals n — certifies without it). */
 object HeavyHitters {
 
   def topTerms(terms: DataFrame, termCol: String, k: Int,
@@ -85,8 +92,21 @@ object HeavyHitters {
       .select(col(termCol).cast("string").as("value")).as[String]
       .select(new MisraGries(capacity).toColumn).head()
     val candidates = sketch.keys.toSeq
-    terms
+    val recount = terms
       .filter(col(termCol).isInCollection(candidates))
+      .groupBy(col(termCol).as("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(k)
+    val n = terms.count()
+    // no decrement ever happened ⇔ the sketch kept every occurrence —
+    // the candidate set IS the vocabulary, exact with no further check
+    val certified = sketch.values.sum == n || {
+      val top = recount.collect() // ≤ k rows
+      top.length == k && top.last.getLong(1) * (capacity + 1L) > n
+    }
+    if (certified) recount
+    else terms // flat vocabulary: the sketch cannot certify its top-k
       .groupBy(col(termCol).as("term"))
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term"))

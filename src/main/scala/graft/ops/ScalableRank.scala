@@ -36,9 +36,13 @@ object ScalableRank {
 
   /** Adds `rankName` (1-based position of the row under `order` within
     * `group`) and `nName` (group size) to `df`. `bandOn` must order the
-    * same way as `order`'s primary column (negate it for DESC). `bands`
-    * bounds per-task sort size at |group|/bands — size it to the
-    * cluster (defaults to spark.sql.shuffle.partitions).
+    * same way as `order`'s primary column (negate it for DESC), with
+    * NULLs FIRST: a NULL band key routes to band 0, matching Spark's
+    * ascending default — an `order` that sorts NULLs last (plain
+    * `desc`) would diverge, so a DESC caller with nullable keys must
+    * use `desc_nulls_first`. `bands` bounds per-task sort size at
+    * |group|/bands — size it to the cluster (defaults to
+    * spark.sql.shuffle.partitions).
     */
   def withRank(df: DataFrame, group: Column, order: Seq[Column],
                bandOn: Column, rankName: String, nName: String,
@@ -54,10 +58,15 @@ object ScalableRank {
       else keyed.stat.approxQuantile(
         "__bk", (1 until b).map(_.toDouble / b).toArray, 0.001)
         .distinct.sorted
-    val bandCol = bounds.zipWithIndex.foldRight(
-      lit(bounds.length.toLong)) { case ((bound, i), acc) =>
-        when(col("__bk") <= bound, lit(i.toLong)).otherwise(acc)
-      }
+    // NULL keys fall through every `<=` branch, so route them to band
+    // 0 explicitly — Spark's ascending window order sorts NULLs FIRST,
+    // and the catch-all otherwise() would misplace them in the LAST
+    // band (wrong cross-band rank for any nullable order key)
+    val bandCol = when(col("__bk").isNull, lit(0L)).otherwise(
+      bounds.zipWithIndex.foldRight(
+        lit(bounds.length.toLong)) { case ((bound, i), acc) =>
+          when(col("__bk") <= bound, lit(i.toLong)).otherwise(acc)
+        })
     val banded = keyed.withColumn("__band", bandCol)
     // pass 2: one (group, band) shuffle; each task sorts one slice
     val w = Window.partitionBy(group, col("__band")).orderBy(order: _*)

@@ -86,18 +86,26 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == exact)
   }
 
-  test("returned counts are exact even when capacity truncates the set") {
+  test("an uncertifiable sketch falls back to the full aggregate " +
+      "instead of returning a wrong 'exact' top-k") {
     val terms = Tables.documents(spark, sf)
       .select(explode(TextOps.tokens(col("text"))).as("term"))
     val exact = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect().toMap
-    // capacity 8 cannot hold the full top-20 — the result may MISS
-    // heavy terms, but every row it does return must carry the exact
-    // recount, never a sketch estimate
+      .orderBy($"freq".desc, $"term").limit(20)
+      .as[(String, Long)].collect().toSeq
+    // capacity 8 cannot certify a top-20 (k-th freq <= n/9 on this
+    // corpus) — the MG guarantee doesn't cover the request, so the
+    // guard must route to the full-vocabulary aggregate: the result is
+    // STILL the exact top-20, paid for with the vocab shuffle
     val got = HeavyHitters.topTerms(terms, "term", 20, capacity = 8)
-      .as[(String, Long)].collect()
-    got.foreach { case (t, f) =>
-      assert(f == exact(t), s"$t: returned $f, exact ${exact(t)}")
-    }
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact,
+      "guarded fallback must return the true top-k, never a sketch miss")
+    // and a certifying capacity keeps the sketch path: the plan filters
+    // on the candidate set instead of aggregating the vocabulary
+    val plan = HeavyHitters.topTerms(terms, "term", 20, capacity = 1024)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"certified path must keep the candidate isin filter:\n$plan")
   }
 }

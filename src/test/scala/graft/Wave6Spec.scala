@@ -118,6 +118,27 @@ class Wave6Spec extends SparkSpec {
       s"null group ranks as its own partition; got ${ranked.toSeq}")
   }
 
+  test("ScalableRank ranks NULL order keys first (Window parity on a " +
+      "nullable band key)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // NULL v rows must band FIRST (Spark's ascending NULLS FIRST), not
+    // fall into the last band via the when-chain catch-all
+    val df = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "a", Some(5L)),
+      (4L, "a", None), (5L, "b", Some(1L)), (6L, "b", None))
+      .toDF("id", "g", "v")
+    val got = graft.ops.ScalableRank.withRank(df, col("g"),
+        Seq(col("v"), col("id")), col("v"), "r", "n", bands = 3)
+      .select($"id", $"r").as[(Long, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("r", row_number().over(
+        Window.partitionBy($"g").orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"r").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      s"banded rank must match Window on nullable keys: got ${got.toSeq} " +
+        s"want ${want.toSeq}")
+  }
+
   test("llm_decontaminate_bloom: clean path is scan-only, no join") {
     // the scale contract: the definitely-clean side (no Bloom hit) goes
     // scan -> filter -> union with NO join and NO exchange — only the
