@@ -31,7 +31,13 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 20)
     val recall = exact.intersect(got.map(_._1).toSet).size.toDouble / 20
-    assert(recall >= 0.5, s"PQ recall=$recall vs exact top-20")
+    info(s"PQ recall=$recall")
+    // measured 0.95 here, stable across cold codebook rebuilds
+    // (0.60-0.75 at the larger SFs); pinned well below measured but
+    // far above the old 0.5 floor so a silent ranking regression
+    // fails — the slack covers k-means float-avg summation-order
+    // wobble, not algorithmic drift
+    assert(recall >= 0.75, s"PQ recall=$recall vs exact top-20")
     // the family contract: the query row never occupies a result slot
     // (bruteForceTopK / annTopK / annTopKBucketed all exclude it)
     assert(!got.map(_._1).contains(0L), "query row must be excluded")
@@ -66,7 +72,10 @@ class PqSpec extends SparkSpec {
     val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
       .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
     val recall = exact.intersect(got.toSet).size.toDouble / 20
-    assert(recall >= 0.4, s"IVF-PQ recall=$recall vs exact top-20")
+    info(s"IVF-PQ recall=$recall")
+    // measured 0.80 at probeHamming=3 (see the curve test); pinned
+    // just below for the same wobble-only slack as the PQ pin
+    assert(recall >= 0.65, s"IVF-PQ recall=$recall vs exact top-20")
     // and the probe is partition-pruned: strictly fewer bucket dirs
     // scanned than the layout holds
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -104,6 +113,41 @@ class PqSpec extends SparkSpec {
     assert(got.length == 20)
     assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 != 0),
       s"union probe should surface both generations, got ${got.toSeq}")
+  }
+
+  test("recall vs probe-ball radius is monotone and saturates at the " +
+      "PQ ceiling (the documented scan/recall knob)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m, dims, ks,
+      iters = 2)
+    val path = tmpDir("ivfpq-curve")
+    Pq.writeIvfPq(emb, "vec_id", "embedding", cb, m, dims, 6, path)
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+    val curve = (0 to 4).map { r =>
+      val got = Pq.ivfPqTopK(emb, path, cb, "vec_id", "embedding",
+        queryId = 0L, k = 20, m, dims, ks, planes = 6, probeHamming = r,
+        overfetch = 6)
+        .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+      exact.intersect(got).size / 20.0
+    }
+    info(s"recall by probeHamming 0..4: ${curve.mkString(", ")}")
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+      s"widening the probe ball must not lose recall: $curve")
+    // radius 6 == scan everything: the ceiling is the PQ ranking
+    // quality itself, so the full-ball probe must match the flat ADC
+    // search within one overfetch margin
+    val flat = Pq.adcTopK(emb,
+      spark.read.parquet(path).select("vec_id", "codes"), cb,
+      "vec_id", "embedding", queryId = 0L, k = 20, m, dims, ks,
+      overfetch = 6)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+    val fullBall = Pq.ivfPqTopK(emb, path, cb, "vec_id", "embedding",
+      queryId = 0L, k = 20, m, dims, ks, planes = 6, probeHamming = 6,
+      overfetch = 6)
+      .select("vec_id").as[Long](Encoders.scalaLong).collect().toSet
+    assert(fullBall == flat,
+      "a full probe ball must equal the unpartitioned ADC search")
   }
 
   test("the ADC candidate stage is shuffle-free over the staged codes") {
