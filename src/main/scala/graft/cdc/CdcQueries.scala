@@ -195,6 +195,15 @@ object CdcQueries {
     Merge.incrementalSnapshot(s, d, v0 = 3000L, v1 = 6000L)
       .orderBy("invoice_id")
 
+  /** S3''''/T5⁗ — snapshot DIFF: every entity touched in (300, 700]
+    * of the event feed classified added/removed/changed against its
+    * ≤300 state. Driven by the change batch, never by a full-snapshot
+    * rescan; proven equal to the direct two-snapshot diff by
+    * SnapshotDiffSpec. */
+  val cdcSnapshotDiff: Q = (s, d) =>
+    SnapshotDiff.eventDiff(s, d, vA = 300L, vB = 700L)
+      .orderBy("entity_id")
+
   /** T1' — consumer freshness: the lag between the feed head and the
     * committed cursor after one bounded poll — the monitoring metric
     * every CDC deployment alerts on (the reference surfaces it as the
@@ -266,6 +275,7 @@ object CdcQueries {
     "cdc_shred_documents" -> cdcShredDocuments,
     "cdc_freshness" -> cdcFreshness,
     "cdc_merge_upsert" -> cdcMergeUpsert,
+    "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2Asof,
     "cdc_scan" -> cdcScan,
@@ -357,6 +367,31 @@ object CdcQueries {
          |   FROM live l FULL JOIN chg c ON l.invoice_id = c.invoice_id)
          | SELECT * FROM merged WHERE change_operation <> 'D'
          | ORDER BY invoice_id""".stripMargin,
+    "cdc_snapshot_diff" ->
+      """WITH feeds AS (
+        |   SELECT user_id AS entity_id, event_id AS change_version,
+        |     CASE WHEN event_id % 13 = 0 THEN 'D'
+        |          WHEN event_id % 13 < 4 THEN 'I' ELSE 'U' END AS op
+        |   FROM events),
+        | old AS (
+        |   SELECT entity_id, max(change_version) AS version_a,
+        |     arg_max(op, change_version) AS op_a
+        |   FROM feeds WHERE change_version <= 300 GROUP BY entity_id),
+        | live_a AS (SELECT entity_id, version_a FROM old WHERE op_a <> 'D'),
+        | b AS (
+        |   SELECT entity_id, max(change_version) AS version_b,
+        |     arg_max(op, change_version) AS op_b
+        |   FROM feeds WHERE change_version <= 700 GROUP BY entity_id),
+        | d AS (
+        |   SELECT coalesce(a.entity_id, b.entity_id) AS entity_id,
+        |     CASE WHEN a.entity_id IS NULL AND b.op_b <> 'D' THEN 'A'
+        |          WHEN a.entity_id IS NOT NULL AND b.op_b = 'D' THEN 'R'
+        |          WHEN a.entity_id IS NOT NULL AND b.op_b <> 'D'
+        |               AND a.version_a <> b.version_b THEN 'C' END AS diff_op,
+        |     a.version_a, b.version_b
+        |   FROM live_a a FULL JOIN b ON a.entity_id = b.entity_id)
+        | SELECT entity_id, diff_op, version_a, version_b FROM d
+        | WHERE diff_op IS NOT NULL ORDER BY entity_id""".stripMargin,
     "cdc_scd2" ->
       s"""WITH $feedsOpsCte,
          | hist AS (

@@ -72,7 +72,8 @@ class InventorySpec extends SparkSpec {
     "llm_dedup_incremental_near", "llm_heavy_hitters",
     "llm_sketch_rollup", "llm_profile", "llm_leak_report",
     "llm_fuzzy_pairs_global", "layout_zorder_scan", "llm_simsearch_pq",
-    "llm_simsearch_ivfpq", "llm_dedup_contained", "llm_fuzzy_pairs_varlen")
+    "llm_simsearch_ivfpq", "llm_dedup_contained", "llm_fuzzy_pairs_varlen",
+    "cdc_snapshot_diff")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
