@@ -204,6 +204,16 @@ object CdcQueries {
     SnapshotDiff.eventDiff(s, d, vA = 300L, vB = 700L)
       .orderBy("entity_id")
 
+  /** J3'/A5' — incremental AGGREGATE view maintenance (IVM): the
+    * per-status count/sum view at version 1000 plus the (1000, 2500]
+    * batch's contribution deltas — must equal the view recomputed from
+    * the v=2500 snapshot (the property AggViewSpec checks across
+    * random splits; one split declared for the oracle). */
+  val cdcViewDelta: Q = (s, d) =>
+    AggView.incrementalView(s, d, v0 = 1000L, v1 = 2500L)
+      .select(col("grp").as("status"), col("n_rows"), col("sum_cents"))
+      .orderBy("status")
+
   /** T1' — consumer freshness: the lag between the feed head and the
     * committed cursor after one bounded poll — the monitoring metric
     * every CDC deployment alerts on (the reference surfaces it as the
@@ -276,6 +286,7 @@ object CdcQueries {
     "cdc_freshness" -> cdcFreshness,
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
+    "cdc_view_delta" -> cdcViewDelta,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2Asof,
     "cdc_scan" -> cdcScan,
@@ -392,6 +403,18 @@ object CdcQueries {
         |   FROM live_a a FULL JOIN b ON a.entity_id = b.entity_id)
         | SELECT entity_id, diff_op, version_a, version_b FROM d
         | WHERE diff_op IS NOT NULL ORDER BY entity_id""".stripMargin,
+    "cdc_view_delta" ->
+      s"""WITH $feedsOpsCte,
+         | snap AS (
+         |   SELECT invoice_id, max(change_version) AS v,
+         |     arg_max(change_operation, change_version) AS op
+         |   FROM feeds WHERE change_version <= 2500 GROUP BY invoice_id),
+         | live AS (SELECT invoice_id FROM snap WHERE op <> 'D')
+         | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
+         |   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+         |     AS BIGINT) AS sum_cents
+         | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
+         | GROUP BY status ORDER BY status""".stripMargin,
     "cdc_scd2" ->
       s"""WITH $feedsOpsCte,
          | hist AS (

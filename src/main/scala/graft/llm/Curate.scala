@@ -95,6 +95,30 @@ object Curate {
     df.filter(hashPermilleE4(col(idCol)) < keepE4)
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis via
+    * exponential clocks): each row draws a deterministic uniform
+    * u ∈ (0, 1] from its id ([[shuffleKey]] + 1 over 2^31−1) and races
+    * with key −ln(u)/w — the k SMALLEST keys win, which selects row i
+    * with probability proportional to wᵢ at every prefix (the
+    * exponential-race property). A pure function of (id, weight):
+    * stable across reruns, partitionings, and engines, unlike
+    * `df.sample`. Keys are e6-quantized with an id tie-break so the
+    * DuckDB twin byte-matches (the ~1-ulp cross-engine `ln` wobble is
+    * ~9 orders of magnitude below the quantization boundary).
+    *
+    * Scale: key is pure column math at the scan; the k winners come off
+    * a TakeOrderedAndProject (per-partition top-k, merged at the
+    * driver) — no shuffle, no window, any corpus size. */
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k out of range: $k")
+    val u = (shuffleKey(col(idCol)) + 1).cast("double") / Mersenne31.toDouble
+    val key = round(-log(u) / weight * 1e6).cast("long")
+    df.withColumn("race_e6", key)
+      .orderBy(col("race_e6"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-group quota: the top `n` rows of each group by `orderBy`
     * (descending, id tie-break) — "best N documents per language /
     * source" curation. Adds `rk` (1-based rank within group). */

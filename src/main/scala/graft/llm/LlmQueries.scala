@@ -667,6 +667,16 @@ object LlmQueries {
       .orderBy("pri", "doc_id").limit(50)
       .orderBy("doc_id")
 
+  /** N3'''' — WEIGHTED sampling without replacement: 60 documents drawn
+    * with probability ∝ length (n_chars) by the deterministic
+    * exponential race ([[Curate.sampleWeighted]]) — the "sample long
+    * documents more" curation step, reproducible across engines. */
+  val sampleWeightedQ: Q = (s, d) =>
+    Curate.sampleWeighted(
+      Tables.documents(s, d).select("doc_id", "n_chars"),
+      "doc_id", col("n_chars"), k = 60)
+      .orderBy("doc_id")
+
   /** N4''' — rarest term per document: corpus-wide document frequency
     * joined back to each document, argmin (df, term). The join-back of
     * a corpus-level statistic is the TF-IDF shape; kept integer-valued
@@ -852,6 +862,7 @@ object LlmQueries {
     "llm_boilerplate_ngrams" -> boilerplateNgrams,
     "llm_ivf_assign" -> ivfAssignQ,
     "llm_sample_bottomk" -> sampleBottomkQ,
+    "llm_sample_weighted" -> sampleWeightedQ,
     "llm_rarest_term" -> rarestTermQ,
     "llm_tfidf_top_term" -> tfidfTopTermQ,
     "llm_quality_deciles" -> qualityDecilesQ,
@@ -1262,6 +1273,20 @@ object LlmQueries {
       """SELECT doc_id, pri FROM (
         |   SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':graft-v1') AS pri
         |   FROM documents ORDER BY pri, doc_id LIMIT 50)
+        | ORDER BY doc_id""".stripMargin,
+    "llm_sample_weighted" ->
+      // u from the normalized double-Lehmer chain (llm_shuffle_order's
+      // key + 1 over 2^31-1); race key -ln(u)/w e6-quantized, id
+      // tie-break — identical arithmetic to Curate.sampleWeighted
+      """SELECT doc_id, n_chars, race_e6 FROM (
+        |   SELECT doc_id, n_chars,
+        |     CAST(round(-ln(
+        |         (((((doc_id % 2147483647 + 2147483647) % 2147483647)
+        |            * 48271 % 2147483647 + 2147483647) % 2147483647
+        |           * 48271 % 2147483647 + 2147483647) % 2147483647 + 1)
+        |         / 2147483647.0)
+        |       / n_chars * 1000000) AS BIGINT) AS race_e6
+        |   FROM documents ORDER BY race_e6, doc_id LIMIT 60)
         | ORDER BY doc_id""".stripMargin,
     "llm_rarest_term" ->
       """WITH tok AS (SELECT doc_id,

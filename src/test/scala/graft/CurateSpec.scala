@@ -10,6 +10,37 @@ class CurateSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("weighted sampling: heavy rows win ∝ weight, exactly k, rerun-stable") {
+    val n = 2000
+    // ids 1..n, half weight 1000 ("heavy"), half weight 10
+    val df = (1 to n).map(i => (i.toLong, if (i % 2 == 0) 1000L else 10L))
+      .toDF("doc_id", "w")
+    val k = 200
+    val got = Curate.sampleWeighted(df, "doc_id", col("w"), k).cache()
+    try {
+      assert(got.count() == k, "must return exactly k winners")
+      val heavy = got.filter(col("w") === 1000L).count()
+      // E[heavy] ≈ k·(1000/1010-ish share under the race) — with a 100×
+      // weight ratio the heavy half must dominate; the exact value is
+      // deterministic, so a regression shows up as a count change
+      assert(heavy > 160, s"heavy rows underrepresented: $heavy of $k")
+      val again = Curate.sampleWeighted(df, "doc_id", col("w"), k)
+      assert(got.select("doc_id").exceptAll(again.select("doc_id")).isEmpty,
+        "weighted sample must be a pure function of (id, weight)")
+    } finally got.unpersist()
+  }
+
+  test("weighted sampling is invariant to partitioning") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 17 + 1).toLong))
+      .toDF("doc_id", "w")
+    val a = Curate.sampleWeighted(df, "doc_id", col("w"), 50)
+      .select("doc_id")
+    val b = Curate.sampleWeighted(df.repartition(13), "doc_id", col("w"), 50)
+      .select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "the winner set must not depend on the physical layout")
+  }
+
   test("stratified strata NEST: raising a rate only adds documents") {
     val low = Curate.sampleStratified(docs, "doc_id", "lang",
       Map("en" -> 1000L), 3000L).select("doc_id").as[Long].collect().toSet
