@@ -20,15 +20,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in the files, which Spark has no type
-    * for. Read nanos as long and floor to a micros TimestampType column —
-    * the same truncation DuckDB's epoch_ms/strftime produce at ms/s
-    * granularity, so oracle comparisons stay exact. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (no Spark type — read nanos as long,
+    * floor to micros) and plain TIMESTAMP(MICROS) (arrives as NTZ; the
+    * session runs UTC so the cast to TimestampType is value-identical).
+    * Normalize both to a micros TimestampType column so every downstream
+    * query and DuckDB oracle sees one shape. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = read(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -20,27 +20,40 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** The change-table schema: `events` as a version-ordered feed
-    * (event_id = change version, FIXTURES.md §C). ts arrives as
-    * nanos-since-epoch long (see Tables.events). */
-  val eventsSchema: StructType = StructType(Seq(
+    * (event_id = change version, FIXTURES.md §C), with `ts` in the
+    * given physical encoding (see [[eventsTsType]] / Tables.events). */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The `ts` physical type actually present in `srcDir` — testdata
+    * generations have shipped it both as TIMESTAMP(NANOS)-as-long and as
+    * plain TIMESTAMP(MICROS). One batch footer read at plan time; a
+    * streaming source must declare its schema up front. */
+  def eventsTsType(spark: SparkSession, srcDir: String): DataType =
+    spark.read.parquet(srcDir).schema("ts").dataType
+
   /** File-based changefeed source: new parquet files in `srcDir` are new
     * change batches. maxFilesPerTrigger bounds a micro-batch like the
-    * reference's page `limit` (T3). */
+    * reference's page `limit` (T3). `ts` is normalized to a micros
+    * TimestampType column whatever the files' physical encoding. */
   def readFeed(spark: SparkSession, srcDir: String,
                maxFilesPerTrigger: Int = 16): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val tsType = eventsTsType(spark, srcDir)
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** T5 — per-key change collapsing inside each micro-batch (latest state
