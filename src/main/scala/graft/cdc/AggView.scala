@@ -85,4 +85,89 @@ object AggView {
     * at `v` (the spec's reference, not the serving path). */
   def directView(spark: SparkSession, dir: String, v: Long): DataFrame =
     viewOf(contributions(spark, dir, Merge.liveSnapshot(spark, dir, v)))
+
+  // ------------------------------------------------------- min/max IVM --
+
+  /** The MIN/MAX view shape: count + extremes per group. count is the
+    * liveness witness (a group drops out when it reaches zero). */
+  def viewMinMax(contrib: DataFrame): DataFrame =
+    contrib.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        min("measure").as("min_cents"), max("measure").as("max_cents"))
+
+  /** Fold a batch into the MIN/MAX view. min/max are NOT
+    * self-maintainable: an insert can only push an extremum outward
+    * (`least(view.min, batch.min)` — no rescan), but a removal of the
+    * row HOLDING an extremum invalidates it, and the new extremum lives
+    * only in the group's remaining rows. The classic IVM treatment
+    * (Gupta & Mumick's summary-delta handling of non-distributive
+    * aggregates) is what this does: detect exactly the groups whose
+    * extremum may have been removed — a removed measure equal to the
+    * group's current min or max; duplicates of the extremal value make
+    * "may" undecidable from the view alone, so the test is
+    * conservative — and recompute ONLY those groups via `rescan`, a
+    * callback that returns exact (grp, n_rows, min_cents, max_cents)
+    * for a given set of groups. Every other group composes
+    * incrementally.
+    *
+    * Scale: the rescan set is batch-bounded (only groups a removal
+    * touched at its extremum), and under a group-partitioned snapshot
+    * layout each rescan is a partition-pruned scan of just those
+    * groups — never the corpus. Counts stay additive as in
+    * [[applyDelta]], so group liveness never needs the snapshot. */
+  def applyMinMaxDelta(view: DataFrame, oldContrib: DataFrame,
+                       newContrib: DataFrame,
+                       rescan: DataFrame => DataFrame): DataFrame = {
+    val deltas = newContrib.select(col("grp"), col("measure"), lit(1L).as("w"))
+      .unionByName(oldContrib.select(col("grp"), col("measure"),
+        lit(-1L).as("w")))
+      .groupBy("grp")
+      .agg(sum(col("w")).as("d_n"),
+        min(when(col("w") === 1L, col("measure"))).as("ins_min"),
+        max(when(col("w") === 1L, col("measure"))).as("ins_max"),
+        min(when(col("w") === -1L, col("measure"))).as("rem_min"),
+        max(when(col("w") === -1L, col("measure"))).as("rem_max"))
+    val merged = view.join(deltas, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_rows"),
+        col("min_cents"), col("max_cents"),
+        col("ins_min"), col("ins_max"),
+        // an extremum MAY be gone iff some removed measure reaches it
+        // (<=/>= not =: conservative under any measure drift)
+        (col("rem_min").isNotNull && col("min_cents").isNotNull &&
+          (col("rem_min") <= col("min_cents") ||
+            col("rem_max") >= col("max_cents"))).as("dirty"))
+      .filter(col("n_rows") > 0)
+    val clean = merged.filter(!col("dirty"))
+      .select(col("grp"), col("n_rows"),
+        least(col("min_cents"), col("ins_min")).as("min_cents"),
+        greatest(col("max_cents"), col("ins_max")).as("max_cents"))
+    val rescanned = rescan(merged.filter(col("dirty")).select("grp"))
+    clean.unionByName(rescanned)
+  }
+
+  /** One min/max maintenance step over the synthetic feed: view at `v0`
+    * plus the `(v0, v1]` batch; dirty groups rescan against the v1
+    * snapshot (group-pruned). Equal to [[directMinMaxView]] at `v1` for
+    * every split (AggViewSpec property). */
+  def incrementalMinMaxView(spark: SparkSession, dir: String,
+                            v0: Long, v1: Long): DataFrame = {
+    val snap0 = Merge.liveSnapshot(spark, dir, v0)
+    val batch = TombstoneCdc.changedInvoicesOps(spark, dir, v0, v1)
+    val touched0 = snap0.join(batch.select("invoice_id"),
+      Seq("invoice_id"), "left_semi")
+    val newLive = Merge.mergeUpsert(touched0, batch)
+    applyMinMaxDelta(
+      viewMinMax(contributions(spark, dir, snap0)),
+      contributions(spark, dir, touched0),
+      contributions(spark, dir, newLive),
+      groups => viewMinMax(
+        contributions(spark, dir, Merge.liveSnapshot(spark, dir, v1))
+          .join(groups, Seq("grp"), "left_semi")))
+  }
+
+  /** Ground truth for the min/max view at `v`. */
+  def directMinMaxView(spark: SparkSession, dir: String, v: Long): DataFrame =
+    viewMinMax(contributions(spark, dir, Merge.liveSnapshot(spark, dir, v)))
 }

@@ -214,6 +214,19 @@ object CdcQueries {
       .select(col("grp").as("status"), col("n_rows"), col("sum_cents"))
       .orderBy("status")
 
+  /** A4'/T5'' — incremental MIN/MAX view maintenance: the
+    * non-self-maintainable aggregates. Inserts extend extremes
+    * incrementally; a batch that removes a group's extremum holder
+    * rescans ONLY that group against the v1 snapshot (group-pruned at
+    * scale) — the Gupta–Mumick summary-delta treatment. Must equal the
+    * direct min/max view at v=2500 (AggViewSpec properties, including
+    * payload-drift ScalaCheck). */
+  val cdcViewMinmax: Q = (s, d) =>
+    AggView.incrementalMinMaxView(s, d, v0 = 1000L, v1 = 2500L)
+      .select(col("grp").as("status"), col("n_rows"),
+        col("min_cents"), col("max_cents"))
+      .orderBy("status")
+
   /** T1' — consumer freshness: the lag between the feed head and the
     * committed cursor after one bounded poll — the monitoring metric
     * every CDC deployment alerts on (the reference surfaces it as the
@@ -287,6 +300,7 @@ object CdcQueries {
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "cdc_view_delta" -> cdcViewDelta,
+    "cdc_view_minmax" -> cdcViewMinmax,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2Asof,
     "cdc_scan" -> cdcScan,
@@ -413,6 +427,18 @@ object CdcQueries {
          | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
          |   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
          |     AS BIGINT) AS sum_cents
+         | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
+         | GROUP BY status ORDER BY status""".stripMargin,
+    "cdc_view_minmax" ->
+      s"""WITH $feedsOpsCte,
+         | snap AS (
+         |   SELECT invoice_id, max(change_version) AS v,
+         |     arg_max(change_operation, change_version) AS op
+         |   FROM feeds WHERE change_version <= 2500 GROUP BY invoice_id),
+         | live AS (SELECT invoice_id FROM snap WHERE op <> 'D')
+         | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
+         |   min(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS min_cents,
+         |   max(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS max_cents
          | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
          | GROUP BY status ORDER BY status""".stripMargin,
     "cdc_scd2" ->
