@@ -291,6 +291,50 @@ object Dedup {
       .filter(col("cos_e6") >= minCosE6)
   }
 
+  // ------------------------------------------- semantic dedup (SemDeDup) --
+
+  /** Semantic dedup, cluster-scoped — the SemDeDup recipe (Abbas et al.
+    * 2023, arXiv 2303.09540): assign every vector to its nearest
+    * centroid, form candidate pairs WITHIN a cluster only, verify by
+    * exact integer cosine, and drop the larger id of every verified
+    * pair. The learned clusters replace [[embeddingNearDups]]'s
+    * data-oblivious hyperplane buckets as the candidate generator:
+    * cells follow the data's density, so the same pair budget buys more
+    * recall — and the within-cluster scope is the published trade
+    * (a pair straddling a cluster boundary is not a candidate; the two
+    * operators bracket each other, LlmSpec).
+    *
+    * Scale shape (100 TB): assignment is corpus × broadcast(centroids)
+    * (Ivf.assign — the corpus never shuffles for it); the pair join
+    * shuffles on centroid_id, high-cardinality when k is sized to the
+    * corpus (k ∝ n keeps per-cluster pair spaces constant — the
+    * published deployments run 10⁴–10⁵ clusters). `maxCluster`
+    * hash-subdivides pathological cells (the [[withBucketCap]] idiom)
+    * so no task owns a quadratic blow-up; the split is by id hash, so
+    * over-cap cells trade recall for the bound — size k so the cap
+    * never engages, it is the guard rail, not the mechanism.
+    *
+    * Returns survivors as (idCol, centroid_id). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, minCosE6: Long = 950000,
+                    maxCluster: Int = Int.MaxValue): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val assigned = Ivf.assign(emb, idCol, vecCol, centroids)
+      .select(col(idCol), col("centroid_id"))
+      .join(emb.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+    val cells = withBucketCap(assigned, Seq("centroid_id"), idCol, maxCluster)
+    val a = cells.select(col(idCol).as("id_a"), col("__v").as("v_a"),
+      col("centroid_id"), col("sub"))
+    val b = cells.select(col(idCol).as("id_b"), col("__v").as("v_b"),
+      col("centroid_id"), col("sub"))
+    val dropped = a.join(b, Seq("centroid_id", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(SimSearch.cosineE6(col("v_a"), col("v_b")) >= minCosE6)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
+
   // --------------------------------------------------- incremental ----
 
   /** Incremental EXACT dedup — the growing-corpus shape: a new ingest

@@ -74,6 +74,22 @@ object LlmQueries {
       .select("vec_id", "label").orderBy("vec_id")
   }
 
+  /** N2''''' — SEMANTIC dedup (SemDeDup): cluster-scoped candidate
+    * generation over the same fixed k=8 centroid set as
+    * `llm_ivf_assign` (smallest-id vectors — deterministic, so the
+    * all-pairs DuckDB oracle can replay the assignment), exact-cosine
+    * verify at the `llm_dedup_embedding` threshold, min-id survivor.
+    * Contrast with that query: hyperplane buckets are data-oblivious;
+    * here candidates follow the learned cells. */
+  val dedupSemanticQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Dedup.semanticDedup(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")),
+      minCosE6 = 950000)
+      .orderBy("vec_id")
+  }
+
   /** N3 — exact brute-force cosine top-k (query = corpus vector 0). */
   val simsearchTopk: Q = (s, d) =>
     SimSearch.bruteForceTopK(Tables.embeddings(s, d),
@@ -824,6 +840,7 @@ object LlmQueries {
     "llm_dedup_transitive" -> dedupTransitive,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_embedding" -> dedupEmbedding,
+    "llm_dedup_semantic" -> dedupSemanticQ,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,
@@ -988,6 +1005,42 @@ object LlmQueries {
         |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
         | SELECT vec_id, label FROM embeddings
         | WHERE vec_id NOT IN (SELECT ib FROM p WHERE c >= 950000)
+        | ORDER BY vec_id""".stripMargin,
+    "llm_dedup_semantic" ->
+      // replay: k=8 smallest-id centroids, argmax-cosine assignment
+      // (ties to smallest centroid id), within-cluster all-pairs at the
+      // same integer-cosine threshold, min-id survivor
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |           FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT e.vec_id, c.centroid_id,
+        |   CAST(round(1000000.0 *
+        |     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+        |     (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
+        |      sqrt(list_sum(list_transform(list_zip(c.cvec, c.cvec),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+        |   ) AS BIGINT) AS cos_e6
+        |   FROM embeddings e CROSS JOIN c),
+        | b AS (SELECT vec_id, centroid_id FROM (
+        |     SELECT *, row_number() OVER
+        |       (PARTITION BY vec_id ORDER BY cos_e6 DESC, centroid_id) AS rk
+        |     FROM s) WHERE rk = 1),
+        | v AS (SELECT b.vec_id, b.centroid_id, e.embedding
+        |       FROM b JOIN embeddings e USING (vec_id)),
+        | p AS (SELECT y.vec_id AS ib
+        |   FROM v x JOIN v y
+        |     ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        |   WHERE CAST(round(1000000.0 *
+        |     list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+        |     (sqrt(list_sum(list_transform(list_zip(x.embedding, x.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
+        |      sqrt(list_sum(list_transform(list_zip(y.embedding, y.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+        |   ) AS BIGINT) >= 950000)
+        | SELECT vec_id, centroid_id FROM b
+        | WHERE vec_id NOT IN (SELECT ib FROM p)
         | ORDER BY vec_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -192,6 +192,48 @@ class LlmSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missed: ${expected -- pairs}")
   }
 
+  test("N2''''': semantic dedup equals the naive within-cluster reference") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+      minCosE6 = 950000)
+    val assigned = graft.llm.Ivf.assign(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"centroid_id")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+    val x = assigned.select($"vec_id".as("ia"), $"centroid_id".as("ca"),
+      $"embedding".as("va"))
+    val y = assigned.select($"vec_id".as("ib"), $"centroid_id".as("cb"),
+      $"embedding".as("vb"))
+    val dropped = x.crossJoin(y).filter($"ca" === $"cb" && $"ia" < $"ib")
+      .filter(SimSearch.cosineE6($"va", $"vb") >= 950000)
+      .select($"ib".as("vec_id")).distinct()
+    val want = assigned.select("vec_id", "centroid_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "cluster-scoped dedup diverges from the naive within-cluster form")
+  }
+
+  test("N2''''': semantic dedup drops planted clones; the cap only adds survivors") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    val plants = emb.filter($"vec_id" < 5).select(
+      ($"vec_id" + 200000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(plants)
+    val surv = Dedup.semanticDedup(all, "vec_id", "embedding", cents,
+      minCosE6 = 999000).select("vec_id").as[Long].collect().toSet
+    assert((200000L until 200005L).forall(!surv.contains(_)),
+      "identical clones share their original's cluster and must be dropped")
+    // hash-subdividing a cell can only LOSE candidate pairs, never
+    // invent one: capped survivors ⊇ uncapped survivors
+    val capped = Dedup.semanticDedup(all, "vec_id", "embedding", cents,
+      minCosE6 = 999000, maxCluster = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv.subsetOf(capped),
+      s"cap dropped extra rows: ${surv -- capped}")
+  }
+
   test("N3': ANN top-k achieves high recall vs the exact baseline") {
     val emb = Tables.embeddings(spark, sf)
     val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
