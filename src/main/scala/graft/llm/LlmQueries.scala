@@ -95,6 +95,17 @@ object LlmQueries {
     SimSearch.bruteForceTopK(Tables.embeddings(s, d),
       "vec_id", "embedding", queryId = 0L, k = 20)
 
+  /** N3'''' — HYBRID retrieval: reciprocal-rank fusion of the lexical
+    * (integer TF-IDF over the query terms) and vector (exact cosine vs
+    * doc 0's embedding) rankings — the retrieval shape RAG serving
+    * uses, with engine-exact integer fusion so the DuckDB oracle
+    * replays it bit-for-bit. */
+  val hybridSearchQ: Q = (s, d) =>
+    SimSearch.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+      "doc_id", "vec_id", "embedding",
+      Seq("spark", "join", "window"), queryId = 0L, k = 20)
+      .orderBy("doc_id")
+
   /** N3' — ANN flavor (hyperplane LSH + multiprobe + exact rerank),
     * served from the IVF bucketed layout: the declared query builds the
     * partitioned corpus layout and probes it partition-pruned — the
@@ -841,6 +852,7 @@ object LlmQueries {
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_dedup_embedding" -> dedupEmbedding,
     "llm_dedup_semantic" -> dedupSemanticQ,
+    "llm_hybrid_search" -> hybridSearchQ,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,
@@ -1042,6 +1054,47 @@ object LlmQueries {
         | SELECT vec_id, centroid_id FROM b
         | WHERE vec_id NOT IN (SELECT ib FROM p)
         | ORDER BY vec_id""".stripMargin,
+    "llm_hybrid_search" ->
+      // RRF fusion replay: integer tf-idf pool + exact-cosine pool,
+      // 1e9 // (60 + rank) contributions, fused top-20
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |     SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |     FROM documents) t
+        |   WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+        | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | kws AS (SELECT doc_id, CAST(sum(tf *
+        |     CAST(round(ln(CAST(n.n AS DOUBLE) / dfq.df) * 10000) AS BIGINT))
+        |     AS BIGINT) AS score_e4
+        |   FROM tf JOIN dfq USING (term) CROSS JOIN n GROUP BY doc_id),
+        | kwpool AS (SELECT doc_id AS id,
+        |     CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id)
+        |       AS BIGINT) AS rank_kw
+        |   FROM kws ORDER BY score_e4 DESC, doc_id LIMIT 100),
+        | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        | vs AS (SELECT vec_id,
+        |   CAST(round(1000000.0 *
+        |     list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+        |     (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
+        |      sqrt(list_sum(list_transform(list_zip(q.qv, q.qv),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+        |   ) AS BIGINT) AS c
+        |   FROM embeddings e CROSS JOIN q),
+        | vpool AS (SELECT vec_id AS id,
+        |     CAST(row_number() OVER (ORDER BY c DESC, vec_id)
+        |       AS BIGINT) AS rank_vec
+        |   FROM vs ORDER BY c DESC, vec_id LIMIT 100),
+        | f AS (SELECT coalesce(k.id, v.id) AS doc_id,
+        |     CAST(coalesce(1000000000 // (60 + k.rank_kw), 0) +
+        |          coalesce(1000000000 // (60 + v.rank_vec), 0)
+        |       AS BIGINT) AS rrf_e9,
+        |     k.rank_kw, v.rank_vec
+        |   FROM kwpool k FULL JOIN vpool v ON k.id = v.id)
+        | SELECT doc_id, rrf_e9, rank_kw, rank_vec FROM (
+        |   SELECT * FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT 20) tt
+        | ORDER BY doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS doc_id, count(*) AS n_copies

@@ -199,4 +199,59 @@ object SimSearch {
       .orderBy(col("cos_e6").desc, col(idCol))
       .limit(k)
   }
+
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) of a lexical and a vector ranking for one query: each system
+    * contributes `1e9 div (rrfK + rank)` (integer arithmetic, so the
+    * fused score is engine-exact) for the documents in its top
+    * `poolSize`, and the fused top `k` is returned. The lexical side is
+    * the TF-IDF family's integer scoring restricted to `queryTerms`
+    * (df still counted over the whole corpus); the vector side is exact
+    * cosine against `queryId`'s embedding.
+    *
+    * Scale shape: both pools come off TakeOrderedAndProject (per-
+    * partition top-k, driver merge — no global sort, no corpus
+    * shuffle); ranks are then row_numbered over poolSize rows, and the
+    * fusion join is poolSize × poolSize. The corpus-sized work is one
+    * token scan (lexical) and one vector scan — at deployment scale the
+    * vector pool would come from the IVF-PQ index instead; the fusion
+    * algebra is identical whatever produced the pools. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, docIdCol: String,
+                 vecIdCol: String, vecCol: String, queryTerms: Seq[String],
+                 queryId: Long, k: Int, poolSize: Int = 100,
+                 rrfK: Int = 60): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(docIdCol), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(docIdCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val kwPool = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_e4",
+        round(log(col("n").cast("double") / col("df")) * 10000).cast("long"))
+      .groupBy(col(docIdCol))
+      .agg(sum(col("tf") * col("idf_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col(docIdCol)).limit(poolSize)
+      .withColumn("rank_kw", row_number().over(
+        w.orderBy(col("score_e4").desc, col(docIdCol))).cast("long"))
+      .select(col(docIdCol).as("id"), col("rank_kw"))
+    val q = emb.filter(col(vecIdCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    val vecPool = emb.join(broadcast(q))
+      .select(col(vecIdCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(vecIdCol)).limit(poolSize)
+      .withColumn("rank_vec", row_number().over(
+        w.orderBy(col("cos_e6").desc, col(vecIdCol))).cast("long"))
+      .select(col(vecIdCol).as("id"), col("rank_vec"))
+    kwPool.join(vecPool, Seq("id"), "full_outer")
+      .select(col("id").as(docIdCol),
+        (coalesce(expr(s"1000000000 div ($rrfK + rank_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + rank_vec)"), lit(0L)))
+          .as("rrf_e9"),
+        col("rank_kw"), col("rank_vec"))
+      .orderBy(col("rrf_e9").desc, col(docIdCol)).limit(k)
+  }
 }

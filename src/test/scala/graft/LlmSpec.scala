@@ -234,6 +234,39 @@ class LlmSpec extends SparkSpec {
       s"cap dropped extra rows: ${surv -- capped}")
   }
 
+  test("N3'''': hybrid fusion equals a driver-side RRF recomputation") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("spark", "join", "window")
+    val got = SimSearch.hybridTopK(docs, emb, "doc_id", "vec_id",
+      "embedding", terms, queryId = 0L, k = 20)
+      .select("doc_id", "rrf_e9").as[(Long, Long)].collect().toMap
+    // pools recomputed from raw scores (scores from the same column
+    // exprs the oracle pins; ranking + fusion redone in plain Scala)
+    val n = docs.count().toDouble
+    val tf = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
+      .filter($"t".isin(terms: _*))
+      .groupBy($"doc_id", $"t").count()
+      .as[(Long, String, Long)].collect()
+    val dfm = tf.groupBy(_._2).map { case (t, rs) => t -> rs.length }
+    val kwScore = tf.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.map { case (_, t, c) =>
+        c * math.round(math.log(n / dfm(t)) * 10000) }.sum }
+    val kwRank = kwScore.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(100).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding").head
+    val cos = emb.select($"vec_id",
+      SimSearch.cosineE6($"embedding", typedLit(qv.getSeq[Float](0))).as("c"))
+      .as[(Long, Long)].collect()
+    val vecRank = cos.sortBy { case (id, c) => (-c, id) }
+      .take(100).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = (kwRank.keySet ++ vecRank.keySet).toSeq.map { id =>
+      id -> (kwRank.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        vecRank.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L))
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toMap
+    assert(got == fused, s"fusion mismatch: got $got want $fused")
+  }
+
   test("N3': ANN top-k achieves high recall vs the exact baseline") {
     val emb = Tables.embeddings(spark, sf)
     val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
