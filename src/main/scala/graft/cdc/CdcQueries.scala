@@ -102,6 +102,46 @@ object CdcQueries {
     graft.streaming.EventStream.windowedCounts(Tables.events(s, d))
       .orderBy("window_start", "event_type")
 
+  /** T9''/A5'' — STREAMING incremental view maintenance end-to-end:
+    * the synthetic ops feed staged as four version-page files, drained
+    * by the foreachBatch maintainer (idempotent log append +
+    * generation-stamped DirSwap view fold — graft.streaming.
+    * StreamingAggView), final view read back. The oracle is the direct
+    * view over the WHOLE feed — the streamed fold must land exactly
+    * there whatever the page boundaries (crash/redelivery windows are
+    * StreamingAggViewSpec's job). */
+  val streamViewDelta: Q = (s, d) => {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = s"/tmp/graft-aggview-${s.sparkContext.applicationId}-$digest"
+    val src = s"$base/src"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$base/_staged")
+    if (!fs.exists(done)) {
+      val pages = Seq((0L, 1000L), (1000L, 5000L), (5000L, 50000L),
+        (50000L, Long.MaxValue))
+      pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val tmp = s"$base/stage-$i"
+        TombstoneCdc.changedInvoicesOps(s, d, lo, hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      fs.create(done, true).close()
+    }
+    graft.streaming.StreamingAggView
+      .maintain(s, d, src, s"$base/state", s"$base/ck")
+      .awaitTermination()
+    graft.streaming.StreamingAggView.currentView(s, s"$base/state")
+      .select(col("grp").as("status"), col("n_rows"), col("sum_cents"))
+      .orderBy("status")
+  }
+
   /** T5/T9 — the stateful per-entity fold (batch twin of the
     * flatMapGroupsWithState session stream): final running state per
     * entity after draining the feed, summation in version order so the
@@ -316,7 +356,8 @@ object CdcQueries {
     "cdc_reset" -> cdcReset,
     "sink_versioned" -> sinkVersioned,
     "sink_listing" -> sinkListing,
-    "stream_event_windows" -> streamEventWindows
+    "stream_event_windows" -> streamEventWindows,
+    "stream_view_delta" -> streamViewDelta
   )
 
   private val feedsCte =
@@ -423,6 +464,18 @@ object CdcQueries {
          |   SELECT invoice_id, max(change_version) AS v,
          |     arg_max(change_operation, change_version) AS op
          |   FROM feeds WHERE change_version <= 2500 GROUP BY invoice_id),
+         | live AS (SELECT invoice_id FROM snap WHERE op <> 'D')
+         | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
+         |   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+         |     AS BIGINT) AS sum_cents
+         | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
+         | GROUP BY status ORDER BY status""".stripMargin,
+    "stream_view_delta" ->
+      s"""WITH $feedsOpsCte,
+         | snap AS (
+         |   SELECT invoice_id, max(change_version) AS v,
+         |     arg_max(change_operation, change_version) AS op
+         |   FROM feeds GROUP BY invoice_id),
          | live AS (SELECT invoice_id FROM snap WHERE op <> 'D')
          | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
          |   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))

@@ -216,36 +216,54 @@ object SimSearch {
     * token scan (lexical) and one vector scan — at deployment scale the
     * vector pool would come from the IVF-PQ index instead; the fusion
     * algebra is identical whatever produced the pools. */
+  /** Rank within a bounded pool WITHOUT a window: rank(a) = count of
+    * rows at-or-above it in (key desc, id asc) order — a pool²
+    * broadcast join, bounded by poolSize², keeping the repo's absolute
+    * no-global-window invariant (PlanLintSpec) instead of arguing a
+    * post-limit window is "bounded enough". */
+  private def poolRank(pool: DataFrame, keyCol: String, idCol: String,
+                       rankName: String): DataFrame = {
+    val a = pool.select(col(idCol).as("__ia"), col(keyCol).as("__ka"))
+    val b = pool.select(col(idCol).as("__ib"), col(keyCol).as("__kb"))
+    a.join(broadcast(b),
+        col("__kb") > col("__ka") ||
+          (col("__kb") === col("__ka") && col("__ib") <= col("__ia")))
+      .groupBy(col("__ia"))
+      .agg(count(lit(1)).cast("long").as(rankName))
+      .select(col("__ia").as("id"), col(rankName))
+  }
+
   def hybridTopK(docs: DataFrame, emb: DataFrame, docIdCol: String,
                  vecIdCol: String, vecCol: String, queryTerms: Seq[String],
                  queryId: Long, k: Int, poolSize: Int = 100,
                  rrfK: Int = 60): DataFrame = {
     VectorFunctions.register(docs.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
+    // stage the term-filtered (doc, term, tf) table once: it feeds both
+    // the df aggregate and the scoring join, and without staging each
+    // input re-runs the tokenize scan (the tfidf_top_term lesson)
     val tf = docs
       .select(col(docIdCol), explode(TextOps.tokens(col("text"))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(docIdCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val kwPool = tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(n))
-      .withColumn("idf_e4",
-        round(log(col("n").cast("double") / col("df")) * 10000).cast("long"))
-      .groupBy(col(docIdCol))
-      .agg(sum(col("tf") * col("idf_e4")).as("score_e4"))
-      .orderBy(col("score_e4").desc, col(docIdCol)).limit(poolSize)
-      .withColumn("rank_kw", row_number().over(
-        w.orderBy(col("score_e4").desc, col(docIdCol))).cast("long"))
-      .select(col(docIdCol).as("id"), col("rank_kw"))
+    val kwPool = poolRank(
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("idf_e4",
+          round(log(col("n").cast("double") / col("df")) * 10000).cast("long"))
+        .groupBy(col(docIdCol))
+        .agg(sum(col("tf") * col("idf_e4")).as("score_e4"))
+        .orderBy(col("score_e4").desc, col(docIdCol)).limit(poolSize),
+      "score_e4", docIdCol, "rank_kw")
     val q = emb.filter(col(vecIdCol) === queryId)
       .select(col(vecCol).as("qv"))
-    val vecPool = emb.join(broadcast(q))
-      .select(col(vecIdCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
-      .orderBy(col("cos_e6").desc, col(vecIdCol)).limit(poolSize)
-      .withColumn("rank_vec", row_number().over(
-        w.orderBy(col("cos_e6").desc, col(vecIdCol))).cast("long"))
-      .select(col(vecIdCol).as("id"), col("rank_vec"))
+    val vecPool = poolRank(
+      emb.join(broadcast(q))
+        .select(col(vecIdCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
+        .orderBy(col("cos_e6").desc, col(vecIdCol)).limit(poolSize),
+      "cos_e6", vecIdCol, "rank_vec")
     kwPool.join(vecPool, Seq("id"), "full_outer")
       .select(col("id").as(docIdCol),
         (coalesce(expr(s"1000000000 div ($rrfK + rank_kw)"), lit(0L)) +

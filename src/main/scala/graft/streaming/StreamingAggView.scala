@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.cdc.{AggView, Merge}
+
+/** [NORTH-STAR] STREAMING incremental aggregate-view maintenance: the
+  * foreachBatch composition of [[graft.cdc.AggView]] — a grouped
+  * count/sum view kept fresh from an endless changefeed, each
+  * micro-batch folding in only its contribution deltas.
+  *
+  * Layout under `root`:
+  *  - `log/batch_id=N/` — the change LOG, appended one partition per
+  *    micro-batch (never rewritten; [[graft.cdc.Maintenance]]'s
+  *    log-compaction pattern bounds it in steady state);
+  *  - `view/` — the current (grp, n_rows, sum_cents) view, installed
+  *    by [[DirSwap]];
+  *  - `view.gen` — the id of the last batch folded into the view.
+  *
+  * Exactly-once without a two-directory transaction: the log append is
+  * idempotent (dynamic overwrite of THIS batch's partition — a
+  * redelivered batch rewrites identical bytes), and the view fold is
+  * idempotent by generation (skip when `view.gen >= batchId`). The
+  * delta is always computed against the log RESTRICTED to
+  * `batch_id < batchId`, so a crash in any window — after the append,
+  * after the view swap, before the checkpoint commit — replays to the
+  * same state: the recomputed delta never sees the current batch's own
+  * log rows, whether or not they reached disk before the crash.
+  *
+  * Scale shape (100 TB): per batch the log gains a batch-sized
+  * partition; the prior-state collapse is the one feed-wide aggregate
+  * (at deployment scale the log is compacted so this reads
+  * checkpoint + tail, and the semi-join prunes to touched entities);
+  * the view join is group-cardinality. Nothing is rewritten but the
+  * view — kilobytes — and the batch's own log partition.
+  */
+object StreamingAggView {
+
+  val batchSchema: StructType = StructType(Seq(
+    StructField("invoice_id", LongType),
+    StructField("change_version", LongType),
+    StructField("change_operation", StringType)))
+
+  private def viewSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("n_rows", LongType),
+    StructField("sum_cents", LongType)))
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The id of the last batch folded into the view, or -1. */
+  def viewGen(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val p = new Path(s"$root/view.gen")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeGen(spark: SparkSession, root: String, gen: Long): Unit = {
+    val fs = fsOf(spark, root)
+    val tmp = new Path(s"$root/view.gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    val p = new Path(s"$root/view.gen")
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"graft aggview: cannot commit $p")
+  }
+
+  /** Latest-op-wins collapse WITHIN one batch (T5). */
+  private def collapse(batch: DataFrame): DataFrame =
+    batch.groupBy(col("invoice_id"))
+      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+      .select(col("invoice_id"),
+        col("m.change_version").as("change_version"),
+        col("m.change_operation").as("change_operation"))
+
+  /** Fold one micro-batch into the log and the view. Idempotent for
+    * any redelivery pattern (see object doc). `sfDir` locates the
+    * dimension side of the contribution join (orders). */
+  def applyBatch(spark: SparkSession, sfDir: String, root: String,
+                 batch: DataFrame, batchId: Long): Unit = {
+    val logDir = s"$root/log"
+    val page = collapse(batch).localCheckpoint(true)
+    page.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(logDir)
+    if (viewGen(spark, root) >= batchId) return
+    // prior state = the log strictly before this batch — stable under
+    // redelivery whether or not this batch's partition reached disk
+    val snap0 = spark.read.parquet(logDir)
+      .filter(col("batch_id") < batchId)
+      .groupBy(col("invoice_id"))
+      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+      .select(col("invoice_id"),
+        col("m.change_version").as("change_version"),
+        col("m.change_operation").as("change_operation"))
+      .filter(col("change_operation") =!= "D")
+    val touched0 = snap0.join(page.select("invoice_id"),
+      Seq("invoice_id"), "left_semi")
+    val newLive = Merge.mergeUpsert(touched0, page)
+    val oldView = DirSwap.readOrEmpty(spark, s"$root/view", viewSchema,
+      tag = "aggview")
+    val newView = AggView.applyDelta(oldView,
+      AggView.contributions(spark, sfDir, touched0),
+      AggView.contributions(spark, sfDir, newLive))
+      .localCheckpoint(true)
+    DirSwap.install(spark, s"$root/view", tag = "aggview") { tmp =>
+      newView.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    writeGen(spark, root, batchId)
+  }
+
+  /** The streaming maintainer: change pages arriving as parquet files
+    * in `srcDir` fold into the view continuously. One query = one
+    * maintainer (own checkpoint); AvailableNow drains the backlog. */
+  def maintain(spark: SparkSession, sfDir: String, srcDir: String,
+               root: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, sfDir, root, batch, batchId)
+        ()
+      }
+      .start()
+
+  /** The current view (empty before the first fold). */
+  def currentView(spark: SparkSession, root: String): DataFrame =
+    DirSwap.readOrEmpty(spark, s"$root/view", viewSchema, tag = "aggview")
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.cdc.{AggView, TombstoneCdc}
+import graft.streaming.StreamingAggView
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming IVM maintainer: batches folding through the
+  * log + generation-stamped view must land exactly on the direct view,
+  * through redelivery and every crash window. */
+class StreamingAggViewSpec extends SparkSpec {
+
+  private def assertSame(a: DataFrame, b: DataFrame, hint: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, hint)
+
+  private def page(lo: Long, hi: Long): DataFrame =
+    TombstoneCdc.changedInvoicesOps(spark, sf, lo, hi)
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft-aggview-spec-$tag-${System.nanoTime()}"
+    root
+  }
+
+  private def viewAt(root: String): DataFrame =
+    StreamingAggView.currentView(spark, root)
+
+  test("streamed fold over arbitrary pages equals the direct view") {
+    val root = freshRoot("fold")
+    val pages = Seq((0L, 700L), (700L, 1500L), (1500L, 2500L),
+      (2500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingAggView.applyBatch(spark, sf, root, page(lo, hi), i.toLong)
+    }
+    assertSame(viewAt(root),
+      AggView.directView(spark, sf, Long.MaxValue),
+      "drained fold diverges from the direct view")
+  }
+
+  test("redelivered batch is a no-op (generation stamp)") {
+    val root = freshRoot("redeliver")
+    StreamingAggView.applyBatch(spark, sf, root, page(0L, 1500L), 0L)
+    StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 1L)
+    val before = viewAt(root).collect().toSet
+    // at-least-once: the sink sees batch 1 again after a checkpoint
+    // crash — the log partition rewrites identical bytes, the view
+    // fold skips on gen
+    StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 1L)
+    assert(viewAt(root).collect().toSet == before,
+      "redelivery changed the view")
+    assert(StreamingAggView.viewGen(spark, root) == 1L)
+  }
+
+  test("crash after the log append, before the view fold, replays clean") {
+    val root = freshRoot("crash")
+    StreamingAggView.applyBatch(spark, sf, root, page(0L, 1500L), 0L)
+    // simulate the torn window: batch 1's LOG partition reaches disk
+    // but the process dies before the view fold — exactly what the
+    // maintainer's step 1 writes
+    val torn = page(1500L, 2500L)
+      .groupBy(col("invoice_id"))
+      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+      .select(col("invoice_id"),
+        col("m.change_version").as("change_version"),
+        col("m.change_operation").as("change_operation"))
+      .withColumn("batch_id", lit(1L))
+    torn.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/log")
+    assert(StreamingAggView.viewGen(spark, root) == 0L,
+      "view must not have advanced past batch 0")
+    // restart redelivers batch 1 in full
+    StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 1L)
+    assertSame(viewAt(root), AggView.directView(spark, sf, 2500L),
+      "replay over the torn log diverges from the direct view")
+  }
+
+  test("the streaming maintainer drains staged pages to the direct view") {
+    val root = freshRoot("stream")
+    val src = s"$root/src"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((0L, 1200L), (1200L, 2500L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        val tmp = s"$root/stage-$i"
+        page(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    StreamingAggView.maintain(spark, sf, src, s"$root/state", s"$root/ck")
+      .awaitTermination()
+    assertSame(viewAt(s"$root/state"),
+      AggView.directView(spark, sf, 2500L),
+      "streamed view diverges from the direct view")
+  }
+}
