@@ -158,12 +158,18 @@ object AggView {
     val touched0 = snap0.join(batch.select("invoice_id"),
       Seq("invoice_id"), "left_semi")
     val newLive = Merge.mergeUpsert(touched0, batch)
+    // the v1 snapshot for the rescan is (snap0 minus touched) ∪ newLive
+    // — no second feed collapse; at scale this is a group-pruned SCAN
+    // of the state, which is exactly what a group-partitioned layout
+    // serves
+    val snap1 = snap0.join(batch.select("invoice_id"),
+      Seq("invoice_id"), "left_anti").unionByName(newLive)
     applyMinMaxDelta(
       viewMinMax(contributions(spark, dir, snap0)),
       contributions(spark, dir, touched0),
       contributions(spark, dir, newLive),
       groups => viewMinMax(
-        contributions(spark, dir, Merge.liveSnapshot(spark, dir, v1))
+        contributions(spark, dir, snap1)
           .join(groups, Seq("grp"), "left_semi")))
   }
 

@@ -110,7 +110,10 @@ object CdcQueries {
     * view over the WHOLE feed — the streamed fold must land exactly
     * there whatever the page boundaries (crash/redelivery windows are
     * StreamingAggViewSpec's job). */
-  val streamViewDelta: Q = (s, d) => {
+  /** Stage the synthetic ops feed as four version-page files under an
+    * (appId, sfDir)-scoped scratch dir — the file-source backlog both
+    * streaming view queries drain. Staged once per session per SF. */
+  private def stagedAggViewBase(s: SparkSession, d: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = s"/tmp/graft-aggview-${s.sparkContext.applicationId}-$digest"
@@ -134,11 +137,32 @@ object CdcQueries {
       }
       fs.create(done, true).close()
     }
+    base
+  }
+
+  val streamViewDelta: Q = (s, d) => {
+    val base = stagedAggViewBase(s, d)
     graft.streaming.StreamingAggView
-      .maintain(s, d, src, s"$base/state", s"$base/ck")
+      .maintain(s, d, s"$base/src", s"$base/state", s"$base/ck")
       .awaitTermination()
     graft.streaming.StreamingAggView.currentView(s, s"$base/state")
       .select(col("grp").as("status"), col("n_rows"), col("sum_cents"))
+      .orderBy("status")
+  }
+
+  /** T9'''/A4'' — the STREAMING min/max view: same staged backlog, the
+    * maintainer folding both views off one log append; the min/max
+    * fold rescans only extremum-holder groups against the log-derived
+    * state. Oracle: the direct min/max view over the whole feed. */
+  val streamViewMinmax: Q = (s, d) => {
+    val base = stagedAggViewBase(s, d)
+    graft.streaming.StreamingAggView
+      .maintain(s, d, s"$base/src", s"$base/state-mm", s"$base/ck-mm",
+        minMax = true)
+      .awaitTermination()
+    graft.streaming.StreamingAggView.currentMinMaxView(s, s"$base/state-mm")
+      .select(col("grp").as("status"), col("n_rows"),
+        col("min_cents"), col("max_cents"))
       .orderBy("status")
   }
 
@@ -357,7 +381,8 @@ object CdcQueries {
     "sink_versioned" -> sinkVersioned,
     "sink_listing" -> sinkListing,
     "stream_event_windows" -> streamEventWindows,
-    "stream_view_delta" -> streamViewDelta
+    "stream_view_delta" -> streamViewDelta,
+    "stream_view_minmax" -> streamViewMinmax
   )
 
   private val feedsCte =
@@ -480,6 +505,18 @@ object CdcQueries {
          | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
          |   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
          |     AS BIGINT) AS sum_cents
+         | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
+         | GROUP BY status ORDER BY status""".stripMargin,
+    "stream_view_minmax" ->
+      s"""WITH $feedsOpsCte,
+         | snap AS (
+         |   SELECT invoice_id, max(change_version) AS v,
+         |     arg_max(change_operation, change_version) AS op
+         |   FROM feeds GROUP BY invoice_id),
+         | live AS (SELECT invoice_id FROM snap WHERE op <> 'D')
+         | SELECT o.o_orderstatus AS status, count(*) AS n_rows,
+         |   min(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS min_cents,
+         |   max(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS max_cents
          | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
          | GROUP BY status ORDER BY status""".stripMargin,
     "cdc_view_minmax" ->

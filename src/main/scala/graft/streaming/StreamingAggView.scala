@@ -49,13 +49,20 @@ object StreamingAggView {
     StructField("n_rows", LongType),
     StructField("sum_cents", LongType)))
 
+  private def minMaxSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("n_rows", LongType),
+    StructField("min_cents", LongType),
+    StructField("max_cents", LongType)))
+
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The id of the last batch folded into the view, or -1. */
-  def viewGen(spark: SparkSession, root: String): Long = {
+  def viewGen(spark: SparkSession, root: String,
+              gen: String = "view.gen"): Long = {
     val fs = fsOf(spark, root)
-    val p = new Path(s"$root/view.gen")
+    val p = new Path(s"$root/$gen")
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
@@ -64,12 +71,13 @@ object StreamingAggView {
     }
   }
 
-  private def writeGen(spark: SparkSession, root: String, gen: Long): Unit = {
+  private def writeGen(spark: SparkSession, root: String, gen: Long,
+                       name: String = "view.gen"): Unit = {
     val fs = fsOf(spark, root)
-    val tmp = new Path(s"$root/view.gen.tmp")
+    val tmp = new Path(s"$root/$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
-    val p = new Path(s"$root/view.gen")
+    val p = new Path(s"$root/$name")
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"graft aggview: cannot commit $p")
@@ -83,19 +91,20 @@ object StreamingAggView {
         col("m.change_version").as("change_version"),
         col("m.change_operation").as("change_operation"))
 
-  /** Fold one micro-batch into the log and the view. Idempotent for
-    * any redelivery pattern (see object doc). `sfDir` locates the
-    * dimension side of the contribution join (orders). */
-  def applyBatch(spark: SparkSession, sfDir: String, root: String,
-                 batch: DataFrame, batchId: Long): Unit = {
+  /** Shared per-batch mechanics: idempotent log append, then the
+    * prior/touched/merged states derived from the log STRICTLY before
+    * this batch — stable under redelivery whether or not this batch's
+    * partition reached disk. */
+  private case class BatchState(page: DataFrame, snap0: DataFrame,
+                                touched0: DataFrame, newLive: DataFrame)
+
+  private def appendAndDerive(spark: SparkSession, root: String,
+                              batch: DataFrame, batchId: Long): BatchState = {
     val logDir = s"$root/log"
     val page = collapse(batch).localCheckpoint(true)
     page.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(logDir)
-    if (viewGen(spark, root) >= batchId) return
-    // prior state = the log strictly before this batch — stable under
-    // redelivery whether or not this batch's partition reached disk
     val snap0 = spark.read.parquet(logDir)
       .filter(col("batch_id") < batchId)
       .groupBy(col("invoice_id"))
@@ -106,12 +115,21 @@ object StreamingAggView {
       .filter(col("change_operation") =!= "D")
     val touched0 = snap0.join(page.select("invoice_id"),
       Seq("invoice_id"), "left_semi")
-    val newLive = Merge.mergeUpsert(touched0, page)
+    BatchState(page, snap0, touched0, Merge.mergeUpsert(touched0, page))
+  }
+
+  /** Fold one micro-batch into the log and the count/sum view.
+    * Idempotent for any redelivery pattern (see object doc). `sfDir`
+    * locates the dimension side of the contribution join (orders). */
+  def applyBatch(spark: SparkSession, sfDir: String, root: String,
+                 batch: DataFrame, batchId: Long): Unit = {
+    val st = appendAndDerive(spark, root, batch, batchId)
+    if (viewGen(spark, root) >= batchId) return
     val oldView = DirSwap.readOrEmpty(spark, s"$root/view", viewSchema,
       tag = "aggview")
     val newView = AggView.applyDelta(oldView,
-      AggView.contributions(spark, sfDir, touched0),
-      AggView.contributions(spark, sfDir, newLive))
+      AggView.contributions(spark, sfDir, st.touched0),
+      AggView.contributions(spark, sfDir, st.newLive))
       .localCheckpoint(true)
     DirSwap.install(spark, s"$root/view", tag = "aggview") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -119,11 +137,38 @@ object StreamingAggView {
     writeGen(spark, root, batchId)
   }
 
+  /** The min/max twin: same log, its own generation-stamped view. The
+    * rescan branch recomputes dirty groups from (snap0 minus touched)
+    * ∪ newLive — the v1 state derived from the log, no extra pass. */
+  def applyMinMaxBatch(spark: SparkSession, sfDir: String, root: String,
+                       batch: DataFrame, batchId: Long): Unit = {
+    val st = appendAndDerive(spark, root, batch, batchId)
+    if (viewGen(spark, root, "viewmm.gen") >= batchId) return
+    val snap1 = st.snap0.join(st.page.select("invoice_id"),
+      Seq("invoice_id"), "left_anti").unionByName(st.newLive)
+    val oldView = DirSwap.readOrEmpty(spark, s"$root/viewmm", minMaxSchema,
+      tag = "aggviewmm")
+    val newView = AggView.applyMinMaxDelta(oldView,
+      AggView.contributions(spark, sfDir, st.touched0),
+      AggView.contributions(spark, sfDir, st.newLive),
+      groups => AggView.viewMinMax(
+        AggView.contributions(spark, sfDir, snap1)
+          .join(groups, Seq("grp"), "left_semi")))
+      .localCheckpoint(true)
+    DirSwap.install(spark, s"$root/viewmm", tag = "aggviewmm") { tmp =>
+      newView.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    writeGen(spark, root, batchId, "viewmm.gen")
+  }
+
   /** The streaming maintainer: change pages arriving as parquet files
-    * in `srcDir` fold into the view continuously. One query = one
-    * maintainer (own checkpoint); AvailableNow drains the backlog. */
+    * in `srcDir` fold into the view(s) continuously. One query = one
+    * maintainer (own checkpoint); AvailableNow drains the backlog.
+    * `minMax = true` maintains the min/max view alongside the
+    * count/sum view off the same log append. */
   def maintain(spark: SparkSession, sfDir: String, srcDir: String,
-               root: String, checkpointDir: String): StreamingQuery =
+               root: String, checkpointDir: String,
+               minMax: Boolean = false): StreamingQuery =
     spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -132,6 +177,8 @@ object StreamingAggView {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch.sparkSession, sfDir, root, batch, batchId)
+        if (minMax)
+          applyMinMaxBatch(batch.sparkSession, sfDir, root, batch, batchId)
         ()
       }
       .start()
@@ -139,4 +186,9 @@ object StreamingAggView {
   /** The current view (empty before the first fold). */
   def currentView(spark: SparkSession, root: String): DataFrame =
     DirSwap.readOrEmpty(spark, s"$root/view", viewSchema, tag = "aggview")
+
+  /** The current min/max view (empty before the first fold). */
+  def currentMinMaxView(spark: SparkSession, root: String): DataFrame =
+    DirSwap.readOrEmpty(spark, s"$root/viewmm", minMaxSchema,
+      tag = "aggviewmm")
 }

@@ -73,6 +73,43 @@ class StreamingAggViewSpec extends SparkSpec {
       "replay over the torn log diverges from the direct view")
   }
 
+  test("min/max streamed fold over arbitrary pages equals the direct view") {
+    val root = freshRoot("mmfold")
+    val pages = Seq((0L, 700L), (700L, 1500L), (1500L, 2500L),
+      (2500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingAggView.applyMinMaxBatch(spark, sf, root, page(lo, hi),
+        i.toLong)
+    }
+    assertSame(StreamingAggView.currentMinMaxView(spark, root),
+      AggView.directMinMaxView(spark, sf, Long.MaxValue),
+      "drained min/max fold diverges from the direct view")
+  }
+
+  test("min/max redelivery is a no-op and replays the torn-log window clean") {
+    val root = freshRoot("mmcrash")
+    StreamingAggView.applyMinMaxBatch(spark, sf, root, page(0L, 1500L), 0L)
+    val before = StreamingAggView.currentMinMaxView(spark, root)
+      .collect().toSet
+    StreamingAggView.applyMinMaxBatch(spark, sf, root, page(0L, 1500L), 0L)
+    assert(StreamingAggView.currentMinMaxView(spark, root)
+      .collect().toSet == before, "min/max redelivery changed the view")
+    // torn window: batch 1's log partition lands, the fold does not
+    val torn = page(1500L, 2500L)
+      .groupBy(col("invoice_id"))
+      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+      .select(col("invoice_id"),
+        col("m.change_version").as("change_version"),
+        col("m.change_operation").as("change_operation"))
+      .withColumn("batch_id", lit(1L))
+    torn.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/log")
+    StreamingAggView.applyMinMaxBatch(spark, sf, root, page(1500L, 2500L), 1L)
+    assertSame(StreamingAggView.currentMinMaxView(spark, root),
+      AggView.directMinMaxView(spark, sf, 2500L),
+      "min/max replay over the torn log diverges")
+  }
+
   test("the streaming maintainer drains staged pages to the direct view") {
     val root = freshRoot("stream")
     val src = s"$root/src"
