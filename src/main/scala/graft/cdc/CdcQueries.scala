@@ -158,7 +158,7 @@ object CdcQueries {
     val base = stagedAggViewBase(s, d)
     graft.streaming.StreamingAggView
       .maintain(s, d, s"$base/src", s"$base/state-mm", s"$base/ck-mm",
-        minMax = true)
+        countSum = false, minMax = true)
       .awaitTermination()
     graft.streaming.StreamingAggView.currentMinMaxView(s, s"$base/state-mm")
       .select(col("grp").as("status"), col("n_rows"),

@@ -118,12 +118,8 @@ object StreamingAggView {
     BatchState(page, snap0, touched0, Merge.mergeUpsert(touched0, page))
   }
 
-  /** Fold one micro-batch into the log and the count/sum view.
-    * Idempotent for any redelivery pattern (see object doc). `sfDir`
-    * locates the dimension side of the contribution join (orders). */
-  def applyBatch(spark: SparkSession, sfDir: String, root: String,
-                 batch: DataFrame, batchId: Long): Unit = {
-    val st = appendAndDerive(spark, root, batch, batchId)
+  private def foldCountSum(spark: SparkSession, sfDir: String, root: String,
+                           st: BatchState, batchId: Long): Unit = {
     if (viewGen(spark, root) >= batchId) return
     val oldView = DirSwap.readOrEmpty(spark, s"$root/view", viewSchema,
       tag = "aggview")
@@ -137,12 +133,11 @@ object StreamingAggView {
     writeGen(spark, root, batchId)
   }
 
-  /** The min/max twin: same log, its own generation-stamped view. The
-    * rescan branch recomputes dirty groups from (snap0 minus touched)
-    * ∪ newLive — the v1 state derived from the log, no extra pass. */
-  def applyMinMaxBatch(spark: SparkSession, sfDir: String, root: String,
-                       batch: DataFrame, batchId: Long): Unit = {
-    val st = appendAndDerive(spark, root, batch, batchId)
+  /** The min/max fold: its own generation-stamped view. The rescan
+    * branch recomputes dirty groups from (snap0 minus touched) ∪
+    * newLive — the v1 state derived from the log, no extra pass. */
+  private def foldMinMax(spark: SparkSession, sfDir: String, root: String,
+                         st: BatchState, batchId: Long): Unit = {
     if (viewGen(spark, root, "viewmm.gen") >= batchId) return
     val snap1 = st.snap0.join(st.page.select("invoice_id"),
       Seq("invoice_id"), "left_anti").unionByName(st.newLive)
@@ -161,14 +156,30 @@ object StreamingAggView {
     writeGen(spark, root, batchId, "viewmm.gen")
   }
 
+  /** Fold one micro-batch into the log and the count/sum view.
+    * Idempotent for any redelivery pattern (see object doc). `sfDir`
+    * locates the dimension side of the contribution join (orders). */
+  def applyBatch(spark: SparkSession, sfDir: String, root: String,
+                 batch: DataFrame, batchId: Long): Unit =
+    foldCountSum(spark, sfDir, root,
+      appendAndDerive(spark, root, batch, batchId), batchId)
+
+  /** The min/max twin of [[applyBatch]]: same log append, its own
+    * generation-stamped view. */
+  def applyMinMaxBatch(spark: SparkSession, sfDir: String, root: String,
+                       batch: DataFrame, batchId: Long): Unit =
+    foldMinMax(spark, sfDir, root,
+      appendAndDerive(spark, root, batch, batchId), batchId)
+
   /** The streaming maintainer: change pages arriving as parquet files
-    * in `srcDir` fold into the view(s) continuously. One query = one
-    * maintainer (own checkpoint); AvailableNow drains the backlog.
-    * `minMax = true` maintains the min/max view alongside the
-    * count/sum view off the same log append. */
+    * in `srcDir` fold into the selected view(s) continuously — ONE log
+    * append per batch whatever the selection. One query = one
+    * maintainer (own checkpoint); AvailableNow drains the backlog. */
   def maintain(spark: SparkSession, sfDir: String, srcDir: String,
                root: String, checkpointDir: String,
-               minMax: Boolean = false): StreamingQuery =
+               countSum: Boolean = true,
+               minMax: Boolean = false): StreamingQuery = {
+    require(countSum || minMax, "select at least one view to maintain")
     spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -176,12 +187,14 @@ object StreamingAggView {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, sfDir, root, batch, batchId)
-        if (minMax)
-          applyMinMaxBatch(batch.sparkSession, sfDir, root, batch, batchId)
+        val s = batch.sparkSession
+        val st = appendAndDerive(s, root, batch, batchId)
+        if (countSum) foldCountSum(s, sfDir, root, st, batchId)
+        if (minMax) foldMinMax(s, sfDir, root, st, batchId)
         ()
       }
       .start()
+  }
 
   /** The current view (empty before the first fold). */
   def currentView(spark: SparkSession, root: String): DataFrame =
