@@ -196,6 +196,47 @@ object StreamingAggView {
       .start()
   }
 
+  /** Compact the change log: collapse every applied batch to the
+    * latest row per entity — INCLUDING tombstones, which later folds
+    * still need to out-version — into one checkpoint partition at
+    * `batch_id = -1`, installed with DirSwap. `-1 < batchId` for every
+    * future batch, so [[appendAndDerive]]'s `batch_id < current`
+    * prior-state read is untouched; only batches `<= upTo` (default:
+    * the last FOLDED batch, never an appended-but-unfolded partition
+    * from a torn crash window) are folded in. Run it from the T6
+    * maintenance window; between compactions the per-batch prior-state
+    * read costs checkpoint + tail, which is the standard log+compact
+    * trade. */
+  def compactLog(spark: SparkSession, root: String,
+                 upTo: Option[Long] = None): Unit = {
+    val logDir = s"$root/log"
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(logDir))) return
+    // fold bound = the oldest generation any MAINTAINED view has
+    // reached (a view dir that was never started doesn't hold the
+    // compaction hostage)
+    val gens = Seq("view.gen", "viewmm.gen")
+      .filter(g => fs.exists(new Path(s"$root/$g")))
+      .map(g => viewGen(spark, root, g))
+    val bound = upTo.getOrElse(if (gens.isEmpty) -1L else gens.min)
+    if (bound < 0) return
+    val compacted = spark.read.parquet(logDir)
+      .filter(col("batch_id") <= bound)
+      .groupBy(col("invoice_id"))
+      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+      .select(col("invoice_id"),
+        col("m.change_version").as("change_version"),
+        col("m.change_operation").as("change_operation"))
+      .withColumn("batch_id", lit(-1L))
+    val tail = spark.read.parquet(logDir)
+      .filter(col("batch_id") > bound)
+      .select("invoice_id", "change_version", "change_operation", "batch_id")
+    val next = compacted.unionByName(tail).localCheckpoint(true)
+    DirSwap.install(spark, logDir, tag = "aggviewlog") { tmp =>
+      next.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    }
+  }
+
   /** The current view (empty before the first fold). */
   def currentView(spark: SparkSession, root: String): DataFrame =
     DirSwap.readOrEmpty(spark, s"$root/view", viewSchema, tag = "aggview")

@@ -110,6 +110,54 @@ class StreamingAggViewSpec extends SparkSpec {
       "min/max replay over the torn log diverges")
   }
 
+  test("log compaction preserves the fold: compact mid-stream, keep folding") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    StreamingAggView.applyBatch(spark, sf, root, page(0L, 700L), 0L)
+    StreamingAggView.applyBatch(spark, sf, root, page(700L, 1500L), 1L)
+    StreamingAggView.compactLog(spark, root)
+    // the compacted log is one checkpoint partition (+ nothing newer)
+    val parts = spark.read.parquet(s"$root/log")
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(parts == Set(-1L), s"log partitions after compaction: $parts")
+    // folds continue over the checkpoint exactly as over the raw log
+    StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 2L)
+    assertSame(viewAt(root), AggView.directView(spark, sf, 2500L),
+      "fold over the compacted log diverges")
+    // a redelivered pre-compaction batch is still a no-op: the stray
+    // re-appended partition collapses against the checkpoint (same
+    // entity, same version) and the gen stamp skips the fold
+    StreamingAggView.applyBatch(spark, sf, root, page(700L, 1500L), 1L)
+    StreamingAggView.applyBatch(spark, sf, root, page(2500L, 4000L), 3L)
+    assertSame(viewAt(root), AggView.directView(spark, sf, 4000L),
+      "post-compaction redelivery corrupted the fold")
+  }
+
+  test("an unfolded (torn) tail partition survives compaction unfolded") {
+    import spark.implicits._
+    val root = freshRoot("compact-torn")
+    StreamingAggView.applyBatch(spark, sf, root, page(0L, 1500L), 0L)
+    // batch 1 reaches the log but not the view (the crash window)
+    val torn = page(1500L, 2500L)
+      .groupBy(col("invoice_id"))
+      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
+      .select(col("invoice_id"),
+        col("m.change_version").as("change_version"),
+        col("m.change_operation").as("change_operation"))
+      .withColumn("batch_id", lit(1L))
+    torn.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/log")
+    StreamingAggView.compactLog(spark, root)
+    val parts = spark.read.parquet(s"$root/log")
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(parts == Set(-1L, 1L),
+      s"the unfolded tail must stay a separate partition: $parts")
+    // restart redelivers batch 1; the fold sees checkpoint + its page
+    StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 1L)
+    assertSame(viewAt(root), AggView.directView(spark, sf, 2500L),
+      "replay after compaction-with-torn-tail diverges")
+  }
+
   test("the streaming maintainer drains staged pages to the direct view") {
     val root = freshRoot("stream")
     val src = s"$root/src"
