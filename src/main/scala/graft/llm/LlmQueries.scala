@@ -90,6 +90,32 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** N4''+++ — mergeable QUANTILE sketch table + rollup (the rank
+    * sibling of `llm_sketch_rollup`): per-(source, lang) KLL-style
+    * summaries of n_chars re-aggregate to per-source p50/p90/p99
+    * without re-scanning raw rows — the rollup touches only
+    * summary-sized arrays. Below the compaction threshold the summary
+    * IS the exact multiset (err = 0), so at the verify scales the
+    * DuckDB oracle replays the rank walk exactly; the certified error
+    * bound in the forced-compaction regime is QuantileSketchSpec's
+    * job. */
+  val quantileRollupQ: Q = (s, d) => {
+    val fine = Tables.documents(s, d)
+      .groupBy("source", "lang")
+      .agg(graft.functions.QuantileSketch.agg(256)(col("n_chars")).as("qs"))
+    fine.groupBy("source")
+      .agg(sum("qs.n").as("n_docs"),
+        array_sort(flatten(collect_list(col("qs.items")))).as("items"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.QuantileSketch
+          .quantileCol(col("items"), col("n_docs"), 0.50).as("p50"),
+        graft.functions.QuantileSketch
+          .quantileCol(col("items"), col("n_docs"), 0.90).as("p90"),
+        graft.functions.QuantileSketch
+          .quantileCol(col("items"), col("n_docs"), 0.99).as("p99"))
+      .orderBy("source")
+  }
+
   /** N3 — exact brute-force cosine top-k (query = corpus vector 0). */
   val simsearchTopk: Q = (s, d) =>
     SimSearch.bruteForceTopK(Tables.embeddings(s, d),
@@ -853,6 +879,7 @@ object LlmQueries {
     "llm_dedup_embedding" -> dedupEmbedding,
     "llm_dedup_semantic" -> dedupSemanticQ,
     "llm_hybrid_search" -> hybridSearchQ,
+    "llm_quantile_rollup" -> quantileRollupQ,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,
@@ -1054,6 +1081,21 @@ object LlmQueries {
         | SELECT vec_id, centroid_id FROM b
         | WHERE vec_id NOT IN (SELECT ib FROM p)
         | ORDER BY vec_id""".stripMargin,
+    "llm_quantile_rollup" ->
+      // exact-regime replay of the sketch's rank walk: value at the
+      // ceil(q*n)-th position in per-source value order
+      """WITH r AS (SELECT source, n_chars,
+        |     row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |     count(*) OVER (PARTITION BY source) AS cnt
+        |   FROM documents)
+        | SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
+        |   CAST(max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT)
+        |     THEN n_chars END) AS BIGINT) AS p50,
+        |   CAST(max(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT)
+        |     THEN n_chars END) AS BIGINT) AS p90,
+        |   CAST(max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT)
+        |     THEN n_chars END) AS BIGINT) AS p99
+        | FROM r GROUP BY source ORDER BY source""".stripMargin,
     "llm_hybrid_search" ->
       // RRF fusion replay: integer tf-idf pool + exact-cosine pool,
       // 1e9 // (60 + rank) contributions, fused top-20

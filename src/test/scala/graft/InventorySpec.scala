@@ -75,7 +75,7 @@ class InventorySpec extends SparkSpec {
     "llm_simsearch_ivfpq", "llm_dedup_contained", "llm_fuzzy_pairs_varlen",
     "cdc_snapshot_diff", "cdc_view_delta", "llm_sample_weighted",
     "cdc_view_minmax", "llm_dedup_semantic", "llm_hybrid_search",
-    "stream_view_delta", "stream_view_minmax")
+    "stream_view_delta", "stream_view_minmax", "llm_quantile_rollup")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

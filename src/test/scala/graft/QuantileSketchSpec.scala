@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{QItem, QSketchBuf, QuantileSketch, QuantileSketchAgg}
+import org.apache.spark.sql.functions._
+
+/** The mergeable quantile sketch: exact below the compaction
+  * threshold, self-certifying beyond it. */
+class QuantileSketchSpec extends SparkSpec {
+
+  private def summarize(agg: QuantileSketchAgg,
+                        values: Seq[Long], chunks: Int) = {
+    val parts = values.grouped(
+      math.max(1, values.size / chunks)).toSeq
+    val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(bufs.reduce(agg.merge))
+  }
+
+  private def trueRank(sorted: IndexedSeq[Long], v: Long): Long =
+    sorted.count(_ <= v).toLong
+
+  test("exact regime: no compaction, err = 0, ranks exact") {
+    val agg = new QuantileSketchAgg(256)
+    val values = (1L to 400L).map(i => (i * 7919) % 1000)
+    val s = summarize(agg, values, 7)
+    assert(s.err == 0L, s"exact regime reported err=${s.err}")
+    assert(s.n == 400L)
+    val sorted = values.sorted.toIndexedSeq
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99)) {
+      val target = math.ceil(q * s.n).toLong
+      assert(QuantileSketch.rankValue(s.items, target) ==
+        sorted((target - 1).toInt),
+        s"exact-regime quantile $q diverged")
+    }
+  }
+
+  test("forced compaction: carried bound certifies every rank query") {
+    val agg = new QuantileSketchAgg(64)
+    val rnd = new scala.util.Random(42)
+    val values = Seq.fill(10000)(rnd.nextLong(1000000L))
+    val s = summarize(agg, values, 13)
+    assert(s.err > 0L, "compaction never triggered — bound untested")
+    assert(s.err <= s.n / 10,
+      s"bound too loose to be useful: err=${s.err} of n=${s.n}")
+    val sorted = values.sorted.toIndexedSeq
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val target = math.ceil(q * s.n).toLong
+      val est = QuantileSketch.rankValue(s.items, target)
+      val r = trueRank(sorted, est)
+      assert(math.abs(r - target) <= s.err,
+        s"q=$q: |true_rank($est)=$r - $target| > certified ${s.err}")
+    }
+    // total weight is conserved by compaction
+    assert(s.items.map(_.w).sum == s.n, "compaction lost weight")
+  }
+
+  test("merge order changes the summary, never breaks the bound") {
+    val agg = new QuantileSketchAgg(64)
+    val rnd = new scala.util.Random(7)
+    val values = Seq.fill(4000)(rnd.nextLong(100000L))
+    val sorted = values.sorted.toIndexedSeq
+    for (chunks <- Seq(2, 5, 17)) {
+      val s = summarize(agg, values, chunks)
+      val target = math.ceil(0.5 * s.n).toLong
+      val r = trueRank(sorted, QuantileSketch.rankValue(s.items, target))
+      assert(math.abs(r - target) <= s.err,
+        s"$chunks-way merge broke the certified bound")
+    }
+  }
+
+  test("rollup equals direct in the exact regime (DataFrame path)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val direct = docs.groupBy("source")
+      .agg(QuantileSketch.agg(256)($"n_chars").as("qs"))
+      .select($"source", $"qs.n".as("n_docs"),
+        QuantileSketch.quantileCol(
+          array_sort($"qs.items"), $"qs.n", 0.5).as("p50"))
+    val rolled = docs.groupBy("source", "lang")
+      .agg(QuantileSketch.agg(256)($"n_chars").as("qs"))
+      .groupBy("source")
+      .agg(sum($"qs.n").as("n_docs"),
+        array_sort(flatten(collect_list($"qs.items"))).as("items"))
+      .select($"source", $"n_docs",
+        QuantileSketch.quantileCol($"items", $"n_docs", 0.5).as("p50"))
+    assert(direct.exceptAll(rolled).isEmpty &&
+      rolled.exceptAll(direct).isEmpty,
+      "rollup diverged from the direct sketch in the exact regime")
+  }
+}
