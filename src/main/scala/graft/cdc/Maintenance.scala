@@ -61,6 +61,28 @@ object Maintenance {
       .unionByName(changes.filter(col(versionCol) > upTo))
   }
 
+  /** The largest change version SAFE to expire given the registered
+    * consumers: a consumer committed at cursor v has consumed (…, v]
+    * and resumes strictly above it, so only versions ≤ min(committed
+    * cursors) are consumed by EVERY consumer. The reference's fixed
+    * `CHANGE_RETENTION 3 DAYS` (setup-invoice-db.sql:70-72) silently
+    * BREAKS a consumer slower than the window — its next poll resumes
+    * over a hole; clamping the expiry watermark here is the safe
+    * inverse: an idle consumer pins retention instead of losing data.
+    * `maxLagVersions` caps how far one straggler may pin the table
+    * (versions below head − maxLag expire anyway — the explicit
+    * data-loss trade, not a silent one); no consumers → no clamp.
+    * Feed the result to [[run]] / [[maintainChangeTable]] as the
+    * `watermark` (min with any time-based bound). */
+  def safeWatermark(store: ConsumerStateStore, requested: Long,
+                    feedHead: Long,
+                    maxLagVersions: Option[Long] = None): Long = {
+    val cursors = store.list().map(_.lastSyncVersion)
+    val consumerBound = if (cursors.isEmpty) Long.MaxValue else cursors.min
+    val lagFloor = maxLagVersions.map(feedHead - _).getOrElse(Long.MinValue)
+    math.min(requested, math.max(consumerBound, lagFloor))
+  }
+
   /** Expire + log-compact + version-ordered rewrite of a parquet
     * change table, in place (DirSwap tag "retain"). The table follows
     * the feed schema contract the cdc source also relies on:

@@ -16,6 +16,36 @@ class MaintenanceSpec extends SparkSpec {
     walk(new java.io.File(dir)).map(_.getName).filter(_.endsWith(suffix))
   }
 
+  test("safeWatermark: consumers pin expiry, a straggler is capped explicitly") {
+    val store = new graft.cdc.ConsumerStateStore(spark, tmpDir("msw"))
+    // no consumers: the requested (time-based) watermark stands
+    assert(graft.cdc.Maintenance.safeWatermark(store, 900L, 10000L) == 900L)
+    // a lagging consumer clamps expiry to its committed cursor
+    store.commit("bi", 500L, 0L)
+    store.commit("audit", 700L, 0L)
+    assert(graft.cdc.Maintenance.safeWatermark(store, 900L, 10000L) == 500L,
+      "min committed cursor must clamp the watermark")
+    // a consumer ahead of the request never raises it
+    store.commit("bi", 5000L, 0L)
+    store.commit("audit", 5000L, 0L)
+    assert(graft.cdc.Maintenance.safeWatermark(store, 900L, 10000L) == 900L)
+    // an idle straggler pins retention only up to the explicit lag cap
+    store.commit("bi", 100L, 0L)
+    assert(graft.cdc.Maintenance.safeWatermark(store, 9000L, 10000L,
+      maxLagVersions = Some(2000L)) == 8000L,
+      "the straggler cap must bound how far one consumer pins the table")
+    // and with the clamp honored, every row a clamped-at consumer still
+    // needs survives expiry
+    val feed = (1L to 1000L).map(v => (v % 50, v))
+      .toDF("entity_id", "change_version")
+    val w = graft.cdc.Maintenance.safeWatermark(store, 900L, 1000L)
+    assert(w == 100L)
+    val kept = graft.cdc.Retention.expire(feed, w)
+    assert(kept.filter($"change_version" <= 100L).isEmpty &&
+      kept.count() == 900L,
+      "expiry at the safe watermark must keep exactly the unconsumed tail")
+  }
+
   test("one maintenance window bounds files and preserves read-back") {
     val changeDir = tmpDir("mchg")
     val sinkDir = tmpDir("msink")
