@@ -116,6 +116,17 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** N3'''''' — MMR diversified rerank over the exact top-50 pool:
+    * greedy λ=0.70 relevance-vs-redundancy selection, integer e6
+    * cosines, deterministic ties. No SQL oracle (iterative greedy);
+    * LlmSpec re-verifies the per-step argmax invariant from an
+    * independently computed cosine matrix and the clone-skipping
+    * behavior. */
+  val mmrRerankQ: Q = (s, d) =>
+    SimSearch.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10, poolSize = 50, lambdaE2 = 70)
+      .orderBy("mmr_rank")
+
   /** N3 — exact brute-force cosine top-k (query = corpus vector 0). */
   val simsearchTopk: Q = (s, d) =>
     SimSearch.bruteForceTopK(Tables.embeddings(s, d),
@@ -880,6 +891,7 @@ object LlmQueries {
     "llm_dedup_semantic" -> dedupSemanticQ,
     "llm_hybrid_search" -> hybridSearchQ,
     "llm_quantile_rollup" -> quantileRollupQ,
+    "llm_mmr_rerank" -> mmrRerankQ,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,

@@ -216,6 +216,60 @@ object SimSearch {
     * token scan (lexical) and one vector scan — at deployment scale the
     * vector pool would come from the IVF-PQ index instead; the fusion
     * algebra is identical whatever produced the pools. */
+  /** MMR diversified rerank (maximal marginal relevance, Carbonell &
+    * Goldstein, SIGIR'98): greedily pick `k` of the `poolSize` most
+    * query-similar vectors, each step maximizing
+    * `lambdaE2·cos(query, d) − (100−lambdaE2)·max cos(d, selected)`
+    * (integer e6 cosines, so selection is engine-deterministic; ties
+    * to the smallest id). The standard answer to "exact top-k returns
+    * ten copies of the same document".
+    *
+    * Scale shape: the CORPUS-side work is the distributed top-poolSize
+    * cosine scan (TakeOrderedAndProject — or the IVF-PQ index at
+    * deployment scale); the greedy itself is poolSize²-bounded and
+    * runs on the driver over the collected pool, the same
+    * bounded-collect idiom as the ANN probe-ball enumeration. The
+    * result returns as a local relation. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, poolSize: Int = 50,
+                lambdaE2: Int = 70): DataFrame = {
+    require(k > 0 && poolSize >= k && lambdaE2 >= 0 && lambdaE2 <= 100)
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val pool = bruteForceTopK(emb, idCol, vecCol, queryId, poolSize)
+      .localCheckpoint(true)
+    // pairwise cosines WITHIN the bounded pool: pool² rows, Spark-side
+    val vecs = pool.select(col(idCol)).join(emb, idCol)
+      .select(col(idCol).as("pid"), col(vecCol).as("pv"))
+      .localCheckpoint(true)
+    val rel = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sims = vecs.as("a").join(broadcast(vecs.as("b")),
+        col("a.pid") < col("b.pid"))
+      .select(col("a.pid"), col("b.pid"),
+        cosineE6(col("a.pv"), col("b.pv")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    def sim(x: Long, y: Long): Long =
+      if (x == y) 1000000L
+      else sims.getOrElse((math.min(x, y), math.max(x, y)), 0L)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val remaining = scala.collection.mutable.TreeSet(rel.keys.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { id =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.map(s => sim(id, s._1)).max
+        val obj = lambdaE2 * rel(id) - (100L - lambdaE2) * pen
+        (-obj, id)
+      }.min
+      selected += ((best._2, -best._1))
+      remaining -= best._2
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, obj), i) => (id, i + 1L, rel(id), obj) }
+      .toDF(idCol, "mmr_rank", "cos_e6", "objective_e8")
+  }
+
   /** Rank within a bounded pool WITHOUT a window: rank(a) = count of
     * rows at-or-above it in (key desc, id asc) order — a pool²
     * broadcast join, bounded by poolSize², keeping the repo's absolute

@@ -75,7 +75,8 @@ class InventorySpec extends SparkSpec {
     "llm_simsearch_ivfpq", "llm_dedup_contained", "llm_fuzzy_pairs_varlen",
     "cdc_snapshot_diff", "cdc_view_delta", "llm_sample_weighted",
     "cdc_view_minmax", "llm_dedup_semantic", "llm_hybrid_search",
-    "stream_view_delta", "stream_view_minmax", "llm_quantile_rollup")
+    "stream_view_delta", "stream_view_minmax", "llm_quantile_rollup",
+    "llm_mmr_rerank")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -104,7 +105,11 @@ class InventorySpec extends SparkSpec {
       "sink_listing", "agg_approx_distinct", "llm_sketch_rollup",
       // PQ codebooks are float-avg trained (order-dependent like every
       // distributed k-means) — recall pinned by PqSpec instead
-      "llm_simsearch_pq", "llm_simsearch_ivfpq")
+      "llm_simsearch_pq", "llm_simsearch_ivfpq",
+      // iterative greedy selection has no SQL twin; the per-step
+      // argmax invariant is re-verified in LlmSpec from an
+      // independently computed cosine matrix
+      "llm_mmr_rerank")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

@@ -267,6 +267,63 @@ class LlmSpec extends SparkSpec {
     assert(got == fused, s"fusion mismatch: got $got want $fused")
   }
 
+  test("N3'''''': MMR greedy invariant re-verified from an independent cosine matrix") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 8
+    val got = SimSearch.mmrRerank(emb, "vec_id", "embedding", 0L, k,
+      poolSize = 30, lambdaE2 = 70)
+      .orderBy("mmr_rank")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.size == k && got.distinct.size == k)
+    // independent ground data: the exact pool and its cosine matrix
+    val pool = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 30)
+      .as[(Long, Long)].collect().toMap
+    val pv = emb.filter($"vec_id".isin(pool.keys.toSeq: _*))
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Long, b: Long): Long = {
+      val (x, y) = (pv(a), pv(b))
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val na = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      val nb = math.sqrt(y.map(v => v.toDouble * v.toDouble).sum)
+      math.round(1000000.0 * dot / (na * nb))
+    }
+    var chosen = List.empty[Long]
+    for (pick <- got) {
+      def obj(id: Long): Long = {
+        val pen = if (chosen.isEmpty) 0L else chosen.map(cos(id, _)).max
+        70L * pool(id) - 30L * pen
+      }
+      val rest = pool.keySet -- chosen
+      val bestObj = rest.map(obj).max
+      assert(obj(pick) == bestObj,
+        s"pick $pick is not a step argmax: ${obj(pick)} < $bestObj")
+      val tied = rest.filter(obj(_) == bestObj)
+      assert(pick == tied.min, s"tie not broken to min id: $pick vs $tied")
+      chosen = pick :: chosen
+    }
+  }
+
+  test("N3'''''': MMR skips a planted clone that plain top-k keeps") {
+    val emb = Tables.embeddings(spark, sf)
+    // clone the query's nearest neighbor: plain top-k now returns both
+    // copies back to back; MMR must keep only one among its picks
+    val top1 = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1)
+      .select("vec_id").as[Long].head()
+    val clone = emb.filter($"vec_id" === top1).select(
+      lit(900000L).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(clone)
+    val plain = SimSearch.bruteForceTopK(all, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain.contains(top1) && plain.contains(900000L),
+      "plain top-k should keep both copies")
+    val mmr = SimSearch.mmrRerank(all, "vec_id", "embedding", 0L, 10,
+      poolSize = 30, lambdaE2 = 70)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!(mmr.contains(top1) && mmr.contains(900000L)),
+      "MMR kept both copies of an identical vector")
+  }
+
   test("N3': ANN top-k achieves high recall vs the exact baseline") {
     val emb = Tables.embeddings(spark, sf)
     val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
