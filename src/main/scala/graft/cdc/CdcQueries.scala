@@ -131,8 +131,13 @@ object CdcQueries {
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).find(_.getName.startsWith("part-")).get
         fs.mkdirs(new org.apache.hadoop.fs.Path(src))
-        fs.rename(part,
-          new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+        val dst = new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet")
+        // fail LOUD on a rename refusal (stale destination from a
+        // crashed prior staging, cross-fs /tmp) — stamping _staged over
+        // a missing page would silently diverge the drained view
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(part, dst))
+          throw new java.io.IOException(s"graft aggview: cannot stage $dst")
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
       fs.create(done, true).close()

@@ -92,10 +92,16 @@ object QuantileSketch {
     while (h < ls.length) {
       if (ls(h).size >= 2 * k) {
         val sorted = ls(h).sorted
-        val keep = sorted.indices.collect {
-          case i if i % 2 == 1 => sorted(i)
+        // an odd-sized level (merge() concatenates arbitrary partial
+        // sizes) leaves its smallest item BEHIND at this level —
+        // dropping it would lose 2^h of total weight and void both
+        // the weight-conservation invariant and the certified bound
+        val leftover = if (sorted.size % 2 == 1) 1 else 0
+        val even = sorted.drop(leftover)
+        val keep = even.indices.collect {
+          case i if i % 2 == 1 => even(i)
         }.toVector
-        ls(h) = Vector.empty
+        ls(h) = sorted.take(leftover)
         if (h + 1 >= ls.length) ls += Vector.empty
         ls(h + 1) = ls(h + 1) ++ keep
         err += (1L << h)
@@ -106,7 +112,8 @@ object QuantileSketch {
   }
 
   /** Driver-side rank walk for specs: the first value whose cumulative
-    * weight reaches `target` in value order. */
+    * weight reaches `target` in value order; −1 on an empty summary
+    * (the same not-found sentinel as [[quantileCol]]). */
   def rankValue(items: Seq[QItem], target: Long): Long = {
     var cum = 0L
     val it = items.iterator
@@ -115,7 +122,7 @@ object QuantileSketch {
       cum += x.w
       if (cum >= target) return x.v
     }
-    items.last.v
+    if (items.isEmpty) -1L else items.last.v
   }
 
   /** Column-level rank walk over a SORTED `array<struct<v,w>>` items

@@ -200,22 +200,6 @@ object SimSearch {
       .limit(k)
   }
 
-  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
-    * 2009) of a lexical and a vector ranking for one query: each system
-    * contributes `1e9 div (rrfK + rank)` (integer arithmetic, so the
-    * fused score is engine-exact) for the documents in its top
-    * `poolSize`, and the fused top `k` is returned. The lexical side is
-    * the TF-IDF family's integer scoring restricted to `queryTerms`
-    * (df still counted over the whole corpus); the vector side is exact
-    * cosine against `queryId`'s embedding.
-    *
-    * Scale shape: both pools come off TakeOrderedAndProject (per-
-    * partition top-k, driver merge — no global sort, no corpus
-    * shuffle); ranks are then row_numbered over poolSize rows, and the
-    * fusion join is poolSize × poolSize. The corpus-sized work is one
-    * token scan (lexical) and one vector scan — at deployment scale the
-    * vector pool would come from the IVF-PQ index instead; the fusion
-    * algebra is identical whatever produced the pools. */
   /** MMR diversified rerank (maximal marginal relevance, Carbonell &
     * Goldstein, SIGIR'98): greedily pick `k` of the `poolSize` most
     * query-similar vectors, each step maximizing
@@ -287,6 +271,22 @@ object SimSearch {
       .select(col("__ia").as("id"), col(rankName))
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) of a lexical and a vector ranking for one query: each system
+    * contributes `1e9 div (rrfK + rank)` (integer arithmetic, so the
+    * fused score is engine-exact) for the documents in its top
+    * `poolSize`, and the fused top `k` is returned. The lexical side is
+    * the TF-IDF family's integer scoring restricted to `queryTerms`
+    * (df still counted over the whole corpus); the vector side is exact
+    * cosine against `queryId`'s embedding.
+    *
+    * Scale shape: both pools come off TakeOrderedAndProject (per-
+    * partition top-k, driver merge — no global sort, no corpus
+    * shuffle); ranks come from the pool-squared [[poolRank]] join, and
+    * the fusion join is poolSize × poolSize. The corpus-sized work is
+    * one token scan (lexical) and one vector scan — at deployment scale
+    * the vector pool would come from the IVF-PQ index instead; the
+    * fusion algebra is identical whatever produced the pools. */
   def hybridTopK(docs: DataFrame, emb: DataFrame, docIdCol: String,
                  vecIdCol: String, vecCol: String, queryTerms: Seq[String],
                  queryId: Long, k: Int, poolSize: Int = 100,

@@ -33,9 +33,15 @@ object EventStream {
   /** The `ts` physical type actually present in `srcDir` — testdata
     * generations have shipped it both as TIMESTAMP(NANOS)-as-long and as
     * plain TIMESTAMP(MICROS). One batch footer read at plan time; a
-    * streaming source must declare its schema up front. */
+    * streaming source must declare its schema up front. A source dir
+    * that is empty (or absent) when the reader starts — the normal
+    * consumer-before-producer changefeed startup — cannot be probed,
+    * so it defaults to the CURRENT generation's encoding
+    * (TimestampType); a legacy long-nanos producer must stage its
+    * first page before the reader starts to be detected. */
   def eventsTsType(spark: SparkSession, srcDir: String): DataType =
-    spark.read.parquet(srcDir).schema("ts").dataType
+    try spark.read.parquet(srcDir).schema("ts").dataType
+    catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
 
   /** File-based changefeed source: new parquet files in `srcDir` are new
     * change batches. maxFilesPerTrigger bounds a micro-batch like the

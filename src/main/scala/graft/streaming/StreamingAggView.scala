@@ -17,13 +17,15 @@ import graft.cdc.{AggView, Merge}
   *    micro-batch (never rewritten; [[graft.cdc.Maintenance]]'s
   *    log-compaction pattern bounds it in steady state);
   *  - `view/` — the current (grp, n_rows, sum_cents) view, installed
-  *    by [[DirSwap]];
-  *  - `view.gen` — the id of the last batch folded into the view.
+  *    by [[DirSwap]], carrying its own `_gen` marker (the id of the
+  *    last batch folded in) INSIDE the directory.
   *
   * Exactly-once without a two-directory transaction: the log append is
   * idempotent (dynamic overwrite of THIS batch's partition — a
   * redelivered batch rewrites identical bytes), and the view fold is
-  * idempotent by generation (skip when `view.gen >= batchId`). The
+  * idempotent by generation — the marker rides the view's own DirSwap
+  * rename, so view content and generation commit in ONE atomic step
+  * and no crash can leave a folded view that claims otherwise. The
   * delta is always computed against the log RESTRICTED to
   * `batch_id < batchId`, so a crash in any window — after the append,
   * after the view swap, before the checkpoint commit — replays to the
@@ -58,11 +60,20 @@ object StreamingAggView {
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The id of the last batch folded into the view, or -1. */
+  /** The id of the last batch folded into the view at
+    * `root/<viewDir>`, or -1. The generation marker lives INSIDE the
+    * view directory (`_gen`, invisible to the parquet reader like any
+    * underscore file), so the DirSwap rename that installs the view
+    * commits the marker in the SAME atomic step — there is no window
+    * where the view is folded but the generation says otherwise (a
+    * separate marker file would reopen the double-apply hazard this
+    * module exists to close). */
   def viewGen(spark: SparkSession, root: String,
-              gen: String = "view.gen"): Long = {
+              viewDir: String = "view"): Long = {
+    DirSwap.restoreIfTorn(spark, s"$root/$viewDir",
+      if (viewDir == "view") "aggview" else "aggviewmm")
     val fs = fsOf(spark, root)
-    val p = new Path(s"$root/$gen")
+    val p = new Path(s"$root/$viewDir/_gen")
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
@@ -71,16 +82,11 @@ object StreamingAggView {
     }
   }
 
-  private def writeGen(spark: SparkSession, root: String, gen: Long,
-                       name: String = "view.gen"): Unit = {
-    val fs = fsOf(spark, root)
-    val tmp = new Path(s"$root/$name.tmp")
-    val out = fs.create(tmp, true)
+  private def writeGenInto(spark: SparkSession, dir: String,
+                           gen: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val out = fs.create(new Path(s"$dir/_gen"), true)
     try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
-    val p = new Path(s"$root/$name")
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"graft aggview: cannot commit $p")
   }
 
   /** Latest-op-wins collapse WITHIN one batch (T5). */
@@ -129,8 +135,8 @@ object StreamingAggView {
       .localCheckpoint(true)
     DirSwap.install(spark, s"$root/view", tag = "aggview") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
+      writeGenInto(spark, tmp, batchId)
     }
-    writeGen(spark, root, batchId)
   }
 
   /** The min/max fold: its own generation-stamped view. The rescan
@@ -138,7 +144,7 @@ object StreamingAggView {
     * newLive — the v1 state derived from the log, no extra pass. */
   private def foldMinMax(spark: SparkSession, sfDir: String, root: String,
                          st: BatchState, batchId: Long): Unit = {
-    if (viewGen(spark, root, "viewmm.gen") >= batchId) return
+    if (viewGen(spark, root, "viewmm") >= batchId) return
     val snap1 = st.snap0.join(st.page.select("invoice_id"),
       Seq("invoice_id"), "left_anti").unionByName(st.newLive)
     val oldView = DirSwap.readOrEmpty(spark, s"$root/viewmm", minMaxSchema,
@@ -152,8 +158,8 @@ object StreamingAggView {
       .localCheckpoint(true)
     DirSwap.install(spark, s"$root/viewmm", tag = "aggviewmm") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
+      writeGenInto(spark, tmp, batchId)
     }
-    writeGen(spark, root, batchId, "viewmm.gen")
   }
 
   /** Fold one micro-batch into the log and the count/sum view.
@@ -201,9 +207,10 @@ object StreamingAggView {
     * still need to out-version — into one checkpoint partition at
     * `batch_id = -1`, installed with DirSwap. `-1 < batchId` for every
     * future batch, so [[appendAndDerive]]'s `batch_id < current`
-    * prior-state read is untouched; only batches `<= upTo` (default:
-    * the last FOLDED batch, never an appended-but-unfolded partition
-    * from a torn crash window) are folded in. Run it from the T6
+    * prior-state read is untouched; only batches up to `upTo` CLAMPED
+    * to the last FOLDED generation are folded in — an
+    * appended-but-unfolded partition from a torn crash window stays a
+    * separate partition whatever the caller asks. Run it from the T6
     * maintenance window; between compactions the per-batch prior-state
     * read costs checkpoint + tail, which is the standard log+compact
     * trade. */
@@ -214,11 +221,16 @@ object StreamingAggView {
     if (!fs.exists(new Path(logDir))) return
     // fold bound = the oldest generation any MAINTAINED view has
     // reached (a view dir that was never started doesn't hold the
-    // compaction hostage)
-    val gens = Seq("view.gen", "viewmm.gen")
-      .filter(g => fs.exists(new Path(s"$root/$g")))
-      .map(g => viewGen(spark, root, g))
-    val bound = upTo.getOrElse(if (gens.isEmpty) -1L else gens.min)
+    // compaction hostage); an explicit upTo is CLAMPED there too — a
+    // caller must never fold an appended-but-unfolded (torn) partition
+    // into the checkpoint, or its batch would replay to a zero delta
+    // and vanish from the view
+    // viewGen restores a torn swap before looking, so an
+    // installed-but-torn view still bounds the compaction
+    val gens = Seq("view", "viewmm")
+      .map(g => viewGen(spark, root, g)).filter(_ >= 0)
+    val folded = if (gens.isEmpty) -1L else gens.min
+    val bound = math.min(upTo.getOrElse(folded), folded)
     if (bound < 0) return
     val compacted = spark.read.parquet(logDir)
       .filter(col("batch_id") <= bound)

@@ -53,6 +53,26 @@ class QuantileSketchSpec extends SparkSpec {
     assert(s.items.map(_.w).sum == s.n, "compaction lost weight")
   }
 
+  test("odd-sized level compaction conserves weight (the merge() shape)") {
+    val agg = new QuantileSketchAgg(8)
+    // reduce alone compacts level 0 only at exactly 2k (even); merge()
+    // concatenates arbitrary partial sizes — force 9 + 8 = 17 ≥ 16,
+    // an ODD level, whose compaction must leave one item behind
+    // rather than drop its weight
+    val b1 = (1L to 9L).foldLeft(agg.zero)(agg.reduce)
+    val b2 = (100L to 107L).foldLeft(agg.zero)(agg.reduce)
+    val s = agg.finish(agg.merge(b1, b2))
+    assert(s.n == 17L)
+    assert(s.items.map(_.w).sum == 17L,
+      s"odd compaction lost weight: ${s.items.map(_.w).sum} of 17")
+    assert(s.err > 0L, "the 17-item level must have compacted")
+    // and the certified bound still holds for the median
+    val all = ((1L to 9L) ++ (100L to 107L)).sorted.toIndexedSeq
+    val target = math.ceil(0.5 * 17).toLong
+    val est = QuantileSketch.rankValue(s.items, target)
+    assert(math.abs(all.count(_ <= est) - target) <= s.err)
+  }
+
   test("merge order changes the summary, never breaks the bound") {
     val agg = new QuantileSketchAgg(64)
     val rnd = new scala.util.Random(7)
