@@ -148,12 +148,18 @@ object Maintenance {
           watermark: Long, compactUpTo: Long, nFiles: Int,
           sinkSchema: Option[StructType] = None,
           vectorIndexes: Seq[VectorIndex] = Nil,
-          zLayouts: Seq[ZLayout] = Nil): Report = {
+          zLayouts: Seq[ZLayout] = Nil,
+          aggViewRoots: Seq[String] = Nil): Report = {
     maintainChangeTable(spark, changeDir, watermark, compactUpTo, nFiles)
     DocumentSink.compact(spark, sinkDir, sinkSchema)
     vectorIndexes.foreach(maintainVectorIndex(spark, _))
     zLayouts.foreach(z =>
       graft.ops.ZOrder.rebuild(spark, z.path, z.dims, z.files))
+    // streaming view maintainers: fold their change logs to the
+    // checkpoint partition (bounded by the folded generation — see
+    // StreamingAggView.compactLog for the torn-tail guarantee)
+    aggViewRoots.foreach(
+      graft.streaming.StreamingAggView.compactLog(spark, _))
     // through the Hadoop FileSystem like every other path here — a
     // java.io walk would silently report 0 on hdfs://-style stores
     def filesUnder(dir: String, suffix: String): Long = {

@@ -46,6 +46,38 @@ class MaintenanceSpec extends SparkSpec {
       "expiry at the safe watermark must keep exactly the unconsumed tail")
   }
 
+  test("the window compacts streaming-view logs and the fold continues") {
+    val root = tmpDir("mavr") + "/aggview"
+    graft.streaming.StreamingAggView.applyBatch(spark, sf,
+      root, graft.cdc.TombstoneCdc.changedInvoicesOps(spark, sf, 0L, 700L), 0L)
+    graft.streaming.StreamingAggView.applyBatch(spark, sf,
+      root, graft.cdc.TombstoneCdc.changedInvoicesOps(spark, sf, 700L, 1500L), 1L)
+    val changeDir = tmpDir("mavc")
+    val sinkDir = tmpDir("mavs")
+    val errDir = tmpDir("mave")
+    val feed = Tables.events(spark, sf).limit(100)
+      .select($"user_id".as("entity_id"), $"event_id".as("change_version"))
+    feed.write.mode("overwrite").parquet(changeDir)
+    DocumentSink.writeVersioned(
+      feed.select($"entity_id".as("invoice_id"),
+        concat(lit("INV-"), lpad($"entity_id".cast("string"), 9, "0"))
+          .as("invoice_number"),
+        $"change_version"),
+      sinkDir, errDir)
+    graft.cdc.Maintenance.run(spark, changeDir, sinkDir,
+      watermark = 0L, compactUpTo = 0L, nFiles = 2,
+      aggViewRoots = Seq(root))
+    val parts = spark.read.parquet(s"$root/log")
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(parts == Set(-1L), s"window did not compact the view log: $parts")
+    graft.streaming.StreamingAggView.applyBatch(spark, sf,
+      root, graft.cdc.TombstoneCdc.changedInvoicesOps(spark, sf, 1500L, 2500L), 2L)
+    val direct = graft.cdc.AggView.directView(spark, sf, 2500L)
+    val got = graft.streaming.StreamingAggView.currentView(spark, root)
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty,
+      "fold after windowed compaction diverged")
+  }
+
   test("one maintenance window bounds files and preserves read-back") {
     val changeDir = tmpDir("mchg")
     val sinkDir = tmpDir("msink")
