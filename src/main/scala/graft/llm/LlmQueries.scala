@@ -116,6 +116,23 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** N4''# — cross-source OVERLAP matrix via theta sketches: per-source
+    * sketches of the content fingerprint, pairwise intersection
+    * estimates from the sketch table alone (no pairwise corpus join —
+    * S² kilobyte intersections at any corpus size). Exact below the
+    * sketch capacity, so the oracle is the exact distinct-fp intersect
+    * count; the dedup-planning step before committing to a
+    * cross-source dedup pass. */
+  val sketchOverlapQ: Q = (s, d) => {
+    val fps = Tables.documents(s, d)
+      .select(col("source"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    graft.ops.SketchTable
+      .thetaOverlapMatrix(
+        graft.ops.SketchTable.buildTheta(fps, "source", "fp"), "source")
+      .orderBy("group_a", "group_b")
+  }
+
   /** N3'''''' — MMR diversified rerank over the exact top-50 pool:
     * greedy λ=0.70 relevance-vs-redundancy selection, integer e6
     * cosines, deterministic ties. No SQL oracle (iterative greedy);
@@ -892,6 +909,7 @@ object LlmQueries {
     "llm_hybrid_search" -> hybridSearchQ,
     "llm_quantile_rollup" -> quantileRollupQ,
     "llm_mmr_rerank" -> mmrRerankQ,
+    "llm_sketch_overlap" -> sketchOverlapQ,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,
@@ -1093,6 +1111,27 @@ object LlmQueries {
         | SELECT vec_id, centroid_id FROM b
         | WHERE vec_id NOT IN (SELECT ib FROM p)
         | ORDER BY vec_id""".stripMargin,
+    "llm_sketch_overlap" ->
+      // exact-regime replay: distinct-fingerprint intersect counts per
+      // unordered source pair (theta estimates are exact below the
+      // sketch's nominal capacity)
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        | f AS (SELECT DISTINCT source,
+        |     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   FROM documents),
+        | cnt AS (SELECT source, count(*) AS n FROM f GROUP BY source),
+        | p AS (SELECT a.source AS ga, b.source AS gb
+        |   FROM s a JOIN s b ON a.source < b.source),
+        | o AS (SELECT fa.source AS ga, fb.source AS gb, count(*) AS c
+        |   FROM f fa JOIN f fb ON fa.fp = fb.fp AND fa.source < fb.source
+        |   GROUP BY 1, 2)
+        | SELECT p.ga AS group_a, p.gb AS group_b,
+        |   CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |   CAST(coalesce(o.c, 0) AS BIGINT) AS n_overlap
+        | FROM p JOIN cnt ca ON ca.source = p.ga
+        |   JOIN cnt cb ON cb.source = p.gb
+        |   LEFT JOIN o ON o.ga = p.ga AND o.gb = p.gb
+        | ORDER BY group_a, group_b""".stripMargin,
     "llm_quantile_rollup" ->
       // exact-regime replay of the sketch's rank walk: value at the
       // ceil(q*n)-th position in per-source value order

@@ -32,4 +32,36 @@ object SketchTable {
         hll_sketch_estimate(hll_union_agg(col("sketch")))
           .as("approx_distinct"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** THETA sketch table: one theta sketch of `valueCol` per group.
+    * Unlike HLL, theta sketches support INTERSECTION and DIFFERENCE —
+    * the dedup-planning primitives ("how much of source A is already
+    * inside source B?") that a union-only sketch cannot answer. Below
+    * the sketch's nominal capacity (default 2^12 retained hashes) the
+    * estimates are EXACT, which is why the declared overlap query
+    * carries a real DuckDB oracle at the verify scales. */
+  def buildTheta(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(expr(s"theta_sketch_agg($valueCol)").as("sketch"),
+        expr(s"CAST(theta_sketch_estimate(theta_sketch_agg($valueCol)) AS BIGINT)")
+          .as("n_distinct"))
+
+  /** The pairwise overlap matrix from a theta sketch table: for every
+    * unordered group pair, the (estimated; exact below capacity)
+    * distinct-value overlap. Sketch-sized self-join — the raw corpus
+    * is never pairwise-joined, which at 100 TB is the whole point:
+    * S sources cost S² kilobyte intersections, not S² corpus scans. */
+  def thetaOverlapMatrix(thetaTable: DataFrame,
+                         groupCol: String): DataFrame = {
+    val a = thetaTable.select(col(groupCol).as("group_a"),
+      col("sketch").as("sketch_a"), col("n_distinct").as("n_a"))
+    val b = thetaTable.select(col(groupCol).as("group_b"),
+      col("sketch").as("sketch_b"), col("n_distinct").as("n_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        expr("CAST(theta_sketch_estimate(" +
+          "theta_intersection(sketch_a, sketch_b)) AS BIGINT)")
+          .as("n_overlap"))
+  }
 }

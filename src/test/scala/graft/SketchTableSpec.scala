@@ -107,4 +107,36 @@ class SketchTableSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(viaTable == direct)
   }
+
+  test("theta overlap matrix is exact below capacity") {
+    val matrix = SketchTable.thetaOverlapMatrix(
+        SketchTable.buildTheta(fps, "source", "fp"), "source")
+      .select($"group_a", $"group_b", $"n_overlap")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // exact ground truth by brute distinct-intersect per pair
+    val bySrc = fps.select($"source", $"fp").distinct()
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).toSet }
+    for (((a, b), got) <- matrix) {
+      val want = (bySrc(a) & bySrc(b)).size.toLong
+      assert(got == want, s"($a,$b): theta said $got, exact is $want")
+    }
+    assert(matrix.keySet ==
+      (for (a <- bySrc.keys; b <- bySrc.keys if a < b) yield (a, b)).toSet)
+  }
+
+  test("theta overlap stays within 5% beyond the sketch capacity") {
+    // two 60k-id sets sharing exactly 20k — far past the 4096-entry
+    // nominal capacity, so the estimate is genuinely approximate
+    val a = spark.range(0, 60000).select(lit("A").as("g"),
+      concat(lit("v"), $"id").as("v"))
+    val b = spark.range(40000, 100000).select(lit("B").as("g"),
+      concat(lit("v"), $"id").as("v"))
+    val m = SketchTable.thetaOverlapMatrix(
+        SketchTable.buildTheta(a.unionByName(b), "g", "v"), "g")
+      .select($"n_overlap").as[Long].head()
+    assert(math.abs(m - 20000L) <= 1000L,
+      s"theta overlap estimate $m vs true 20000")
+  }
 }
