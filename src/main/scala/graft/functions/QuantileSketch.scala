@@ -40,6 +40,15 @@ case class QSummary(n: Long, err: Long, items: Seq[QItem])
   * Merging concatenates level buffers and re-compacts: associative up
   * to the certified bound, so Spark's partial aggregation is safe in
   * any order.
+  *
+  * Relation to the built-ins: Spark 4.1 ships DataSketches KLL
+  * (`kll_sketch_agg_bigint` / `kll_sketch_merge_*` /
+  * `kll_sketch_get_quantile_*`) with RANDOMIZED compaction — a tighter
+  * ε at the same k, the right default for approximate-only serving.
+  * This variant exists for what those cannot give: bit-reproducible
+  * output (an engine-hashable oracle), a bound CARRIED in the summary
+  * rather than stated in a paper, and err = 0 as a machine-checkable
+  * exactness certificate.
   */
 class QuantileSketchAgg(k: Int)
   extends Aggregator[Long, QSketchBuf, QSummary] {
