@@ -326,6 +326,26 @@ object RelationalOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** W4' — the NATIVE flavor of W4: Spark's `session_window` grouping
+    * (the same operator the streaming engine runs with state-store
+    * merging) in its batch form. One shuffle on (user, session); no
+    * window functions at all — the session assignment happens inside
+    * the aggregate. Boundary semantics differ from the
+    * gaps-and-islands form: session_window windows are END-EXCLUSIVE,
+    * so a gap of EXACTLY the timeout splits (diff ≥ gap breaks, not
+    * diff > gap), and the emitted end is last event + gap — the oracle
+    * replays exactly that. */
+  val windowSessionNative: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+
   /** W5 — resample + gap-fill (beyond the reference): hourly event
     * counts per type with missing hours emitted as 0 — the dense grid
     * every time-series chart and forecast model needs. The grid is
@@ -874,6 +894,7 @@ object RelationalOps {
     "window_running_sum" -> windowRunningSum,
     "window_lag_delta" -> windowLagDelta,
     "window_sessionize" -> windowSessionize,
+    "window_session_native" -> windowSessionNative,
     "window_gapfill" -> windowGapfill,
     "agg_pivot" -> aggPivot,
     "agg_cube" -> aggCube,
@@ -1066,6 +1087,29 @@ object RelationalOps {
         |   min(event_id) AS first_event, max(event_id) AS last_event
         | FROM s GROUP BY user_id, session_id
         | ORDER BY user_id, session_id""".stripMargin,
+    "window_session_native" ->
+      // session_window semantics: END-EXCLUSIVE windows — a gap of
+      // exactly the timeout splits (>=, not >); end = last event + gap
+      """WITH e AS (
+        |   SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        | f AS (
+        |   SELECT user_id, ts_ms,
+        |     CASE WHEN lag(ts_ms) OVER w IS NULL
+        |            OR ts_ms - lag(ts_ms) OVER w >= 21600000
+        |          THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        | s AS (
+        |   SELECT user_id, ts_ms,
+        |     CAST(sum(new_s) OVER (
+        |       PARTITION BY user_id ORDER BY ts_ms
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |   FROM f)
+        | SELECT user_id,
+        |   min(ts_ms) AS session_start_ms,
+        |   CAST(max(ts_ms) + 21600000 AS BIGINT) AS session_end_ms,
+        |   count(*) AS n_events
+        | FROM s GROUP BY user_id, session_id
+        | ORDER BY user_id, session_start_ms""".stripMargin,
     "window_gapfill" ->
       """WITH b AS (
         |   SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
