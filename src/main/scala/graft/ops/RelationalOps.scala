@@ -864,6 +864,31 @@ object RelationalOps {
       .orderBy("l_orderkey")
   }
 
+  /** S11 — JSON-lines round trip with an EXPLICIT schema: write a
+    * projection as JSON (the interchange format every ingest pipeline
+    * meets), read it back with a declared schema — schema inference
+    * over JSON costs a full extra pass and types drift by sample, so
+    * the declared-schema read is the only scale-sane form — filter,
+    * aggregate. Oracle from the original parquet: the round trip must
+    * be output-invisible. */
+  val sourceJsonRoundtrip: Q = (s, d) => {
+    val dir = scratch(s, "jsonl")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .write.mode("overwrite").json(dir)
+    s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_cents",
+          org.apache.spark.sql.types.LongType))))
+      .json(dir)
+      .filter(col("l_orderkey") <= 1000)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_cents")).as("cents"))
+      .orderBy("l_orderkey")
+  }
+
   // ------------------------------------------------------------ registry --
 
   val queries: Map[String, Q] = Map(
@@ -924,6 +949,7 @@ object RelationalOps {
     "agg_approx_distinct" -> aggApproxDistinct,
     "source_csv_ingest" -> sourceCsvIngest,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "source_json_roundtrip" -> sourceJsonRoundtrip,
     "source_text_ingest" -> sourceTextIngest,
     "source_partitioned_corpus" -> sourcePartitionedCorpus,
     "layout_zorder_scan" -> layoutZorderScan,
@@ -1207,6 +1233,12 @@ object RelationalOps {
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         | FROM documents""".stripMargin,
     "source_orc_roundtrip" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS cents
+        | FROM lineitem WHERE l_orderkey <= 1000
+        | GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "source_json_roundtrip" ->
       """SELECT l_orderkey, count(*) AS n_lines,
         |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |     AS cents

@@ -76,7 +76,8 @@ class InventorySpec extends SparkSpec {
     "cdc_snapshot_diff", "cdc_view_delta", "llm_sample_weighted",
     "cdc_view_minmax", "llm_dedup_semantic", "llm_hybrid_search",
     "stream_view_delta", "stream_view_minmax", "llm_quantile_rollup",
-    "llm_mmr_rerank", "llm_sketch_overlap", "window_session_native")
+    "llm_mmr_rerank", "llm_sketch_overlap", "window_session_native",
+    "source_json_roundtrip")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

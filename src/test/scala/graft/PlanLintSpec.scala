@@ -28,7 +28,7 @@ class PlanLintSpec extends SparkSpec {
     "cdc_shred_documents",
     // write a tmp CSV/ORC copy at construction time
     "source_csv_ingest", "source_orc_roundtrip", "source_text_ingest",
-    "source_partitioned_corpus",
+    "source_partitioned_corpus", "source_json_roundtrip",
     // stages per-payload binary files at construction time
     "llm_multimodal_ingest",
     // writes the z-clustered scratch copy at construction time
