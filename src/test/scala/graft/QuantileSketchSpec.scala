@@ -87,6 +87,49 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming build: per-batch summary rows roll up to the direct answer") {
+    import spark.implicits._
+    // the sketch table's streaming shape (the HLL table's round-5
+    // idiom): each micro-batch appends its own per-group summary rows;
+    // any later rollup merges summary ARRAYS across batches — raw rows
+    // are never revisited. Exact regime → equality, not approximation.
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"lang", $"n_chars")
+    val srcDir = tmpDir("qstream-src")
+    docs.filter(pmod(xxhash64($"source"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/b0")
+    docs.filter(pmod(xxhash64($"source"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$srcDir/b1")
+    val outDir = tmpDir("qstream-out")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("qstream-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy("source", "lang")
+          .agg(QuantileSketch.agg(256)(col("n_chars")).as("qs"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("source")
+      .agg(sum($"qs.n").as("n_docs"),
+        array_sort(flatten(collect_list($"qs.items"))).as("items"))
+      .select($"source", $"n_docs",
+        QuantileSketch.quantileCol($"items", $"n_docs", 0.9).as("p90"))
+    val direct = docs.groupBy("source")
+      .agg(QuantileSketch.agg(256)($"n_chars").as("qs"))
+      .select($"source", $"qs.n".as("n_docs"),
+        QuantileSketch.quantileCol(
+          array_sort($"qs.items"), $"qs.n", 0.9).as("p90"))
+    assert(streamed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(streamed).isEmpty,
+      "streaming-built quantile table rollup diverged from direct")
+  }
+
   test("rollup equals direct in the exact regime (DataFrame path)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
