@@ -25,9 +25,18 @@ object BenchProbe {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = time(); val warm = time(); val warm2 = time()
-      println(f"PROBE $name%-28s cold=$cold%6.2f warm=$warm%6.2f warm2=$warm2%6.2f")
-      (name, cold, warm.min(warm2))
+      val cold = time()
+      if (name.startsWith("stream_view")) {
+        // a repeat in the same session drains ZERO batches against the
+        // already-committed checkpoint — the warm number would time a
+        // no-op, not the maintainer; cold is the only honest sample
+        println(f"PROBE $name%-28s cold=$cold%6.2f warm=  (skipped: checkpoint already drained)")
+        (name, cold, cold)
+      } else {
+        val warm = time(); val warm2 = time()
+        println(f"PROBE $name%-28s cold=$cold%6.2f warm=$warm%6.2f warm2=$warm2%6.2f")
+        (name, cold, warm.min(warm2))
+      }
     }
     val totalCold = rows.map(_._2).sum
     val totalWarm = rows.map(_._3).sum

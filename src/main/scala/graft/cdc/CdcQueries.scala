@@ -113,10 +113,26 @@ object CdcQueries {
   /** Stage the synthetic ops feed as four version-page files under an
     * (appId, sfDir)-scoped scratch dir — the file-source backlog both
     * streaming view queries drain. Staged once per session per SF. */
+  /** Scratch roots this session has staged — each gets ONE shutdown
+    * hook deleting it, so appId-scoped aggview scratch never outlives
+    * the JVM that minted it (the dirs are worthless to any other
+    * session by construction: the appId in the name). */
+  private val stagedBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def stagedAggViewBase(s: SparkSession, d: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = s"/tmp/graft-aggview-${s.sparkContext.applicationId}-$digest"
+    if (stagedBases.add(base))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(base))
+        } catch { case _: Throwable => () }))
     val src = s"$base/src"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

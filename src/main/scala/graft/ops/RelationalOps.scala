@@ -334,9 +334,13 @@ object RelationalOps {
     * gaps-and-islands form: session_window windows are END-EXCLUSIVE,
     * so a gap of EXACTLY the timeout splits (diff ≥ gap breaks, not
     * diff > gap), and the emitted end is last event + gap — the oracle
-    * replays exactly that. */
+    * replays exactly that. Sessions split on MS-truncated time (same
+    * grain the oracle compares on), so a future sub-ms testdata
+    * generation cannot diverge the two engines at a boundary within
+    * 1 ms of the gap. */
   val windowSessionNative: Q = (s, d) =>
     Tables.events(s, d)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       .groupBy(col("user_id"),
         session_window(col("ts"), "6 hours").as("sw"))
       .agg(count(lit(1)).as("n_events"))

@@ -46,11 +46,18 @@ object EventStream {
   /** File-based changefeed source: new parquet files in `srcDir` are new
     * change batches. maxFilesPerTrigger bounds a micro-batch like the
     * reference's page `limit` (T3). `ts` is normalized to a micros
-    * TimestampType column whatever the files' physical encoding. */
+    * TimestampType column whatever the files' physical encoding.
+    * `tsTypeOverride` pins the encoding explicitly for the
+    * consumer-before-producer startup (empty srcDir at plan time, so
+    * the footer probe cannot see it): a legacy long-nanos producer that
+    * stages its first page after the reader starts MUST pass
+    * `Some(LongType)` or the declared schema will disagree with the
+    * file footers mid-drain. */
   def readFeed(spark: SparkSession, srcDir: String,
-               maxFilesPerTrigger: Int = 16): DataFrame = {
+               maxFilesPerTrigger: Int = 16,
+               tsTypeOverride: Option[DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = eventsTsType(spark, srcDir)
+    val tsType = tsTypeOverride.getOrElse(eventsTsType(spark, srcDir))
     val raw = spark.readStream
       .schema(eventsSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
