@@ -16,6 +16,12 @@ import graft.cdc.{AggView, Merge}
   *  - `log/batch_id=N/` — the change LOG, appended one partition per
   *    micro-batch (never rewritten; [[graft.cdc.Maintenance]]'s
   *    log-compaction pattern bounds it in steady state);
+  *  - `statecp/ebkt=K/` — the COMPACTED per-entity state checkpoint,
+  *    bucketed by entity hash ([[graft.plans.StateLayout]]'s layout
+  *    idea applied to the maintainer's own state): one pre-collapsed
+  *    row per entity (tombstones included — later folds still need to
+  *    out-version them), partition-pruned by the batch's touched
+  *    buckets at read time; `_gen` inside = the last batch folded in;
   *  - `view/` — the current (grp, n_rows, sum_cents) view, installed
   *    by [[DirSwap]], carrying its own `_gen` marker (the id of the
   *    last batch folded in) INSIDE the directory.
@@ -33,11 +39,15 @@ import graft.cdc.{AggView, Merge}
   * log rows, whether or not they reached disk before the crash.
   *
   * Scale shape (100 TB): per batch the log gains a batch-sized
-  * partition; the prior-state collapse is the one feed-wide aggregate
-  * (at deployment scale the log is compacted so this reads
-  * checkpoint + tail, and the semi-join prunes to touched entities);
-  * the view join is group-cardinality. Nothing is rewritten but the
-  * view — kilobytes — and the batch's own log partition.
+  * partition, and the prior state of the batch's keys is a
+  * PARTITION-PRUNED scan of the touched `statecp` buckets plus the
+  * uncompacted tail, semi-joined to the batch keys BELOW the collapse
+  * — never a feed-wide aggregate (the round-6 weak this layout
+  * closes); the view join is group-cardinality. Nothing is rewritten
+  * but the view — kilobytes — and the batch's own log partition; the
+  * bucketed checkpoint rewrites only inside the T6 maintenance
+  * window. This mirrors the reference's O(1) state read per poll
+  * (invoice-api/server.js:100-106).
   */
 object StreamingAggView {
 
@@ -69,9 +79,12 @@ object StreamingAggView {
     * separate marker file would reopen the double-apply hazard this
     * module exists to close). */
   def viewGen(spark: SparkSession, root: String,
-              viewDir: String = "view"): Long = {
-    DirSwap.restoreIfTorn(spark, s"$root/$viewDir",
-      if (viewDir == "view") "aggview" else "aggviewmm")
+              viewDir: String = "view",
+              tag: String = "aggview"): Long = {
+    // tag travels WITH the directory name (never derived from it): a
+    // third view family must declare its own (dir, tag) pair, so a torn
+    // swap can only ever restore that family's own .bak
+    DirSwap.restoreIfTorn(spark, s"$root/$viewDir", tag)
     val fs = fsOf(spark, root)
     val p = new Path(s"$root/$viewDir/_gen")
     if (!fs.exists(p)) -1L
@@ -97,11 +110,84 @@ object StreamingAggView {
         col("m.change_version").as("change_version"),
         col("m.change_operation").as("change_operation"))
 
+  /** Bucket count for the compacted state checkpoint. A layout-time
+    * choice like [[graft.plans.StateLayout.writeBucketed]]'s: at 100 TB
+    * size it so one bucket ≈ one comfortable scan task (~128 MB);
+    * 16 keeps the harness's partition-pruning observable. */
+  private[graft] val stateBuckets = 16
+
+  private[graft] def ebktOf(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(stateBuckets.toLong))
+
+  private def logSchema: StructType = batchSchema.add("batch_id", LongType)
+
+  private def stateCpSchema: StructType = batchSchema.add("ebkt", LongType)
+
+  /** The log read with its DECLARED schema — an empty (fully
+    * compacted) log dir must read as zero rows, not fail inference. */
+  private def readLog(spark: SparkSession, root: String): DataFrame = {
+    val logDir = s"$root/log"
+    if (fsOf(spark, root).exists(new Path(logDir)))
+      spark.read.schema(logSchema).parquet(logDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+  }
+
+  /** The id of the last batch folded into the compacted state
+    * checkpoint, or -1 before the first compaction. */
+  def stateGen(spark: SparkSession, root: String): Long =
+    viewGen(spark, root, "statecp", "aggviewstate")
+
+  private def readStateCp(spark: SparkSession, root: String): DataFrame =
+    DirSwap.readOrEmpty(spark, s"$root/statecp", stateCpSchema,
+      tag = "aggviewstate")
+
+  /** The live prior state STRICTLY before `batchId`: compacted
+    * checkpoint + uncompacted log tail, collapsed latest-op-wins,
+    * tombstones dropped. With `pageKeys` the derivation is scoped to
+    * those entities BEFORE the collapse — the checkpoint scan
+    * partition-prunes to the keys' buckets and the semi-join runs
+    * below the aggregate, so the per-batch cost is touched-buckets +
+    * tail, never snapshot-proportional. Without `pageKeys` it is the
+    * full prior snapshot (the min/max dirty-group rescan's input —
+    * group-pruned by its caller). */
+  private[graft] def priorState(spark: SparkSession, root: String,
+                                pageKeys: Option[DataFrame],
+                                batchId: Long): DataFrame = {
+    val g = stateGen(spark, root)
+    val tail = readLog(spark, root)
+      .filter(col("batch_id") > g && col("batch_id") < batchId)
+      .select("invoice_id", "change_version", "change_operation")
+    val withState =
+      if (g < 0) tail // no checkpoint yet: skip the state union AND the
+                      // driver-side bucket listing
+      else {
+        val state = pageKeys match {
+          case Some(keys) =>
+            // the buckets this batch touches — ≤ stateBuckets values,
+            // driver-bounded by construction
+            val bkts = keys.select(ebktOf(col("invoice_id")).as("b"))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            readStateCp(spark, root).filter(col("ebkt").isin(bkts: _*))
+          case None => readStateCp(spark, root)
+        }
+        state.select("invoice_id", "change_version", "change_operation")
+          .unionByName(tail)
+      }
+    val scoped = pageKeys match {
+      case Some(keys) => withState.join(keys.select("invoice_id"),
+        Seq("invoice_id"), "left_semi")
+      case None => withState
+    }
+    collapse(scoped).filter(col("change_operation") =!= "D")
+  }
+
   /** Shared per-batch mechanics: idempotent log append, then the
-    * prior/touched/merged states derived from the log STRICTLY before
-    * this batch — stable under redelivery whether or not this batch's
-    * partition reached disk. */
-  private case class BatchState(page: DataFrame, snap0: DataFrame,
+    * prior/touched/merged states derived from checkpoint + log
+    * STRICTLY before this batch — stable under redelivery whether or
+    * not this batch's partition reached disk. `snapFull` is lazy: only
+    * the min/max dirty-group rescan ever evaluates it. */
+  private case class BatchState(page: DataFrame, snapFull: () => DataFrame,
                                 touched0: DataFrame, newLive: DataFrame)
 
   private def appendAndDerive(spark: SparkSession, root: String,
@@ -111,17 +197,9 @@ object StreamingAggView {
     page.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(logDir)
-    val snap0 = spark.read.parquet(logDir)
-      .filter(col("batch_id") < batchId)
-      .groupBy(col("invoice_id"))
-      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
-      .select(col("invoice_id"),
-        col("m.change_version").as("change_version"),
-        col("m.change_operation").as("change_operation"))
-      .filter(col("change_operation") =!= "D")
-    val touched0 = snap0.join(page.select("invoice_id"),
-      Seq("invoice_id"), "left_semi")
-    BatchState(page, snap0, touched0, Merge.mergeUpsert(touched0, page))
+    val touched0 = priorState(spark, root, Some(page), batchId)
+    BatchState(page, () => priorState(spark, root, None, batchId),
+      touched0, Merge.mergeUpsert(touched0, page))
   }
 
   private def foldCountSum(spark: SparkSession, sfDir: String, root: String,
@@ -144,8 +222,8 @@ object StreamingAggView {
     * newLive — the v1 state derived from the log, no extra pass. */
   private def foldMinMax(spark: SparkSession, sfDir: String, root: String,
                          st: BatchState, batchId: Long): Unit = {
-    if (viewGen(spark, root, "viewmm") >= batchId) return
-    val snap1 = st.snap0.join(st.page.select("invoice_id"),
+    if (viewGen(spark, root, "viewmm", "aggviewmm") >= batchId) return
+    val snap1 = st.snapFull().join(st.page.select("invoice_id"),
       Seq("invoice_id"), "left_anti").unionByName(st.newLive)
     val oldView = DirSwap.readOrEmpty(spark, s"$root/viewmm", minMaxSchema,
       tag = "aggviewmm")
@@ -202,18 +280,22 @@ object StreamingAggView {
       .start()
   }
 
-  /** Compact the change log: collapse every applied batch to the
-    * latest row per entity — INCLUDING tombstones, which later folds
-    * still need to out-version — into one checkpoint partition at
-    * `batch_id = -1`, installed with DirSwap. `-1 < batchId` for every
-    * future batch, so [[appendAndDerive]]'s `batch_id < current`
-    * prior-state read is untouched; only batches up to `upTo` CLAMPED
-    * to the last FOLDED generation are folded in — an
-    * appended-but-unfolded partition from a torn crash window stays a
-    * separate partition whatever the caller asks. Run it from the T6
-    * maintenance window; between compactions the per-batch prior-state
-    * read costs checkpoint + tail, which is the standard log+compact
-    * trade. */
+  /** Compact the change log into the BUCKETED state checkpoint:
+    * collapse every applied batch to the latest row per entity —
+    * INCLUDING tombstones, which later folds still need to
+    * out-version — into `statecp/ebkt=K/` (entity-hash partitions, one
+    * file each), then trim the log to the uncompacted tail. Only
+    * batches up to `upTo` CLAMPED to the last FOLDED generation are
+    * folded in — an appended-but-unfolded partition from a torn crash
+    * window stays a log partition whatever the caller asks. The two
+    * installs are separately atomic and crash-ordered: the state swap
+    * commits `_gen = bound` first, and [[priorState]]'s
+    * `batch_id > stateGen` tail filter makes any not-yet-trimmed log
+    * partition invisible, so a crash between the installs double-counts
+    * nothing and the next compaction retries the trim. Run it from the
+    * T6 maintenance window; between compactions the per-batch
+    * prior-state read costs touched-buckets + tail, the standard
+    * log+compact trade. */
   def compactLog(spark: SparkSession, root: String,
                  upTo: Option[Long] = None): Unit = {
     val logDir = s"$root/log"
@@ -227,25 +309,33 @@ object StreamingAggView {
     // and vanish from the view
     // viewGen restores a torn swap before looking, so an
     // installed-but-torn view still bounds the compaction
-    val gens = Seq("view", "viewmm")
-      .map(g => viewGen(spark, root, g)).filter(_ >= 0)
+    val gens = Seq("view" -> "aggview", "viewmm" -> "aggviewmm")
+      .map { case (g, t) => viewGen(spark, root, g, t) }.filter(_ >= 0)
     val folded = if (gens.isEmpty) -1L else gens.min
     val bound = math.min(upTo.getOrElse(folded), folded)
     if (bound < 0) return
-    val compacted = spark.read.parquet(logDir)
-      .filter(col("batch_id") <= bound)
-      .groupBy(col("invoice_id"))
-      .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
-      .select(col("invoice_id"),
-        col("m.change_version").as("change_version"),
-        col("m.change_operation").as("change_operation"))
-      .withColumn("batch_id", lit(-1L))
-    val tail = spark.read.parquet(logDir)
-      .filter(col("batch_id") > bound)
-      .select("invoice_id", "change_version", "change_operation", "batch_id")
-    val next = compacted.unionByName(tail).localCheckpoint(true)
+    val g = stateGen(spark, root)
+    if (bound > g) {
+      val next = collapse(
+        readStateCp(spark, root)
+          .select("invoice_id", "change_version", "change_operation")
+          .unionByName(readLog(spark, root)
+            .filter(col("batch_id") > g && col("batch_id") <= bound)
+            .select("invoice_id", "change_version", "change_operation")))
+        .withColumn("ebkt", ebktOf(col("invoice_id")))
+        .localCheckpoint(true) // materialize BEFORE the dir it reads swaps
+      DirSwap.install(spark, s"$root/statecp", tag = "aggviewstate") { tmp =>
+        // repartition on ebkt so every bucket dir is written by exactly
+        // one task — one file per bucket, the pruning-friendly layout
+        next.repartition(stateBuckets, col("ebkt"))
+          .write.mode("overwrite").partitionBy("ebkt").parquet(tmp)
+        writeGenInto(spark, tmp, bound)
+      }
+    }
+    val tail = readLog(spark, root).filter(col("batch_id") > bound)
+      .localCheckpoint(true)
     DirSwap.install(spark, logDir, tag = "aggviewlog") { tmp =>
-      next.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+      tail.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     }
   }
 

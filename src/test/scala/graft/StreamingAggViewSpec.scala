@@ -110,16 +110,30 @@ class StreamingAggViewSpec extends SparkSpec {
       "min/max replay over the torn log diverges")
   }
 
+  /** The batch_id=N partition dirs present under the log (listing, not
+    * a parquet read — a fully-compacted log has no files to infer a
+    * schema from). */
+  private def logParts(root: String): Set[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$root/log")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).toSet
+  }
+
   test("log compaction preserves the fold: compact mid-stream, keep folding") {
-    import spark.implicits._
     val root = freshRoot("compact")
     StreamingAggView.applyBatch(spark, sf, root, page(0L, 700L), 0L)
     StreamingAggView.applyBatch(spark, sf, root, page(700L, 1500L), 1L)
     StreamingAggView.compactLog(spark, root)
-    // the compacted log is one checkpoint partition (+ nothing newer)
-    val parts = spark.read.parquet(s"$root/log")
-      .select("batch_id").distinct().as[Long].collect().toSet
-    assert(parts == Set(-1L), s"log partitions after compaction: $parts")
+    // both folded batches moved into the bucketed state checkpoint; the
+    // log keeps nothing newer
+    val parts = logParts(root)
+    assert(parts == Set.empty, s"log partitions after compaction: $parts")
+    assert(StreamingAggView.stateGen(spark, root) == 1L,
+      "state checkpoint generation must be the folded bound")
     // folds continue over the checkpoint exactly as over the raw log
     StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 2L)
     assertSame(viewAt(root), AggView.directView(spark, sf, 2500L),
@@ -134,7 +148,6 @@ class StreamingAggViewSpec extends SparkSpec {
   }
 
   test("an unfolded (torn) tail partition survives compaction unfolded") {
-    import spark.implicits._
     val root = freshRoot("compact-torn")
     StreamingAggView.applyBatch(spark, sf, root, page(0L, 1500L), 0L)
     // batch 1 reaches the log but not the view (the crash window)
@@ -150,14 +163,68 @@ class StreamingAggViewSpec extends SparkSpec {
     // even an EXPLICIT over-ask must clamp to the folded generation —
     // folding the torn partition would make its replay a zero delta
     StreamingAggView.compactLog(spark, root, upTo = Some(1L))
-    val parts = spark.read.parquet(s"$root/log")
-      .select("batch_id").distinct().as[Long].collect().toSet
-    assert(parts == Set(-1L, 1L),
-      s"the unfolded tail must stay a separate partition: $parts")
+    val parts = logParts(root)
+    assert(parts == Set(1L),
+      s"the unfolded tail must stay a log partition: $parts")
+    assert(StreamingAggView.stateGen(spark, root) == 0L,
+      "the torn batch must not reach the state checkpoint")
     // restart redelivers batch 1; the fold sees checkpoint + its page
     StreamingAggView.applyBatch(spark, sf, root, page(1500L, 2500L), 1L)
     assertSame(viewAt(root), AggView.directView(spark, sf, 2500L),
       "replay after compaction-with-torn-tail diverges")
+  }
+
+  test("per-batch prior-state derivation partition-prunes the state checkpoint") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val root = freshRoot("bucket")
+    // fold a WIDE batch so the compacted checkpoint populates many
+    // entity buckets, then a SMALL page that touches only a few
+    StreamingAggView.applyBatch(spark, sf, root, page(0L, Long.MaxValue), 0L)
+    StreamingAggView.compactLog(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/statecp"))
+      .map(_.getPath.getName).count(_.startsWith("ebkt="))
+    // a 3-entity page: at most 3 of the 16 buckets can be touched
+    val small = page(0L, 200L).limit(3).localCheckpoint(true)
+    val touchedBkts = small
+      .select(StreamingAggView.ebktOf(col("invoice_id")).as("b"))
+      .distinct().count()
+    assert(touchedBkts > 0, "need a non-empty probe page")
+    assert(touchedBkts < bucketDirs,
+      s"probe must touch fewer buckets ($touchedBkts) than exist ($bucketDirs)")
+    val derived = StreamingAggView.priorState(spark, root, Some(small), 1L)
+    // execute THIS plan (an outer .count() would run a different
+    // QueryExecution and leave these metrics empty), then read the
+    // state scan's file count off the executed plan
+    derived.queryExecution.executedPlan.execute().count()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val stateScans = scans(derived.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("statecp")))
+    assert(stateScans.nonEmpty, "expected a parquet scan of the checkpoint")
+    assert(stateScans.forall(_.partitionFilters.nonEmpty),
+      "the checkpoint scan must carry a partition filter on ebkt")
+    val filesRead = stateScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead <= touchedBkts,
+      s"read $filesRead checkpoint files for $touchedBkts touched buckets")
+    assert(filesRead < bucketDirs,
+      s"read every bucket ($filesRead of $bucketDirs): pruning is dead")
+    // and the derivation itself is still exactly the prior live state
+    // of the page's keys
+    assertSame(derived,
+      graft.cdc.Merge.liveSnapshot(spark, sf, Long.MaxValue)
+        .join(small.select("invoice_id").distinct(),
+          Seq("invoice_id"), "left_semi"),
+      "pruned derivation diverges from the live snapshot")
   }
 
   test("the streaming maintainer drains staged pages to the direct view") {
