@@ -24,11 +24,34 @@ import org.apache.spark.sql.SparkSession
   */
 object CorpusCache {
 
+  /** One monitor per cache key: concurrent same-JVM resolves of one
+    * key serialize, so exactly ONE build runs and the rest serve it. */
+  private val keyMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def isComplete(dir: java.io.File, markers: Seq[String]): Boolean =
+    markers.forall(mk => new java.io.File(dir, mk).exists())
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(); ()
+  }
+
   /** Resolve the cache dir for (`srcPath`, `tag`), invoking `build` on
     * a miss. `prefix` names the artifact family (`graft-ivf`,
     * `graft-pq`, ...); `markers` are file names inside the dir whose
     * joint existence marks a completed build — `build` must write
-    * every one of them, sentinels last. */
+    * every one of them, sentinels last.
+    *
+    * Concurrency: a build writes into a UUID-salted TEMP SIBLING and
+    * publishes with one atomic rename (the DirSwap idiom), so two
+    * sessions racing the same key can never interleave writes into the
+    * served directory — the first complete build wins, the loser
+    * discards its own and serves the winner's. Within one JVM a
+    * per-key monitor collapses the race entirely: one build runs,
+    * every concurrent resolve blocks and serves it. A crash mid-build
+    * orphans only its temp sibling (never the served key), rebuilt-over
+    * on the next miss. */
   def resolve(spark: SparkSession, srcPath: String, prefix: String,
               tag: String, markers: Seq[String])
              (build: java.io.File => Unit): java.io.File = {
@@ -42,8 +65,30 @@ object CorpusCache {
       .map("%02x".format(_)).mkString
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"$prefix-$key")
-    if (!markers.forall(mk => new java.io.File(dir, mk).exists()))
-      build(dir)
+    val monitor = keyMonitors.computeIfAbsent(s"$prefix-$key",
+      _ => new AnyRef)
+    monitor.synchronized {
+      if (!isComplete(dir, markers)) {
+        val tmp = new java.io.File(dir.getParentFile,
+          s"$prefix-$key.build-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        build(tmp)
+        require(isComplete(tmp, markers),
+          s"graft cache: build for $prefix-$key did not write all markers")
+        if (!tmp.renameTo(dir)) {
+          // the key path is occupied: either another PROCESS published a
+          // complete build first (serve it), or a stale partial dir from
+          // a crashed marker-era build squats there (replace it)
+          if (!isComplete(dir, markers)) {
+            deleteTree(dir)
+            if (!tmp.renameTo(dir) && !isComplete(dir, markers))
+              throw new java.io.IOException(
+                s"graft cache: cannot publish $dir")
+          }
+          deleteTree(tmp)
+        }
+      }
+    }
     dir
   }
 

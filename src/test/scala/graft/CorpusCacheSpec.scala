@@ -1,0 +1,94 @@
+package graft
+
+import graft.llm.CorpusCache
+import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** CorpusCache concurrency and crash-residue behavior: interleaved
+  * resolves of one key must run ONE build and both serve a complete
+  * artifact; a partial (crashed) occupant of the key path is replaced,
+  * never served. */
+class CorpusCacheSpec extends SparkSpec {
+
+  private val src = s"$sf/orders.parquet"
+  private val markers = Seq("_DONE")
+
+  private def freshTag(): String = s"spec-${System.nanoTime()}"
+
+  test("two interleaved resolves of one key run one build, both serve it") {
+    val tag = freshTag()
+    val builds = new AtomicInteger(0)
+    val started = new CyclicBarrier(2)
+    val inBuild = new CountDownLatch(1)
+    def resolveOnce(): java.io.File = {
+      started.await(10, TimeUnit.SECONDS)
+      CorpusCache.resolve(spark, src, "graft-cachespec", tag, markers) { d =>
+        builds.incrementAndGet()
+        inBuild.countDown()
+        d.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(d, "payload").toPath, "artifact")
+        Thread.sleep(300) // hold the build open so the second resolve
+                          // provably overlaps it, not follows it
+        CorpusCache.touchMarker(d, "_DONE")
+      }
+    }
+    var a: java.io.File = null
+    var b: java.io.File = null
+    val t1 = new Thread(() => a = resolveOnce())
+    val t2 = new Thread(() => b = resolveOnce())
+    t1.start(); t2.start()
+    assert(inBuild.await(10, TimeUnit.SECONDS), "no build ever started")
+    t1.join(30000); t2.join(30000)
+    assert(builds.get() == 1,
+      s"interleaved resolves ran ${builds.get()} builds, want exactly 1")
+    for (d <- Seq(a, b)) {
+      assert(d != null, "a resolve never returned")
+      assert(new java.io.File(d, "_DONE").exists(), s"incomplete artifact at $d")
+      assert(java.nio.file.Files.readString(
+        new java.io.File(d, "payload").toPath) == "artifact")
+    }
+    assert(a.getCanonicalPath == b.getCanonicalPath)
+  }
+
+  test("a partial occupant of the key path is replaced by a fresh build") {
+    val tag = freshTag()
+    // first resolve to learn the key dir, then maul it into the shape a
+    // crashed marker-era build leaves: payload present, marker missing
+    val dir = CorpusCache.resolve(spark, src, "graft-cachespec", tag,
+      markers) { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "payload").toPath, "v1")
+      CorpusCache.touchMarker(d, "_DONE")
+    }
+    new java.io.File(dir, "_DONE").delete()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "payload").toPath, "torn")
+    val again = CorpusCache.resolve(spark, src, "graft-cachespec", tag,
+      markers) { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "payload").toPath, "v2")
+      CorpusCache.touchMarker(d, "_DONE")
+    }
+    assert(again.getCanonicalPath == dir.getCanonicalPath)
+    assert(java.nio.file.Files.readString(
+      new java.io.File(again, "payload").toPath) == "v2",
+      "the torn occupant must be rebuilt, not served")
+    assert(new java.io.File(again, "_DONE").exists())
+  }
+
+  test("a complete artifact is served without re-building") {
+    val tag = freshTag()
+    val builds = new AtomicInteger(0)
+    def once(): java.io.File =
+      CorpusCache.resolve(spark, src, "graft-cachespec", tag, markers) { d =>
+        builds.incrementAndGet()
+        d.mkdirs()
+        CorpusCache.touchMarker(d, "_DONE")
+      }
+    once(); once()
+    assert(builds.get() == 1, "a warm key must serve, not rebuild")
+  }
+}
