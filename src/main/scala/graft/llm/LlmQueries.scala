@@ -133,6 +133,21 @@ object LlmQueries {
       .orderBy("group_a", "group_b")
   }
 
+  /** N4''## — per-source NET-NEW content via theta a-not-b: from the
+    * same sketch table as the overlap matrix, |source \ ∪(others)| —
+    * "what does this source add that no other source has?", the
+    * difference leg of the dedup-planning set algebra. Exact below
+    * sketch capacity → real oracle. */
+  val sketchDifferenceQ: Q = (s, d) => {
+    val fps = Tables.documents(s, d)
+      .select(col("source"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    graft.ops.SketchTable
+      .thetaDifferenceVsRest(
+        graft.ops.SketchTable.buildTheta(fps, "source", "fp"), "source")
+      .orderBy("source")
+  }
+
   /** N3'''''' — MMR diversified rerank over the exact top-50 pool:
     * greedy λ=0.70 relevance-vs-redundancy selection, integer e6
     * cosines, deterministic ties. No SQL oracle (iterative greedy);
@@ -153,12 +168,24 @@ object LlmQueries {
     * (integer TF-IDF over the query terms) and vector (exact cosine vs
     * doc 0's embedding) rankings — the retrieval shape RAG serving
     * uses, with engine-exact integer fusion so the DuckDB oracle
-    * replays it bit-for-bit. */
-  val hybridSearchQ: Q = (s, d) =>
-    SimSearch.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+    * replays it bit-for-bit. The lexical pool SERVES from the
+    * persisted postings index (built once per corpus identity via
+    * [[CorpusCache]], like PQ's codebook): the steady-state query
+    * reads only the three query terms' postings buckets — the corpus
+    * token scan is a build-time cost. Spec-pinned hash-identical to
+    * the scan form (LlmSpec). */
+  val hybridSearchQ: Q = (s, d) => {
+    val idx = CorpusCache.resolve(s, s"$d/documents.parquet",
+        "graft-postings", "tok-v1|b64", Seq("_POSTINGS_OK")) { dir =>
+      SimSearch.buildPostingsIndex(Tables.documents(s, d), "doc_id",
+        "text", dir.getPath)
+      CorpusCache.touchMarker(dir, "_POSTINGS_OK")
+    }
+    SimSearch.hybridTopKIndexed(Tables.embeddings(s, d), idx.getPath,
       "doc_id", "vec_id", "embedding",
       Seq("spark", "join", "window"), queryId = 0L, k = 20)
       .orderBy("doc_id")
+  }
 
   /** N3' — ANN flavor (hyperplane LSH + multiprobe + exact rerank),
     * served from the IVF bucketed layout: the declared query builds the
@@ -910,6 +937,7 @@ object LlmQueries {
     "llm_quantile_rollup" -> quantileRollupQ,
     "llm_mmr_rerank" -> mmrRerankQ,
     "llm_sketch_overlap" -> sketchOverlapQ,
+    "llm_sketch_difference" -> sketchDifferenceQ,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_simsearch_ann" -> simsearchAnn,
     "llm_simsearch_topk_agg" -> simsearchTopkAgg,
@@ -1132,6 +1160,21 @@ object LlmQueries {
         |   JOIN cnt cb ON cb.source = p.gb
         |   LEFT JOIN o ON o.ga = p.ga AND o.gb = p.gb
         | ORDER BY group_a, group_b""".stripMargin,
+    "llm_sketch_difference" ->
+      // exact-regime replay: distinct fingerprints of each source found
+      // in NO other source (theta a-not-b is exact below capacity)
+      """WITH f AS (SELECT DISTINCT source,
+        |     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |   FROM documents),
+        | cnt AS (SELECT source, count(*) AS n FROM f GROUP BY source),
+        | nn AS (SELECT f.source, count(*) AS c FROM f
+        |   WHERE NOT EXISTS (SELECT 1 FROM f o
+        |     WHERE o.fp = f.fp AND o.source <> f.source)
+        |   GROUP BY f.source)
+        | SELECT cnt.source AS source, CAST(cnt.n AS BIGINT) AS n_distinct,
+        |   CAST(coalesce(nn.c, 0) AS BIGINT) AS n_only
+        | FROM cnt LEFT JOIN nn ON nn.source = cnt.source
+        | ORDER BY cnt.source""".stripMargin,
     "llm_quantile_rollup" ->
       // exact-regime replay of the sketch's rank walk: value at the
       // ceil(q*n)-th position in per-source value order

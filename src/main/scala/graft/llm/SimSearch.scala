@@ -283,10 +283,13 @@ object SimSearch {
     * Scale shape: both pools come off TakeOrderedAndProject (per-
     * partition top-k, driver merge — no global sort, no corpus
     * shuffle); ranks come from the pool-squared [[poolRank]] join, and
-    * the fusion join is poolSize × poolSize. The corpus-sized work is
-    * one token scan (lexical) and one vector scan — at deployment scale
-    * the vector pool would come from the IVF-PQ index instead; the
-    * fusion algebra is identical whatever produced the pools. */
+    * the fusion join is poolSize × poolSize. This SCAN form pays one
+    * token scan per query on the lexical side — the serving shape is
+    * [[hybridTopKIndexed]] over the persisted postings index, whose
+    * per-query lexical cost is the query terms' postings, not the
+    * corpus; the vector pool would likewise come from the IVF-PQ index
+    * at deployment scale. The fusion algebra is identical whatever
+    * produced the pools ([[rrfFuse]], shared). */
   def hybridTopK(docs: DataFrame, emb: DataFrame, docIdCol: String,
                  vecIdCol: String, vecCol: String, queryTerms: Seq[String],
                  queryId: Long, k: Int, poolSize: Int = 100,
@@ -302,28 +305,138 @@ object SimSearch {
       .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val kwPool = poolRank(
+    val kwPool =
       tf.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(n))
         .withColumn("idf_e4",
           round(log(col("n").cast("double") / col("df")) * 10000).cast("long"))
         .groupBy(col(docIdCol))
         .agg(sum(col("tf") * col("idf_e4")).as("score_e4"))
-        .orderBy(col("score_e4").desc, col(docIdCol)).limit(poolSize),
-      "score_e4", docIdCol, "rank_kw")
+        .orderBy(col("score_e4").desc, col(docIdCol)).limit(poolSize)
+    val vecPool = vectorPool(emb, vecIdCol, vecCol, queryId, poolSize)
+    rrfFuse(kwPool, vecPool, docIdCol, vecIdCol, k, rrfK)
+  }
+
+  /** The exact-cosine vector pool both hybrid forms share. */
+  private def vectorPool(emb: DataFrame, vecIdCol: String, vecCol: String,
+                         queryId: Long, poolSize: Int): DataFrame = {
     val q = emb.filter(col(vecIdCol) === queryId)
       .select(col(vecCol).as("qv"))
-    val vecPool = poolRank(
-      emb.join(broadcast(q))
-        .select(col(vecIdCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
-        .orderBy(col("cos_e6").desc, col(vecIdCol)).limit(poolSize),
-      "cos_e6", vecIdCol, "rank_vec")
-    kwPool.join(vecPool, Seq("id"), "full_outer")
+    emb.join(broadcast(q))
+      .select(col(vecIdCol), cosineE6(col(vecCol), col("qv")).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(vecIdCol)).limit(poolSize)
+  }
+
+  /** The RRF fusion step both hybrid forms share: rank each bounded
+    * pool ([[poolRank]]), fuse with integer reciprocal ranks, return
+    * the top `k`. */
+  private def rrfFuse(kwPool: DataFrame, vecPool: DataFrame,
+                      docIdCol: String, vecIdCol: String, k: Int,
+                      rrfK: Int): DataFrame = {
+    val kwRanked = poolRank(kwPool, "score_e4", docIdCol, "rank_kw")
+    val vecRanked = poolRank(vecPool, "cos_e6", vecIdCol, "rank_vec")
+    kwRanked.join(vecRanked, Seq("id"), "full_outer")
       .select(col("id").as(docIdCol),
         (coalesce(expr(s"1000000000 div ($rrfK + rank_kw)"), lit(0L)) +
           coalesce(expr(s"1000000000 div ($rrfK + rank_vec)"), lit(0L)))
           .as("rrf_e9"),
         col("rank_kw"), col("rank_vec"))
       .orderBy(col("rrf_e9").desc, col(docIdCol)).limit(k)
+  }
+
+  // ------------------------------------------------- postings index --
+
+  /** Term-hash bucket count for the postings layout: a query's terms
+    * prune to ≤ |terms| of these directories. */
+  private[graft] val termBuckets = 64
+
+  /** Driver-side twin of `pmod(xxhash64(term), termBuckets)` — same
+    * seed-42 hash Spark's `xxhash64` function evaluates, so the probe
+    * set enumerated here prunes exactly the partitions the build
+    * wrote. */
+  private[graft] def termBucket(term: String): Long = {
+    val h = XxHash64(Seq(Literal(term)), 42L).eval(null)
+      .asInstanceOf[Long]
+    ((h % termBuckets) + termBuckets) % termBuckets
+  }
+
+  /** Build the persisted LEXICAL index under `path`: the full
+    * term→(doc, tf) postings table partitioned by term-hash bucket
+    * (`postings/tbkt=K/` — terms stay data, only the hash is a
+    * directory, so any token is safe), the per-term df table in the
+    * same layout (`df/tbkt=K/`), and the corpus row count in `_N`.
+    * One token scan at BUILD time; every query thereafter reads only
+    * its terms' buckets. The structural twin of the IVF-PQ build:
+    * corpus-sized once, persisted via [[CorpusCache]], serving cost
+    * bounded by what the query touches. */
+  def buildPostingsIndex(docs: DataFrame, docIdCol: String,
+                         textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    val tf = docs
+      .select(col(docIdCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("tbkt", pmod(xxhash64(col("term")),
+        lit(termBuckets.toLong)))
+    tf.repartition(termBuckets, col("tbkt"))
+      .write.mode("overwrite").partitionBy("tbkt")
+      .parquet(s"$path/postings")
+    // df from the WRITTEN postings — no second tokenize pass
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("tbkt"), col("term")).agg(count(lit(1)).as("df"))
+      .repartition(termBuckets, col("tbkt"))
+      .write.mode("overwrite").partitionBy("tbkt").parquet(s"$path/df")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_N"),
+      docs.count().toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def postingsSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("term STRING, doc_id BIGINT, tf BIGINT, tbkt BIGINT")
+  private def dfSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("term STRING, df BIGINT, tbkt BIGINT")
+
+  /** The lexical top-`poolSize` served from the postings index: read
+    * ONLY the query terms' buckets (partition-pruned) and rows
+    * (`term IN`), join the pruned df slice, score with the identical
+    * integer TF-IDF algebra as the scan form. Per-query cost is
+    * postings-of-terms-sized — corpus size appears nowhere. */
+  private def lexicalPoolIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, docIdCol: String,
+                                 queryTerms: Seq[String], poolSize: Int)
+      : DataFrame = {
+    val bkts = queryTerms.map(termBucket).distinct
+    val posts = spark.read.schema(postingsSchema)
+      .parquet(s"$indexPath/postings")
+      .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))
+    val dfreq = spark.read.schema(dfSchema).parquet(s"$indexPath/df")
+      .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))
+      .select("term", "df")
+    val n = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(indexPath, "_N")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    posts.join(broadcast(dfreq), "term")
+      .withColumn("idf_e4",
+        round(log(lit(n).cast("double") / col("df")) * 10000).cast("long"))
+      .groupBy(col("doc_id").as(docIdCol))
+      .agg(sum(col("tf") * col("idf_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col(docIdCol)).limit(poolSize)
+  }
+
+  /** [[hybridTopK]] served from the persisted postings index: same
+    * output, bit for bit (spec-pinned) — the lexical pool reads the
+    * query terms' postings instead of token-scanning the corpus. */
+  def hybridTopKIndexed(emb: DataFrame, indexPath: String, docIdCol: String,
+                        vecIdCol: String, vecCol: String,
+                        queryTerms: Seq[String], queryId: Long, k: Int,
+                        poolSize: Int = 100, rrfK: Int = 60): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val kwPool = lexicalPoolIndexed(spark, indexPath, docIdCol,
+      queryTerms, poolSize)
+    val vecPool = vectorPool(emb, vecIdCol, vecCol, queryId, poolSize)
+    rrfFuse(kwPool, vecPool, docIdCol, vecIdCol, k, rrfK)
   }
 }

@@ -42,10 +42,41 @@ object SketchTable {
     * carries a real DuckDB oracle at the verify scales. */
   def buildTheta(df: DataFrame, groupCol: String,
                  valueCol: String): DataFrame =
+    // one sketch aggregate per group; n_distinct is a post-projection
+    // over the finished sketch, not a second aggregate Catalyst has to
+    // recognize as a duplicate
     df.groupBy(col(groupCol))
-      .agg(expr(s"theta_sketch_agg($valueCol)").as("sketch"),
-        expr(s"CAST(theta_sketch_estimate(theta_sketch_agg($valueCol)) AS BIGINT)")
-          .as("n_distinct"))
+      .agg(expr(s"theta_sketch_agg($valueCol)").as("sketch"))
+      .withColumn("n_distinct",
+        expr("CAST(theta_sketch_estimate(sketch) AS BIGINT)"))
+
+  /** Per-group set DIFFERENCE vs the rest, from the sketch table
+    * alone: |A \ ∪(others)| — "how much NET-NEW content does source A
+    * hold?", the complement of [[thetaOverlapMatrix]] that completes
+    * the dedup-planning set algebra (union via rollup, intersection
+    * via the matrix, difference here). Work is S×(S−1) kilobyte
+    * unions + S a-not-b's — the raw corpus is never re-joined. Exact
+    * below the sketches' nominal capacity (estimates on exact-mode
+    * sketches replay set algebra exactly), so the declared query
+    * carries a real oracle at the verify scales. A lone group has no
+    * rest to subtract: its net-new count is its own distinct count. */
+  def thetaDifferenceVsRest(thetaTable: DataFrame,
+                            groupCol: String): DataFrame = {
+    val a = thetaTable.select(col(groupCol).as("__g"),
+      col("sketch").as("sketch_a"), col("n_distinct").as("n_a"))
+    val b = thetaTable.select(col(groupCol).as("__gb"),
+      col("sketch").as("sketch_b"))
+    val rest = a.select("__g").join(b, col("__g") =!= col("__gb"))
+      .groupBy(col("__g"))
+      .agg(expr("theta_union_agg(sketch_b)").as("rest"))
+    a.join(rest, Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        col("n_a").as("n_distinct"),
+        when(col("rest").isNull, col("n_a"))
+          .otherwise(expr("CAST(theta_sketch_estimate(" +
+            "theta_difference(sketch_a, rest)) AS BIGINT)"))
+          .as("n_only"))
+  }
 
   /** The pairwise overlap matrix from a theta sketch table: for every
     * unordered group pair, the (estimated; exact below capacity)

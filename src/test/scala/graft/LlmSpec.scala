@@ -267,6 +267,43 @@ class LlmSpec extends SparkSpec {
     assert(got == fused, s"fusion mismatch: got $got want $fused")
   }
 
+  test("N3'''': indexed hybrid == scan hybrid, reading only the terms' buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("spark", "join", "window")
+    val idx = tmpDir("graft-postings-spec")
+    SimSearch.buildPostingsIndex(docs, "doc_id", "text", idx)
+    val scan = SimSearch.hybridTopK(docs, emb, "doc_id", "vec_id",
+      "embedding", terms, queryId = 0L, k = 20).orderBy("doc_id")
+    val served = SimSearch.hybridTopKIndexed(emb, idx, "doc_id", "vec_id",
+      "embedding", terms, queryId = 0L, k = 20).orderBy("doc_id")
+    assert(served.collect().toSeq == scan.collect().toSeq,
+      "postings-served hybrid diverges from the scan form")
+    // the lexical side must be partition-pruned to ≤ |terms| buckets
+    served.queryExecution.executedPlan.execute().count()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val postScans = scans(served.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(idx)))
+    assert(postScans.nonEmpty, "expected parquet scans of the index")
+    assert(postScans.forall(_.partitionFilters.nonEmpty),
+      "index scans must carry a tbkt partition filter")
+    val maxBkts = terms.map(SimSearch.termBucket).distinct.size
+    postScans.foreach { sc =>
+      val files = sc.metrics("numFiles").value
+      assert(files <= maxBkts,
+        s"index scan read $files files for $maxBkts term buckets")
+    }
+  }
+
   test("N3'''''': MMR greedy invariant re-verified from an independent cosine matrix") {
     val emb = Tables.embeddings(spark, sf)
     val k = 8
