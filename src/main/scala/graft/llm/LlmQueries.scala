@@ -174,18 +174,21 @@ object LlmQueries {
     * reads only the three query terms' postings buckets — the corpus
     * token scan is a build-time cost. Spec-pinned hash-identical to
     * the scan form (LlmSpec). */
-  val hybridSearchQ: Q = (s, d) => {
-    val idx = CorpusCache.resolve(s, s"$d/documents.parquet",
+  /** The persisted postings index for the documents corpus (built once
+    * per corpus identity, shared by every lexical-serving query). */
+  private def postingsResolved(s: SparkSession, d: String): String =
+    CorpusCache.resolve(s, s"$d/documents.parquet",
         "graft-postings", "tok-v1|b64", Seq("_POSTINGS_OK")) { dir =>
       SimSearch.buildPostingsIndex(Tables.documents(s, d), "doc_id",
         "text", dir.getPath)
       CorpusCache.touchMarker(dir, "_POSTINGS_OK")
-    }
-    SimSearch.hybridTopKIndexed(Tables.embeddings(s, d), idx.getPath,
-      "doc_id", "vec_id", "embedding",
+    }.getPath
+
+  val hybridSearchQ: Q = (s, d) =>
+    SimSearch.hybridTopKIndexed(Tables.embeddings(s, d),
+      postingsResolved(s, d), "doc_id", "vec_id", "embedding",
       Seq("spark", "join", "window"), queryId = 0L, k = 20)
       .orderBy("doc_id")
-  }
 
   /** N3' — ANN flavor (hyperplane LSH + multiprobe + exact rerank),
     * served from the IVF bucketed layout: the declared query builds the
@@ -571,7 +574,11 @@ object LlmQueries {
     * leaves one missing and the next query rebuilds. Rows-only like
     * the other trained-index queries; PqSpec pins recall and the
     * partition pruning. */
-  val simsearchIvfPqQ: Q = (s, d) => {
+  /** The persisted IVF-PQ layout + codebook for the embeddings corpus
+    * (geometry m=8, ks=16, planes=6) — shared by every query that
+    * serves a vector pool from the index. */
+  private def ivfPqResolved(s: SparkSession, d: String)
+      : (String, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, d)
     val (m, dims, ks, planes) = (8, 64, 16, 6)
     val layout = CorpusCache.resolve(s, s"$d/embeddings.parquet",
@@ -585,10 +592,45 @@ object LlmQueries {
         .parquet(new java.io.File(dir, "_codebook").getPath)
       CorpusCache.touchMarker(dir, "_CB_OK")
     }
-    val cb = s.read.parquet(new java.io.File(layout, "_codebook").getPath)
-    Pq.ivfPqTopK(emb, layout.getPath, cb, "vec_id", "embedding",
-      queryId = 0L, k = 20, m, dims, ks, planes, probeHamming = 3,
-      overfetch = 6)
+    (layout.getPath,
+      s.read.parquet(new java.io.File(layout, "_codebook").getPath))
+  }
+
+  val simsearchIvfPqQ: Q = (s, d) => {
+    val (layout, cb) = ivfPqResolved(s, d)
+    Pq.ivfPqTopK(Tables.embeddings(s, d), layout, cb, "vec_id",
+      "embedding", queryId = 0L, k = 20, m = 8, dims = 64, ks = 16,
+      planes = 6, probeHamming = 3, overfetch = 6)
+  }
+
+  /** N3''''''@idx — MMR rerank whose relevance pool comes from the
+    * persisted IVF-PQ probe instead of the exact corpus scan: the
+    * documented deployment composition (pool from the index, greedy
+    * over the bounded pool). Rows-only; LlmSpec pins the selection
+    * overlap against the exact-pool MMR. */
+  val mmrRerankIvfPqQ: Q = (s, d) => {
+    val (layout, cb) = ivfPqResolved(s, d)
+    val pool = Pq.ivfPqTopK(Tables.embeddings(s, d), layout, cb,
+      "vec_id", "embedding", queryId = 0L, k = 50, m = 8, dims = 64,
+      ks = 16, planes = 6, probeHamming = 3, overfetch = 6)
+    SimSearch.mmrRerankFromPool(Tables.embeddings(s, d), pool,
+      "vec_id", "embedding", k = 10, lambdaE2 = 70)
+      .orderBy("mmr_rank")
+  }
+
+  /** N3''''@idx — hybrid retrieval with BOTH pools index-served:
+    * lexical from the postings index, vector from the IVF-PQ probe —
+    * no corpus-sized scan anywhere in the query path. Rows-only;
+    * LlmSpec pins the fused-set overlap against the exact-pool
+    * hybrid and the lexical ranks bit-equal. */
+  val hybridSearchIvfPqQ: Q = (s, d) => {
+    val (layout, cb) = ivfPqResolved(s, d)
+    val vecPool = Pq.ivfPqTopK(Tables.embeddings(s, d), layout, cb,
+      "vec_id", "embedding", queryId = 0L, k = 100, m = 8, dims = 64,
+      ks = 16, planes = 6, probeHamming = 3, overfetch = 6)
+    SimSearch.hybridTopKWithPool(s, postingsResolved(s, d), vecPool,
+      "doc_id", "vec_id", Seq("spark", "join", "window"), k = 20)
+      .orderBy("doc_id")
   }
 
   /** N1'' — containment dedup: documents whose token sequence appears
@@ -936,6 +978,8 @@ object LlmQueries {
     "llm_hybrid_search" -> hybridSearchQ,
     "llm_quantile_rollup" -> quantileRollupQ,
     "llm_mmr_rerank" -> mmrRerankQ,
+    "llm_mmr_rerank_ivfpq" -> mmrRerankIvfPqQ,
+    "llm_hybrid_search_ivfpq" -> hybridSearchIvfPqQ,
     "llm_sketch_overlap" -> sketchOverlapQ,
     "llm_sketch_difference" -> sketchDifferenceQ,
     "llm_simsearch_topk" -> simsearchTopk,

@@ -216,12 +216,22 @@ object SimSearch {
     * result returns as a local relation. */
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int, poolSize: Int = 50,
-                lambdaE2: Int = 70): DataFrame = {
-    require(k > 0 && poolSize >= k && lambdaE2 >= 0 && lambdaE2 <= 100)
+                lambdaE2: Int = 70): DataFrame =
+    mmrRerankFromPool(emb,
+      bruteForceTopK(emb, idCol, vecCol, queryId, poolSize),
+      idCol, vecCol, k, lambdaE2)
+
+  /** [[mmrRerank]] over a CALLER-SUPPLIED relevance pool
+    * (`(idCol, cos_e6)` rows — e.g. the IVF-PQ probe instead of the
+    * exact corpus scan, the documented deployment shape): identical
+    * greedy selection over whatever pool arrives. */
+  def mmrRerankFromPool(emb: DataFrame, rawPool: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        lambdaE2: Int = 70): DataFrame = {
+    require(k > 0 && lambdaE2 >= 0 && lambdaE2 <= 100)
     val spark = emb.sparkSession
     VectorFunctions.register(spark)
-    val pool = bruteForceTopK(emb, idCol, vecCol, queryId, poolSize)
-      .localCheckpoint(true)
+    val pool = rawPool.localCheckpoint(true)
     // pairwise cosines WITHIN the bounded pool: pool² rows, Spark-side
     val vecs = pool.select(col(idCol)).join(emb, idCol)
       .select(col(idCol).as("pid"), col(vecCol).as("pv"))
@@ -437,6 +447,21 @@ object SimSearch {
     val kwPool = lexicalPoolIndexed(spark, indexPath, docIdCol,
       queryTerms, poolSize)
     val vecPool = vectorPool(emb, vecIdCol, vecCol, queryId, poolSize)
+    rrfFuse(kwPool, vecPool, docIdCol, vecIdCol, k, rrfK)
+  }
+
+  /** The fully-index-served hybrid: postings-index lexical pool fused
+    * with a CALLER-SUPPLIED vector pool (`(vecIdCol, cos_e6)` rows —
+    * e.g. the IVF-PQ probe). Both corpus-sized scans are gone from the
+    * query path; the fusion algebra is [[rrfFuse]], unchanged. */
+  def hybridTopKWithPool(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, vecPool: DataFrame,
+                         docIdCol: String, vecIdCol: String,
+                         queryTerms: Seq[String], k: Int,
+                         poolSize: Int = 100, rrfK: Int = 60): DataFrame = {
+    VectorFunctions.register(spark)
+    val kwPool = lexicalPoolIndexed(spark, indexPath, docIdCol,
+      queryTerms, poolSize)
     rrfFuse(kwPool, vecPool, docIdCol, vecIdCol, k, rrfK)
   }
 }

@@ -304,6 +304,38 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("N3@idx: IVF-PQ-pooled MMR and hybrid track their exact-pool forms") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = LlmQueries.queries
+    // MMR: the greedy selection over the high-recall IVF-PQ pool must
+    // mostly agree with the exact-pool selection (identical algebra,
+    // pool recall is the only difference — PqSpec pins that)
+    val exactMmr = queries("llm_mmr_rerank")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val ivfMmr = queries("llm_mmr_rerank_ivfpq")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfMmr.size == 10, s"ivfpq MMR returned ${ivfMmr.size} rows")
+    val mmrOverlap = (exactMmr & ivfMmr).size
+    assert(mmrOverlap >= 6,
+      s"ivfpq-pooled MMR overlaps exact-pool MMR on only $mmrOverlap of 10")
+    // hybrid: fused top-20 sets track, and the LEXICAL ranks of common
+    // docs are bit-equal (same postings pool on both sides)
+    val exactHy = queries("llm_hybrid_search")(spark, sf)
+      .select($"doc_id", $"rank_kw").as[(Long, Option[Long])]
+      .collect().toMap
+    val ivfHy = queries("llm_hybrid_search_ivfpq")(spark, sf)
+      .select($"doc_id", $"rank_kw").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(ivfHy.size == 20, s"ivfpq hybrid returned ${ivfHy.size} rows")
+    val hyOverlap = (exactHy.keySet & ivfHy.keySet).size
+    assert(hyOverlap >= 14,
+      s"ivfpq-pooled hybrid overlaps the exact form on only $hyOverlap of 20")
+    (exactHy.keySet & ivfHy.keySet).foreach { id =>
+      assert(exactHy(id) == ivfHy(id),
+        s"lexical rank for doc $id differs: ${exactHy(id)} vs ${ivfHy(id)}")
+    }
+  }
+
   test("N3'''''': MMR greedy invariant re-verified from an independent cosine matrix") {
     val emb = Tables.embeddings(spark, sf)
     val k = 8
