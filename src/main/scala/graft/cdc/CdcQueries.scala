@@ -120,10 +120,13 @@ object CdcQueries {
   private val stagedBases =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def stagedAggViewBase(s: SparkSession, d: String): String = {
+  /** An (appId, sfDir)-scoped scratch root for `family`, deleted by a
+    * JVM shutdown hook (registered once per base). */
+  private def scratchRoot(s: SparkSession, d: String,
+                          family: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val base = s"/tmp/graft-aggview-${s.sparkContext.applicationId}-$digest"
+    val base = s"/tmp/graft-$family-${s.sparkContext.applicationId}-$digest"
     if (stagedBases.add(base))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try {
@@ -133,6 +136,11 @@ object CdcQueries {
           }
           rm(new java.io.File(base))
         } catch { case _: Throwable => () }))
+    base
+  }
+
+  private def stagedAggViewBase(s: SparkSession, d: String): String = {
+    val base = scratchRoot(s, d, "aggview")
     val src = s"$base/src"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -201,6 +209,94 @@ object CdcQueries {
       col("value")).as[graft.streaming.FeedEvent]
     graft.streaming.Sessionize.batchFold(s, events)
       .toDF().orderBy("userId")
+  }
+
+  private def feedEventSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("eventId BIGINT, tsMicros BIGINT, userId BIGINT, " +
+      "eventType STRING, value DOUBLE")
+
+  private def sessionSinkSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("userId BIGINT, firstVersion BIGINT, lastVersion BIGINT, " +
+      "nEvents BIGINT, valueSumCents BIGINT, batch_id BIGINT")
+
+  /** T5'/T9'''' — the flatMapGroupsWithState session stream driven
+    * END-TO-END (the custom-state flavor [[streamSessionize]] batch-
+    * replays), in its EVENT-TIME form: the whole feed staged as one
+    * page plus a sentinel FLUSH page stamped past every entity's
+    * event-time gap; one AvailableNow drain folds the feed into
+    * per-entity state, the flush event advances the zero-delay
+    * watermark beyond every timer, and the follow-up timer batch emits
+    * every session. Emission is driven by the data's own clock —
+    * deterministic, no sleeps (a processing-time timeout can NEVER
+    * drain: its timer loop keeps the AvailableNow query alive forever,
+    * which is why [[graft.streaming.Sessionize.sessionStreamEventTime]]
+    * exists). The gap exceeds the feed's whole span, so each entity
+    * closes exactly one session and events fold in eventId order —
+    * the double accumulation, and therefore the oracle (the same
+    * ordered-sum SQL as stream_sessionize), replays exactly. Repeat
+    * invocations serve the committed sink (checkpoint drained); the
+    * bench's cold-only rule for stream_* applies. */
+  val streamSessionState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = scratchRoot(s, d, "sess")
+    val src = s"$base/src"; val sink = s"$base/sink"; val ck = s"$base/ck"
+    val fs = new Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.mkdirs(new Path(src))
+      val dst = new Path(s"$src/$name.parquet")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(part, dst))
+        throw new java.io.IOException(s"graft sess: cannot stage $dst")
+      fs.delete(new Path(tmp), true)
+    }
+    val staged = new Path(s"$base/_staged")
+    // gap > the feed's whole event-time span → one session per entity;
+    // the flush event sits one gap past the last real event, so every
+    // timer (last-event + gap) is strictly below the final watermark
+    val Array(t0Micros, t1Micros) = Tables.events(s, d)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val gapMs = (t1Micros - t0Micros) / 1000L + 1000L
+    if (!fs.exists(staged)) {
+      stageOne(Tables.events(s, d).select(
+        col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        col("value")), "page-0")
+      stageOne(Seq((-1L, t1Micros + (gapMs + 1000L) * 1000L, -1L,
+        "flush", 0.0))
+        .toDF("eventId", "tsMicros", "userId", "eventType", "value"),
+        "page-flush")
+      fs.create(staged, true).close()
+    }
+    val feed = s.readStream.schema(feedEventSchema).parquet(src)
+      .withColumn("__ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("__ts", "0 seconds")
+      .as[graft.streaming.FeedEvent]
+    graft.streaming.Sessionize.sessionStreamEventTime(feed, gapMs)
+      .toDF.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(sink)
+          ()
+      }.start().awaitTermination()
+    s.read.schema(sessionSinkSchema).parquet(sink)
+      .filter(col("userId") =!= -1L)
+      .select("userId", "firstVersion", "lastVersion", "nEvents",
+        "valueSumCents")
+      .orderBy("userId")
   }
 
   /** S2' — the DataSource-V2 changefeed source (graft.sources.CdcSource),
@@ -395,6 +491,7 @@ object CdcQueries {
     "cdc_deletes" -> cdcDeletes,
     "cdc_snapshot_asof" -> cdcSnapshotAsof,
     "stream_sessionize" -> streamSessionize,
+    "stream_session_state" -> streamSessionState,
     "cdc_incremental_poll" -> cdcIncrementalPoll,
     "cdc_pagination" -> cdcPagination,
     "cdc_consumer_state" -> cdcConsumerState,
@@ -602,6 +699,14 @@ object CdcQueries {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "stream_sessionize" ->
+      """SELECT user_id AS "userId", min(event_id) AS "firstVersion",
+        | max(event_id) AS "lastVersion", count(*) AS "nEvents",
+        | CAST(round(list_sum(list(value ORDER BY event_id)) * 100) AS BIGINT)
+        |   AS "valueSumCents"
+        | FROM events GROUP BY user_id ORDER BY "userId"""".stripMargin,
+    "stream_session_state" ->
+      // the state-store-driven twin lands on the same per-entity fold:
+      // ordered sum replays the eventId-order double accumulation
       """SELECT user_id AS "userId", min(event_id) AS "firstVersion",
         | max(event_id) AS "lastVersion", count(*) AS "nEvents",
         | CAST(round(list_sum(list(value ORDER BY event_id)) * 100) AS BIGINT)

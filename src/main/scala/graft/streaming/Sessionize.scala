@@ -10,15 +10,19 @@ case class FeedEvent(eventId: Long, tsMicros: Long, userId: Long,
 
 /** Mutable per-entity state carried between micro-batches. firstVersion
   * is set on the entity's first event and preserved across batches so the
-  * timeout-emitted session agrees with batchFold's min(event_id).
+  * timeout-emitted session agrees with batchFold's min(event_id);
+  * maxTsMicros carries the entity's latest EVENT time so the event-time
+  * flavor can re-arm its watermark timer correctly across batches.
   *
-  * State-schema note: adding firstVersion changed the streaming state
-  * encoding; a sessionStream checkpoint written by the 4-field version of
-  * this class fails Spark's state-store schema check on restart — restart
-  * such a query from a fresh checkpoint (replaying the feed is safe: the
-  * fold is idempotent per entity and the sink dedups on userId). */
+  * State-schema note: adding a field changes the streaming state
+  * encoding (firstVersion did in r5, maxTsMicros in r7); a sessionStream
+  * checkpoint written by an older version of this class fails Spark's
+  * state-store schema check on restart — restart such a query from a
+  * fresh checkpoint (replaying the feed is safe: the fold is idempotent
+  * per entity and the sink dedups on userId). */
 case class EntityState(userId: Long, firstVersion: Long, lastVersion: Long,
-                       nEvents: Long, valueSum: Double)
+                       nEvents: Long, valueSum: Double,
+                       maxTsMicros: Long)
 
 /** Emitted when an entity's activity gap exceeds the session timeout, or
   * on demand in batch mode. */
@@ -39,28 +43,45 @@ case class EntitySession(userId: Long, firstVersion: Long,
   */
 object Sessionize {
 
+  /** The shared per-entity fold: version-ordered, later versions win,
+    * counts accumulate; the first event ever seen pins firstVersion
+    * (batchFold's min). */
+  private def fold(userId: Long, prev: EntityState,
+                   sorted: Seq[FeedEvent]): EntityState =
+    sorted.foldLeft(prev) { (s, e) =>
+      EntityState(userId,
+        if (s.nEvents == 0L) e.eventId else s.firstVersion,
+        math.max(s.lastVersion, e.eventId),
+        s.nEvents + 1, s.valueSum + e.value,
+        math.max(s.maxTsMicros, e.tsMicros))
+    }
+
+  private def emit(s: EntityState): EntitySession =
+    EntitySession(s.userId, s.firstVersion, s.lastVersion, s.nEvents,
+      math.round(s.valueSum * 100))
+
   /** Fold one batch of events for a single entity into its running
-    * state; emit a session when the processing-time timeout fires. */
+    * state; emit a session when the PROCESSING-TIME timeout fires
+    * (the serving posture: close a session after 30 s of wall-clock
+    * quiet). NOTE — Spark runs a ProcessingTimeTimeout query's batch
+    * loop continuously to fire timers (`shouldRunAnotherBatch` is
+    * always true), so this flavor suits a long-lived
+    * Trigger.ProcessingTime consumer, NEVER an AvailableNow drain
+    * (the drain would never terminate — measured, not theory); the
+    * drainable flavor is [[sessionStreamEventTime]]. */
   def updateState(userId: Long, events: Iterator[FeedEvent],
                   state: GroupState[EntityState]): Iterator[EntitySession] = {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      Iterator.single(EntitySession(s.userId, s.firstVersion, s.lastVersion,
-        s.nEvents, math.round(s.valueSum * 100)))
+      Iterator.single(emit(s))
     } else {
       val sorted = events.toSeq.sortBy(_.eventId)
       if (sorted.isEmpty) Iterator.empty
       else {
-        val prev = state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0L, 0.0))
-        val next = sorted.foldLeft(prev) { (s, e) =>
-          // version-ordered: later versions win, counts accumulate; the
-          // first event ever seen pins firstVersion (batchFold's min)
-          EntityState(userId,
-            if (s.nEvents == 0L) e.eventId else s.firstVersion,
-            math.max(s.lastVersion, e.eventId),
-            s.nEvents + 1, s.valueSum + e.value)
-        }
+        val next = fold(userId,
+          state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0L, 0.0, 0L)),
+          sorted)
         state.update(next)
         state.setTimeoutDuration("30 seconds")
         Iterator.empty
@@ -68,14 +89,54 @@ object Sessionize {
     }
   }
 
-  /** Streaming query: per-entity running state with timeout-driven
-    * session emission. */
+  /** The EVENT-TIME fold: a session closes when the WATERMARK passes
+    * the entity's latest event time + `gapMs` — emission is driven by
+    * the data's own clock, so a backlog drain (AvailableNow) replays
+    * deterministically and terminates (event-time timers schedule
+    * extra batches only while the watermark advances). */
+  def updateStateEventTime(gapMs: Long)(
+      userId: Long, events: Iterator[FeedEvent],
+      state: GroupState[EntityState]): Iterator[EntitySession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(emit(s))
+    } else {
+      val sorted = events.toSeq.sortBy(_.eventId)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val next = fold(userId,
+          state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0L, 0.0, 0L)),
+          sorted)
+        state.update(next)
+        state.setTimeoutTimestamp(next.maxTsMicros / 1000L + gapMs)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming query: per-entity running state with processing-time
+    * session emission (long-lived consumer posture). */
   def sessionStream(events: Dataset[FeedEvent]): Dataset[EntitySession] = {
     implicit val stateEnc = Encoders.product[EntityState]
     implicit val outEnc = Encoders.product[EntitySession]
     events.groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout)(updateState)
+  }
+
+  /** The DRAINABLE streaming query: event-time session emission under
+    * a zero-delay watermark on the event `ts`. The input must carry a
+    * `__ts` TimestampType column with the watermark already declared
+    * (the declared query stages it); `gapMs` is the event-time idle
+    * gap that closes a session. */
+  def sessionStreamEventTime(events: Dataset[FeedEvent],
+                             gapMs: Long): Dataset[EntitySession] = {
+    implicit val stateEnc = Encoders.product[EntityState]
+    implicit val outEnc = Encoders.product[EntitySession]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateStateEventTime(gapMs))
   }
 
   /** Batch twin of the per-entity fold (deterministic, for specs and the

@@ -29,7 +29,8 @@ class StatefulSpec extends SparkSpec {
 
   test("sessionize timeout emits the session and clears state") {
     val state = TestGroupState.create[EntityState](
-      optionalState = org.apache.spark.api.java.Optional.of(EntityState(7L, 2L, 9L, 4L, 2.5)),
+      optionalState = org.apache.spark.api.java.Optional.of(
+        EntityState(7L, 2L, 9L, 4L, 2.5, 9000L)),
       timeoutConf =
         org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
       batchProcessingTimeMs = 99999L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
@@ -41,6 +42,23 @@ class StatefulSpec extends SparkSpec {
     assert(out.head.lastVersion == 9L && out.head.nEvents == 4L
       && out.head.valueSumCents == 250L)
     assert(state.isRemoved)
+  }
+
+  test("event-time fold arms the watermark timer at max event ts + gap") {
+    val state = TestGroupState.create[EntityState](
+      optionalState = org.apache.spark.api.java.Optional.empty[EntityState](),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    val out = Sessionize.updateStateEventTime(5000L)(7L,
+      Iterator(ev(3, 7, 1.5), ev(1, 7, 2.0)), state)
+    assert(out.isEmpty, "no session emitted while the watermark lags")
+    // max tsMicros = 3000 → 3 ms + 5000 ms gap
+    assert(state.getTimeoutTimestampMs.get() == 5003L,
+      s"timer at ${state.getTimeoutTimestampMs}")
+    assert(state.get.maxTsMicros == 3000L)
   }
 
   test("batchFold matches the declarative groupBy twin") {
