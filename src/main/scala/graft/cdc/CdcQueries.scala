@@ -195,6 +195,27 @@ object CdcQueries {
       .orderBy("status")
   }
 
+  /** T9''''/N4''# — STREAMING sketch-table maintenance: the same
+    * staged backlog drained through the SAME log+fold exactly-once
+    * protocol as the additive/min-max views, maintaining per-operation
+    * theta sketches of every entity observed (one kilobyte-sized merge
+    * per batch, no prior-state read). Exact below sketch capacity, so
+    * the oracle replays the per-page collapse and counts distinct
+    * entities per operation directly. */
+  val streamViewSketch: Q = (s, d) => {
+    val base = stagedAggViewBase(s, d)
+    graft.streaming.StreamingAggView
+      .maintain(s, d, s"$base/src", s"$base/state-sk", s"$base/ck-sk",
+        countSum = false, sketch = true)
+      .awaitTermination()
+    graft.streaming.StreamingAggView.currentSketchView(s, s"$base/state-sk")
+      .select(col("grp"),
+        expr("CAST(theta_sketch_estimate(sketch) AS BIGINT)")
+          .as("n_distinct"),
+        col("n_rows").as("n_obs"))
+      .orderBy("grp")
+  }
+
   /** T5/T9 — the stateful per-entity fold (batch twin of the
     * flatMapGroupsWithState session stream): final running state per
     * entity after draining the feed, summation in version order so the
@@ -500,7 +521,8 @@ object CdcQueries {
     "sink_listing" -> sinkListing,
     "stream_event_windows" -> streamEventWindows,
     "stream_view_delta" -> streamViewDelta,
-    "stream_view_minmax" -> streamViewMinmax
+    "stream_view_minmax" -> streamViewMinmax,
+    "stream_view_sketch" -> streamViewSketch
   )
 
   private val feedsCte =
@@ -637,6 +659,25 @@ object CdcQueries {
          |   max(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS max_cents
          | FROM live l JOIN orders o ON l.invoice_id = o.o_orderkey
          | GROUP BY status ORDER BY status""".stripMargin,
+    "stream_view_sketch" ->
+      // exact-regime replay: the staged pages' fixed version bounds
+      // re-collapse per (page, entity); distinct entities and collapsed
+      // row counts per latest-op group (theta estimates are exact below
+      // the sketch's nominal capacity)
+      s"""WITH $feedsOpsCte,
+         | pages AS (SELECT * FROM (VALUES (0, 1000), (1000, 5000),
+         |     (5000, 50000), (50000, 9223372036854775807))
+         |   AS t(lo, hi)),
+         | paged AS (
+         |   SELECT p.lo AS page, f.invoice_id,
+         |     arg_max(f.change_operation, f.change_version) AS op
+         |   FROM feeds f JOIN pages p
+         |     ON f.change_version > p.lo AND f.change_version <= p.hi
+         |   GROUP BY p.lo, f.invoice_id)
+         | SELECT op AS grp,
+         |   CAST(count(DISTINCT invoice_id) AS BIGINT) AS n_distinct,
+         |   CAST(count(*) AS BIGINT) AS n_obs
+         | FROM paged GROUP BY op ORDER BY grp""".stripMargin,
     "cdc_view_minmax" ->
       s"""WITH $feedsOpsCte,
          | snap AS (

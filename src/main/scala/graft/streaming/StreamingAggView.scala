@@ -67,6 +67,11 @@ object StreamingAggView {
     StructField("min_cents", LongType),
     StructField("max_cents", LongType)))
 
+  private def sketchViewSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("sketch", BinaryType),
+    StructField("n_rows", LongType)))
+
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -185,10 +190,17 @@ object StreamingAggView {
   /** Shared per-batch mechanics: idempotent log append, then the
     * prior/touched/merged states derived from checkpoint + log
     * STRICTLY before this batch — stable under redelivery whether or
-    * not this batch's partition reached disk. `snapFull` is lazy: only
-    * the min/max dirty-group rescan ever evaluates it. */
-  private case class BatchState(page: DataFrame, snapFull: () => DataFrame,
-                                touched0: DataFrame, newLive: DataFrame)
+    * not this batch's partition reached disk. Derivations are LAZY:
+    * a view selection that never consults prior state (the sketch
+    * fold) pays only the append. */
+  private final class BatchState(val page: DataFrame,
+                                 spark: SparkSession, root: String,
+                                 batchId: Long) {
+    lazy val touched0: DataFrame =
+      priorState(spark, root, Some(page), batchId)
+    lazy val newLive: DataFrame = Merge.mergeUpsert(touched0, page)
+    def snapFull(): DataFrame = priorState(spark, root, None, batchId)
+  }
 
   private def appendAndDerive(spark: SparkSession, root: String,
                               batch: DataFrame, batchId: Long): BatchState = {
@@ -197,9 +209,7 @@ object StreamingAggView {
     page.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(logDir)
-    val touched0 = priorState(spark, root, Some(page), batchId)
-    BatchState(page, () => priorState(spark, root, None, batchId),
-      touched0, Merge.mergeUpsert(touched0, page))
+    new BatchState(page, spark, root, batchId)
   }
 
   private def foldCountSum(spark: SparkSession, sfDir: String, root: String,
@@ -240,6 +250,42 @@ object StreamingAggView {
     }
   }
 
+  /** The SKETCH view fold — the sketch-table family
+    * ([[graft.ops.SketchTable]]) under the SAME log+fold exactly-once
+    * protocol as the additive and min/max views: per change operation,
+    * a theta sketch of every entity id observed plus the exact
+    * observation count. The fold is one kilobyte-sized merge of the
+    * installed view with the batch's own per-group sketches
+    * (`theta_union_agg`) — no prior-state read at all, so the per-batch
+    * cost is batch + view-cardinality. Sketch union is SET-idempotent,
+    * and the count rides the generation stamp, so every crash window
+    * replays to the same view. Exact below the sketches' nominal
+    * capacity → the declared query carries a real oracle at the verify
+    * scales. */
+  private def foldSketch(spark: SparkSession, root: String,
+                         st: BatchState, batchId: Long): Unit = {
+    if (viewGen(spark, root, "viewsk", "aggviewsk") >= batchId) return
+    val oldView = DirSwap.readOrEmpty(spark, s"$root/viewsk",
+      sketchViewSchema, tag = "aggviewsk")
+    // lgNomEntries 18 (262k retained hashes) keeps the sketch in its
+    // EXACT regime through the verify scales — the oracle depends on
+    // it; the union must carry the same size or it would compress the
+    // exact inputs back into estimation. At deployment scale dial it
+    // down and accept the ±1.6% estimate band.
+    val batchSk = st.page.groupBy(col("change_operation").as("grp"))
+      .agg(expr("theta_sketch_agg(invoice_id, 18)").as("sketch"),
+        count(lit(1)).as("n_rows"))
+    val newView = oldView.unionByName(batchSk)
+      .groupBy("grp")
+      .agg(expr("theta_union_agg(sketch, 18)").as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+      .localCheckpoint(true)
+    DirSwap.install(spark, s"$root/viewsk", tag = "aggviewsk") { tmp =>
+      newView.coalesce(1).write.mode("overwrite").parquet(tmp)
+      writeGenInto(spark, tmp, batchId)
+    }
+  }
+
   /** Fold one micro-batch into the log and the count/sum view.
     * Idempotent for any redelivery pattern (see object doc). `sfDir`
     * locates the dimension side of the contribution join (orders). */
@@ -255,6 +301,13 @@ object StreamingAggView {
     foldMinMax(spark, sfDir, root,
       appendAndDerive(spark, root, batch, batchId), batchId)
 
+  /** The sketch twin of [[applyBatch]]: same log append, its own
+    * generation-stamped view. */
+  def applySketchBatch(spark: SparkSession, root: String,
+                       batch: DataFrame, batchId: Long): Unit =
+    foldSketch(spark, root,
+      appendAndDerive(spark, root, batch, batchId), batchId)
+
   /** The streaming maintainer: change pages arriving as parquet files
     * in `srcDir` fold into the selected view(s) continuously — ONE log
     * append per batch whatever the selection. One query = one
@@ -262,8 +315,10 @@ object StreamingAggView {
   def maintain(spark: SparkSession, sfDir: String, srcDir: String,
                root: String, checkpointDir: String,
                countSum: Boolean = true,
-               minMax: Boolean = false): StreamingQuery = {
-    require(countSum || minMax, "select at least one view to maintain")
+               minMax: Boolean = false,
+               sketch: Boolean = false): StreamingQuery = {
+    require(countSum || minMax || sketch,
+      "select at least one view to maintain")
     spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -275,6 +330,7 @@ object StreamingAggView {
         val st = appendAndDerive(s, root, batch, batchId)
         if (countSum) foldCountSum(s, sfDir, root, st, batchId)
         if (minMax) foldMinMax(s, sfDir, root, st, batchId)
+        if (sketch) foldSketch(s, root, st, batchId)
         ()
       }
       .start()
@@ -309,7 +365,8 @@ object StreamingAggView {
     // and vanish from the view
     // viewGen restores a torn swap before looking, so an
     // installed-but-torn view still bounds the compaction
-    val gens = Seq("view" -> "aggview", "viewmm" -> "aggviewmm")
+    val gens = Seq("view" -> "aggview", "viewmm" -> "aggviewmm",
+        "viewsk" -> "aggviewsk")
       .map { case (g, t) => viewGen(spark, root, g, t) }.filter(_ >= 0)
     val folded = if (gens.isEmpty) -1L else gens.min
     val bound = math.min(upTo.getOrElse(folded), folded)
@@ -347,4 +404,9 @@ object StreamingAggView {
   def currentMinMaxView(spark: SparkSession, root: String): DataFrame =
     DirSwap.readOrEmpty(spark, s"$root/viewmm", minMaxSchema,
       tag = "aggviewmm")
+
+  /** The current sketch view (empty before the first fold). */
+  def currentSketchView(spark: SparkSession, root: String): DataFrame =
+    DirSwap.readOrEmpty(spark, s"$root/viewsk", sketchViewSchema,
+      tag = "aggviewsk")
 }

@@ -227,6 +227,93 @@ class StreamingAggViewSpec extends SparkSpec {
       "pruned derivation diverges from the live snapshot")
   }
 
+  /** Reference for the sketch view: per latest-op group over the given
+    * pages, distinct entities (set-deduped across pages) and collapsed
+    * row counts. */
+  private def directSketchView(pages: Seq[(Long, Long)])
+      : Map[String, (Long, Long)] = {
+    val collapsed = pages.map { case (lo, hi) => page(lo, hi) }
+      .reduce(_ unionByName _)
+    val distinct = collapsed.select("change_operation", "invoice_id")
+      .distinct().groupBy("change_operation").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val obs = collapsed.groupBy("change_operation").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    distinct.map { case (op, nd) => op -> (nd, obs(op)) }
+  }
+
+  private def sketchViewOf(root: String): Map[String, (Long, Long)] =
+    StreamingAggView.currentSketchView(spark, root)
+      .select(col("grp"),
+        expr("CAST(theta_sketch_estimate(sketch) AS BIGINT)"),
+        col("n_rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("sketch fold over arbitrary pages equals the direct per-op distincts") {
+    val root = freshRoot("skfold")
+    val pages = Seq((0L, 700L), (700L, 1500L), (1500L, 2500L),
+      (2500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingAggView.applySketchBatch(spark, root, page(lo, hi), i.toLong)
+    }
+    assert(sketchViewOf(root) == directSketchView(pages),
+      "drained sketch view diverges from the direct per-op distincts")
+  }
+
+  test("sketch redelivery is a no-op and the torn-log window replays clean") {
+    val root = freshRoot("skcrash")
+    StreamingAggView.applySketchBatch(spark, root, page(0L, 1500L), 0L)
+    val before = sketchViewOf(root)
+    // at-least-once redelivery: gen stamp skips the fold
+    StreamingAggView.applySketchBatch(spark, root, page(0L, 1500L), 0L)
+    assert(sketchViewOf(root) == before, "sketch redelivery changed the view")
+    // torn window: batch 1's log partition lands, the fold does not
+    val torn = page(1500L, 2500L).withColumn("batch_id", lit(1L))
+    torn.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/log")
+    assert(StreamingAggView.viewGen(spark, root, "viewsk", "aggviewsk") == 0L)
+    StreamingAggView.applySketchBatch(spark, root, page(1500L, 2500L), 1L)
+    assert(sketchViewOf(root) ==
+      directSketchView(Seq((0L, 1500L), (1500L, 2500L))),
+      "sketch replay over the torn log diverges")
+  }
+
+  test("all three view families fold off ONE log append per batch") {
+    val root = freshRoot("unified")
+    val src = s"$root/src"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pages = Seq((0L, 1200L), (1200L, 2500L))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = s"$root/stage-$i"
+      page(lo, hi).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    StreamingAggView.maintain(spark, sf, src, s"$root/state", s"$root/ck",
+      countSum = true, minMax = true, sketch = true).awaitTermination()
+    // one log partition per drained batch — the selections share it
+    assert(logParts(s"$root/state") == Set(0L, 1L),
+      s"log partitions: ${logParts(s"$root/state")}")
+    assertSame(viewAt(s"$root/state"),
+      AggView.directView(spark, sf, 2500L),
+      "unified drain: count/sum view diverges")
+    assertSame(StreamingAggView.currentMinMaxView(spark, s"$root/state"),
+      AggView.directMinMaxView(spark, sf, 2500L),
+      "unified drain: min/max view diverges")
+    assert(sketchViewOf(s"$root/state") == directSketchView(pages),
+      "unified drain: sketch view diverges")
+    // and the sketch view bounds compaction like any other family
+    StreamingAggView.compactLog(spark, s"$root/state")
+    assert(StreamingAggView.stateGen(spark, s"$root/state") == 1L)
+    assert(logParts(s"$root/state") == Set.empty)
+  }
+
   test("the streaming maintainer drains staged pages to the direct view") {
     val root = freshRoot("stream")
     val src = s"$root/src"
