@@ -322,15 +322,42 @@ object Dedup {
     val assigned = Ivf.assign(emb, idCol, vecCol, centroids)
       .select(col(idCol), col("centroid_id"))
       .join(emb.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
-    val cells = withBucketCap(assigned, Seq("centroid_id"), idCol, maxCluster)
+    // EXACT-CLONE COLLAPSE (r7 sf1 probe finding: clone-heavy corpora —
+    // the dedup target workload — made the cell pair join quadratic in
+    // clone count). Byte-identical vectors in one cell are ONE pair
+    // candidate: cos(clone, clone) = 1e6 ≥ any τ ≤ 1e6, so every
+    // non-min clone is a dup by identity, and the min clone dominates
+    // any pair its clones would have formed (same cosine, smaller id).
+    // Pair enumeration then costs distinct-vectors², not rows².
+    // Output-equivalent to the uncollapsed form (the naive-reference
+    // spec pins it); for the degenerate τ > 1e6 nothing qualifies —
+    // including clones — so the identity-drop is gated on τ.
+    val grouped = assigned.groupBy(col("centroid_id"), col("__v"))
+      .agg(min(col(idCol)).as("__rep"))
+    val cloneDropped =
+      if (minCosE6 > 1000000L)
+        assigned.sparkSession.createDataFrame(
+          assigned.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType))))
+      else assigned
+        .join(grouped, Seq("centroid_id", "__v"))
+        .filter(col(idCol) =!= col("__rep"))
+        .select(col(idCol))
+    val reps = grouped.select(col("__rep").as(idCol), col("__v"),
+      col("centroid_id"))
+    val cells = withBucketCap(reps, Seq("centroid_id"), idCol, maxCluster)
     val a = cells.select(col(idCol).as("id_a"), col("__v").as("v_a"),
       col("centroid_id"), col("sub"))
     val b = cells.select(col(idCol).as("id_b"), col("__v").as("v_b"),
       col("centroid_id"), col("sub"))
-    val dropped = a.join(b, Seq("centroid_id", "sub"))
+    val repDropped = a.join(b, Seq("centroid_id", "sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(SimSearch.cosineE6(col("v_a"), col("v_b")) >= minCosE6)
       .select(col("id_b").as(idCol)).distinct()
+    val dropped = cloneDropped.unionByName(repDropped).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("centroid_id"))
   }
