@@ -77,7 +77,11 @@ class InventorySpec extends SparkSpec {
     "cdc_view_minmax", "llm_dedup_semantic", "llm_hybrid_search",
     "stream_view_delta", "stream_view_minmax", "llm_quantile_rollup",
     "llm_mmr_rerank", "llm_sketch_overlap", "window_session_native",
-    "source_json_roundtrip")
+    "source_json_roundtrip",
+    // round 7: index-served retrieval variants, sketch set algebra,
+    // the drained custom-state session stream, the unified sketch view
+    "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq",
+    "llm_sketch_difference", "stream_session_state", "stream_view_sketch")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -110,7 +114,10 @@ class InventorySpec extends SparkSpec {
       // iterative greedy selection has no SQL twin; the per-step
       // argmax invariant is re-verified in LlmSpec from an
       // independently computed cosine matrix
-      "llm_mmr_rerank")
+      "llm_mmr_rerank",
+      // the IVF-PQ-pooled variants inherit the trained-index and greedy
+      // caveats above; overlap vs the exact-pool forms pinned in LlmSpec
+      "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

@@ -67,9 +67,15 @@ class MaintenanceSpec extends SparkSpec {
     graft.cdc.Maintenance.run(spark, changeDir, sinkDir,
       watermark = 0L, compactUpTo = 0L, nFiles = 2,
       aggViewRoots = Seq(root))
-    val parts = spark.read.parquet(s"$root/log")
-      .select("batch_id").distinct().as[Long].collect().toSet
-    assert(parts == Set(-1L), s"window did not compact the view log: $parts")
+    // both folded batches moved into the bucketed state checkpoint (r7
+    // layout): the log is left empty and the checkpoint carries gen 1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/log"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts.isEmpty, s"window did not compact the view log: $parts")
+    assert(graft.streaming.StreamingAggView.stateGen(spark, root) == 1L,
+      "state checkpoint generation must be the folded bound")
     graft.streaming.StreamingAggView.applyBatch(spark, sf,
       root, graft.cdc.TombstoneCdc.changedInvoicesOps(spark, sf, 1500L, 2500L), 2L)
     val direct = graft.cdc.AggView.directView(spark, sf, 2500L)
