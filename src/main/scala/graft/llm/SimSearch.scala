@@ -408,6 +408,49 @@ object SimSearch {
   private def dfSchema = org.apache.spark.sql.types.StructType
     .fromDDL("term STRING, df BIGINT, tbkt BIGINT")
 
+  /** Incremental ingest into the [[buildPostingsIndex]] layout — the
+    * growing-corpus twin ([[appendBucketed]] / Dedup.incrementalExact
+    * precedent): tokenize ONLY the new batch (docs not already
+    * indexed), append its postings into the bucket directories, fold
+    * its per-term counts into the df table (vocab-sized rewrite, never
+    * a postings re-scan), and bump `_N`. Serving needs no change —
+    * partition pruning sees old and new files alike, and the scoring
+    * integers (df, N) equal a fresh rebuild's, so a query over the
+    * appended index is BIT-IDENTICAL to one over a rebuilt index
+    * (spec-pinned). */
+  def appendPostingsIndex(batch: DataFrame, docIdCol: String,
+                          textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val tf = batch
+      .select(col(docIdCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("tbkt", pmod(xxhash64(col("term")),
+        lit(termBuckets.toLong)))
+      .localCheckpoint(true) // feeds the append AND the df fold
+    tf.repartition(col("tbkt"))
+      .write.mode("append").partitionBy("tbkt").parquet(s"$path/postings")
+    val oldDf = spark.read.schema(dfSchema).parquet(s"$path/df")
+      .select("term", "df", "tbkt")
+    val nextDf = oldDf.unionByName(
+        tf.groupBy(col("term"), col("tbkt")).agg(count(lit(1)).as("df"))
+          .select("term", "df", "tbkt"))
+      .groupBy(col("term"), col("tbkt")).agg(sum(col("df")).as("df"))
+      .localCheckpoint(true) // materialize BEFORE the dir it reads swaps
+    graft.streaming.DirSwap.install(spark, s"$path/df",
+      tag = "postingsdf") { tmp =>
+      nextDf.repartition(termBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
+    }
+    val n = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_N")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_N"),
+      (n + batch.count()).toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** The lexical top-`poolSize` served from the postings index: read
     * ONLY the query terms' buckets (partition-pruned) and rows
     * (`term IN`), join the pruned df slice, score with the identical
@@ -418,6 +461,10 @@ object SimSearch {
                                  queryTerms: Seq[String], poolSize: Int)
       : DataFrame = {
     val bkts = queryTerms.map(termBucket).distinct
+    // the df table swaps on incremental append — restore a torn swap
+    // before reading it
+    graft.streaming.DirSwap.restoreIfTorn(spark, s"$indexPath/df",
+      tag = "postingsdf")
     val posts = spark.read.schema(postingsSchema)
       .parquet(s"$indexPath/postings")
       .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))

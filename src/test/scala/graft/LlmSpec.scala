@@ -336,6 +336,31 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("N3'''': incremental postings append is bit-identical to a rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("spark", "join", "window")
+    val old = docs.filter($"doc_id" % 5 =!= 0L)
+    val batch = docs.filter($"doc_id" % 5 === 0L)
+    val appended = tmpDir("graft-postings-inc")
+    SimSearch.buildPostingsIndex(old, "doc_id", "text", appended)
+    SimSearch.appendPostingsIndex(batch, "doc_id", "text", appended)
+    val rebuilt = tmpDir("graft-postings-full")
+    SimSearch.buildPostingsIndex(docs, "doc_id", "text", rebuilt)
+    val a = SimSearch.hybridTopKIndexed(emb, appended, "doc_id", "vec_id",
+      "embedding", terms, queryId = 0L, k = 20).orderBy("doc_id")
+    val b = SimSearch.hybridTopKIndexed(emb, rebuilt, "doc_id", "vec_id",
+      "embedding", terms, queryId = 0L, k = 20).orderBy("doc_id")
+    assert(a.collect().toSeq == b.collect().toSeq,
+      "appended index diverges from a fresh rebuild")
+    // the scoring integers themselves agree, not just the fused top-k
+    val dfA = spark.read.parquet(s"$appended/df")
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfB = spark.read.parquet(s"$rebuilt/df")
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfA == dfB, "df tables diverge after append")
+  }
+
   test("N3'''''': MMR greedy invariant re-verified from an independent cosine matrix") {
     val emb = Tables.embeddings(spark, sf)
     val k = 8
