@@ -298,4 +298,43 @@ object Curate {
       .join(broadcast(evalFps), Seq("fp"), "left_anti")
       .drop("fp")
   }
+
+  /** Boilerplate SCRUB (the C4 "remove any line that occurs in ≥N
+    * documents" rule, at token-chunk granularity because this corpus is
+    * single-line): each document splits into non-overlapping
+    * `chunkWords`-token chunks; a chunk whose exact text appears in at
+    * least `minDocs` DISTINCT documents is boilerplate and is removed
+    * from every document; survivors reassemble in original order.
+    * Unlike [[decontaminateNgrams]] (which drops whole documents) this
+    * edits documents in place — the nav-bar/footer/cookie-banner
+    * cleanup step that precedes dedup in a web-corpus pipeline.
+    *
+    * Scale (100 TB): chunk df is ONE partial-aggregated shuffle on the
+    * chunk key (count(DISTINCT doc_id) dedups map-side); the removal is
+    * a left-anti join riding the same hash partitioning (no broadcast —
+    * the boilerplate set is corpus-derived and unbounded); reassembly
+    * is one doc_id shuffle. Everything is linear in corpus size; no
+    * all-pairs path exists. Emits (doc_id, n_chunks, n_kept,
+    * clean_text) so the caller can audit scrub aggressiveness. */
+  def scrubBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       chunkWords: Int = 8, minDocs: Int = 3): DataFrame = {
+    val chunks = docs.select(col(idCol),
+      posexplode(TextOps.chunks(col(textCol), size = chunkWords, step = chunkWords)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs).select("chunk")
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        c => c("chunk"))).as("clean_text"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -936,6 +936,14 @@ object LlmQueries {
       .orderBy("shard", "bin")
   }
 
+  /** N6+++ — boilerplate scrub (the C4 repeated-line rule at 8-token
+    * chunk granularity): chunks appearing in ≥3 distinct documents are
+    * removed from every document, survivors reassemble in order. See
+    * [[Curate.scrubBoilerplate]] for the shuffle budget. */
+  val scrubBoilerplateQ: Q = (s, d) =>
+    Curate.scrubBoilerplate(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -1025,7 +1033,8 @@ object LlmQueries {
     "llm_tfidf_top_term" -> tfidfTopTermQ,
     "llm_quality_deciles" -> qualityDecilesQ,
     "llm_pipeline_e2e" -> pipelineQ,
-    "llm_decontaminate_ngram" -> decontaminateNgramQ
+    "llm_decontaminate_ngram" -> decontaminateNgramQ,
+    "llm_scrub_boilerplate" -> scrubBoilerplateQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -1370,6 +1379,28 @@ object LlmQueries {
         |   array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk,
         |   CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens
         | FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_scrub_boilerplate" ->
+      // same chunk enumeration as llm_chunking with size = step = 8
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | idx AS (
+        |   SELECT doc_id, toks,
+        |     unnest(generate_series(0,
+        |       greatest(CAST(ceil((len(toks) - 8) / 8.0) AS INT), 0))) AS chunk_idx
+        |   FROM t),
+        | c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |   array_to_string(toks[chunk_idx * 8 + 1 : chunk_idx * 8 + 8], ' ') AS chunk
+        |   FROM idx),
+        | boiler AS (SELECT chunk FROM c GROUP BY chunk
+        |   HAVING count(DISTINCT doc_id) >= 3),
+        | kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk FROM c
+        |   LEFT JOIN boiler b ON c.chunk = b.chunk WHERE b.chunk IS NULL),
+        | r AS (SELECT doc_id, count(*) AS n_kept,
+        |   string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |   FROM kept GROUP BY doc_id),
+        | n AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+        | SELECT n.doc_id, n.n_chunks, coalesce(r.n_kept, 0) AS n_kept,
+        |   coalesce(r.clean_text, '') AS clean_text
+        | FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens

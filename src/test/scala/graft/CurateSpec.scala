@@ -30,6 +30,26 @@ class CurateSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("boilerplate scrub removes exactly the chunks shared by >= minDocs docs") {
+    // an 8-word banner planted in docs 1-3 and banner-only doc 6 (df=4
+    // ≥ 3 → boilerplate); per-doc unique 8-word payloads have df=1
+    val banner = "subscribe to our newsletter for free daily updates"
+    def uniq(i: Int) = s"unique payload $i alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, s"$banner ${uniq(1)}"), (2L, s"$banner ${uniq(2)}"),
+      (3L, s"$banner ${uniq(3)}"), (4L, uniq(4)), (5L, uniq(5)),
+      (6L, banner)).toDF("doc_id", "text")
+    val got = Curate.scrubBoilerplate(df, "doc_id", "text",
+      chunkWords = 8, minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, uniq(1)), (2L, 2L, 1L, uniq(2)), (3L, 2L, 1L, uniq(3)),
+      (4L, 1L, 1L, uniq(4)), (5L, 1L, 1L, uniq(5)),
+      (6L, 1L, 0L, "")), // fully-scrubbed doc survives with empty text
+      s"unexpected scrub output: ${got.toSeq}")
+  }
+
   test("weighted sampling is invariant to partitioning") {
     val df = (1 to 500).map(i => (i.toLong, (i % 17 + 1).toLong))
       .toDF("doc_id", "w")

@@ -81,7 +81,8 @@ class InventorySpec extends SparkSpec {
     // round 7: index-served retrieval variants, sketch set algebra,
     // the drained custom-state session stream, the unified sketch view
     "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq",
-    "llm_sketch_difference", "stream_session_state", "stream_view_sketch")
+    "llm_sketch_difference", "stream_session_state", "stream_view_sketch",
+    "llm_scrub_boilerplate")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
