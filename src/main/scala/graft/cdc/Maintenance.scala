@@ -25,7 +25,12 @@ import graft.streaming.DirSwap
   *     ([[graft.llm.Pq.appendIvfPq]]) encodes against a FROZEN
   *     codebook, so a shifting embedding distribution drifts away from
   *     the centroids and degrades ADC ranking (never correctness: the
-  *     exact rerank stands); the periodic retrain is this window.
+  *     exact rerank stands); the periodic retrain is this window,
+  *  5. optionally compact lexical postings indexes
+  *     ([[graft.llm.SimSearch.compactPostingsIndex]]) — each
+  *     incremental ingest appends a file set per touched term bucket,
+  *     so pruned serving reads grow one file per ingest until this
+  *     fold bounds them again.
   *
   * Both rewrites install via the rollback-safe [[DirSwap]], so a crash
   * mid-maintenance leaves the previous generation restorable and every
@@ -149,12 +154,17 @@ object Maintenance {
           sinkSchema: Option[StructType] = None,
           vectorIndexes: Seq[VectorIndex] = Nil,
           zLayouts: Seq[ZLayout] = Nil,
-          aggViewRoots: Seq[String] = Nil): Report = {
+          aggViewRoots: Seq[String] = Nil,
+          postingsIndexes: Seq[String] = Nil): Report = {
     maintainChangeTable(spark, changeDir, watermark, compactUpTo, nFiles)
     DocumentSink.compact(spark, sinkDir, sinkSchema)
     vectorIndexes.foreach(maintainVectorIndex(spark, _))
     zLayouts.foreach(z =>
       graft.ops.ZOrder.rebuild(spark, z.path, z.dims, z.files))
+    // lexical postings indexes: fold per-ingest append files back to
+    // one per term bucket (serving reads stay pruned AND bounded)
+    postingsIndexes.foreach(
+      graft.llm.SimSearch.compactPostingsIndex(spark, _))
     // streaming view maintainers: fold their change logs to the
     // checkpoint partition (bounded by the folded generation — see
     // StreamingAggView.compactLog for the torn-tail guarantee)

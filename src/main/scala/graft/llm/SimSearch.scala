@@ -451,6 +451,27 @@ object SimSearch {
     ()
   }
 
+  /** Fold [[appendPostingsIndex]]'s growth back to one file per term
+    * bucket — the T6-window compaction of this index family (the
+    * [[graft.cdc.Maintenance]] precedent: every append adds a file set
+    * per touched bucket, so after N ingests a bucket holds N files and
+    * a query's pruned read opens all of them). Row-identical rewrite
+    * (spec-pinned: serving output unchanged); the df table and `_N`
+    * are untouched because the append path already folds them to one
+    * generation. Rollback-safe via [[graft.streaming.DirSwap]]. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/postings",
+      "postings")
+    val rows = spark.read.schema(postingsSchema)
+      .parquet(s"$path/postings").select("term", "doc_id", "tf", "tbkt")
+    graft.streaming.DirSwap.install(spark, s"$path/postings",
+      "postings") { tmp =>
+      rows.repartition(termBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
+    }
+  }
+
   /** The lexical top-`poolSize` served from the postings index: read
     * ONLY the query terms' buckets (partition-pruned) and rows
     * (`term IN`), join the pruned df slice, score with the identical

@@ -227,6 +227,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(recall() >= 0.5)
   }
 
+  test("postings-index maintenance folds append growth, serving unchanged") {
+    import graft.llm.SimSearch
+    val docs = Tables.documents(spark, sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val terms = Seq("spark", "join", "window")
+    val idx = tmpDir("postings-maint")
+    SimSearch.buildPostingsIndex(
+      docs.filter($"doc_id" % 3 === 0L), "doc_id", "text", idx)
+    SimSearch.appendPostingsIndex(
+      docs.filter($"doc_id" % 3 === 1L), "doc_id", "text", idx)
+    SimSearch.appendPostingsIndex(
+      docs.filter($"doc_id" % 3 === 2L), "doc_id", "text", idx)
+    def serve() = SimSearch.hybridTopKIndexed(emb, idx, "doc_id",
+      "vec_id", "embedding", terms, queryId = 0L, k = 20)
+      .orderBy("doc_id").collect().toSeq
+    def postingFiles() = filesUnder(s"$idx/postings", ".parquet")
+    val before = serve()
+    val filesBefore = postingFiles().size
+    // two ingests stacked extra file generations onto the touched buckets
+    assert(filesBefore > 64,
+      s"fixture must start with append growth: $filesBefore files")
+    SimSearch.compactPostingsIndex(spark, idx)
+    val filesAfter = postingFiles().size
+    assert(filesAfter <= 64 && filesAfter < filesBefore,
+      s"compaction must bound files per bucket: $filesBefore -> $filesAfter")
+    assert(serve() == before, "compaction changed serving output")
+    // rerunnable: a second window is a no-op on rows
+    SimSearch.compactPostingsIndex(spark, idx)
+    assert(serve() == before, "re-run changed serving output")
+  }
+
   test("a version-offset stream survives the compaction rewrite") {
     import spark.implicits._
     val dir = tmpDir("mstream")
