@@ -82,7 +82,9 @@ class InventorySpec extends SparkSpec {
     // the drained custom-state session stream, the unified sketch view
     "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq",
     "llm_sketch_difference", "stream_session_state", "stream_view_sketch",
-    "llm_scrub_boilerplate")
+    "llm_scrub_boilerplate",
+    // round 7 continued: n-gram LM quality scoring, real BPE tokenizer
+    "llm_lm_score", "llm_bpe_train", "llm_bpe_encode", "llm_gopher_rules")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -118,7 +120,11 @@ class InventorySpec extends SparkSpec {
       "llm_mmr_rerank",
       // the IVF-PQ-pooled variants inherit the trained-index and greedy
       // caveats above; overlap vs the exact-pool forms pinned in LlmSpec
-      "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq")
+      "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq",
+      // the BPE merge loop is iterative argmax — no SQL twin; the full
+      // merge table and the per-doc encode totals are pinned against an
+      // independent naive implementation in BpeSpec
+      "llm_bpe_train", "llm_bpe_encode")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")
