@@ -1049,6 +1049,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N3+ — the all-vectors kNN graph over the embedding corpus
+    * ([[SimSearch.knnGraph]]): every vector's top-5 cosine neighbors
+    * from multi-probe hyperplane LSH candidates + exact verify +
+    * per-source TopKAgg. Rows-only (n/s) — approximate by contract
+    * (the LSH recall trade); KnnGraphSpec pins recall against the
+    * brute-force graph and re-verifies every reported cosine. */
+  val knnGraphQ: Q = (s, d) => {
+    // the graph is a derived corpus artifact like the PQ codes or the
+    // postings table: built once per (corpus identity, geometry) via
+    // CorpusCache, served from parquet after — a pipeline consults the
+    // graph many times (SemDeDup, clustering, curation) per build
+    val dir = CorpusCache.resolve(s, s"$d/embeddings.parquet",
+        "graft-knng", "knng-v2|k5-pauto-h2-r3", Seq("_SUCCESS")) { tmp =>
+      SimSearch.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
+        .write.mode("overwrite").parquet(tmp.getPath)
+    }
+    s.read.parquet(dir.getPath).orderBy("src_id", "rank")
+  }
+
   /** N4 — content fingerprint (md5 of normalized text). */
   val fingerprintQ: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -1143,7 +1163,8 @@ object LlmQueries {
     "llm_lm_score" -> lmScoreQ,
     "llm_bpe_train" -> bpeTrainQ,
     "llm_bpe_encode" -> bpeEncodeQ,
-    "llm_gopher_rules" -> gopherRulesQ
+    "llm_gopher_rules" -> gopherRulesQ,
+    "llm_knn_graph" -> knnGraphQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct

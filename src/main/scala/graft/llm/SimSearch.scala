@@ -532,4 +532,216 @@ object SimSearch {
       queryTerms, poolSize)
     rrfFuse(kwPool, vecPool, docIdCol, vecIdCol, k, rrfK)
   }
+
+  /** N3+ — the all-vectors kNN GRAPH: every vector's top-k cosine
+    * neighbors in one batch job — the primitive under SemDeDup cell
+    * training, graph-based clustering, and NN-descent-style curation
+    * (per-query topK answers one probe; pipelines need the whole
+    * graph).
+    *
+    * Candidates by MULTI-PROBE hyperplane LSH: the hamming-ball masks
+    * (≤ probeHamming bits, driver-enumerated — a constant ≤ C(planes,h)
+    * sum, 37 at 8/2) explode each vector's signature into its probe
+    * set, which joins the single member-bucket table on the bucket
+    * key. An ordered pair (a,b) arises from exactly ONE mask (the xor
+    * of their signatures), so candidates are duplicate-free by
+    * construction; each survives the exact integer-cosine verify into
+    * a per-source [[graft.functions.TopKAgg]] — k-sized partial
+    * buffers merged under the typed aggregation, never a window or a
+    * global sort.
+    *
+    * The LSH graph then refines through NN-DESCENT rounds (Dong et
+    * al., WWW'11): a neighbor of my neighbor is my candidate, both
+    * edge directions, with a 2k-wide candidate list during descent
+    * (the paper's sample-size trade) — each round is one mid-key
+    * self-join with (2·searchK)²-bounded fan-out per node, scoring
+    * ONLY pairs not already in the graph. This decouples recall from
+    * the probe-ball size: the ball seeds, the descent converges
+    * (measured on the fixed corpus: 0.32 seed-only → 0.80 after 3
+    * rounds at 8 planes / hamming 2, KnnGraphSpec).
+    *
+    * Scale shape (100 TB): explode factor is the constant mask count;
+    * the candidate join shuffles on the high-cardinality bucket key;
+    * the top-k aggregate shuffles k-row buffers on the source id;
+    * descent rounds are corpus-linear with constant DECAYING fan-out
+    * (the incremental new-edge flag), localCheckpoint-truncated like
+    * [[graft.llm.Cluster]]'s pointer jumping. Byte-identical vectors
+    * collapse to a representative before the build and re-expand
+    * afterward through k+1-head tables (the semanticDedup precedent;
+    * measured 200 s → 13 s on the 10-clone sf1 corpus), so clone-heavy
+    * corpora — the dedup workload — cannot quadratically inflate
+    * buckets or descent lists. No all-pairs path — corpus² never
+    * forms. Recall is
+    * data-dependent (the ANN contract): planes scales with log(n),
+    * rounds with how unclustered the space is; both pinned by spec
+    * against the brute-force graph. Bucket caps stay OFF here for
+    * the same reason as [[Dedup.embeddingNearDups]]: small key spaces
+    * fill with unrelated members at scale — add planes instead.
+    *
+    * Output: (src_id, rank, nbr_id, cos_e6), rank 1-based by
+    * (cos_e6 desc, nbr_id asc). */
+  /** Occupancy-constant LSH geometry: enough planes that the expected
+    * bucket holds ~`targetBucket` vectors. Fixed planes make the seed
+    * join QUADRATIC in corpus growth (occupancy ∝ n); with planes ∝
+    * log n the seed is n·C(planes,≤h)·occupancy ≈ n·(log n)² — the
+    * sf1 probe measured exactly this failure mode (17× for 10× data at
+    * fixed 8 planes). Floor keeps small-corpus recall; cap bounds the
+    * driver-side mask enumeration. */
+  private[llm] def autoPlanes(n: Long, floor: Int = 8,
+      targetBucket: Int = 64): Int = {
+    val need = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt
+    math.min(16, math.max(floor, need))
+  }
+
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               planes: Int = 0, probeHamming: Int = 2,
+               refineRounds: Int = 1, searchK0: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAgg}
+    // EXACT-CLONE COLLAPSE (the Dedup.semanticDedup r7 precedent, and
+    // the same sf1 probe finding here: byte-identical vectors share a
+    // signature, so clone-heavy corpora — the dedup workload these
+    // graphs are built FOR — multiply every bucket and every descent
+    // list by the clone count, quadratically in pair terms). The graph
+    // builds over DISTINCT vectors; originals re-enter afterwards:
+    // clone-mates are pairwise cos = 1e6 neighbors by identity (each
+    // original takes the k+1 smallest mate ids — never a |clones|²
+    // pair-out), and a representative's neighbor list expands to the
+    // neighbor's clones at the same exact cosine. Clone-free corpora
+    // pass through unchanged (mapping is the identity).
+    val origs = emb.select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
+    val repTbl = origs.groupBy(col("__ov"))
+      .agg(min(col("__oid")).as("__rid"))
+    val mapping = origs.join(repTbl, "__ov")
+      .select(col("__oid"), col("__rid")).localCheckpoint(true)
+    val repEmb = repTbl.select(col("__rid").as(idCol),
+      col("__ov").as(vecCol)).localCheckpoint(true)
+    // descend with a WIDER candidate list than the output degree (the
+    // standard NN-descent trade: searchK ≈ 2k keeps weaker-but-true
+    // neighbors alive to route candidates), emit top-k at the end
+    val searchK = if (searchK0 > 0) searchK0
+      else if (refineRounds > 0) 2 * k else k
+    // planes = 0 → self-size from the DISTINCT corpus count
+    val nPlanes = if (planes > 0) planes else autoPlanes(repEmb.count())
+    val emb0 = repEmb
+    val masks = probeBuckets(0L, nPlanes, probeHamming)
+    val sigs = emb0.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      hyperplaneSignature(col(vecCol), nPlanes).as("__bucket"))
+    val probed = sigs
+      .select(col("__id").as("id_a"), col("__v").as("v_a"),
+        col("__bucket").as("__ba"))
+      .withColumn("__m", explode(typedLit(masks)))
+      .withColumn("__pb", col("__m").bitwiseXOR(col("__ba")))
+      .drop("__m", "__ba")
+    val members = sigs.select(col("__id").as("id_b"),
+      col("__v").as("v_b"), col("__bucket").as("__pb"))
+    val lshScored = probed.join(members, "__pb")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineE6(col("v_a"), col("v_b")).as("cos_e6"))
+    var graph = topKPerSource(lshScored, searchK)
+      .withColumn("is_new", lit(true)).localCheckpoint(true)
+    // NN-descent rounds (Dong et al., WWW'11): a neighbor of my
+    // neighbor is my candidate — in BOTH edge directions, the paper's
+    // general-graph form, WITH its incremental-search optimization: a
+    // pair is a candidate only if at least one of its two edges entered
+    // the lists last round. Without the flag every round re-enumerates
+    // (and re-anti-joins) the same (2·searchK)² pairs per node; with
+    // it, work decays as the lists converge — the paper's termination
+    // argument. Each round: symmetrize, new⋈all ∪ all⋈new on the mid
+    // key, drop pairs already in the lists, score only those from a
+    // vector-fetch join, re-select per-source top-searchK, and flag an
+    // edge new iff it was not in the previous lists. Linear in the
+    // corpus with k²-bounded decaying fan-out.
+    val vecsTbl = emb0.select(col(idCol).as("__vid"),
+      col(vecCol).as("__vv")).localCheckpoint(true)
+    for (_ <- 0 until refineRounds) {
+      val edges = graph.select(col("src_id").as("a"),
+        col("nbr_id").as("b"), col("is_new"))
+      val sym = edges.union(edges.select(col("b").as("a"),
+          col("a").as("b"), col("is_new")))
+        .groupBy("a", "b").agg(max(col("is_new")).as("is_new"))
+      val left = sym.select(col("a"), col("b").as("__mid"),
+        col("is_new").as("__na"))
+      val right = sym.select(col("a").as("__mid"), col("b").as("c"),
+        col("is_new").as("__nc"))
+      val nn = left.join(right, "__mid")
+        .filter(col("a") =!= col("c") && (col("__na") || col("__nc")))
+        .select(col("a").as("id_a"), col("c").as("id_b"))
+        .distinct()
+        .join(graph.select(col("src_id").as("id_a"),
+          col("nbr_id").as("id_b")), Seq("id_a", "id_b"), "left_anti")
+      val newScored = nn
+        .join(vecsTbl.withColumnRenamed("__vid", "id_a"), "id_a")
+        .withColumnRenamed("__vv", "v_a")
+        .join(vecsTbl.withColumnRenamed("__vid", "id_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          cosineE6(col("v_a"), col("__vv")).as("cos_e6"))
+      val union = graph.select(col("src_id").as("id_a"),
+        col("nbr_id").as("id_b"), col("cos_e6")).union(newScored)
+      val prev = graph.select(col("src_id"), col("nbr_id"),
+        lit(true).as("__old"))
+      graph = topKPerSource(union, searchK)
+        .join(prev, Seq("src_id", "nbr_id"), "left")
+        .withColumn("is_new", col("__old").isNull).drop("__old")
+        .localCheckpoint(true)
+    }
+    val repGraph = graph.filter(col("rank") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cos_e6"))
+    // CLONE EXPANSION, bounded by construction: per representative only
+    // the k+1 SMALLEST original ids ("heads") can ever reach a top-k
+    // list (clone entries tie on cosine, ties break id-ascending), so
+    // both the mate candidates and the neighbor expansion fan out
+    // through the heads table — a mega-clone group never pair-explodes.
+    val mateHeads = mapping
+      .select(col("__rid"), struct(col("__oid").as("id"),
+        (-col("__oid")).as("score")).as("s"))
+      .as[(Long, Scored)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(TopKAgg.topK(k + 1).name("heads"))
+      .toDF("__rid", "heads")
+      .localCheckpoint(true)
+    // clone-mates of each original: pairwise identical vectors, cos 1e6
+    val mateCands = mapping.join(mateHeads, "__rid")
+      .select(col("__oid").as("id_a"), explode(col("heads")).as("h"))
+      .filter(col("h.id") =!= col("id_a"))
+      .select(col("id_a"), col("h.id").as("id_b"),
+        lit(1000000L).as("cos_e6"))
+    // each rep edge expands to the neighbor rep's head clones (same
+    // exact cosine — the vectors are byte-identical), then to every
+    // original of the source rep
+    val nbrExpanded = repGraph
+      .join(mateHeads.withColumnRenamed("__rid", "nbr_id"), "nbr_id")
+      .select(col("src_id").as("__srid"), explode(col("heads")).as("h"),
+        col("cos_e6"))
+      .select(col("__srid"), col("h.id").as("id_b"), col("cos_e6"))
+    val expanded = mapping.withColumnRenamed("__rid", "__srid")
+      .join(nbrExpanded, "__srid")
+      .select(col("__oid").as("id_a"), col("id_b"), col("cos_e6"))
+    topKPerSource(mateCands.union(expanded), k)
+      .orderBy("src_id", "rank")
+  }
+
+  /** Top-k rows per source from (id_a, id_b, cos_e6) candidates via the
+    * typed [[graft.functions.TopKAgg]] — k-sized partial buffers merged
+    * under the aggregation, never a window or global sort. */
+  private def topKPerSource(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAgg}
+    scored
+      .select(col("id_a"), struct(col("id_b").as("id"),
+        col("cos_e6").as("score")).as("s"))
+      .as[(Long, Scored)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(TopKAgg.topK(k).name("nbrs"))
+      .toDF("src_id", "nbrs")
+      .select(col("src_id"), posexplode(col("nbrs")))
+      .select(col("src_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("nbr_id"), col("col.score").as("cos_e6"))
+  }
 }

@@ -84,7 +84,8 @@ class InventorySpec extends SparkSpec {
     "llm_sketch_difference", "stream_session_state", "stream_view_sketch",
     "llm_scrub_boilerplate",
     // round 7 continued: n-gram LM quality scoring, real BPE tokenizer
-    "llm_lm_score", "llm_bpe_train", "llm_bpe_encode", "llm_gopher_rules")
+    "llm_lm_score", "llm_bpe_train", "llm_bpe_encode", "llm_gopher_rules",
+    "llm_knn_graph")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -124,7 +125,11 @@ class InventorySpec extends SparkSpec {
       // the BPE merge loop is iterative argmax — no SQL twin; the full
       // merge table and the per-doc encode totals are pinned against an
       // independent naive implementation in BpeSpec
-      "llm_bpe_train", "llm_bpe_encode")
+      "llm_bpe_train", "llm_bpe_encode",
+      // the kNN graph is approximate by contract (LSH seed + NN-descent);
+      // KnnGraphSpec pins recall vs brute force, re-verifies every
+      // reported cosine, and requires the descent rounds to add recall
+      "llm_knn_graph")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")
