@@ -337,4 +337,151 @@ object Curate {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Exact duplicated-SPAN scrub (the distributed counterpart of Lee
+    * et al. ACL'22 "Deduplicating Training Data Makes Language Models
+    * Better" ExactSubstr): every SLIDING `spanWords`-token window whose
+    * exact text occurs in ≥ `minDocs` distinct documents marks all the
+    * token positions it covers; marked tokens are removed from every
+    * document and the survivors reassemble in order. Where
+    * [[scrubBoilerplate]] removes fixed non-overlapping chunks (the C4
+    * line rule), this removes ARBITRARY-ALIGNMENT duplicated substrings
+    * — overlapping windows merge into maximal spans for free, because
+    * coverage is per-position. Documents shorter than `spanWords` have
+    * no window and pass through untouched (the reference algorithm's
+    * minimum match length). The suffix-array machinery of the paper is
+    * replaced by the gram-table shuffle — same output for fixed window
+    * length, and it parallelizes as ordinary relational ops.
+    *
+    * Scale (100 TB): the sliding gram table is spanWords× the token
+    * count — linear; the duplicate test is ONE partial-aggregated
+    * shuffle on the gram key (count(DISTINCT doc) dedups map-side) and
+    * the mark-back a semi join riding the same key; coverage explode is
+    * spanWords× the DUP starts only; removal is a (doc, pos) anti join
+    * and reassembly one doc-key shuffle. No all-pairs anywhere. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val toks = base.select(col(idCol), posexplode(col("__toks")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    // step-1 chunks = sliding windows at every start; the trailing
+    // short gram of a <spanWords doc is filtered by the length guard
+    val grams = docs.select(col(idCol),
+        posexplode(TextOps.chunks(col(textCol), size = spanWords, step = 1)))
+      .select(col(idCol), col("pos").cast("long").as("start"),
+        col("col").as("gram"))
+      .filter(size(split(col("gram"), " ")) === spanWords)
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs).select("gram")
+    val covered = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol), explode(sequence(col("start"),
+        col("start") + (spanWords - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        c => c("tok"))).as("clean_text"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Target-affinity SELECTION (the DSIR shape — Xie et al.,
+    * NeurIPS'23 "Data Selection for Language Models via Importance
+    * Resampling"): build unigram count models of a TARGET corpus (the
+    * distribution you want more of) and of the raw POOL, score every
+    * pool document by how much more target-like than pool-like its
+    * tokens are, and select the top `keepNum/keepDen` fraction. The
+    * paper's per-token log-ratio sum is replaced by an exact RATIONAL
+    * affinity — Σ(1+c_target[tok]) / Σ(1+c_pool[tok]) over the doc's
+    * tokens (add-one smoothed, multiplicity counted), integer sums
+    * with ONE final division e6-quantized — the same
+    * determinism-over-floats trade as the [[graft.llm]] LM score: no
+    * partition-order float accumulation, so the declared query carries
+    * a full DuckDB oracle including the selected set.
+    *
+    * Scale (100 TB): two token-keyed count shuffles (partial-agg) build
+    * the models; scoring is a token-key join back to the pool's token
+    * table and one doc-key sum; the global selection rank rides
+    * [[graft.ops.ScalableRank]] (banded two-pass — a plain global
+    * window would serialize the corpus through one task). The target
+    * corpus is ordinary distributed data — never collected or
+    * broadcast, so a target as big as the pool still works. */
+  def selectByTargetAffinity(docs: DataFrame, idCol: String,
+                             textCol: String, isTarget: Column,
+                             keepNum: Long = 1L,
+                             keepDen: Long = 4L): DataFrame = {
+    require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen)
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val tCounts = toks.filter(col("__t")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("__ct"))
+    val pCounts = toks.filter(!col("__t")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("__cp"))
+    val scored = toks.filter(!col("__t"))
+      .join(tCounts, Seq("tok"), "left")
+      .join(pCounts, Seq("tok")) // every pool token is in the pool model
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_toks"),
+        sum(lit(1L) + coalesce(col("__ct"), lit(0L))).as("__num"),
+        sum(lit(1L) + col("__cp")).as("__den"))
+      .withColumn("weight_e6",
+        round(lit(1000000.0) * col("__num") / col("__den")).cast("long"))
+      .drop("__num", "__den")
+    val ranked = graft.ops.ScalableRank.withRank(scored, lit(1),
+      Seq(col("weight_e6").desc, col(idCol).asc),
+      -col("weight_e6"), "sel_rank", "n_pool")
+    ranked.select(col(idCol), col("n_toks"), col("weight_e6"),
+      col("sel_rank"), col("n_pool"),
+      (col("sel_rank") * keepDen <= col("n_pool") * keepNum)
+        .cast("long").as("selected"))
+  }
+
+  /** Cluster-based PROTOTYPE PRUNING (Sorscher et al., NeurIPS'22
+    * "Beyond neural scaling laws"): assign every embedding to its
+    * nearest centroid, rank each cluster's members by prototypicality
+    * (cosine to the assigned centroid), and DROP the most prototypical
+    * `pruneNum/pruneDen` of every cluster — in the abundant-data
+    * regime, easy (prototypical) examples teach the least, and pruning
+    * them beats random subsampling at equal token budget. Emits the
+    * full audit table (assignment, rank, cluster size, kept flag)
+    * rather than just survivors, so the pruning pressure is inspectable
+    * per cluster.
+    *
+    * Determinism: assignment is [[Ivf.assign]]'s integer cosine with
+    * ties to the smallest centroid id; the prototypicality order is
+    * total ((cos_e6 desc, id asc)); the keep rule is exact long
+    * arithmetic (`rank · den > n · num` ⇔ rank/n > frac) — no float
+    * division anywhere, so the declared query carries a real DuckDB
+    * oracle.
+    *
+    * Scale (100 TB): assignment is corpus × broadcast(centroids) — the
+    * corpus never shuffles for it; the per-cluster rank rides
+    * [[graft.ops.ScalableRank]] (banded two-pass, per-task sort bounded
+    * at |cluster|/bands) because a plain `Window.partitionBy(cluster)`
+    * would serialize a mega-cluster through one task. */
+  def prunePrototypes(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, pruneNum: Long = 1L,
+                      pruneDen: Long = 4L): DataFrame = {
+    require(pruneDen > 0 && pruneNum >= 0 && pruneNum <= pruneDen)
+    val assigned = Ivf.assign(emb, idCol, vecCol, centroids)
+    val ranked = graft.ops.ScalableRank.withRank(assigned,
+      col("centroid_id"),
+      Seq(col("cos_e6").desc, col(idCol).asc),
+      -col("cos_e6"), "proto_rank", "n_cluster")
+    // prune rank ≤ n·num/den (the prototypical head): kept ⇔
+    // rank·den > n·num, exact in longs (both sides < 2^63 for any
+    // realistic cluster)
+    ranked.select(col(idCol), col("centroid_id"), col("cos_e6"),
+      col("proto_rank"), col("n_cluster"),
+      (col("proto_rank") * pruneDen > col("n_cluster") * pruneNum)
+        .cast("long").as("kept"))
+  }
 }

@@ -803,6 +803,39 @@ object LlmQueries {
       .orderBy("centroid_id")
   }
 
+  /** N6+ — DSIR-shaped target-affinity selection
+    * ([[Curate.selectByTargetAffinity]]): English documents are the
+    * target model, every non-English document scores by the smoothed
+    * target/pool unigram-mass ratio, top 1/4 selected. Exact rational
+    * scoring → full DuckDB oracle including the selected flag. */
+  val dsirSelectQ: Q = (s, d) =>
+    Curate.selectByTargetAffinity(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en")
+      .orderBy("doc_id")
+
+  /** N4+ — exact duplicated-span scrub ([[Curate.scrubDupSpans]], the
+    * Lee et al. ExactSubstr flavor): sliding 8-token windows shared by
+    * ≥2 documents mark their covered positions; marked tokens are cut
+    * and each document reassembles. Token-exact → full DuckDB oracle. */
+  val scrubDupSpansQ: Q = (s, d) =>
+    Curate.scrubDupSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** N3++ — cluster-based prototype pruning
+    * ([[Curate.prunePrototypes]], Sorscher et al. NeurIPS'22): assign
+    * to the 8 smallest-id centroids, rank each cluster by prototypicality
+    * (cos to centroid, total order), drop the most prototypical 1/4 of
+    * every cluster. Exact integer keep rule + deterministic assignment
+    * → full DuckDB oracle. */
+  val prunePrototypesQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Curate.prunePrototypes(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec")))
+      .orderBy("vec_id")
+  }
+
   /** N6''''''' — exactly-k deterministic sample (bottom-k sketch): the
     * 50 documents with the smallest md5 priority. Rate-based sampling
     * (`llm_sample`) cannot hit an exact budget; bottom-k is the
@@ -1055,18 +1088,42 @@ object LlmQueries {
     * per-source TopKAgg. Rows-only (n/s) — approximate by contract
     * (the LSH recall trade); KnnGraphSpec pins recall against the
     * brute-force graph and re-verifies every reported cosine. */
-  val knnGraphQ: Q = (s, d) => {
-    // the graph is a derived corpus artifact like the PQ codes or the
-    // postings table: built once per (corpus identity, geometry) via
-    // CorpusCache, served from parquet after — a pipeline consults the
-    // graph many times (SemDeDup, clustering, curation) per build
-    val dir = CorpusCache.resolve(s, s"$d/embeddings.parquet",
+  /** The persisted kNN-graph artifact both graph queries serve from:
+    * built once per (corpus identity, geometry) via CorpusCache — a
+    * pipeline consults the graph many times (SemDeDup, clustering,
+    * curation) per build. */
+  private def knnGraphDir(s: SparkSession, d: String) =
+    CorpusCache.resolve(s, s"$d/embeddings.parquet",
         "graft-knng", "knng-v2|k5-pauto-h2-r3", Seq("_SUCCESS")) { tmp =>
       SimSearch.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
         .write.mode("overwrite").parquet(tmp.getPath)
     }
-    s.read.parquet(dir.getPath).orderBy("src_id", "rank")
+
+  val knnGraphQ: Q = (s, d) =>
+    s.read.parquet(knnGraphDir(s, d).getPath).orderBy("src_id", "rank")
+
+  /** N3+++ — graph-based near-dup CLUSTERS: the kNN graph thresholded
+    * at cos ≥ 0.95 is an undirected similarity graph; its connected
+    * components ([[Cluster.connectedComponents]] — min-label
+    * propagation + pointer jumping) are the semantic dup groups, one
+    * row per clustered vector with its component id and size. This is
+    * the graph-consuming half of the SemDeDup shape: build the graph
+    * once (persisted), derive clusters, survivors, and curation
+    * decisions from it repeatedly. Rows-only (the graph is approximate
+    * by contract); KnnGraphSpec pins planted-clone co-clustering and
+    * the exact-graph agreement. */
+  val knnGraphClustersQ: Q = (s, d) => {
+    val g = s.read.parquet(knnGraphDir(s, d).getPath)
+    val edges = g.filter(col("cos_e6") >= 950000L)
+      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+    val cc = Cluster.connectedComponents(edges)
+    val sizes = cc.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("vec_id")
   }
 
   /** N4 — content fingerprint (md5 of normalized text). */
@@ -1152,6 +1209,7 @@ object LlmQueries {
     "llm_mixture_weights" -> mixtureWeightsQ,
     "llm_boilerplate_ngrams" -> boilerplateNgrams,
     "llm_ivf_assign" -> ivfAssignQ,
+    "llm_prune_prototypes" -> prunePrototypesQ,
     "llm_sample_bottomk" -> sampleBottomkQ,
     "llm_sample_weighted" -> sampleWeightedQ,
     "llm_rarest_term" -> rarestTermQ,
@@ -1160,11 +1218,14 @@ object LlmQueries {
     "llm_pipeline_e2e" -> pipelineQ,
     "llm_decontaminate_ngram" -> decontaminateNgramQ,
     "llm_scrub_boilerplate" -> scrubBoilerplateQ,
+    "llm_scrub_spans" -> scrubDupSpansQ,
+    "llm_dsir_select" -> dsirSelectQ,
     "llm_lm_score" -> lmScoreQ,
     "llm_bpe_train" -> bpeTrainQ,
     "llm_bpe_encode" -> bpeEncodeQ,
     "llm_gopher_rules" -> gopherRulesQ,
-    "llm_knn_graph" -> knnGraphQ
+    "llm_knn_graph" -> knnGraphQ,
+    "llm_knn_graph_clusters" -> knnGraphClustersQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -1531,6 +1592,56 @@ object LlmQueries {
         | SELECT n.doc_id, n.n_chunks, coalesce(r.n_kept, 0) AS n_kept,
         |   coalesce(r.clean_text, '') AS clean_text
         | FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""".stripMargin,
+    "llm_scrub_spans" ->
+      // sliding 8-gram starts (1-based slice → 0-based start), ≥2-doc
+      // grams mark covered positions, kept tokens reassemble in order
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id, toks,
+        |   unnest(generate_series(1, len(toks) - 7)) AS st FROM t),
+        | gr AS (SELECT doc_id, CAST(st - 1 AS BIGINT) AS start,
+        |   array_to_string(toks[st : st + 7], ' ') AS gram FROM g),
+        | dup AS (SELECT gram FROM gr GROUP BY gram
+        |   HAVING count(DISTINCT doc_id) >= 2),
+        | cov AS (SELECT DISTINCT doc_id, p FROM (
+        |   SELECT gr.doc_id, unnest(generate_series(gr.start, gr.start + 7)) AS p
+        |   FROM gr JOIN dup USING (gram))),
+        | tokp AS (SELECT doc_id, toks,
+        |   unnest(generate_series(1, len(toks))) AS i FROM t),
+        | tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        |   FROM tokp),
+        | kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+        |   LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.p
+        |   WHERE cov.p IS NULL),
+        | r AS (SELECT doc_id, count(*) AS n_kept,
+        |   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |   FROM kept GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+        | SELECT n.doc_id, n.n_tokens, coalesce(r.n_kept, 0) AS n_kept,
+        |   coalesce(r.clean_text, '') AS clean_text
+        | FROM n LEFT JOIN r ON n.doc_id = r.doc_id ORDER BY n.doc_id""".stripMargin,
+    "llm_dsir_select" ->
+      // add-one smoothed unigram mass ratio, integer sums, one e6
+      // division; selection rank is total (weight desc, id asc)
+      """WITH tok AS (SELECT doc_id, lang,
+        |   unnest(string_split(text, ' ')) AS tok FROM documents),
+        | tc AS (SELECT tok, count(*) AS c_t FROM tok WHERE lang = 'en'
+        |   GROUP BY tok),
+        | pc AS (SELECT tok, count(*) AS c_p FROM tok WHERE lang <> 'en'
+        |   GROUP BY tok),
+        | sc AS (SELECT t.doc_id, count(*) AS n_toks,
+        |     sum(1 + coalesce(tc.c_t, 0)) AS num, sum(1 + pc.c_p) AS den
+        |   FROM tok t LEFT JOIN tc USING (tok) JOIN pc USING (tok)
+        |   WHERE t.lang <> 'en' GROUP BY t.doc_id),
+        | w AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |   CAST(round(1000000.0 * num / den) AS BIGINT) AS weight_e6 FROM sc),
+        | r AS (SELECT *, row_number() OVER
+        |     (ORDER BY weight_e6 DESC, doc_id) AS sel_rank,
+        |   count(*) OVER () AS n_pool FROM w)
+        | SELECT doc_id, n_toks, weight_e6,
+        |   CAST(sel_rank AS BIGINT) AS sel_rank,
+        |   CAST(n_pool AS BIGINT) AS n_pool,
+        |   CAST(sel_rank * 4 <= n_pool * 1 AS BIGINT) AS selected
+        | FROM r ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
@@ -1716,6 +1827,34 @@ object LlmQueries {
         | SELECT centroid_id, count(*) AS n_assigned,
         |   CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6
         | FROM b WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "llm_prune_prototypes" ->
+      // same assignment CTE as llm_ivf_assign; prototypicality rank is
+      // a total order (cos desc, id asc); keep rule rank·4 > n·1 exact
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |           FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT e.vec_id, c.centroid_id,
+        |   CAST(round(1000000.0 *
+        |     list_sum(list_transform(list_zip(e.embedding, c.cvec),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+        |     (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
+        |      sqrt(list_sum(list_transform(list_zip(c.cvec, c.cvec),
+        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
+        |   ) AS BIGINT) AS cos_e6
+        |   FROM embeddings e CROSS JOIN c),
+        | b AS (SELECT *, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cos_e6 DESC, centroid_id) AS rk
+        |   FROM s),
+        | a AS (SELECT vec_id, centroid_id, cos_e6 FROM b WHERE rk = 1),
+        | r AS (SELECT *, row_number() OVER
+        |     (PARTITION BY centroid_id ORDER BY cos_e6 DESC, vec_id)
+        |     AS proto_rank,
+        |   count(*) OVER (PARTITION BY centroid_id) AS n_cluster FROM a)
+        | SELECT vec_id, centroid_id, cos_e6,
+        |   CAST(proto_rank AS BIGINT) AS proto_rank,
+        |   CAST(n_cluster AS BIGINT) AS n_cluster,
+        |   CAST(proto_rank * 4 > n_cluster * 1 AS BIGINT) AS kept
+        | FROM r ORDER BY vec_id""".stripMargin,
     "llm_sample_bottomk" ->
       """SELECT doc_id, pri FROM (
         |   SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':graft-v1') AS pri

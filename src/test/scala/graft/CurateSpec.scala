@@ -152,4 +152,93 @@ class CurateSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("span scrub cuts duplicated spans at any alignment, merges overlaps") {
+    // span1 appears at DIFFERENT offsets in docs 1/2 (alignment the
+    // chunk-based scrub cannot see); docs 5/6 share a 5-token run whose
+    // two overlapping 4-gram windows must merge into one maximal span;
+    // doc 3 is a sub-window-length copy (< 4 tokens → untouched); doc 4
+    // is unique
+    val df = Seq(
+      (1L, "aaa bbb the quick brown fox ccc"),
+      (2L, "the quick brown fox zzz qqq"),
+      (3L, "the quick brown"),
+      (4L, "xxx yyy www vvv uuu"),
+      (5L, "pad one two three four five tail"),
+      (6L, "one two three four five")).toDF("doc_id", "text")
+    val got = Curate.scrubDupSpans(df, "doc_id", "text",
+        spanWords = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 3L, "aaa bbb ccc"),
+      (2L, 6L, 2L, "zzz qqq"),
+      (3L, 3L, 3L, "the quick brown"),
+      (4L, 5L, 5L, "xxx yyy www vvv uuu"),
+      (5L, 7L, 2L, "pad tail"),
+      (6L, 5L, 0L, "")),
+      s"unexpected span scrub output: ${got.toSeq}")
+  }
+
+  test("prototype pruning drops the most-prototypical quarter per cluster") {
+    // two planted clusters on orthogonal axes, 4 members each with
+    // strictly decreasing cosine to their centroid: rank 1 (the most
+    // prototypical) must be the pruned quarter, ranks 2-4 kept
+    val members = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(1f, 0.1f)),
+      (12L, Array(1f, 0.5f)), (13L, Array(1f, 0.9f)),
+      (20L, Array(0f, 1f)), (21L, Array(0.1f, 1f)),
+      (22L, Array(0.5f, 1f)), (23L, Array(0.9f, 1f)))
+      .toDF("id", "v")
+    val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "cvec")
+    val got = Curate.prunePrototypes(members, "id", "v", centroids)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (10L, 0L, 1L, 4L, 0L), (11L, 0L, 2L, 4L, 1L),
+      (12L, 0L, 3L, 4L, 1L), (13L, 0L, 4L, 4L, 1L),
+      (20L, 1L, 1L, 4L, 0L), (21L, 1L, 2L, 4L, 1L),
+      (22L, 1L, 3L, 4L, 1L), (23L, 1L, 4L, 4L, 1L)),
+      s"unexpected pruning output: ${got.toSeq}")
+  }
+
+  test("target-affinity selection ranks target-like pool docs first") {
+    // target speaks alpha/beta/gamma; pool docs graded by how much of
+    // that vocabulary they carry — selection must follow the gradient
+    val df = Seq(
+      (1L, "alpha beta gamma", true), (2L, "alpha beta gamma", true),
+      (3L, "alpha beta gamma alpha", true),
+      (10L, "alpha beta gamma", false),
+      (11L, "alpha beta noise", false),
+      (12L, "alpha noise noise", false),
+      (13L, "noise noise noise", false),
+      (14L, "noise filler junk", false),
+      (15L, "filler junk words", false),
+      (16L, "junk words blob", false),
+      (17L, "words blob mass", false))
+      .toDF("doc_id", "text", "is_t")
+    val got = Curate.selectByTargetAffinity(df, "doc_id", "text",
+        col("is_t"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val byRank = got.sortBy(_._3)
+    // 8 pool docs → floor(8/4) = 2 selected; the full-vocab doc wins
+    assert(got.count(_._4 == 1L) == 2, s"selected count: ${got.toSeq}")
+    assert(byRank.head._1 == 10L, s"rank 1 must be the full-vocab doc: ${byRank.toSeq}")
+    // weights must be non-increasing in rank and the all-noise docs
+    // must score below every doc carrying target vocabulary
+    assert(byRank.map(_._2).toSeq == byRank.map(_._2).sortBy(-_).toSeq)
+    val noiseWeights = got.filter(t => t._1 >= 13L).map(_._2)
+    val vocabWeights = got.filter(t => t._1 <= 12L).map(_._2)
+    assert(noiseWeights.max < vocabWeights.min,
+      s"noise docs must rank below vocab docs: ${got.toSeq}")
+    // pure function of the input: repartitioned rerun is identical
+    val again = Curate.selectByTargetAffinity(df.repartition(7), "doc_id",
+        "text", col("is_t"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(got.toSeq == again.toSeq, "selection must be partition-invariant")
+  }
 }

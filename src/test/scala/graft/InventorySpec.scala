@@ -85,7 +85,8 @@ class InventorySpec extends SparkSpec {
     "llm_scrub_boilerplate",
     // round 7 continued: n-gram LM quality scoring, real BPE tokenizer
     "llm_lm_score", "llm_bpe_train", "llm_bpe_encode", "llm_gopher_rules",
-    "llm_knn_graph")
+    "llm_knn_graph", "llm_prune_prototypes", "llm_scrub_spans",
+    "llm_dsir_select", "llm_knn_graph_clusters")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -128,8 +129,9 @@ class InventorySpec extends SparkSpec {
       "llm_bpe_train", "llm_bpe_encode",
       // the kNN graph is approximate by contract (LSH seed + NN-descent);
       // KnnGraphSpec pins recall vs brute force, re-verifies every
-      // reported cosine, and requires the descent rounds to add recall
-      "llm_knn_graph")
+      // reported cosine, and requires the descent rounds to add recall —
+      // and its thresholded components inherit the approximation
+      "llm_knn_graph", "llm_knn_graph_clusters")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

@@ -117,4 +117,26 @@ class KnnGraphSpec extends SparkSpec {
     assert(agree >= unaffected.size * 9 / 10,
       s"collapse path disturbed clone-free lists: $agree/${unaffected.size}")
   }
+
+  test("graph clusters: planted clones co-cluster; sizes consistent") {
+    import graft.llm.Cluster
+    val base = Tables.embeddings(spark, sf)
+    val clones = base.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val g = SimSearch.knnGraph(base.unionByName(clones), "vec_id",
+        "embedding", k = K, planes = 0, probeHamming = 2,
+        refineRounds = 3)
+    val edges = g.filter($"cos_e6" >= 950000L)
+      .select($"src_id".as("id_a"), $"nbr_id".as("id_b"))
+    val cc = Cluster.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    // every clone pair must land in one component (their mutual edge is
+    // cos = 1e6, always over threshold)
+    for (i <- 0L until 20L)
+      assert(cc(i) == cc(i + 100000), s"clone pair $i split across clusters")
+    // the component label is the min member id, so no planted clone id
+    // can ever BE a label of a base vector's cluster
+    assert(cc.filter(_._1 < 100000).values.forall(_ < 100000),
+      "a base vector took a clone id as its cluster label")
+  }
 }
