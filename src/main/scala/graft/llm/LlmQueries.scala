@@ -1155,6 +1155,154 @@ object LlmQueries {
     Multimodal.binaryIngest(s, Tables.documents(s, d), dir)
   }
 
+  /** N4+++++ — per-source n-gram DIVERSITY (bigram type/token ratio):
+    * distinct bigram types over total bigram tokens per source — the
+    * corpus-health probe that catches template-generated or
+    * over-duplicated sources before training (a low TTR source is
+    * boilerplate; Self-BLEU's cheap cousin). Scale: gram explosion at
+    * the scan; the distinct count is a two-phase (source, gram)
+    * aggregate — high-cardinality shuffle key, spreads evenly; no
+    * window anywhere. */
+  val diversityNgramQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(TextOps.ngrams(col("text"), 2)).as("gram"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_types"))
+      .withColumn("ttr_e4",
+        round(lit(10000.0) * col("n_types") / col("n_grams")).cast("long"))
+      .orderBy("source")
+
+  /** N4++++++ — per-source ZIPF SLOPE of the bigram rank-frequency
+    * curve: least-squares fit of ln(freq) on ln(rank), the power-law
+    * exponent corpus-health check (natural text sits near −1; a
+    * template mill or a scrambled corpus drifts off it). Determinism
+    * is the [[RelationalOps.aggCorrManual]] recipe: the log points are
+    * e6-quantized integers, the sufficient statistics are EXACT
+    * decimal sums, and only the final slope formula runs in double —
+    * bit-identical across engines. Scale: the (source, gram) frequency
+    * table is a two-phase aggregate; the per-source rank rides
+    * [[graft.ops.ScalableRank]] (banded, bounded per-task sorts — a
+    * plain per-source window would serialize a source's whole
+    * vocabulary through one task); the fit consumes five sums per
+    * source. */
+  val tokenZipfQ: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // stage the frequency table once (localCheckpoint — the tfidf
+    // lesson): ScalableRank consumes it THREE times (band-boundary
+    // sampling, the ranked pass, the count table), and each would
+    // otherwise re-run the tokenize + (source, gram) aggregate
+    val freq = Tables.documents(s, d)
+      .select(col("source"),
+        explode(TextOps.ngrams(col("text"), 2)).as("gram"))
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val ranked = graft.ops.ScalableRank.withRank(freq, col("source"),
+      Seq(col("f").desc, col("gram").asc), -col("f"), "__r", "__n")
+    val pts = ranked.select(col("source"),
+      round(lit(1000000.0) * log(col("__r"))).cast("long").as("lx"),
+      round(lit(1000000.0) * log(col("f"))).cast("long").as("ly"))
+    pts.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("lx").cast(dec)).cast("double").as("sx"),
+        sum(col("ly").cast(dec)).cast("double").as("sy"),
+        sum((col("lx") * col("ly")).cast(dec)).cast("double").as("sxy"),
+        sum((col("lx") * col("lx")).cast(dec)).cast("double").as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_types"),
+        round(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("slope_e6"))
+      .orderBy("source")
+  }
+
+  /** The deterministic in-batch NEGATIVE ring both contrastive-mining
+    * queries share: vectors order by the engine-portable Lehmer key
+    * ([[Curate.shuffleKey]] — a stable pseudo-random permutation), and
+    * each vector's negative is its successor on that ring (wrapping).
+    * The rank is the banded global rank ([[graft.ops.ScalableRank]],
+    * no global window); the successor lookup is a self-join on the
+    * rank — batch-sized, uniform. */
+  private def negativeRing(e: DataFrame): DataFrame = {
+    val keyed = e.select(col("vec_id"),
+      Curate.shuffleKey(col("vec_id")).as("__sk"))
+    val rk = graft.ops.ScalableRank.withRank(keyed, lit(1),
+      Seq(col("__sk").asc, col("vec_id").asc), col("__sk"), "__rn", "__n")
+    val anchors = rk.select(col("vec_id").as("anchor_id"), col("__rn"))
+    val succ = rk.select(col("vec_id").as("neg_id"),
+      when(col("__rn") === 1, col("__n"))
+        .otherwise(col("__rn") - 1).as("__rn"))
+    anchors.join(succ, "__rn").select("anchor_id", "neg_id")
+  }
+
+  /** Attach the ring negative and its exact cosine to a positives
+    * table keyed by anchor_id. */
+  private def withRingNegatives(e: DataFrame, pos: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val neg = negativeRing(e)
+      .join(ev.select(col("vec_id").as("anchor_id"),
+        col("embedding").as("__av")), "anchor_id")
+      .join(ev.select(col("vec_id").as("neg_id"),
+        col("embedding").as("__nv")), "neg_id")
+      .select(col("anchor_id"), col("neg_id"),
+        SimSearch.cosineE6(col("__av"), col("__nv")).as("neg_cos_e6"))
+    pos.join(neg, "anchor_id").orderBy("anchor_id")
+  }
+
+  /** N3++++ — CONTRASTIVE PAIR MINING (supervised flavor): for every
+    * vector, a positive (its exact nearest same-label neighbor — the
+    * SupCon recipe) and a deterministic in-batch negative (the Lehmer
+    * ring successor — the standard "random other example" negative),
+    * with both cosines reported — the (anchor, pos, neg) triple table
+    * an embedding-model trainer consumes. Exact within-label argmax →
+    * full DuckDB oracle. Scale: the label is the shuffle key and the
+    * within-label pair space is the honest cost, exactly like the
+    * all-pairs oracles of the dedup family — the 100 TB serving path
+    * is [[contrastivePairsGraphQ]], which pools positives from the
+    * persisted kNN graph instead (same mining shape, candidates from
+    * LSH buckets, never all pairs); this exact form is its
+    * oracle-checkable twin at the verify scales. */
+  val contrastivePairsQ: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("anchor_id"), col("label"),
+      col("embedding").as("__a"))
+    val b = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("embedding").as("__b"))
+    val pos = a.join(b, Seq("label"))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("label"),
+        struct((-SimSearch.cosineE6(col("__a"), col("__b"))).as("negc"),
+          col("cand_id").as("id")).as("__p"))
+      .groupBy(col("anchor_id"), col("label"))
+      .agg(min(col("__p")).as("__m"))
+      .select(col("anchor_id"), col("label"), col("__m.id").as("pos_id"),
+        (-col("__m.negc")).as("pos_cos_e6"))
+    withRingNegatives(e, pos)
+      .select("anchor_id", "label", "pos_id", "pos_cos_e6",
+        "neg_id", "neg_cos_e6")
+  }
+
+  /** N3+++++ — contrastive mining SERVED FROM THE INDEX (unsupervised
+    * flavor): positives are the persisted kNN graph's rank-1 edges
+    * (built once per corpus via [[CorpusCache]], LSH-seeded +
+    * NN-descent — candidates from buckets, never all pairs), negatives
+    * the same Lehmer ring. This is the deployment shape at 100 TB:
+    * graph build amortizes across every consumer (SemDeDup, clusters,
+    * this miner), and serving is a rank filter + two id joins.
+    * Rows-only (the graph is approximate by contract); LlmSpec pins
+    * the structure and the overlap vs the exact supervised form. */
+  val contrastivePairsGraphQ: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val pos = s.read.parquet(knnGraphDir(s, d).getPath)
+      .filter(col("rank") === 1)
+      .select(col("src_id").as("anchor_id"), col("nbr_id").as("pos_id"),
+        col("cos_e6").as("pos_cos_e6"))
+    withRingNegatives(e, pos)
+      .select("anchor_id", "pos_id", "pos_cos_e6", "neg_id", "neg_cos_e6")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_multimodal_ingest" -> multimodalIngest,
     "llm_dedup_exact" -> dedupExact,
@@ -1225,7 +1373,11 @@ object LlmQueries {
     "llm_bpe_encode" -> bpeEncodeQ,
     "llm_gopher_rules" -> gopherRulesQ,
     "llm_knn_graph" -> knnGraphQ,
-    "llm_knn_graph_clusters" -> knnGraphClustersQ
+    "llm_knn_graph_clusters" -> knnGraphClustersQ,
+    "llm_diversity_ngram" -> diversityNgramQ,
+    "llm_token_zipf" -> tokenZipfQ,
+    "llm_contrastive_pairs" -> contrastivePairsQ,
+    "llm_contrastive_pairs_graph" -> contrastivePairsGraphQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -1234,6 +1386,34 @@ object LlmQueries {
     .map(w => s"'$w'").mkString(", ")
   private def hits(l: String) =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${lex(l)})))"
+
+  /** DuckDB e6-cosine between two float-list columns — the
+    * llm_simsearch_topk formulation, shared by the contrastive oracle. */
+  private def cosSql(a: String, b: String) =
+    s"""CAST(round(1000000.0 *
+       |   list_sum(list_transform(list_zip($a, $b),
+       |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(list_zip($a, $a),
+       |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(list_zip($b, $b),
+       |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
+       | ) AS BIGINT)""".stripMargin
+
+  /** The Lehmer shuffle-key chain in portable SQL (llm_shuffle_order's
+    * normalized form), shared by the contrastive negative ring. */
+  private def lehmerSql(id: String) =
+    s"""((((($id % 2147483647 + 2147483647) % 2147483647)
+       |   * 48271 % 2147483647 + 2147483647) % 2147483647
+       |   * 48271 % 2147483647 + 2147483647) % 2147483647)""".stripMargin
+
+  /** The bigram CTE shared by the diversity / zipf oracles — the
+    * TextOps.ngrams(_, 2) twin (whole-text gram under 2 tokens). */
+  private val bigramCte =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      | g AS (SELECT source, unnest(
+      |   CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |   ELSE list_transform(generate_series(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+1], ' ')) END) AS gram FROM t)""".stripMargin
 
   /** Brute-force all-pairs shingle CTE shared by the near-dup oracles:
     * DuckDB string 3-gram shingles == Dedup.shingles (same tokenizer,
@@ -2011,6 +2191,56 @@ object LlmQueries {
         | FROM documents
         | WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] = 'image'
         |   AND n_chars % 640 >= 100
-        | ORDER BY media_id""".stripMargin
+        | ORDER BY media_id""".stripMargin,
+    "llm_diversity_ngram" -> (bigramCte +
+      """
+        | SELECT source, count(*) AS n_grams,
+        |   count(DISTINCT gram) AS n_types,
+        |   CAST(round(10000.0 * count(DISTINCT gram) / count(*)) AS BIGINT)
+        |     AS ttr_e4
+        | FROM g GROUP BY source ORDER BY source""".stripMargin),
+    "llm_token_zipf" -> (bigramCte +
+      """,
+        | f AS (SELECT source, gram, count(*) AS f FROM g
+        |       GROUP BY source, gram),
+        | r AS (SELECT source, f, row_number() OVER (PARTITION BY source
+        |       ORDER BY f DESC, gram) AS r FROM f),
+        | p AS (SELECT source,
+        |   CAST(round(1000000.0 * ln(r)) AS BIGINT) AS lx,
+        |   CAST(round(1000000.0 * ln(f)) AS BIGINT) AS ly FROM r),
+        | s AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(lx AS HUGEINT)) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(ly AS HUGEINT)) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx
+        |   FROM p GROUP BY source)
+        | SELECT source, CAST(n AS BIGINT) AS n_types,
+        |   CAST(round(1000000.0 * (n * sxy - sx * sy) /
+        |     (n * sxx - sx * sx)) AS BIGINT) AS slope_e6
+        | FROM s ORDER BY source""".stripMargin),
+    "llm_contrastive_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         | cos AS (SELECT a.vec_id AS anchor_id, a.label,
+         |   b.vec_id AS cand_id,
+         |   ${cosSql("a.embedding", "b.embedding")} AS cos_e6
+         |   FROM e a JOIN e b ON a.label = b.label
+         |     AND a.vec_id <> b.vec_id),
+         | pos AS (SELECT anchor_id, label, cand_id AS pos_id,
+         |   cos_e6 AS pos_cos_e6,
+         |   row_number() OVER (PARTITION BY anchor_id
+         |     ORDER BY cos_e6 DESC, cand_id) AS prn FROM cos),
+         | rk AS (SELECT vec_id, row_number() OVER (ORDER BY
+         |     ${lehmerSql("vec_id")}, vec_id) AS rn,
+         |   count(*) OVER () AS n FROM e),
+         | ring AS (SELECT a.vec_id AS anchor_id, su.vec_id AS neg_id
+         |   FROM rk a JOIN rk su ON su.rn = a.rn % a.n + 1),
+         | neg AS (SELECT r.anchor_id, r.neg_id,
+         |   ${cosSql("ea.embedding", "en.embedding")} AS neg_cos_e6
+         |   FROM ring r JOIN e ea ON ea.vec_id = r.anchor_id
+         |   JOIN e en ON en.vec_id = r.neg_id)
+         | SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos_e6,
+         |   ng.neg_id, ng.neg_cos_e6
+         | FROM pos p JOIN neg ng ON ng.anchor_id = p.anchor_id
+         | WHERE p.prn = 1 ORDER BY p.anchor_id""".stripMargin
   )
 }

