@@ -1266,19 +1266,50 @@ object LlmQueries {
   val contrastivePairsQ: Q = (s, d) => {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("anchor_id"), col("label"),
-      col("embedding").as("__a"))
-    val b = e.select(col("vec_id").as("cand_id"), col("label"),
-      col("embedding").as("__b"))
-    val pos = a.join(b, Seq("label"))
-      .filter(col("cand_id") =!= col("anchor_id"))
-      .select(col("anchor_id"), col("label"),
-        struct((-SimSearch.cosineE6(col("__a"), col("__b"))).as("negc"),
-          col("cand_id").as("id")).as("__p"))
-      .groupBy(col("anchor_id"), col("label"))
-      .agg(min(col("__p")).as("__m"))
-      .select(col("anchor_id"), col("label"), col("__m.id").as("pos_id"),
-        (-col("__m.negc")).as("pos_cos_e6"))
+    // EXACT-CLONE COLLAPSE (the semanticDedup/knnGraph precedent — a
+    // clone-heavy corpus, the dedup target workload, would otherwise
+    // make the within-label pair join quadratic in clone count):
+    // byte-identical vectors in a label form ONE group; the pair join
+    // runs over group representatives (distinct², not rows²), and each
+    // member's true argmax reassembles exactly — a clone-mate at
+    // cos 1e6 with the group's smallest other id, or the best other
+    // GROUP (whose min id is its rep, so the (cos desc, id asc)
+    // tie-break is preserved even when a cross-group cosine rounds to
+    // 1e6 too). Output-identical to the uncollapsed all-pairs form —
+    // the DuckDB oracle and Wave7Spec's naive argmax both pin it.
+    val members = e.select(col("vec_id"), col("label"),
+      col("embedding").as("__v"))
+    val g1 = members.groupBy(col("label"), col("__v"))
+      .agg(min(col("vec_id")).as("__min1"), count(lit(1)).as("__gsz"))
+    val g2 = members.join(g1, Seq("label", "__v"))
+      .filter(col("vec_id") =!= col("__min1"))
+      .groupBy(col("label"), col("__v"))
+      .agg(min(col("vec_id")).as("__min2"))
+    val reps = g1.select(col("label"), col("__v"), col("__min1"))
+    val ra = reps.select(col("label"), col("__v"),
+      col("__min1").as("__repa"))
+    val rb = reps.select(col("label"), col("__v").as("__vb"),
+      col("__min1").as("__repb"))
+    // best OTHER group per rep: distinct-vector pair join on the label
+    val bestOther = ra.join(rb, Seq("label"))
+      .filter(col("__repa") =!= col("__repb"))
+      .select(col("label"), col("__v"),
+        struct((-SimSearch.cosineE6(col("__v"), col("__vb"))).as("negc"),
+          col("__repb").as("id")).as("__c"))
+      .groupBy(col("label"), col("__v"))
+      .agg(min(col("__c")).as("__cross"))
+    val pos = members
+      .join(g1, Seq("label", "__v"))
+      .join(g2, Seq("label", "__v"), "left")
+      .join(bestOther, Seq("label", "__v"), "left")
+      .withColumn("__own", when(col("__gsz") >= 2,
+        struct(lit(-1000000L).as("negc"),
+          when(col("vec_id") === col("__min1"), col("__min2"))
+            .otherwise(col("__min1")).as("id"))))
+      .withColumn("__m", least(col("__own"), col("__cross")))
+      .filter(col("__m").isNotNull)
+      .select(col("vec_id").as("anchor_id"), col("label"),
+        col("__m.id").as("pos_id"), (-col("__m.negc")).as("pos_cos_e6"))
     withRingNegatives(e, pos)
       .select("anchor_id", "label", "pos_id", "pos_cos_e6",
         "neg_id", "neg_cos_e6")
