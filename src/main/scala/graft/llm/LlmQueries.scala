@@ -1216,6 +1216,69 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** N6++ — CURRICULUM data ordering: easiest-first epochs take the
+    * corpus quality-banded (global deciles of the stopword-ratio
+    * quality score, best decile first) but SHUFFLED within each band
+    * (the Lehmer key — adjacent training batches must not correlate).
+    * Emits the global curriculum position so a trainer reads the
+    * corpus in emit order. Scale: both ranks ride the banded
+    * [[graft.ops.ScalableRank]] (no global window); the composite
+    * position key packs (decile, shuffle_key) into one long so the
+    * band decomposition stays monotone under the lexicographic order.
+    * Full DuckDB oracle (ntile parity is the window_ntile precedent). */
+  val curriculumOrderQ: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      TextOps.qualityE4(col("text")).as("quality_e4"))
+    val dec = graft.ops.ScalableRank.withRank(base, lit(1),
+        Seq(col("quality_e4").desc, col("doc_id").asc),
+        -col("quality_e4"), "__qr", "__qn")
+      .select(col("doc_id"), col("quality_e4"),
+        graft.ops.ScalableRank.ntileFromRank(col("__qr"), col("__qn"), 10)
+          .as("decile"),
+        Curate.shuffleKey(col("doc_id")).as("__sk"))
+    // one monotone long for (decile, shuffle_key): decile ≤ 10,
+    // shuffle_key < 2^31 — no overflow, order-preserving
+    val keyed = dec.withColumn("__ck",
+      col("decile") * lit(2147483648L) + col("__sk"))
+    graft.ops.ScalableRank.withRank(keyed, lit(1),
+        Seq(col("__ck").asc, col("doc_id").asc), col("__ck"),
+        "curriculum_pos", "__cn")
+      .select(col("doc_id"), col("quality_e4"), col("decile"),
+        col("curriculum_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** N6+++ — LENGTH-BUCKETED batch assembly (the padding-efficiency
+    * step: batching similar-length sequences cuts pad-token waste):
+    * documents bucket by 64-token length bins, shuffle within the
+    * bucket (Lehmer), and fill fixed-size batches of 16 in that order;
+    * each batch's pad target is its longest member. Emits the full
+    * (doc → bucket, batch, slot, pad_to) assignment plus the per-doc
+    * padding waste — the audit table a data-loader consumes. Scale:
+    * within-bucket rank is the banded [[graft.ops.ScalableRank]]; the
+    * pad target is a (bucket, batch) aggregate joined back — no
+    * window over raw rows; everything else is per-row arithmetic. */
+  val batchBucketsQ: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", ((col("n_tokens") - pmod(col("n_tokens"),
+        lit(64L))) / 64L).cast("long"))
+      .withColumn("__sk", Curate.shuffleKey(col("doc_id")))
+    val ranked = graft.ops.ScalableRank.withRank(base, col("bucket"),
+      Seq(col("__sk").asc, col("doc_id").asc), col("__sk"), "__r", "__n")
+    val assigned = ranked
+      .withColumn("batch_idx", (((col("__r") - 1) - pmod(col("__r") - 1,
+        lit(16L))) / 16L).cast("long"))
+      .withColumn("slot", pmod(col("__r") - 1, lit(16L)))
+    val padTo = assigned.groupBy(col("bucket"), col("batch_idx"))
+      .agg(max(col("n_tokens")).as("pad_to"))
+    assigned.join(padTo, Seq("bucket", "batch_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        col("batch_idx"), col("slot"), col("pad_to"),
+        (col("pad_to") - col("n_tokens")).as("pad_waste"))
+      .orderBy("doc_id")
+  }
+
   /** The deterministic in-batch NEGATIVE ring both contrastive-mining
     * queries share: vectors order by the engine-portable Lehmer key
     * ([[Curate.shuffleKey]] — a stable pseudo-random permutation), and
@@ -1408,7 +1471,9 @@ object LlmQueries {
     "llm_diversity_ngram" -> diversityNgramQ,
     "llm_token_zipf" -> tokenZipfQ,
     "llm_contrastive_pairs" -> contrastivePairsQ,
-    "llm_contrastive_pairs_graph" -> contrastivePairsGraphQ
+    "llm_contrastive_pairs_graph" -> contrastivePairsGraphQ,
+    "llm_curriculum_order" -> curriculumOrderQ,
+    "llm_batch_buckets" -> batchBucketsQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -2272,6 +2337,39 @@ object LlmQueries {
          | SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos_e6,
          |   ng.neg_id, ng.neg_cos_e6
          | FROM pos p JOIN neg ng ON ng.anchor_id = p.anchor_id
-         | WHERE p.prn = 1 ORDER BY p.anchor_id""".stripMargin
+         | WHERE p.prn = 1 ORDER BY p.anchor_id""".stripMargin,
+    "llm_curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id,
+         |   CAST(round(10000.0 *
+         |     len(list_filter(string_split(text, ' '), t -> t IN ($stopAll)))
+         |     / len(string_split(text, ' '))) AS BIGINT) AS quality_e4
+         |   FROM documents),
+         | n AS (SELECT doc_id, quality_e4,
+         |   ntile(10) OVER (ORDER BY quality_e4 DESC, doc_id) AS decile
+         |   FROM q),
+         | r AS (SELECT doc_id, quality_e4, decile,
+         |   row_number() OVER (ORDER BY decile,
+         |     ${lehmerSql("doc_id")}, doc_id) AS curriculum_pos FROM n)
+         | SELECT doc_id, quality_e4, CAST(decile AS BIGINT) AS decile,
+         |   CAST(curriculum_pos AS BIGINT) AS curriculum_pos
+         | FROM r ORDER BY doc_id""".stripMargin,
+    "llm_batch_buckets" ->
+      s"""WITH b AS (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |   FROM documents),
+         | k AS (SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+         |   ${lehmerSql("doc_id")} AS sk FROM b),
+         | r AS (SELECT doc_id, n_tokens, bucket,
+         |   row_number() OVER (PARTITION BY bucket
+         |     ORDER BY sk, doc_id) - 1 AS r0 FROM k),
+         | a AS (SELECT doc_id, n_tokens, bucket, r0 // 16 AS batch_idx,
+         |   r0 % 16 AS slot FROM r),
+         | p AS (SELECT bucket, batch_idx, max(n_tokens) AS pad_to
+         |   FROM a GROUP BY bucket, batch_idx)
+         | SELECT a.doc_id, a.n_tokens, a.bucket, a.batch_idx, a.slot,
+         |   CAST(p.pad_to AS BIGINT) AS pad_to,
+         |   CAST(p.pad_to - a.n_tokens AS BIGINT) AS pad_waste
+         | FROM a JOIN p USING (bucket, batch_idx)
+         | ORDER BY a.doc_id""".stripMargin
   )
 }

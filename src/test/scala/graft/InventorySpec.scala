@@ -91,7 +91,9 @@ class InventorySpec extends SparkSpec {
     // Zipf slope), contrastive pair mining (exact + index-served),
     // deterministic mode, ε-band numeric join
     "llm_diversity_ngram", "llm_token_zipf", "llm_contrastive_pairs",
-    "llm_contrastive_pairs_graph", "agg_mode", "join_band_value")
+    "llm_contrastive_pairs_graph", "agg_mode", "join_band_value",
+    // round 7, fourth wave: training-order artifacts
+    "llm_curriculum_order", "llm_batch_buckets")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -159,6 +159,52 @@ class Wave7Spec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("curriculum order: banded quality-first, shuffled within band") {
+    val got = LlmQueries.queries("llm_curriculum_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // the position order must list deciles ascending (easiest-first
+    // epochs), and within a decile follow the Lehmer shuffle
+    val byPos = got.sortBy(_._3)
+    assert(byPos.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      "curriculum positions must be decile-monotone")
+    byPos.groupBy(_._2).values.foreach { band =>
+      val ids = band.sortBy(_._3).map(_._1)
+      val expect = ids.sortBy(id => (lehmer(id), id))
+      assert(ids.sameElements(expect),
+        "within-band order must be the Lehmer shuffle")
+    }
+    // positions are a permutation of 1..n
+    assert(byPos.map(_._3).toSeq == (1L to got.length).toSeq)
+  }
+
+  test("batch buckets: fixed batches, correct pad targets, no mixing") {
+    val got = LlmQueries.queries("llm_batch_buckets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    got.foreach { case (_, n, bucket, _, slot, padTo, waste) =>
+      assert(bucket == n / 64, "bucket must be the 64-token bin")
+      assert(slot >= 0 && slot < 16)
+      assert(padTo >= n && waste == padTo - n)
+      assert(padTo / 64 == bucket,
+        "pad target stays inside the bucket's length bin")
+    }
+    got.groupBy(t => (t._3, t._4)).foreach { case ((_, _), batch) =>
+      assert(batch.length <= 16, "batch size bounded")
+      assert(batch.map(_._5).distinct.length == batch.length,
+        "slots unique within a batch")
+      assert(batch.map(_._6).distinct.length == 1 &&
+        batch.map(_._6).head == batch.map(_._2).max,
+        "pad target is the batch max")
+    }
+    // only the LAST batch of a bucket may be short
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._4).toSeq.sortBy(_._1)
+        .map { case (_, b) => b.length }
+      assert(sizes.dropRight(1).forall(_ == 16),
+        "every non-final batch is full")
+    }
+  }
+
   test("join_band_value: bucketed candidates equal the naive band join") {
     val got = RelationalOps.queries("join_band_value")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
