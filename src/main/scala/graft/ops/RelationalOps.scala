@@ -618,6 +618,65 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** W7 — ordered-stage FUNNEL (beyond the reference; the ClickHouse
+    * windowFunnel shape): per user, how deep into view → click →
+    * purchase they progressed with each stage strictly after the
+    * previous and the whole run inside a 6 h window of the first view.
+    * No per-user event sort anywhere: each stage is a filtered
+    * aggregate (min ts) joined on the user key — k stages cost k
+    * selective scans + k user-keyed joins, and the per-user state is
+    * three timestamps, not an event list. Earliest-completion
+    * semantics: t2 is the first click after t1, t3 the first purchase
+    * after THAT t2 (greedy, the standard funnel definition). */
+  val windowFunnel: Q = (s, d) => {
+    val winMs = 6L * 3600 * 1000
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val s1 = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts_ms")).as("t1_ms"))
+    val s2 = stage("click").join(s1, "user_id")
+      .filter(col("ts_ms") > col("t1_ms") &&
+        col("ts_ms") <= col("t1_ms") + winMs)
+      .groupBy(col("user_id"), col("t1_ms"))
+      .agg(min(col("ts_ms")).as("t2_ms"))
+    val s3 = stage("purchase").join(s2, Seq("user_id"))
+      .filter(col("ts_ms") > col("t2_ms") &&
+        col("ts_ms") <= col("t1_ms") + winMs)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ms")).as("t3_ms"))
+    s1.join(s2.select("user_id", "t2_ms"), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_ms"), col("t2_ms"), col("t3_ms"),
+        (lit(1L) + col("t2_ms").isNotNull.cast("long")
+          + col("t3_ms").isNotNull.cast("long")).as("depth"))
+      .orderBy("user_id")
+  }
+
+  /** A15 — RETENTION COHORTS (beyond the reference): users cohort by
+    * their first active day; for every (cohort_day, day_offset) cell,
+    * how many of the cohort's users were active that day — the
+    * triangle every growth dashboard draws. Day arithmetic stays in
+    * integer epoch-days (no calendar functions — engine-identical).
+    * Plan: one (user, day) distinct, a user-keyed min-day aggregate
+    * joined back (broadcast-sized relative to activity at any scale:
+    * one row per user), then a (cohort, offset) count-distinct — every
+    * shuffle keyed on user or (cohort, offset), both well-spread. */
+  val aggRetentionCohorts: Q = (s, d) => {
+    val dayMs = 86400000L
+    val active = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / dayMs).cast("long").as("day"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** F14 — edit distance (beyond the reference): levenshtein between
     * the head and the tail of each document — the codegen'd built-in,
     * the fuzzy-match primitive near-dup QC pipelines use. */
@@ -990,6 +1049,8 @@ object RelationalOps {
     "agg_corr_manual" -> aggCorrManual,
     "agg_mode" -> aggMode,
     "join_band_value" -> joinBandValue,
+    "window_funnel" -> windowFunnel,
+    "agg_retention_cohorts" -> aggRetentionCohorts,
     "fn_levenshtein" -> fnLevenshtein,
     "topk_by_version" -> topkByVersion,
     "sort_desc" -> sortDesc,
@@ -1384,6 +1445,37 @@ object RelationalOps {
         |   AND abs(e.value - a.value) <= 0.25
         | GROUP BY a.event_id, a.event_type, a.value
         | ORDER BY a.event_id""".stripMargin,
+    "window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+        |   FROM events),
+        | s1 AS (SELECT user_id, min(ts_ms) AS t1_ms FROM ev
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id, s1.t1_ms, min(e.ts_ms) AS t2_ms
+        |   FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |   WHERE e.event_type = 'click' AND e.ts_ms > s1.t1_ms
+        |     AND e.ts_ms <= s1.t1_ms + 21600000
+        |   GROUP BY e.user_id, s1.t1_ms),
+        | s3 AS (SELECT e.user_id, min(e.ts_ms) AS t3_ms
+        |   FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2_ms
+        |     AND e.ts_ms <= s2.t1_ms + 21600000
+        |   GROUP BY e.user_id)
+        | SELECT s1.user_id, s1.t1_ms, s2.t2_ms, s3.t3_ms,
+        |   CAST(1 + CAST(s2.t2_ms IS NOT NULL AS INT)
+        |     + CAST(s3.t3_ms IS NOT NULL AS INT) AS BIGINT) AS depth
+        | FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        | LEFT JOIN s3 ON s3.user_id = s1.user_id
+        | ORDER BY s1.user_id""".stripMargin,
+    "agg_retention_cohorts" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+        |   epoch_ms(ts) // 86400000 AS day FROM events),
+        | cohorts AS (SELECT user_id, min(day) AS cohort_day
+        |   FROM active GROUP BY user_id)
+        | SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        | FROM active a JOIN cohorts c ON c.user_id = a.user_id
+        | GROUP BY c.cohort_day, a.day - c.cohort_day
+        | ORDER BY cohort_day, day_offset""".stripMargin,
     "window_row_number" ->
       """SELECT * FROM (
         |   SELECT l_returnflag, l_orderkey, l_linenumber,

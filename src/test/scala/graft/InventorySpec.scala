@@ -93,7 +93,9 @@ class InventorySpec extends SparkSpec {
     "llm_diversity_ngram", "llm_token_zipf", "llm_contrastive_pairs",
     "llm_contrastive_pairs_graph", "agg_mode", "join_band_value",
     // round 7, fourth wave: training-order artifacts
-    "llm_curriculum_order", "llm_batch_buckets")
+    "llm_curriculum_order", "llm_batch_buckets",
+    // round 7, fifth wave: event analytics (funnel, retention)
+    "window_funnel", "agg_retention_cohorts")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -205,6 +205,47 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  private lazy val evRows: Array[(Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("window_funnel: greedy stage mins equal a per-user replay") {
+    val got = RelationalOps.queries("window_funnel")(spark, sf)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))
+      }.toSeq
+    val win = 6L * 3600 * 1000
+    val want = evRows.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val byType = rows.groupBy(_._2)
+      byType.get("view").map(_.map(_._3).min).map { t1 =>
+        val t2 = byType.getOrElse("click", Array.empty[(Long, String, Long)])
+          .map(_._3).filter(t => t > t1 && t <= t1 + win)
+          .sorted.headOption
+        val t3 = t2.flatMap { m2 =>
+          byType.getOrElse("purchase", Array.empty[(Long, String, Long)])
+            .map(_._3).filter(t => t > m2 && t <= t1 + win)
+            .sorted.headOption
+        }
+        (u, t1, t2, t3, 1L + t2.size + t3.size)
+      }
+    }.sortBy(_._1)
+    assert(got == want, "funnel must equal the naive per-user replay")
+  }
+
+  test("agg_retention_cohorts: triangle equals the naive cohort count") {
+    val got = RelationalOps.queries("agg_retention_cohorts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val active = evRows.map { case (u, _, ts) => (u, ts / 86400000L) }.distinct
+    val cohort = active.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val want = active.groupBy { case (u, day) => (cohort(u), day - cohort(u)) }
+      .map { case ((c, off), rows) => (c, off, rows.map(_._1).distinct.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
+
   test("join_band_value: bucketed candidates equal the naive band join") {
     val got = RelationalOps.queries("join_band_value")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
