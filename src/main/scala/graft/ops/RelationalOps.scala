@@ -856,6 +856,8 @@ object RelationalOps {
   /** J3' — ad-hoc SQL over the registered BI view (SURVEY.md §3.3):
     * the Superset serving surface, spark.sql end-to-end. */
   val viewAdhocSql: Q = (s, d) => Views.adhocRevenueByStatus(s, d)
+  val sqlSegmentTopn: Q = (s, d) => Views.segmentTopOrders(s, d)
+  val sqlRegionRevenue: Q = (s, d) => Views.regionNationRevenue(s, d)
 
   /** Deterministic per-query scratch dir: the format round-trip
     * queries rewrite it with mode=overwrite on every run, so repeated
@@ -1010,6 +1012,8 @@ object RelationalOps {
 
   val queries: Map[String, Q] = Map(
     "view_adhoc_sql" -> viewAdhocSql,
+    "sql_segment_topn" -> sqlSegmentTopn,
+    "sql_region_revenue" -> sqlRegionRevenue,
     "project_view" -> projectView,
     "computed_column" -> computedColumn,
     "filter_version_range" -> filterVersionRange,
@@ -1086,6 +1090,35 @@ object RelationalOps {
         |   AS revenue_cents
         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         | GROUP BY 1, 2 ORDER BY status, month""".stripMargin,
+    "sql_segment_topn" ->
+      """SELECT l.l_orderkey AS invoice_id,
+        |   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |       AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |   strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |   o.o_orderpriority AS priority
+        | FROM customer c
+        | JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE c.c_mktsegment = 'BUILDING'
+        |   AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |   AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        | GROUP BY 1, 3, 4
+        | ORDER BY revenue_cents DESC, invoice_id
+        | LIMIT 10""".stripMargin,
+    "sql_region_revenue" ->
+      """SELECT n.n_name AS nation, count(*) AS n_lines,
+        |   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |       AS BIGINT)) AS BIGINT) AS revenue_cents
+        | FROM region r
+        | JOIN nation n ON n.n_regionkey = r.r_regionkey
+        | JOIN customer c ON c.c_nationkey = n.n_nationkey
+        | JOIN orders o ON o.o_custkey = c.c_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE r.r_name = 'ASIA'
+        |   AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY 1
+        | ORDER BY revenue_cents DESC, nation""".stripMargin,
     "project_view" ->
       """SELECT o_orderkey AS invoice_id, o_orderstatus AS status,
         | o_orderpriority AS priority FROM orders ORDER BY invoice_id""".stripMargin,

@@ -61,4 +61,69 @@ object Views {
     // revenue summed as per-line integer cents: associative and exact, so
     // partial-aggregation order can never flip a cent (doubles would)
   }
+
+  /** Register the full star schema for ad-hoc SQL (the Superset
+    * "explore any table" surface): facts + every dimension. */
+  def registerStarViews(spark: SparkSession, dir: String): Unit = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    Tables.region(spark, dir).createOrReplaceTempView("region_v")
+  }
+
+  /** Ad-hoc SQL #2 — the TPC-H Q3 SHAPE (segment-filtered unshipped
+    * revenue top-N) through the plain `spark.sql` surface: two
+    * selective dimension filters, a three-way join, an integer-cents
+    * revenue aggregate, top-10. What Catalyst does with it is the
+    * point: the segment filter reduces customer to a broadcast side,
+    * both date filters push to the parquet scans, and the top-10 is a
+    * TakeOrderedAndProject — no global sort. Revenue as per-line
+    * integer cents (round before sum) so partial-agg order is
+    * irrelevant and the oracle hashes exactly. */
+  def segmentTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    registerStarViews(spark, dir)
+    spark.sql(
+      """SELECT l.l_orderkey AS invoice_id,
+        |       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |           AS BIGINT)) AS revenue_cents,
+        |       date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+        |       o.o_orderpriority AS priority
+        |FROM customer_v c
+        |JOIN orders_v o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_cents DESC, invoice_id
+        |LIMIT 10
+        |""".stripMargin)
+  }
+
+  /** Ad-hoc SQL #3 — the TPC-H Q5 SHAPE (regional revenue by nation)
+    * through `spark.sql`: the snowflake walk region → nation →
+    * customer → orders → lineitem with a region filter and a one-year
+    * date band. The two tiny dims broadcast; the only real shuffle is
+    * the customer⋈orders/orders⋈lineitem key — and the final
+    * per-nation aggregate is 25 rows. Integer-cents revenue again. */
+  def regionNationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    registerStarViews(spark, dir)
+    spark.sql(
+      """SELECT n.n_name AS nation,
+        |       count(*) AS n_lines,
+        |       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |           AS BIGINT)) AS revenue_cents
+        |FROM region_v r
+        |JOIN nation_v n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders_v o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY revenue_cents DESC, nation
+        |""".stripMargin)
+  }
 }

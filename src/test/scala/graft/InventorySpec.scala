@@ -94,8 +94,10 @@ class InventorySpec extends SparkSpec {
     "llm_contrastive_pairs_graph", "agg_mode", "join_band_value",
     // round 7, fourth wave: training-order artifacts
     "llm_curriculum_order", "llm_batch_buckets",
-    // round 7, fifth wave: event analytics (funnel, retention)
-    "window_funnel", "agg_retention_cohorts")
+    // round 7, fifth wave: event analytics (funnel, retention) + the
+    // TPC-H-shaped ad-hoc SQL surface (Q3/Q5 shapes via spark.sql)
+    "window_funnel", "agg_retention_cohorts",
+    "sql_segment_topn", "sql_region_revenue")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -246,6 +246,23 @@ class Wave7Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ad-hoc SQL shapes plan as claimed: broadcasts + TakeOrdered") {
+    val q3 = RelationalOps.queries("sql_segment_topn")(spark, sf)
+      .queryExecution.executedPlan
+    val q3n = planNodes(q3).map(_.getClass.getSimpleName)
+    assert(q3n.exists(_.startsWith("TakeOrderedAndProject")),
+      s"top-10 must be TakeOrderedAndProject, got: $q3n")
+    assert(q3n.exists(_.startsWith("BroadcastHashJoin")),
+      "the segment-filtered customer side must broadcast")
+    assert(!q3n.exists(_.startsWith("CartesianProduct")))
+    val q5n = planNodes(
+      RelationalOps.queries("sql_region_revenue")(spark, sf)
+        .queryExecution.executedPlan).map(_.getClass.getSimpleName)
+    assert(q5n.count(_.startsWith("BroadcastHashJoin")) >= 2,
+      s"region/nation dims must broadcast, got: $q5n")
+    assert(!q5n.exists(_.startsWith("CartesianProduct")))
+  }
+
   test("join_band_value: bucketed candidates equal the naive band join") {
     val got = RelationalOps.queries("join_band_value")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
