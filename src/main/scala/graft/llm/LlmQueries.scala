@@ -1279,6 +1279,53 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N4''### — COUNT-MIN point-frequency serving, the fourth member of
+    * the sketch-table family (HLL = distincts, theta = set algebra,
+    * KLL = ranks; CMS = "how often does term X appear per source",
+    * answerable for ANY term from depth×width longs per group — the
+    * raw corpus is never re-scanned per question). One pass builds a
+    * 4×1024 sketch per source over xxhash64'd terms (hashing codegen
+    * at the scan, the sketch hash-domain); the probe set is the global
+    * top-8 terms (exact partial-agg count + TakeOrdered — bounded
+    * driver collect, the PQ-codebook idiom), whose counter positions
+    * become LITERAL indices so each estimate is a least() over
+    * element_at's — pure column math. The exact per-source truth rides
+    * along for audit (a scan-filtered count over just the probes).
+    * Rows-only by design — the estimate replays engine hashing that
+    * SQL cannot express; CmsSpec pins est ≥ true, the
+    * rollup == direct-build equality, and the collision bound under a
+    * forced-tiny width. */
+  val cmsCountsQ: Q = (s, d) => {
+    val depth = 4; val width = 1024
+    val terms = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .withColumn("__h", xxhash64(col("term")))
+    val sketches = terms.groupBy(col("source"))
+      .agg(graft.functions.CountMinSketch.agg(depth, width)(col("__h"))
+        .as("cms"))
+    val probes = terms.groupBy(col("term"), col("__h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(8)
+      .select("term", "__h").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val est = sketches.select(col("source"), explode(array(
+      probes.map { case (t, h) =>
+        struct(lit(t).as("term"),
+          graft.functions.CountMinSketch
+            .estimateCol(col("cms"), h, depth, width).as("est_n"))
+      }: _*)).as("pe"))
+      .select(col("source"), col("pe.term").as("term"),
+        col("pe.est_n").as("est_n"))
+    val truth = terms
+      .filter(col("term").isin(probes.map(_._1): _*))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("true_n"))
+    est.join(truth, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), col("est_n"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"))
+      .orderBy("source", "term")
+  }
+
   /** The deterministic in-batch NEGATIVE ring both contrastive-mining
     * queries share: vectors order by the engine-portable Lehmer key
     * ([[Curate.shuffleKey]] — a stable pseudo-random permutation), and
@@ -1473,7 +1520,8 @@ object LlmQueries {
     "llm_contrastive_pairs" -> contrastivePairsQ,
     "llm_contrastive_pairs_graph" -> contrastivePairsGraphQ,
     "llm_curriculum_order" -> curriculumOrderQ,
-    "llm_batch_buckets" -> batchBucketsQ
+    "llm_batch_buckets" -> batchBucketsQ,
+    "llm_cms_counts" -> cmsCountsQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct

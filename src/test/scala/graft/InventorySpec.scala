@@ -97,7 +97,9 @@ class InventorySpec extends SparkSpec {
     // round 7, fifth wave: event analytics (funnel, retention) + the
     // TPC-H-shaped ad-hoc SQL surface (Q3/Q5 shapes via spark.sql)
     "window_funnel", "agg_retention_cohorts",
-    "sql_segment_topn", "sql_region_revenue")
+    "sql_segment_topn", "sql_region_revenue",
+    // round 7, sixth wave: count-min point-frequency sketch table
+    "llm_cms_counts")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -145,7 +147,10 @@ class InventorySpec extends SparkSpec {
       "llm_knn_graph", "llm_knn_graph_clusters",
       // graph-pooled positives inherit the graph's approximation;
       // LlmSpec pins structure + overlap vs the exact oracle form
-      "llm_contrastive_pairs_graph")
+      "llm_contrastive_pairs_graph",
+      // CMS estimates replay engine hashing SQL cannot express; the
+      // exact truth column rides along and CmsSpec pins the bounds
+      "llm_cms_counts")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")
