@@ -98,4 +98,52 @@ object Cluster {
       .select(col("label").as("cluster_id"), col("id").as(idCol),
         col("cluster_size"))
   }
+
+  /** PAGERANK centrality over a directed edge list — importance
+    * scores for "which examples anchor the corpus's similarity
+    * structure" (representative selection, the centrality complement
+    * of [[graft.llm.Curate.prunePrototypes]]'s per-cluster rank).
+    *
+    * DETERMINISTIC by construction, so the spec replays it exactly:
+    * scores are e12-scaled longs (total mass n·⌊1e12/n⌋), each round
+    * is `pr' = teleport + (85 · Σ ⌊pr(u)/outdeg(u)⌋) / 100` in pure
+    * long arithmetic — integer sums are order-independent where a
+    * float power iteration would drift with partial-aggregation order.
+    * The floor divisions shed ≤ outdeg mass per vertex per round
+    * (bounded, one-sided); ranking — the consumer's question — is
+    * unaffected at e12 resolution.
+    *
+    * Scale: each round is one (src)-keyed join of the score table to
+    * the edge list + one (dst)-keyed partial+final sum — both
+    * high-cardinality shuffles — and a left join back to the vertex
+    * set; `localCheckpoint` truncates the lineage per round (the
+    * [[connectedComponents]] discipline) so the plan stays O(1) deep.
+    * 85·pr ≤ 8.5e13 — no long overflow at any n. */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val n = verts.count()
+    require(n > 0, "pageRank on an empty graph")
+    val init = 1000000000000L / n
+    val teleport = (15L * init) / 100L
+    var scores = verts.withColumn("pr", lit(init))
+    var iter = 0
+    while (iter < iters) {
+      val incoming = scores.join(eDeg, scores("id") === eDeg("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in"))
+      scores = verts.join(incoming, verts("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(in, 0L)) div 100").cast("long")).as("pr"))
+        .localCheckpoint()
+      iter += 1
+    }
+    scores
+  }
 }

@@ -1279,6 +1279,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N3++++++ — PAGERANK centrality over the persisted kNN graph
+    * ([[Cluster.pageRank]]): which vectors anchor the corpus's
+    * similarity structure — the importance complement of the
+    * prototypicality rank, consumed for representative selection and
+    * dedup-survivor choice. Deterministic e12 integer power iteration
+    * (5 rounds, teleport 0.15), exactly replayed by the Wave7Spec
+    * naive implementation from the same edges; rows-only (the graph
+    * artifact is approximate by contract). Graph builds once via
+    * [[CorpusCache]]; the iteration is per-round (src)- and
+    * (dst)-keyed shuffles over the edge list. */
+  val graphPagerankQ: Q = (s, d) => {
+    val g = s.read.parquet(knnGraphDir(s, d).getPath)
+    Cluster.pageRank(g.select(col("src_id").as("id_a"),
+        col("nbr_id").as("id_b")), iters = 5)
+      .select(col("id").as("vec_id"), col("pr").as("pr_e12"))
+      .orderBy("vec_id")
+  }
+
   /** N4''### — COUNT-MIN point-frequency serving, the fourth member of
     * the sketch-table family (HLL = distincts, theta = set algebra,
     * KLL = ranks; CMS = "how often does term X appear per source",
@@ -1521,7 +1539,8 @@ object LlmQueries {
     "llm_contrastive_pairs_graph" -> contrastivePairsGraphQ,
     "llm_curriculum_order" -> curriculumOrderQ,
     "llm_batch_buckets" -> batchBucketsQ,
-    "llm_cms_counts" -> cmsCountsQ
+    "llm_cms_counts" -> cmsCountsQ,
+    "llm_graph_pagerank" -> graphPagerankQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct

@@ -98,8 +98,9 @@ class InventorySpec extends SparkSpec {
     // TPC-H-shaped ad-hoc SQL surface (Q3/Q5 shapes via spark.sql)
     "window_funnel", "agg_retention_cohorts",
     "sql_segment_topn", "sql_region_revenue",
-    // round 7, sixth wave: count-min point-frequency sketch table
-    "llm_cms_counts")
+    // round 7, sixth wave: count-min point-frequency sketch table +
+    // PageRank centrality over the persisted kNN graph
+    "llm_cms_counts", "llm_graph_pagerank")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
@@ -150,7 +151,10 @@ class InventorySpec extends SparkSpec {
       "llm_contrastive_pairs_graph",
       // CMS estimates replay engine hashing SQL cannot express; the
       // exact truth column rides along and CmsSpec pins the bounds
-      "llm_cms_counts")
+      "llm_cms_counts",
+      // centrality over the approximate graph artifact; Wave7Spec
+      // replays the integer power iteration exactly from the edges
+      "llm_graph_pagerank")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")

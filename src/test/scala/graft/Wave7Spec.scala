@@ -263,6 +263,33 @@ class Wave7Spec extends SparkSpec {
     assert(!q5n.exists(_.startsWith("CartesianProduct")))
   }
 
+  test("graph pagerank: exact replay of the integer power iteration") {
+    val got = LlmQueries.queries("llm_graph_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // replay from the SAME persisted graph edges with plain Scala longs
+    val edges = LlmQueries.queries("llm_knn_graph")(spark, sf)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = verts.length
+    val init = 1000000000000L / n
+    val teleport = 15L * init / 100L
+    var pr = verts.map(_ -> init).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = verts.map(v =>
+        v -> (teleport + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == pr, "pagerank must replay exactly")
+    // centrality sanity: mass is conserved up to the floor-division
+    // shedding, and at least one vertex rises above the uniform score
+    assert(got.values.sum <= init * n && got.values.max > init / 2)
+    assert(got.values.exists(_ != got.values.head) || n == 1)
+  }
+
   test("join_band_value: bucketed candidates equal the naive band join") {
     val got = RelationalOps.queries("join_band_value")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
