@@ -216,6 +216,39 @@ object CdcQueries {
       .orderBy("grp")
   }
 
+  /** T9'''''/A5' — the STREAMING HEAVY-HITTERS view: same staged
+    * backlog and log+fold protocol, the view a Misra–Gries counter
+    * table ("hottest entities per operation" — the reference's
+    * most-active-invoices dashboard) bounded at `capacity·|groups|`
+    * rows whatever the entity cardinality. The cap never binds at the
+    * verify scales, so the counters are exact and the oracle replays
+    * the top-10 directly; at deployment scale the MG guarantee bounds
+    * the undercount by the evicted mass. The declared output is each
+    * group's top-10 by (count desc, id). */
+  val streamViewTopk: Q = (s, d) => {
+    val base = stagedAggViewBase(s, d)
+    graft.streaming.StreamingAggView
+      .maintain(s, d, s"$base/src", s"$base/state-tk", s"$base/ck-tk",
+        countSum = false, topk = true)
+      .awaitTermination()
+    val view = graft.streaming.StreamingAggView
+      .currentTopKView(s, s"$base/state-tk")
+    // top-10 per group off the bounded view: per-grp collect + HOF
+    // slice (the view is ≤ capacity rows per group by construction) —
+    // no window, no extra shuffle beyond the grp key
+    view.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("id"))),
+        (l, r) => when(l.getField("cnt") > r.getField("cnt"), -1)
+          .when(l.getField("cnt") < r.getField("cnt"), 1)
+          .when(l.getField("id") < r.getField("id"), -1)
+          .when(l.getField("id") > r.getField("id"), 1).otherwise(0))
+        .as("cs"))
+      .select(col("grp"), posexplode(slice(col("cs"), 1, 10)))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("invoice_id"), col("col.cnt").as("n_changes"))
+      .orderBy("grp", "rank")
+  }
+
   /** T5/T9 — the stateful per-entity fold (batch twin of the
     * flatMapGroupsWithState session stream): final running state per
     * entity after draining the feed, summation in version order so the
@@ -522,7 +555,8 @@ object CdcQueries {
     "stream_event_windows" -> streamEventWindows,
     "stream_view_delta" -> streamViewDelta,
     "stream_view_minmax" -> streamViewMinmax,
-    "stream_view_sketch" -> streamViewSketch
+    "stream_view_sketch" -> streamViewSketch,
+    "stream_view_topk" -> streamViewTopk
   )
 
   private val feedsCte =
@@ -678,6 +712,28 @@ object CdcQueries {
          |   CAST(count(DISTINCT invoice_id) AS BIGINT) AS n_distinct,
          |   CAST(count(*) AS BIGINT) AS n_obs
          | FROM paged GROUP BY op ORDER BY grp""".stripMargin,
+    "stream_view_topk" ->
+      // exact-regime replay: the MG cap never binds below capacity, so
+      // the maintained counters equal the exact per-(op, entity) page
+      // counts and the top-10 replays directly
+      s"""WITH $feedsOpsCte,
+         | pages AS (SELECT * FROM (VALUES (0, 1000), (1000, 5000),
+         |     (5000, 50000), (50000, 9223372036854775807))
+         |   AS t(lo, hi)),
+         | paged AS (
+         |   SELECT p.lo AS page, f.invoice_id,
+         |     arg_max(f.change_operation, f.change_version) AS op
+         |   FROM feeds f JOIN pages p
+         |     ON f.change_version > p.lo AND f.change_version <= p.hi
+         |   GROUP BY p.lo, f.invoice_id),
+         | c AS (SELECT op AS grp, invoice_id, count(*) AS cnt
+         |   FROM paged GROUP BY op, invoice_id),
+         | r AS (SELECT grp, invoice_id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, invoice_id) AS rank
+         |   FROM c)
+         | SELECT grp, CAST(rank AS BIGINT) AS rank, invoice_id,
+         |   CAST(cnt AS BIGINT) AS n_changes
+         | FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
     "cdc_view_minmax" ->
       s"""WITH $feedsOpsCte,
          | snap AS (

@@ -72,6 +72,11 @@ object StreamingAggView {
     StructField("sketch", BinaryType),
     StructField("n_rows", LongType)))
 
+  private def topkViewSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("id", LongType),
+    StructField("cnt", LongType)))
+
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -286,6 +291,69 @@ object StreamingAggView {
     }
   }
 
+  /** The HEAVY-HITTERS view fold (Misra–Gries, the bounded-size
+    * "hottest entities per operation" dashboard): the view is at most
+    * `capacity` (id, cnt) counters per group, merged with the batch's
+    * exact per-(group, entity) counts, then MG-capped — when a group
+    * exceeds capacity, the top `capacity` counters by (cnt desc, id)
+    * survive with the LARGEST EVICTED count subtracted (zeros drop).
+    * Counters only ever under-count, by at most the total evicted
+    * mass (the MG guarantee); while the cap never binds the counts
+    * are EXACT — the verify-scale regime, which is why the declared
+    * query carries a real DuckDB oracle, while at deployment scale
+    * the view stays `capacity·|groups|` rows whatever the entity
+    * cardinality. Replay-idempotent via the generation stamp (the
+    * count-view discipline — the fold itself is not idempotent, the
+    * gen guard is). The per-grp collect is bounded: the old view is
+    * ≤ capacity rows/group by induction and the batch adds ≤ one
+    * counter per touched entity, capped right back.
+    *
+    * Sizing note: MG keeps any entity whose true count exceeds the
+    * evicted mass — on a NEAR-UNIFORM feed (every entity changing
+    * about once, this synthetic feed's shape) a capacity below the
+    * live-entity count correctly wipes the counters: there are no
+    * heavy hitters to keep. Size `capacity` to the hot-set you want
+    * visible — the default covers the verify AND bench scales' entity
+    * counts outright (exact regime), while staying a fixed bound the
+    * entity cardinality can never push past at 100 TB. */
+  private def foldTopK(spark: SparkSession, root: String,
+                       st: BatchState, batchId: Long,
+                       capacity: Int = 65536): Unit = {
+    if (viewGen(spark, root, "viewtk", "aggviewtk") >= batchId) return
+    val oldView = DirSwap.readOrEmpty(spark, s"$root/viewtk",
+      topkViewSchema, tag = "aggviewtk")
+    val batchCounts = st.page
+      .groupBy(col("change_operation").as("grp"),
+        col("invoice_id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = oldView.unionByName(batchCounts)
+      .groupBy("grp", "id").agg(sum(col("cnt")).as("cnt"))
+    val byHotness = (l: org.apache.spark.sql.Column,
+                     r: org.apache.spark.sql.Column) =>
+      when(l.getField("cnt") > r.getField("cnt"), -1)
+        .when(l.getField("cnt") < r.getField("cnt"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0)
+    val newView = merged.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("id"))),
+        byHotness).as("cs"))
+      .withColumn("__evict", when(size(col("cs")) > capacity,
+        element_at(col("cs"), capacity + 1).getField("cnt"))
+        .otherwise(lit(0L)))
+      .select(col("grp"), explode(filter(
+        transform(slice(col("cs"), 1, capacity),
+          x => struct((x.getField("cnt") - col("__evict")).as("cnt"),
+            x.getField("id").as("id"))),
+        x => x.getField("cnt") > 0L)).as("e"))
+      .select(col("grp"), col("e.id").as("id"), col("e.cnt").as("cnt"))
+      .localCheckpoint(true)
+    DirSwap.install(spark, s"$root/viewtk", tag = "aggviewtk") { tmp =>
+      newView.coalesce(1).write.mode("overwrite").parquet(tmp)
+      writeGenInto(spark, tmp, batchId)
+    }
+  }
+
   /** Fold one micro-batch into the log and the count/sum view.
     * Idempotent for any redelivery pattern (see object doc). `sfDir`
     * locates the dimension side of the contribution join (orders). */
@@ -308,6 +376,14 @@ object StreamingAggView {
     foldSketch(spark, root,
       appendAndDerive(spark, root, batch, batchId), batchId)
 
+  /** The heavy-hitters twin of [[applyBatch]]; `capacity` is exposed
+    * so the spec can force the Misra–Gries decrement regime. */
+  def applyTopKBatch(spark: SparkSession, root: String,
+                     batch: DataFrame, batchId: Long,
+                     capacity: Int = 65536): Unit =
+    foldTopK(spark, root,
+      appendAndDerive(spark, root, batch, batchId), batchId, capacity)
+
   /** The streaming maintainer: change pages arriving as parquet files
     * in `srcDir` fold into the selected view(s) continuously — ONE log
     * append per batch whatever the selection. One query = one
@@ -316,8 +392,9 @@ object StreamingAggView {
                root: String, checkpointDir: String,
                countSum: Boolean = true,
                minMax: Boolean = false,
-               sketch: Boolean = false): StreamingQuery = {
-    require(countSum || minMax || sketch,
+               sketch: Boolean = false,
+               topk: Boolean = false): StreamingQuery = {
+    require(countSum || minMax || sketch || topk,
       "select at least one view to maintain")
     spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
@@ -331,6 +408,7 @@ object StreamingAggView {
         if (countSum) foldCountSum(s, sfDir, root, st, batchId)
         if (minMax) foldMinMax(s, sfDir, root, st, batchId)
         if (sketch) foldSketch(s, root, st, batchId)
+        if (topk) foldTopK(s, root, st, batchId)
         ()
       }
       .start()
@@ -366,7 +444,7 @@ object StreamingAggView {
     // viewGen restores a torn swap before looking, so an
     // installed-but-torn view still bounds the compaction
     val gens = Seq("view" -> "aggview", "viewmm" -> "aggviewmm",
-        "viewsk" -> "aggviewsk")
+        "viewsk" -> "aggviewsk", "viewtk" -> "aggviewtk")
       .map { case (g, t) => viewGen(spark, root, g, t) }.filter(_ >= 0)
     val folded = if (gens.isEmpty) -1L else gens.min
     val bound = math.min(upTo.getOrElse(folded), folded)
@@ -409,4 +487,9 @@ object StreamingAggView {
   def currentSketchView(spark: SparkSession, root: String): DataFrame =
     DirSwap.readOrEmpty(spark, s"$root/viewsk", sketchViewSchema,
       tag = "aggviewsk")
+
+  /** The current heavy-hitters view (empty before the first fold). */
+  def currentTopKView(spark: SparkSession, root: String): DataFrame =
+    DirSwap.readOrEmpty(spark, s"$root/viewtk", topkViewSchema,
+      tag = "aggviewtk")
 }

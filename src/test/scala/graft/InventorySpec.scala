@@ -99,8 +99,9 @@ class InventorySpec extends SparkSpec {
     "window_funnel", "agg_retention_cohorts",
     "sql_segment_topn", "sql_region_revenue",
     // round 7, sixth wave: count-min point-frequency sketch table +
-    // PageRank centrality over the persisted kNN graph
-    "llm_cms_counts", "llm_graph_pagerank")
+    // PageRank centrality over the persisted kNN graph + the
+    // streaming heavy-hitters view under the unified log+fold protocol
+    "llm_cms_counts", "llm_graph_pagerank", "stream_view_topk")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -279,6 +279,67 @@ class StreamingAggViewSpec extends SparkSpec {
       "sketch replay over the torn log diverges")
   }
 
+  private def topkViewOf(root: String): Set[(String, Long, Long)] =
+    StreamingAggView.currentTopKView(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Exact per-(op, entity) page counts — what the MG view must equal
+    * while its cap never binds. */
+  private def directTopkCounts(pages: Seq[(Long, Long)])
+      : Set[(String, Long, Long)] =
+    pages.map { case (lo, hi) =>
+      page(lo, hi).groupBy(col("invoice_id"))
+        .agg(max(struct(col("change_version"), col("change_operation")))
+          .as("m"))
+        .select(col("m.change_operation").as("grp"), col("invoice_id"))
+    }.reduce(_ unionByName _)
+      .groupBy("grp", "invoice_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("top-k fold below capacity equals the exact per-op counts") {
+    val root = freshRoot("tkfold")
+    val pages = Seq((0L, 700L), (700L, 1500L), (1500L, 2500L),
+      (2500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingAggView.applyTopKBatch(spark, root, page(lo, hi), i.toLong)
+    }
+    assert(topkViewOf(root) == directTopkCounts(pages),
+      "unbound MG counters must equal the exact counts")
+  }
+
+  test("top-k redelivery is a no-op; forced capacity obeys the MG laws") {
+    val root = freshRoot("tkcrash")
+    StreamingAggView.applyTopKBatch(spark, root, page(0L, 1500L), 0L)
+    val before = topkViewOf(root)
+    StreamingAggView.applyTopKBatch(spark, root, page(0L, 1500L), 0L)
+    assert(topkViewOf(root) == before, "top-k redelivery changed the view")
+    // forced decrement regime: tiny capacity — bounded size, one-sided
+    // undercount vs the exact counts, deterministic across a rerun
+    val r2 = freshRoot("tkcap")
+    val pages = Seq((0L, 1500L), (1500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingAggView.applyTopKBatch(spark, r2, page(lo, hi), i.toLong,
+        capacity = 3)
+    }
+    val capped = topkViewOf(r2)
+    val exact = directTopkCounts(pages)
+      .map { case (g, id, c) => (g, id) -> c }.toMap
+    capped.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.size <= 3, s"$g: view exceeds capacity")
+    }
+    capped.foreach { case (g, id, c) =>
+      assert(c <= exact((g, id)),
+        s"MG counter must never overcount: $g/$id")
+    }
+    val r3 = freshRoot("tkcap2")
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamingAggView.applyTopKBatch(spark, r3, page(lo, hi), i.toLong,
+        capacity = 3)
+    }
+    assert(topkViewOf(r3) == capped, "capped fold must be deterministic")
+  }
+
   test("all three view families fold off ONE log append per batch") {
     val root = freshRoot("unified")
     val src = s"$root/src"
