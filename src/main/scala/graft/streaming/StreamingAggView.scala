@@ -328,6 +328,13 @@ object StreamingAggView {
       .agg(count(lit(1)).as("cnt"))
     val merged = oldView.unionByName(batchCounts)
       .groupBy("grp", "id").agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    // the exact regime is the FAST PATH: only groups actually over
+    // capacity pay the sort + cap (a tiny per-group count decides —
+    // bounded driver collect of group names, |groups| rows)
+    val hot = merged.groupBy("grp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > capacity)
+      .select("grp").collect().map(_.getString(0))
     val byHotness = (l: org.apache.spark.sql.Column,
                      r: org.apache.spark.sql.Column) =>
       when(l.getField("cnt") > r.getField("cnt"), -1)
@@ -335,19 +342,22 @@ object StreamingAggView {
         .when(l.getField("id") < r.getField("id"), -1)
         .when(l.getField("id") > r.getField("id"), 1)
         .otherwise(0)
-    val newView = merged.groupBy("grp")
-      .agg(array_sort(collect_list(struct(col("cnt"), col("id"))),
-        byHotness).as("cs"))
-      .withColumn("__evict", when(size(col("cs")) > capacity,
-        element_at(col("cs"), capacity + 1).getField("cnt"))
-        .otherwise(lit(0L)))
-      .select(col("grp"), explode(filter(
-        transform(slice(col("cs"), 1, capacity),
-          x => struct((x.getField("cnt") - col("__evict")).as("cnt"),
-            x.getField("id").as("id"))),
-        x => x.getField("cnt") > 0L)).as("e"))
-      .select(col("grp"), col("e.id").as("id"), col("e.cnt").as("cnt"))
-      .localCheckpoint(true)
+    val newView = (if (hot.isEmpty) merged else {
+      val capped = merged.filter(col("grp").isin(hot.toSeq: _*))
+        .groupBy("grp")
+        .agg(array_sort(collect_list(struct(col("cnt"), col("id"))),
+          byHotness).as("cs"))
+        .withColumn("__evict",
+          element_at(col("cs"), capacity + 1).getField("cnt"))
+        .select(col("grp"), explode(filter(
+          transform(slice(col("cs"), 1, capacity),
+            x => struct((x.getField("cnt") - col("__evict")).as("cnt"),
+              x.getField("id").as("id"))),
+          x => x.getField("cnt") > 0L)).as("e"))
+        .select(col("grp"), col("e.id").as("id"), col("e.cnt").as("cnt"))
+      merged.filter(!col("grp").isin(hot.toSeq: _*))
+        .unionByName(capped)
+    }).localCheckpoint(true)
     DirSwap.install(spark, s"$root/viewtk", tag = "aggviewtk") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
       writeGenInto(spark, tmp, batchId)
