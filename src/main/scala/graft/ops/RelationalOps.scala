@@ -1008,6 +1008,67 @@ object RelationalOps {
       .orderBy("l_orderkey")
   }
 
+  /** S12 — BAD-RECORDS JSON ingestion (the production ingest-quality
+    * surface every pipeline needs): a JSON-lines stage where a
+    * deterministic subset of lines is CORRUPT (truncated mid-object —
+    * the doc_id % 17 rule the oracle replays), read back in PERMISSIVE
+    * mode with an explicit schema + corrupt-record column. Good rows
+    * aggregate only where the corrupt column is NULL — well-defined
+    * whatever partial-field recovery the parser attempts on a
+    * truncated record. The scale point: quarantine is a per-row
+    * classification at the scan — no second pass, no job failure on
+    * dirty data; the corrupt rows stay queryable for the dead-letter
+    * audit (the `.cache()` is the documented Spark requirement for
+    * referencing the internal corrupt column, and holds line-count
+    * rows, not corpus text). */
+  val sourceJsonBadrecords: Q = (s, d) => {
+    val dir = scratch(s, "jsonbad")
+    Tables.documents(s, d)
+      .select(when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+            lit(", \"n_chars\": ")))
+        .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val parsed = s.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    parsed.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      sum(when(col("_corrupt_record").isNull, col("doc_id")))
+        .as("good_id_sum"),
+      sum(when(col("_corrupt_record").isNull, col("n_chars")))
+        .as("good_chars_sum"))
+  }
+
+  /** S13 — the MATERIALIZED BI view as a declared query: full build,
+    * a change-driven refresh of a bounded invoice page (recomputes and
+    * swaps ONLY the touched bucket partitions — O(page) of the view,
+    * per [[MaterializedView]]), then a serving read off the parquet
+    * layout. The oracle is the direct join — the build + refresh
+    * protocol must be output-invisible. */
+  val viewMaterialized: Q = (s, d) => {
+    val path = scratch(s, "mview")
+    val mv = new MaterializedView(s, d, path, nBuckets = 16)
+    mv.build()
+    mv.refresh(Seq(1L, 7L, 32L, 1000L))
+    mv.read()
+      .filter(col("customer_key") <= 100)
+      .select(col("invoice_id"), col("line_no"), col("customer_key"),
+        col("status"), col("qty"), col("price_cents"))
+      .orderBy("invoice_id", "line_no")
+  }
+
   // ------------------------------------------------------------ registry --
 
   val queries: Map[String, Q] = Map(
@@ -1075,6 +1136,8 @@ object RelationalOps {
     "source_csv_ingest" -> sourceCsvIngest,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
+    "source_json_badrecords" -> sourceJsonBadrecords,
+    "view_materialized" -> viewMaterialized,
     "source_text_ingest" -> sourceTextIngest,
     "source_partitioned_corpus" -> sourcePartitionedCorpus,
     "layout_zorder_scan" -> layoutZorderScan,
@@ -1454,6 +1517,23 @@ object RelationalOps {
         |     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS BIGINT)
         |     AS corr_e6
         | FROM sums""".stripMargin,
+    "source_json_badrecords" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |   CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_corrupt,
+        |   CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN doc_id END) AS BIGINT)
+        |     AS good_id_sum,
+        |   CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN n_chars END) AS BIGINT)
+        |     AS good_chars_sum
+        | FROM documents""".stripMargin,
+    "view_materialized" ->
+      """SELECT o.o_orderkey AS invoice_id, l.l_linenumber AS line_no,
+        |   o.o_custkey AS customer_key, o.o_orderstatus AS status,
+        |   CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | WHERE o.o_custkey <= 100
+        | ORDER BY invoice_id, line_no""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |   SELECT user_id, event_type, count(*) AS n

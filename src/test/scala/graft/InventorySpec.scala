@@ -101,7 +101,9 @@ class InventorySpec extends SparkSpec {
     // round 7, sixth wave: count-min point-frequency sketch table +
     // PageRank centrality over the persisted kNN graph + the
     // streaming heavy-hitters view under the unified log+fold protocol
-    "llm_cms_counts", "llm_graph_pagerank", "stream_view_topk")
+    "llm_cms_counts", "llm_graph_pagerank", "stream_view_topk",
+    // round 7, seventh wave: ingest-quality + materialized-view serving
+    "source_json_badrecords", "view_materialized")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

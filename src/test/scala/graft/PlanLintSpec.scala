@@ -29,6 +29,9 @@ class PlanLintSpec extends SparkSpec {
     // write a tmp CSV/ORC copy at construction time
     "source_csv_ingest", "source_orc_roundtrip", "source_text_ingest",
     "source_partitioned_corpus", "source_json_roundtrip",
+    "source_json_badrecords",
+    // builds + refreshes the bucketed materialization at construction
+    "view_materialized",
     // stages per-payload binary files at construction time
     "llm_multimodal_ingest",
     // writes the z-clustered scratch copy at construction time
