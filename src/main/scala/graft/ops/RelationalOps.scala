@@ -1018,9 +1018,10 @@ object RelationalOps {
     * truncated record. The scale point: quarantine is a per-row
     * classification at the scan — no second pass, no job failure on
     * dirty data; the corrupt rows stay queryable for the dead-letter
-    * audit (the `.cache()` is the documented Spark requirement for
-    * referencing the internal corrupt column, and holds line-count
-    * rows, not corpus text). */
+    * audit. (Spark's internal-corrupt-column restriction bites only a
+    * query whose required schema is the corrupt column ALONE — this
+    * aggregate reads the data columns too, so no `.cache()` is needed
+    * and nothing corpus-sized is ever pinned.) */
   val sourceJsonBadrecords: Q = (s, d) => {
     val dir = scratch(s, "jsonbad")
     Tables.documents(s, d)
@@ -1041,7 +1042,6 @@ object RelationalOps {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
-      .cache()
     parsed.agg(
       count(lit(1)).as("n_lines"),
       count(col("_corrupt_record")).as("n_corrupt"),
