@@ -1279,6 +1279,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N8 — the DATASET CARD: the one-row summary every corpus release
+    * ships (docs / tokens / chars, language & source breadth, exact
+    * duplicate rate, English share, mean quality) — composed from the
+    * already-verified primitives in ONE aggregate pass. Determinism:
+    * every ratio is a single double division of exact integer sums,
+    * rounded to e4 — the idf_e4 recipe. Scale note: the three
+    * count-distincts expand the scan (Spark's multi-distinct Expand);
+    * at 100 TB swap them for the HLL sketch-table rollup
+    * (llm_sketch_rollup) — same card, kilobyte state. */
+  val datasetCardQ: Q = (s, d) =>
+    Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("ws_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("__uniq"),
+        sum((col("lang") === "en").cast("long")).as("__en"),
+        sum(TextOps.qualityE4(col("text"))).as("__q"))
+      .select(col("n_docs"), col("ws_tokens"), col("total_chars"),
+        col("n_langs"), col("n_sources"),
+        round(lit(10000.0) * (col("n_docs") - col("__uniq")) / col("n_docs"))
+          .cast("long").as("dup_rate_e4"),
+        round(lit(10000.0) * col("__en") / col("n_docs"))
+          .cast("long").as("pct_en_e4"),
+        round(col("__q").cast("double") / col("n_docs"))
+          .cast("long").as("mean_quality_e4"))
+
   /** N3++++++ — PAGERANK centrality over the persisted kNN graph
     * ([[Cluster.pageRank]]): which vectors anchor the corpus's
     * similarity structure — the importance complement of the
@@ -1540,7 +1568,8 @@ object LlmQueries {
     "llm_curriculum_order" -> curriculumOrderQ,
     "llm_batch_buckets" -> batchBucketsQ,
     "llm_cms_counts" -> cmsCountsQ,
-    "llm_graph_pagerank" -> graphPagerankQ
+    "llm_graph_pagerank" -> graphPagerankQ,
+    "llm_dataset_card" -> datasetCardQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -2437,6 +2466,26 @@ object LlmQueries {
          |   CAST(p.pad_to AS BIGINT) AS pad_to,
          |   CAST(p.pad_to - a.n_tokens AS BIGINT) AS pad_waste
          | FROM a JOIN p USING (bucket, batch_idx)
-         | ORDER BY a.doc_id""".stripMargin
+         | ORDER BY a.doc_id""".stripMargin,
+    "llm_dataset_card" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+         |     len(string_split(text, ' ')) AS toks,
+         |     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |     CAST(round(10000.0 *
+         |       len(list_filter(string_split(text, ' '), x -> x IN ($stopAll)))
+         |       / len(string_split(text, ' '))) AS BIGINT) AS q
+         |   FROM documents)
+         | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(toks) AS BIGINT) AS ws_tokens,
+         |   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |   CAST(round(10000.0 * (count(*) - count(DISTINCT fp)) / count(*))
+         |     AS BIGINT) AS dup_rate_e4,
+         |   CAST(round(10000.0 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |     / count(*)) AS BIGINT) AS pct_en_e4,
+         |   CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+         |     AS mean_quality_e4
+         | FROM t""".stripMargin
   )
 }

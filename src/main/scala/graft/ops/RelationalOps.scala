@@ -148,6 +148,27 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** J7' — FORWARD as-of join ("next error at or after each
+    * purchase") from the SAME one-window-pass operator: time negation
+    * turns last-at-or-before into first-at-or-after, so the backward
+    * join's plan shape — one (key) exchange, no range explosion, cost
+    * independent of how many right rows follow — carries over
+    * unchanged. Oracle: DuckDB ASOF with the `<=` inequality. */
+  val joinAsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("nus", -col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us", "nus")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "us", "nus")
+    AsofJoin.asofJoin(purchases, errors, "user_id", "nus", "event_id")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("r_event_id").as("next_err_id"), col("r_us").as("next_err_us"),
+        expr("(r_us - us) div 1000").as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   /** J8 — interval join: ALL errors within the hour preceding each
     * purchase (the as-of join's "every prior row in range" sibling).
     * Spark plans the equi key as the join key and the range as a join
@@ -859,6 +880,32 @@ object RelationalOps {
   val sqlSegmentTopn: Q = (s, d) => Views.segmentTopOrders(s, d)
   val sqlRegionRevenue: Q = (s, d) => Views.regionNationRevenue(s, d)
 
+  /** S7' — the BI result cache on the declared surface (the
+    * reference's Redis-in-front-of-Superset, ResultCacheSpec drives
+    * the TTL/invalidate protocol): the same ad-hoc SQL runs TWICE
+    * through [[ResultCache]] — the first call plans and persists, the
+    * second serves the persisted blocks (a cache hit, asserted) — and
+    * the served result is what the oracle checks, so the cache layer
+    * is output-invisible by construction. The persisted entry is the
+    * aggregate result (status × month rows), kilobytes. */
+  val viewCachedSql: Q = (s, d) => {
+    Views.registerInvoiceViews(s, d)
+    val sqlText =
+      """SELECT h.o_orderstatus AS status,
+        |       count(*) AS n_lines,
+        |       sum(CAST(round(l.qty * l.price * 100) AS BIGINT)) AS cents
+        |FROM invoice_header h
+        |JOIN (SELECT l_orderkey, l_quantity AS qty, l_extendedprice AS price
+        |      FROM invoice_line) l ON h.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin
+    val rc = new ResultCache(s)
+    rc.sql(sqlText)
+    val served = rc.sql(sqlText)
+    require(rc.hits == 1 && rc.misses == 1,
+      "second call must serve from the cache")
+    served.orderBy("status")
+  }
+
   /** Deterministic per-query scratch dir: the format round-trip
     * queries rewrite it with mode=overwrite on every run, so repeated
     * Bench/Verify/probe invocations cap at ONE copy on disk instead of
@@ -1073,8 +1120,10 @@ object RelationalOps {
 
   val queries: Map[String, Q] = Map(
     "view_adhoc_sql" -> viewAdhocSql,
+    "view_cached_sql" -> viewCachedSql,
     "sql_segment_topn" -> sqlSegmentTopn,
     "sql_region_revenue" -> sqlRegionRevenue,
+    "join_asof_forward" -> joinAsofForward,
     "project_view" -> projectView,
     "computed_column" -> computedColumn,
     "filter_version_range" -> filterVersionRange,
@@ -1251,6 +1300,22 @@ object RelationalOps {
         |   (l.us - r.us) // 1000 AS gap_ms
         | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
         | ORDER BY l.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |      r AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        |           FROM events WHERE event_type = 'error')
+        | SELECT l.event_id, l.user_id, l.us AS purchase_us,
+        |   r.event_id AS next_err_id, r.us AS next_err_us,
+        |   (r.us - l.us) // 1000 AS gap_ms
+        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us <= r.us
+        | ORDER BY l.event_id""".stripMargin,
+    "view_cached_sql" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_lines,
+        |   CAST(sum(CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT))
+        |     AS BIGINT) AS cents
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | GROUP BY 1 ORDER BY status""".stripMargin,
     "join_interval" ->
       """WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
         |           FROM events WHERE event_type = 'purchase'),

@@ -103,7 +103,10 @@ class InventorySpec extends SparkSpec {
     // streaming heavy-hitters view under the unified log+fold protocol
     "llm_cms_counts", "llm_graph_pagerank", "stream_view_topk",
     // round 7, seventh wave: ingest-quality + materialized-view serving
-    "source_json_badrecords", "view_materialized")
+    "source_json_badrecords", "view_materialized",
+    // round 7, eighth wave: cached BI serving, forward as-of,
+    // the dataset card
+    "view_cached_sql", "join_asof_forward", "llm_dataset_card")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

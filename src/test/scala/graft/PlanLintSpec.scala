@@ -32,6 +32,10 @@ class PlanLintSpec extends SparkSpec {
     "source_json_badrecords",
     // builds + refreshes the bucketed materialization at construction
     "view_materialized",
+    // persists the cached entry at construction (the cache IS the
+    // semantics; output checked by the oracle, protocol by
+    // ResultCacheSpec)
+    "view_cached_sql",
     // stages per-payload binary files at construction time
     "llm_multimodal_ingest",
     // writes the z-clustered scratch copy at construction time
