@@ -73,6 +73,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: FORWARD (negated-time) join equals naive first-at-or-after") {
+    // the join_asof_forward recipe: negate the time column, run the
+    // backward operator — the property pins the negation algebra on the
+    // same collision-heavy domains, including the tie rule it induces
+    // (max tie id among the EARLIEST at-or-after rows)
+    val genSide = Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0L, 2L); t <- Gen.chooseNum(0L, 9L)
+    } yield (k, t))
+    val prop = forAll(genSide, genSide) { (ls, rs) =>
+      val lRows = ls.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) }
+      val rRows = rs.zipWithIndex.map { case ((k, t), i) => (500L + i, k, t) }
+      def negate(rows: Seq[(Long, Long, Long)]) =
+        rows.map { case (id, k, t) => (id, k, -t) }
+      val got = run(negate(lRows).toDF("event_id", "user_id", "t"),
+        negate(rRows).toDF("event_id", "user_id", "t"))
+      val want = lRows.map { case (id, k, t) =>
+        val cands = rRows.filter(r => r._2 == k && r._3 >= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.minBy(r => (r._3, -r._1))._1))
+      }.toMap
+      got == want
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan: one exchange on the key, no join/cartesian node") {
     val plan = AsofJoin.asofJoin(left, right, "user_id", "t", "event_id")
       .queryExecution.executedPlan.toString
