@@ -1279,6 +1279,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** N4+++++++ — per-document N-GRAM NOVELTY: the fraction of a
+    * document's distinct bigrams whose FIRST corpus occurrence (by
+    * doc_id order — the ingest order) is this document. The
+    * "new content vs recombination" curation signal: a crawl that
+    * stops contributing novel grams has been exhausted; a duplicate's
+    * novelty is exactly 0. Scale: one gram explode, a (gram) shuffle
+    * for the min-doc aggregate (high-cardinality), a gram-keyed join
+    * back, a doc-keyed fold — all linear; the (doc, gram) table
+    * stages once (the tfidf lesson). */
+  val ngramNoveltyQ: Q = (s, d) => {
+    val dg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.ngrams(col("text"), 2))).as("gram"))
+      .localCheckpoint(true)
+    val first = dg.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("__first"))
+    dg.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__first") === col("doc_id")).cast("long")).as("n_novel"))
+      .withColumn("novelty_e4",
+        round(lit(10000.0) * col("n_novel") / col("n_grams")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** N8 — the DATASET CARD: the one-row summary every corpus release
     * ships (docs / tokens / chars, language & source breadth, exact
     * duplicate rate, English share, mean quality) — composed from the
@@ -1569,7 +1594,8 @@ object LlmQueries {
     "llm_batch_buckets" -> batchBucketsQ,
     "llm_cms_counts" -> cmsCountsQ,
     "llm_graph_pagerank" -> graphPagerankQ,
-    "llm_dataset_card" -> datasetCardQ
+    "llm_dataset_card" -> datasetCardQ,
+    "llm_ngram_novelty" -> ngramNoveltyQ
   )
 
   private val stopAll = TextOps.lexicons.flatMap(_._2).distinct
@@ -2486,6 +2512,23 @@ object LlmQueries {
          |     / count(*)) AS BIGINT) AS pct_en_e4,
          |   CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
          |     AS mean_quality_e4
-         | FROM t""".stripMargin
+         | FROM t""".stripMargin,
+    "llm_ngram_novelty" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id, unnest(
+        |   CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+1], ' ')) END) AS gram FROM t)""".stripMargin +
+      """,
+        | dg AS (SELECT DISTINCT doc_id, gram FROM g),
+        | f AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram)
+        | SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |   CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_novel,
+        |   CAST(round(10000.0 *
+        |     sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |     / count(*)) AS BIGINT) AS novelty_e4
+        | FROM dg JOIN f USING (gram)
+        | GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin)
   )
 }

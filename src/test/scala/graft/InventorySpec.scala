@@ -106,7 +106,8 @@ class InventorySpec extends SparkSpec {
     "source_json_badrecords", "view_materialized",
     // round 7, eighth wave: cached BI serving, forward as-of,
     // the dataset card
-    "view_cached_sql", "join_asof_forward", "llm_dataset_card")
+    "view_cached_sql", "join_asof_forward", "llm_dataset_card",
+    "llm_ngram_novelty")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
