@@ -113,6 +113,18 @@ object Cluster {
     * (bounded, one-sided); ranking — the consumer's question — is
     * unaffected at e12 resolution.
     *
+    * DANGLING-VERTEX CONTRACT: a vertex with no out-edges (dst-only)
+    * contributes NOTHING to the next round — its entire 85%
+    * non-teleport share is dropped, where textbook PageRank
+    * redistributes dangling mass uniformly. This is deliberate for
+    * the kNN-graph consumer (every vertex is a src by construction,
+    * so no dangling mass exists) and keeps each round to two
+    * shuffles; a general-graph caller who needs standard scores must
+    * either add self-loops / back-edges to sink vertices or accept
+    * that sink-adjacent scores read lower than the textbook value.
+    * The floor-division mass shedding above is the same one-sided
+    * kind — total mass only ever decreases, never migrates.
+    *
     * Scale: each round is one (src)-keyed join of the score table to
     * the edge list + one (dst)-keyed partial+final sum — both
     * high-cardinality shuffles — and a left join back to the vertex

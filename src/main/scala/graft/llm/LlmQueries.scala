@@ -1210,8 +1210,11 @@ object LlmQueries {
         sum((col("lx") * col("ly")).cast(dec)).cast("double").as("sxy"),
         sum((col("lx") * col("lx")).cast(dec)).cast("double").as("sxx"))
       .select(col("source"), col("n").cast("long").as("n_types"),
+        // nullif guard: a source whose vocabulary collapses to a single
+        // rank point has denominator 0 (n=1 → 0/0 → NaN → null-on-cast
+        // in Spark, engine-specific in SQL); both sides agree on NULL
         round(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")))
+          expr("nullif(n * sxx - sx * sx, 0.0d)"))
           .cast("long").as("slope_e6"))
       .orderBy("source")
   }
@@ -2434,7 +2437,7 @@ object LlmQueries {
         |   FROM p GROUP BY source)
         | SELECT source, CAST(n AS BIGINT) AS n_types,
         |   CAST(round(1000000.0 * (n * sxy - sx * sy) /
-        |     (n * sxx - sx * sx)) AS BIGINT) AS slope_e6
+        |     nullif(n * sxx - sx * sx, 0.0)) AS BIGINT) AS slope_e6
         | FROM s ORDER BY source""".stripMargin),
     "llm_contrastive_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

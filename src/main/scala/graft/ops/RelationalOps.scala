@@ -887,7 +887,19 @@ object RelationalOps {
     * second serves the persisted blocks (a cache hit, asserted) — and
     * the served result is what the oracle checks, so the cache layer
     * is output-invisible by construction. The persisted entry is the
-    * aggregate result (status × month rows), kilobytes. */
+    * aggregate result (status × month rows), kilobytes.
+    *
+    * The cache is ONE shared instance per SparkSession (like the one
+    * Redis in front of all Superset workers): a fresh instance per
+    * invocation would leak its persisted entry — the TTL sweep only
+    * runs on access, and a discarded instance is never accessed again
+    * — so repeated Bench/Verify runs would pin one stale block each.
+    * The shared instance caps residency at one entry per session, and
+    * the hit assertion is a DELTA (second call must hit) so it holds
+    * whether the first call was this run's miss or a prior run's
+    * still-fresh hit. */
+  private val sessionCaches =
+    new java.util.WeakHashMap[SparkSession, ResultCache]()
   val viewCachedSql: Q = (s, d) => {
     Views.registerInvoiceViews(s, d)
     val sqlText =
@@ -898,10 +910,13 @@ object RelationalOps {
         |JOIN (SELECT l_orderkey, l_quantity AS qty, l_extendedprice AS price
         |      FROM invoice_line) l ON h.o_orderkey = l.l_orderkey
         |GROUP BY 1""".stripMargin
-    val rc = new ResultCache(s)
+    val rc = sessionCaches.synchronized {
+      sessionCaches.computeIfAbsent(s, _ => new ResultCache(s))
+    }
+    val (h0, m0) = (rc.hits, rc.misses)
     rc.sql(sqlText)
     val served = rc.sql(sqlText)
-    require(rc.hits == 1 && rc.misses == 1,
+    require(rc.hits - h0 >= 1 && (rc.hits - h0) + (rc.misses - m0) == 2,
       "second call must serve from the cache")
     served.orderBy("status")
   }
