@@ -1103,6 +1103,32 @@ object LlmQueries {
   val knnGraphQ: Q = (s, d) =>
     s.read.parquet(knnGraphDir(s, d).getPath).orderBy("src_id", "rank")
 
+  /** The PLANTED-CLONE graph the clusters query consumes: the testdata
+    * embeddings have no near-dup pair at any SF (max natural cosine
+    * 0.60 — measured over sf0.001/0.01/0.1), so a graph thresholded at
+    * 0.95 over the raw corpus is empty and a declared query over it
+    * certifies nothing (the round-7 `weak`). The staged corpus plants
+    * one exact clone of every 10th vector (id + 1e7 — far above any
+    * testdata id), giving the thresholded graph a known, fully
+    * deterministic structure: [[SimSearch.knnGraph]]'s exact-clone
+    * collapse emits clone-mate edges at cos 1e6 BY IDENTITY (never by
+    * LSH luck), and no natural pair can cross 0.95 — so the clusters
+    * are exactly the planted pairs and the query carries a real DuckDB
+    * oracle. Same CorpusCache discipline as the raw graph: built once
+    * per corpus identity, served thereafter. */
+  private def knnGraphPlantedDir(s: SparkSession, d: String) =
+    CorpusCache.resolve(s, s"$d/embeddings.parquet",
+        "graft-knng", "knng-planted-v1|k5-pauto-h2-r3|mod10-off1e7",
+        Seq("_SUCCESS")) { tmp =>
+      val base = Tables.embeddings(s, d)
+      val planted = base.unionByName(
+        base.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000000L))
+      SimSearch.knnGraph(planted, "vec_id", "embedding",
+          k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
+        .write.mode("overwrite").parquet(tmp.getPath)
+    }
+
   /** N3+++ — graph-based near-dup CLUSTERS: the kNN graph thresholded
     * at cos ≥ 0.95 is an undirected similarity graph; its connected
     * components ([[Cluster.connectedComponents]] — min-label
@@ -1110,11 +1136,14 @@ object LlmQueries {
     * row per clustered vector with its component id and size. This is
     * the graph-consuming half of the SemDeDup shape: build the graph
     * once (persisted), derive clusters, survivors, and curation
-    * decisions from it repeatedly. Rows-only (the graph is approximate
-    * by contract); KnnGraphSpec pins planted-clone co-clustering and
-    * the exact-graph agreement. */
+    * decisions from it repeatedly. Runs over the planted-clone corpus
+    * ([[knnGraphPlantedDir]]) so the declared output is non-empty and
+    * exactly predictable — every planted pair {v, v+1e7} co-clusters
+    * at size 2 with label v — which upgrades the key from rows-only to
+    * a full DuckDB-oracle row; KnnGraphSpec additionally pins the
+    * clone-edge identity guarantee the oracle relies on. */
   val knnGraphClustersQ: Q = (s, d) => {
-    val g = s.read.parquet(knnGraphDir(s, d).getPath)
+    val g = s.read.parquet(knnGraphPlantedDir(s, d).getPath)
     val edges = g.filter(col("cos_e6") >= 950000L)
       .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
     val cc = Cluster.connectedComponents(edges)
@@ -1347,8 +1376,26 @@ object LlmQueries {
     * (dst)-keyed shuffles over the edge list. */
   val graphPagerankQ: Q = (s, d) => {
     val g = s.read.parquet(knnGraphDir(s, d).getPath)
-    Cluster.pageRank(g.select(col("src_id").as("id_a"),
-        col("nbr_id").as("id_b")), iters = 5)
+    val edges = g.select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+    // ORACLE EDGE EXPORT — the "separable deterministic core" template
+    // for shrinking rows-only keys: the GRAPH is approximate by
+    // contract (LSH seed + NN-descent), but the 5-round integer power
+    // iteration over it is exact, so exporting the edge list lets the
+    // DuckDB oracle replay the iteration as 5 unrolled CTE stages and
+    // hash-check the scores GIVEN the edges. The export lands at a
+    // fixed repo-local path the static oracle SQL can read_parquet();
+    // one dir per corpus (tag = n_embeddings·1e9 + n_orders — the
+    // embeddings AND documents counts both collide across sf0.001 and
+    // sf0.01, which hold 500 of each; orders is unique per SF), and
+    // the SQL selects its corpus by recomputing the tag from the
+    // tables DuckDB already has views over.
+    val tag = Tables.embeddings(s, d).count() * 1000000000L +
+      Tables.orders(s, d).count()
+    edges.select(col("id_a").as("src"), col("id_b").as("dst"),
+        lit(tag).as("corpus_tag"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"/root/repo/target/oracle-export/knng_edges_$tag")
+    Cluster.pageRank(edges, iters = 5)
       .select(col("id").as("vec_id"), col("pr").as("pr_e12"))
       .orderBy("vec_id")
   }
@@ -2439,6 +2486,70 @@ object LlmQueries {
         |   CAST(round(1000000.0 * (n * sxy - sx * sy) /
         |     nullif(n * sxx - sx * sx, 0.0)) AS BIGINT) AS slope_e6
         | FROM s ORDER BY source""".stripMargin),
+    "llm_knn_graph_clusters" ->
+      // the planted-clone contract (knnGraphPlantedDir): clone-mate
+      // edges exist at cos 1e6 BY IDENTITY and no natural testdata
+      // pair crosses the 0.95 threshold (max measured cosine 0.60 at
+      // every SF), so the thresholded components are exactly the
+      // planted pairs {v, v+1e7} labeled by their min member
+      """WITH seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0),
+        | m AS (SELECT vec_id, vec_id AS cluster_id FROM seeds
+        |       UNION ALL
+        |       SELECT vec_id + 10000000, vec_id FROM seeds)
+        | SELECT vec_id, cluster_id, CAST(2 AS BIGINT) AS cluster_size
+        | FROM m ORDER BY vec_id""".stripMargin,
+    "llm_graph_pagerank" ->
+      // replay of Cluster.pageRank's 5-round INTEGER power iteration
+      // over the exported edge list (graphPagerankQ writes it before
+      // computing): init = 1e12 // n, teleport = 15·init // 100, each
+      // round pr' = teleport + (85·Σ_incoming ⌊pr/outdeg⌋) // 100 —
+      // all floor divisions on positive longs, so `div` (Spark) and
+      // `//` (DuckDB) agree exactly and the scores hash-match. The
+      // corpus_tag filter picks this SF's export out of the shared
+      // fixed-path glob (see graphPagerankQ).
+      """WITH e AS (
+        |   SELECT src, dst FROM read_parquet(
+        |     '/root/repo/target/oracle-export/knng_edges_*/*.parquet')
+        |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+        |       * 1000000000 + (SELECT count(*) FROM orders))),
+        | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        | verts AS (SELECT DISTINCT src AS id FROM e
+        |           UNION SELECT DISTINCT dst AS id FROM e),
+        | c AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+        |         CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS tp
+        |       FROM verts),
+        | p0 AS (SELECT id, (SELECT init FROM c) AS pr FROM verts),
+        | i1 AS (SELECT e.dst, sum(p.pr // d.deg) AS inn FROM e
+        |        JOIN p0 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |        GROUP BY e.dst),
+        | p1 AS (SELECT v.id, CAST((SELECT tp FROM c)
+        |          + (85 * COALESCE(i.inn, 0)) // 100 AS BIGINT) AS pr
+        |        FROM verts v LEFT JOIN i1 i ON i.dst = v.id),
+        | i2 AS (SELECT e.dst, sum(p.pr // d.deg) AS inn FROM e
+        |        JOIN p1 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |        GROUP BY e.dst),
+        | p2 AS (SELECT v.id, CAST((SELECT tp FROM c)
+        |          + (85 * COALESCE(i.inn, 0)) // 100 AS BIGINT) AS pr
+        |        FROM verts v LEFT JOIN i2 i ON i.dst = v.id),
+        | i3 AS (SELECT e.dst, sum(p.pr // d.deg) AS inn FROM e
+        |        JOIN p2 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |        GROUP BY e.dst),
+        | p3 AS (SELECT v.id, CAST((SELECT tp FROM c)
+        |          + (85 * COALESCE(i.inn, 0)) // 100 AS BIGINT) AS pr
+        |        FROM verts v LEFT JOIN i3 i ON i.dst = v.id),
+        | i4 AS (SELECT e.dst, sum(p.pr // d.deg) AS inn FROM e
+        |        JOIN p3 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |        GROUP BY e.dst),
+        | p4 AS (SELECT v.id, CAST((SELECT tp FROM c)
+        |          + (85 * COALESCE(i.inn, 0)) // 100 AS BIGINT) AS pr
+        |        FROM verts v LEFT JOIN i4 i ON i.dst = v.id),
+        | i5 AS (SELECT e.dst, sum(p.pr // d.deg) AS inn FROM e
+        |        JOIN p4 p ON p.id = e.src JOIN deg d ON d.src = e.src
+        |        GROUP BY e.dst),
+        | p5 AS (SELECT v.id, CAST((SELECT tp FROM c)
+        |          + (85 * COALESCE(i.inn, 0)) // 100 AS BIGINT) AS pr
+        |        FROM verts v LEFT JOIN i5 i ON i.dst = v.id)
+        | SELECT id AS vec_id, pr AS pr_e12 FROM p5 ORDER BY vec_id""".stripMargin,
     "llm_contrastive_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          | cos AS (SELECT a.vec_id AS anchor_id, a.label,

@@ -150,18 +150,18 @@ class InventorySpec extends SparkSpec {
       "llm_bpe_train", "llm_bpe_encode",
       // the kNN graph is approximate by contract (LSH seed + NN-descent);
       // KnnGraphSpec pins recall vs brute force, re-verifies every
-      // reported cosine, and requires the descent rounds to add recall —
-      // and its thresholded components inherit the approximation
-      "llm_knn_graph", "llm_knn_graph_clusters",
+      // reported cosine, and requires the descent rounds to add recall.
+      // (Its two CONSUMERS left this list in round 8: the thresholded
+      // components run over the planted-clone corpus whose clusters
+      // are identity-deterministic, and pagerank exports its edges so
+      // the oracle replays the integer iteration — both hash-checked.)
+      "llm_knn_graph",
       // graph-pooled positives inherit the graph's approximation;
       // LlmSpec pins structure + overlap vs the exact oracle form
       "llm_contrastive_pairs_graph",
       // CMS estimates replay engine hashing SQL cannot express; the
       // exact truth column rides along and CmsSpec pins the bounds
-      "llm_cms_counts",
-      // centrality over the approximate graph artifact; Wave7Spec
-      // replays the integer power iteration exactly from the edges
-      "llm_graph_pagerank")
+      "llm_cms_counts")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")
