@@ -26,13 +26,33 @@ case class SyncState(syncName: String,
   * FileSystem API (works on local/HDFS/object-store paths) with
   * write-temp-then-rename updates. No Spark jobs: an offset read or
   * commit is two filesystem calls, exactly like the reference's
-  * single-row SELECT/UPDATE. Single-writer per consumer is assumed, as
-  * in the reference (one API server owns the state row).
+  * single-row SELECT/UPDATE. Single-writer per CONSUMER is assumed, as
+  * in the reference (one API server owns the state row) — but the
+  * reference's whole design is N consumers fanning out over ONE feed,
+  * and the file holds every consumer's row, so two consumers
+  * committing CONCURRENTLY is the normal case, not an edge case. Every
+  * mutation is a read-modify-write of the whole file; without mutual
+  * exclusion, consumer A's commit can be lost under consumer B's
+  * (both read, both write, last writer wins with the other's update
+  * missing). All mutating ops therefore serialize on one store-level
+  * monitor — the deployment shape this models is the reference's one
+  * API-server process multiplexing N consumers, where a JVM-level
+  * monitor IS the full exclusion domain. N independent *processes*
+  * sharing one state file additionally need the store to live on a
+  * filesystem with atomic rename (HDFS/object-store) AND one writer
+  * process per file — or one store path per consumer, which removes
+  * the shared-file write entirely (cursors are independent rows).
+  * ConcurrentFanoutSpec exercises the in-process contract.
   *
   * Record format, one per line:
   * `urlencode(syncName)\tversion\tlastId\tepochMillis`.
   */
 class ConsumerStateStore(spark: SparkSession, path: String) {
+
+  /** Mutual exclusion for every read-modify-write below: one monitor
+    * per store INSTANCE. Two instances on one path are two writer
+    * domains (see class doc) — same-process callers share an instance. */
+  private val lock = new Object
 
   private val fsPath = new Path(path, "sync_state.tsv")
   private def fs: FileSystem =
@@ -110,7 +130,7 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
 
   /** Read the consumer's cursor, auto-creating it at (0, 0) on first use
     * (server.js:112-122). */
-  def get(syncName: String): SyncState = {
+  def get(syncName: String): SyncState = lock.synchronized {
     val all = readAll()
     all.getOrElse(syncName, {
       val fresh = SyncState(syncName, 0L, 0L,
@@ -122,7 +142,7 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
 
   /** Advance the cursor — called only after a successful sink write
     * (server.js:231-249). */
-  def commit(syncName: String, version: Long, lastId: Long): Unit = {
+  def commit(syncName: String, version: Long, lastId: Long): Unit = lock.synchronized {
     val all = readAll()
     val next = SyncState(syncName, version, lastId,
       new Timestamp(System.currentTimeMillis()))
@@ -130,9 +150,11 @@ class ConsumerStateStore(spark: SparkSession, path: String) {
   }
 
   /** Reset to version 0 → full re-delivery (server.js:424-451). */
-  def reset(syncName: String): Unit =
+  def reset(syncName: String): Unit = lock.synchronized {
     writeAll(readAll() + (syncName ->
       SyncState(syncName, 0L, 0L, new Timestamp(System.currentTimeMillis()))))
+  }
 
-  def list(): Seq[SyncState] = readAll().values.toSeq.sortBy(_.syncName)
+  def list(): Seq[SyncState] =
+    lock.synchronized(readAll()).values.toSeq.sortBy(_.syncName)
 }
