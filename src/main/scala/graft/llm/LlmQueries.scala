@@ -694,12 +694,49 @@ object LlmQueries {
     * pairs per block), this shape's cost is candidates + constant
     * per-row enumeration at ANY corpus size. Oracle: the naive
     * all-pairs DuckDB join — blocking must be output-invisible. */
-  val fuzzyPairsGlobalQ: Q = (s, d) => {
+  val fuzzyPairsGlobalQ: Q = (s, d) =>
+    fuzzyGlobalPairs(s, d).orderBy("id_a", "id_b")
+
+  /** The shared pair pipeline of the three global-fuzzy serving
+    * shapes — identical candidates + banded-DP verify; only the
+    * emission differs. */
+  private def fuzzyGlobalPairs(s: SparkSession, d: String): DataFrame = {
     val heads = Tables.documents(s, d)
       .filter(length(col("text")) >= 30)
       .select(col("doc_id"), substring(col("text"), 1, 30).as("head"))
     EditJoin.fixedLenSelfJoin(heads, "doc_id", "head", len = 30, k = 3)
-      .orderBy("id_a", "id_b")
+  }
+
+  /** N2b'''a — the SUMMARY serving shape of the global fuzzy join.
+    * The full-emission form is OUTPUT-bound on clone-heavy corpora
+    * (the r7 10× probe measured 55×: the result set itself grows
+    * ~9000× when every doc gains 9 identical twins), which is honest
+    * but unservable; a deployment first asks "how much near-duplication
+    * is there, at which distances?" — a per-distance pair count whose
+    * output is ≤ k+1 rows no matter how the pair space explodes. Same
+    * candidates, same verify; the aggregation is a partial-agg count
+    * (map-side combined), so the emission cost disappears from the
+    * plan. Oracle: the naive all-pairs DuckDB aggregate. */
+  val fuzzyPairsSummaryQ: Q = (s, d) =>
+    fuzzyGlobalPairs(s, d)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+
+  /** N2b'''b — the CAPPED serving shape: at most 5 closest partners
+    * per anchor (ties by partner id), the bounded emission a dedup /
+    * link-review pipeline consumes. Output is ≤ 5·|anchors| rows at
+    * ANY clone multiplicity — the per-anchor rank turns the quadratic
+    * emission into a linear one while the pair discovery stays
+    * identical. The rank window partitions by anchor id
+    * (high-cardinality — scale-safe, PlanLintSpec-visible). Oracle:
+    * the naive all-pairs DuckDB join under the same row_number cap. */
+  val fuzzyPairsCappedQ: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("dist").asc, col("id_b").asc)
+    fuzzyGlobalPairs(s, d)
+      .withColumn("pair_rank", row_number().over(w).cast("long"))
+      .filter(col("pair_rank") <= 5)
+      .orderBy("id_a", "pair_rank")
   }
 
   /** N2b'' — VARIABLE-length edit-similarity join ([[EditJoin.selfJoin]]):
@@ -1597,6 +1634,8 @@ object LlmQueries {
     "llm_sample" -> sampleQ,
     "llm_fuzzy_pairs" -> fuzzyPairsQ,
     "llm_fuzzy_pairs_global" -> fuzzyPairsGlobalQ,
+    "llm_fuzzy_pairs_summary" -> fuzzyPairsSummaryQ,
+    "llm_fuzzy_pairs_capped" -> fuzzyPairsCappedQ,
     "llm_fuzzy_pairs_varlen" -> fuzzyPairsVarlenQ,
     "llm_dedup_contained" -> dedupContainedQ,
     "llm_simsearch_pq" -> simsearchPqQ,
@@ -2136,6 +2175,33 @@ object LlmQueries {
         | FROM h a JOIN h b ON a.doc_id < b.doc_id
         | WHERE levenshtein(a.head, b.head) <= 3
         | ORDER BY id_a, id_b""".stripMargin,
+    "llm_fuzzy_pairs_summary" ->
+      // naive all-pairs aggregate — the summary serving shape must be
+      // the exact per-distance histogram of the full emission
+      """WITH h AS (
+        |   SELECT doc_id, substring(text, 1, 30) AS head
+        |   FROM documents WHERE length(text) >= 30)
+        | SELECT CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist,
+        |   count(*) AS n_pairs
+        | FROM h a JOIN h b ON a.doc_id < b.doc_id
+        | WHERE levenshtein(a.head, b.head) <= 3
+        | GROUP BY 1 ORDER BY dist""".stripMargin,
+    "llm_fuzzy_pairs_capped" ->
+      // naive all-pairs under the same per-anchor rank cap — the
+      // bounded emission must be a deterministic truncation of the
+      // full form (ties by partner id)
+      """WITH h AS (
+        |   SELECT doc_id, substring(text, 1, 30) AS head
+        |   FROM documents WHERE length(text) >= 30),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |   FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |   WHERE levenshtein(a.head, b.head) <= 3),
+        | r AS (SELECT id_a, id_b, dist,
+        |   CAST(row_number() OVER (PARTITION BY id_a
+        |     ORDER BY dist, id_b) AS BIGINT) AS pair_rank FROM p)
+        | SELECT id_a, id_b, dist, pair_rank FROM r
+        | WHERE pair_rank <= 5 ORDER BY id_a, pair_rank""".stripMargin,
     "llm_fuzzy_pairs_varlen" ->
       // naive all-pairs over MIXED-length heads (24-36 chars, width a
       // function of doc id): the per-length schemes + length-band

@@ -210,4 +210,35 @@ class EditJoinSpec extends SparkSpec {
         j.toString.contains("source")),
       "over-cap candidates must come from the (block, segment, bytes) join")
   }
+
+  test("serving shapes: summary is the exact histogram of the full " +
+      "emission, capped is its deterministic per-anchor truncation") {
+    // the round-8 deployment shapes for the output-bound global form:
+    // same discovery pipeline, bounded emission — both must be pure
+    // functions of the full pair set
+    import graft.llm.LlmQueries
+    import spark.implicits._
+    val full = LlmQueries.queries("llm_fuzzy_pairs_global")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val summary = LlmQueries.queries("llm_fuzzy_pairs_summary")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val expectedHist = full.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(summary == expectedHist,
+      s"summary histogram diverged from the full emission: " +
+        s"$summary vs $expectedHist")
+
+    val capped = LlmQueries.queries("llm_fuzzy_pairs_capped")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expectedCapped = full.groupBy(_._1).toSeq.flatMap {
+      case (anchor, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex.map {
+          case ((a, b, dist), i) => (a, b, dist, i + 1L)
+        }
+    }.sortBy(r => (r._1, r._4))
+    assert(capped == expectedCapped,
+      "capped output is not the per-anchor (dist, id) truncation of " +
+        "the full emission")
+    assert(capped.groupBy(_._1).values.forall(_.size <= 5),
+      "an anchor exceeded the emission cap")
+  }
 }

@@ -98,6 +98,9 @@ class InventorySpec extends SparkSpec {
     // TPC-H-shaped ad-hoc SQL surface (Q3/Q5 shapes via spark.sql)
     "window_funnel", "agg_retention_cohorts",
     "sql_segment_topn", "sql_region_revenue",
+    // round 8: bounded serving shapes of the output-bound global fuzzy
+    // join (per-distance summary + per-anchor cap)
+    "llm_fuzzy_pairs_summary", "llm_fuzzy_pairs_capped",
     // round 7, sixth wave: count-min point-frequency sketch table +
     // PageRank centrality over the persisted kNN graph + the
     // streaming heavy-hitters view under the unified log+fold protocol
