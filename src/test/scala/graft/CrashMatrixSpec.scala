@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The round-8 robustness matrix: every streaming family's existing
+  * crash spec kills ONE hand-picked batch; this suite generalizes the
+  * ExactlyOnceSpec pattern to KILL AT EVERY BATCH — for each family, a
+  * clean probe run establishes the batch count and the converged
+  * result, then the matrix reruns the family once per batch id with an
+  * injected kill at that id (after the state/sink write, before the
+  * checkpoint commit — the at-least-once hazard window every hook
+  * exposes), restarts from the same checkpoint, and requires the final
+  * state to equal the probe's. No kill position may lose, duplicate,
+  * or reorder state — for ANY batch, not just the one a hand-written
+  * spec happened to pick.
+  *
+  * Families: SCD2 history maintenance, MERGE state maintenance, the
+  * end-to-end CDC delivery pipeline, and streaming near-dedup. (The
+  * streaming agg-view family runs its own per-window crash specs in
+  * StreamingAggViewSpec — its crash surface is the log/view two-phase
+  * write, not the foreachBatch hook these four share.)
+  */
+class CrashMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  /** Drive one family through the full kill matrix.
+    * `launch(root, hook)` must wire every path (state, sink,
+    * checkpoint) under `root` so each matrix cell is isolated;
+    * `result(root)` reads the converged state as a comparable set. */
+  private def crashMatrix[T](family: String)
+      (launch: (String, Long => Unit) => StreamingQuery)
+      (result: String => Set[T]): Unit = {
+    // clean probe: batch count + the converged truth
+    val probeRoot = tmpDir(s"cm-$family-probe")
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    launch(probeRoot, seen.add(_)).awaitTermination(180000)
+    val truth = result(probeRoot)
+    val n = seen.size
+    assert(n >= 3, s"$family: matrix needs >=3 batches, got $n — " +
+      "shrink pageVersions so the kill matrix exercises real restarts")
+    assert(truth.nonEmpty, s"$family: probe produced an empty result")
+
+    for (crashAt <- 0L until n.toLong) {
+      val root = tmpDir(s"cm-$family-k$crashAt")
+      val q1 = launch(root, bid =>
+        if (bid == crashAt)
+          throw new RuntimeException(s"injected kill at batch $bid"))
+      val failed = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      assert(msgs(failed).exists(_.contains("injected kill")),
+        s"$family kill@$crashAt: wrong failure: $failed")
+      // restart from the same checkpoint, no injection: must converge
+      launch(root, _ => ()).awaitTermination(180000)
+      val got = result(root)
+      assert(got == truth,
+        s"$family kill@$crashAt diverged after restart: " +
+          s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    }
+  }
+
+  private def writeChangeTable(): String = {
+    val table = tmpDir("cm-feed")
+    graft.cdc.TombstoneCdc.headerFeedOps(spark, sf)
+      .unionByName(graft.cdc.TombstoneCdc.lineFeedOps(spark, sf))
+      .coalesce(2).write.mode("overwrite").parquet(table)
+    table
+  }
+
+  /** pageVersions sized so the feed spans ~4 batches — a matrix over
+    * 1-2 batches would not exercise mid-stream restarts. */
+  private def quarterSpan(table: String, versionCol: String): Long = {
+    val Array(lo, hi) = spark.read.parquet(table)
+      .agg(min(col(versionCol)), max(col(versionCol)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    math.max(1L, (hi - lo + 1) / 4 + 1)
+  }
+
+  test("kill-at-every-batch: SCD2 history maintenance converges from " +
+      "every crash position to the batch history") {
+    val table = writeChangeTable()
+    val pv = quarterSpan(table, "change_version")
+    crashMatrix("scd2") { (root, hook) =>
+      graft.streaming.StreamingScd2.maintain(spark, table,
+        "change_version", "invoice_id", "change_operation",
+        s"$root/history", s"$root/ckpt", pageVersions = pv,
+        onBatchApplied = hook)
+    } { root =>
+      graft.streaming.StreamingScd2.historyTable(spark, s"$root/history")
+        .select($"invoice_id", $"change_operation",
+          $"valid_from", $"valid_to", $"is_current")
+        .collect().map(_.toSeq.toList).toSet
+    }
+    // the probe's convergence target itself equals the batch truth
+    // (pinned once here; the matrix pins every kill cell against it)
+    val root = tmpDir("cm-scd2-truth")
+    graft.streaming.StreamingScd2.maintain(spark, table,
+      "change_version", "invoice_id", "change_operation",
+      s"$root/history", s"$root/ckpt", pageVersions = pv)
+      .awaitTermination(180000)
+    val cols = Seq("invoice_id", "change_operation", "valid_from",
+      "valid_to", "is_current")
+    val got = graft.streaming.StreamingScd2
+      .historyTable(spark, s"$root/history").select(cols.map(col): _*)
+    val want = graft.cdc.Scd2.invoiceHistory(spark, sf)
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed history diverges from the batch history")
+  }
+
+  test("kill-at-every-batch: MERGE state maintenance converges from " +
+      "every crash position to the batch snapshot") {
+    val table = writeChangeTable()
+    val pv = quarterSpan(table, "change_version")
+    crashMatrix("merge") { (root, hook) =>
+      graft.streaming.StreamingMerge.maintain(spark, table,
+        "change_version", "invoice_id", "change_operation",
+        s"$root/state", s"$root/ckpt", pageVersions = pv,
+        onBatchMerged = hook)
+    } { root =>
+      graft.streaming.StreamingMerge.stateTable(spark, s"$root/state")
+        .select($"invoice_id", $"change_version", $"change_operation")
+        .as[(Long, Long, String)].collect().toSet
+    }
+    // probe target == batch snapshot
+    val want = graft.cdc.Merge.liveSnapshot(spark, sf, Long.MaxValue)
+      .select($"invoice_id", $"change_version", $"change_operation")
+      .as[(Long, Long, String)].collect().toSet
+    val root = tmpDir("cm-merge-truth")
+    graft.streaming.StreamingMerge.maintain(spark, table,
+      "change_version", "invoice_id", "change_operation",
+      s"$root/state", s"$root/ckpt", pageVersions = pv)
+      .awaitTermination(180000)
+    val got = graft.streaming.StreamingMerge
+      .stateTable(spark, s"$root/state")
+      .select($"invoice_id", $"change_version", $"change_operation")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want, "streamed state diverges from the batch snapshot")
+  }
+
+  test("kill-at-every-batch: the end-to-end CDC delivery pipeline " +
+      "redelivers exactly once from every crash position") {
+    crashMatrix("pipeline") { (root, hook) =>
+      graft.streaming.CdcPipeline.deliver(spark, sf, s"$root/sink",
+        s"$root/err", s"$root/ckpt", pageVersions = 350L,
+        onBatchDelivered = hook)
+    } { root =>
+      // the idempotent read collapses the crashed batch's double
+      // append; the collapsed document set is the exactly-once effect
+      graft.sinks.DocumentSink.deduplicated(spark, s"$root/sink")
+        .select($"invoice_id".cast("long"), $"change_version".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    }
+  }
+
+  test("kill-at-every-batch: streaming near-dedup accepts the same " +
+      "corpus from every crash position") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val feedDir = tmpDir("cm-snd-feed")
+    docs.withColumn("change_version", $"doc_id" + 1)
+      .write.mode("overwrite").parquet(feedDir)
+    def stream() = spark.readStream.format("graft-cdc")
+      .option("path", feedDir)
+      .option("entityColumn", "doc_id")
+      .option("versionColumn", "change_version")
+      .option("maxVersionsPerBatch", "125")
+      .load()
+      .select(col("entity_id").as("doc_id"))
+      .join(docs, Seq("doc_id"))
+    crashMatrix("neardedup") { (root, hook) =>
+      graft.streaming.StreamingNearDedup.flow(stream(),
+        s"$root/state", s"$root/ckpt", onBatchDone = hook)
+    } { root =>
+      graft.streaming.StreamingNearDedup.accepted(spark, s"$root/state",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        .select($"doc_id").as[Long].collect().toSet
+    }
+  }
+}
