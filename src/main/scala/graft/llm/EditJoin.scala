@@ -108,8 +108,30 @@ object EditJoin {
     require(k >= 1 && k + 1 <= len, s"need 1 <= k <= len-1, got k=$k len=$len")
     val sch = scheme(len, k)
     val bc = blockCols.map(col)
-    val keys = df.filter(length(col(strCol)) === len)
+    val allKeys = df.filter(length(col(strCol)) === len)
       .select(bc :+ col(idCol).as("__id") :+ col(strCol).as("__s"): _*)
+
+    // EXACT-CLONE COLLAPSE (the knnGraph / semanticDedup precedent,
+    // measured here in the round-8 sf1 sweep: on the 10-clone corpus
+    // every identical head multiplies both the candidate join and the
+    // banded-DP verifies by the clone count — quadratically in pair
+    // terms — driving the family to 36-85× at 10×, when the DISTINCT
+    // head set had not grown at all). Candidates and verifies run over
+    // one representative per (block, head); member pairs re-enter
+    // afterwards: a rep pair expands to its groups' cross product at
+    // the SAME verified distance (edit distance is a function of the
+    // strings), and clone-mates within a group are pairwise distance 0
+    // by identity — never re-verified. Clone-free corpora pass through
+    // unchanged (the mapping is the identity, the intra table empty).
+    val bcn = blockCols
+    val groups = allKeys.groupBy(bc :+ col("__s"): _*)
+      .agg(min(col("__id")).as("__rep"))
+    val mapping = allKeys
+      .join(groups, bcn :+ "__s")
+      .select(bc :+ col("__id") :+ col("__rep"): _*)
+      .localCheckpoint(true)
+    val keys = groups
+      .select(bc :+ col("__rep").as("__id") :+ col("__s"): _*)
 
     val segs = keys.select(bc ++ Seq(col("__id").as("id_a"),
         col("__s").as("head_a"),
@@ -132,7 +154,7 @@ object EditJoin {
       .select(bc ++ Seq(col("id_b"), col("head_b"),
         col("g.i"), col("g.piece")): _*)
 
-    segs.join(subs, blockCols ++ Seq("i", "piece"))
+    val repPairs = segs.join(subs, blockCols ++ Seq("i", "piece"))
       .filter(col("id_a") < col("id_b"))
       .select(blockCols ++ Seq("id_a", "head_a", "id_b", "head_b") map col: _*)
       .distinct() // a pair can collide on several segments — verify once
@@ -140,6 +162,28 @@ object EditJoin {
         levenshtein(col("head_a"), col("head_b"), k).cast("long"))
       .filter(col("dist") >= 0)
       .select(blockCols ++ Seq("id_a", "id_b", "dist") map col: _*)
+
+    // expansion: rep pairs → member cross products at the verified
+    // distance (groups are disjoint, so each member pair arises from
+    // exactly one rep pair — no distinct needed); clone-mates within a
+    // group are distance 0 by identity. Output-bound by construction:
+    // the joins emit exactly the result rows, no verify rides along.
+    val ma = mapping.select(bc :+ col("__rep").as("id_a") :+
+      col("__id").as("__xa"): _*)
+    val mb = mapping.select(bc :+ col("__rep").as("id_b") :+
+      col("__id").as("__xb"): _*)
+    val cross = repPairs
+      .join(ma, bcn :+ "id_a").join(mb, bcn :+ "id_b")
+      .select(bc ++ Seq(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"), col("dist")): _*)
+    val intra = mapping.select(bc :+ col("__rep") :+
+        col("__id").as("id_a"): _*)
+      .join(mapping.select(bc :+ col("__rep") :+
+        col("__id").as("id_b"): _*), bcn :+ "__rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(bc ++ Seq(col("id_a"), col("id_b"),
+        lit(0L).as("dist")): _*)
+    cross.unionByName(intra)
   }
 
   /** Variable-length PassJoin self-join: every (id_a, id_b, dist) pair

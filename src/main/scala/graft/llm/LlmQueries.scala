@@ -456,11 +456,16 @@ object LlmQueries {
   }
 
   /** Above this per-block row count the blocked fuzzy join's |block|²
-    * pair space (≥ ~10⁸ banded-DP verifies per block) stops being
-    * honest and [[fuzzyPairsQ]] fails over to the segment-pigeonhole
-    * path. 10⁴ keeps the driver corpus (blocks of ~10²-10³) on the
-    * direct form while any corpus-scale block trips the guard. */
-  val FuzzyBlockedCap = 10000L
+    * pair space stops being honest and [[fuzzyPairsQ]] fails over to
+    * the segment-pigeonhole path. Round-8 retune: the cap was 10⁴,
+    * and the sf1 sweep landed a 10⁴-row widest block EXACTLY on the
+    * `<=` boundary — the direct form ran its 10⁸-pair space for 306 s
+    * while the guard never tripped. 2·10³ keeps the driver corpus
+    * (blocks of ~10²-10³) on the direct form while a 10×-scale block
+    * fails over to the pigeonhole — whose exact-clone collapse (round
+    * 8, EditJoin) does rep-level verifies only, so the clone-heavy
+    * block costs candidates + output, never |block|² DP calls. */
+  val FuzzyBlockedCap = 2000L
 
   /** N2b — fuzzy near-match pairs by bounded edit distance within a
     * domain block (source) + levenshtein ≤ 12 on the 30-char heads.
