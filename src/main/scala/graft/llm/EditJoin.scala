@@ -121,17 +121,23 @@ object EditJoin {
     // afterwards: a rep pair expands to its groups' cross product at
     // the SAME verified distance (edit distance is a function of the
     // strings), and clone-mates within a group are pairwise distance 0
-    // by identity — never re-verified. Clone-free corpora pass through
-    // unchanged (the mapping is the identity, the intra table empty).
+    // by identity — never re-verified. ADAPTIVE: one aggregate scan
+    // decides whether any clone exists — a clone-free corpus skips the
+    // mapping checkpoint and the two expansion joins entirely (pure
+    // overhead there, ~0.5 s at sf0.1, measured round 8), so the
+    // collapse only runs where it pays.
     val bcn = blockCols
     val groups = allKeys.groupBy(bc :+ col("__s"): _*)
-      .agg(min(col("__id")).as("__rep"))
-    val mapping = allKeys
-      .join(groups, bcn :+ "__s")
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val hasClones = !groups.filter(col("__n") > 1).isEmpty
+    val mapping = if (!hasClones) null
+    else allKeys
+      .join(groups.drop("__n"), bcn :+ "__s")
       .select(bc :+ col("__id") :+ col("__rep"): _*)
       .localCheckpoint(true)
-    val keys = groups
-      .select(bc :+ col("__rep").as("__id") :+ col("__s"): _*)
+    val keys = if (!hasClones) allKeys
+    else groups.select(bc :+ col("__rep").as("__id") :+ col("__s"): _*)
 
     val segs = keys.select(bc ++ Seq(col("__id").as("id_a"),
         col("__s").as("head_a"),
@@ -163,23 +169,32 @@ object EditJoin {
       .filter(col("dist") >= 0)
       .select(blockCols ++ Seq("id_a", "id_b", "dist") map col: _*)
 
-    // expansion: rep pairs → member cross products at the verified
-    // distance (groups are disjoint, so each member pair arises from
-    // exactly one rep pair — no distinct needed); clone-mates within a
-    // group are distance 0 by identity. Output-bound by construction:
-    // the joins emit exactly the result rows, no verify rides along.
+    if (!hasClones) repPairs
+    else expandClonePairs(repPairs, mapping, blockCols)
+  }
+
+  /** Expansion half of the exact-clone collapse: rep pairs → member
+    * cross products at the verified distance (groups are disjoint, so
+    * each member pair arises from exactly one rep pair — no distinct
+    * needed); clone-mates within a group are distance 0 by identity.
+    * Output-bound by construction: the joins emit exactly the result
+    * rows, no verify rides along. `mapping` carries
+    * (blockCols..., __id, __rep). */
+  private def expandClonePairs(repPairs: DataFrame, mapping: DataFrame,
+                               blockCols: Seq[String]): DataFrame = {
+    val bc = blockCols.map(col)
     val ma = mapping.select(bc :+ col("__rep").as("id_a") :+
       col("__id").as("__xa"): _*)
     val mb = mapping.select(bc :+ col("__rep").as("id_b") :+
       col("__id").as("__xb"): _*)
     val cross = repPairs
-      .join(ma, bcn :+ "id_a").join(mb, bcn :+ "id_b")
+      .join(ma, blockCols :+ "id_a").join(mb, blockCols :+ "id_b")
       .select(bc ++ Seq(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"), col("dist")): _*)
     val intra = mapping.select(bc :+ col("__rep") :+
         col("__id").as("id_a"): _*)
       .join(mapping.select(bc :+ col("__rep") :+
-        col("__id").as("id_b"): _*), bcn :+ "__rep")
+        col("__id").as("id_b"): _*), blockCols :+ "__rep")
       .filter(col("id_a") < col("id_b"))
       .select(bc ++ Seq(col("id_a"), col("id_b"),
         lit(0L).as("dist")): _*)
@@ -213,6 +228,15 @@ object EditJoin {
     * broadcast length-band join over the `len ≤ k` side instead:
     * nothing is dropped, and that side is degenerate-tiny for any
     * real key geometry (its value space is at most |Σ|^k). */
+  /** NOTE on clone collapse: [[fixedLenSelfJoin]] collapses identical
+    * keys before candidate generation (measured 24-50× at 10× on the
+    * clone corpus); this variable-length form deliberately does NOT —
+    * its declared workload's key geometry (head width modulated by the
+    * doc id) de-clones even byte-identical documents by construction,
+    * so the collapse found nothing while its groupBy + expansion joins
+    * cost ~2× on every corpus (measured round 8, then reverted). A
+    * caller whose variable-length keys DO repeat can pre-collapse with
+    * the same pattern. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int,
                maxDistinctLengths: Int = 4096): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
