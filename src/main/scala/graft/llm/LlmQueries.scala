@@ -1416,27 +1416,34 @@ object LlmQueries {
     * artifact is approximate by contract). Graph builds once via
     * [[CorpusCache]]; the iteration is per-round (src)- and
     * (dst)-keyed shuffles over the edge list. */
-  val graphPagerankQ: Q = (s, d) => {
+  /** ORACLE EDGE EXPORT — the "separable deterministic core" template
+    * for shrinking rows-only keys: the GRAPH is approximate by
+    * contract (LSH seed + NN-descent), but everything its consumers
+    * compute OVER it (the pagerank iteration, the rank-1 contrastive
+    * serving) is exact, so exporting the edge table lets the DuckDB
+    * oracle hash-check those consumers GIVEN the edges. The export
+    * lands at a fixed repo-local path the static oracle SQL can
+    * read_parquet(); one dir per corpus (tag = n_embeddings·1e9 +
+    * n_orders — the embeddings AND documents counts both collide
+    * across sf0.001 and sf0.01, which hold 500 of each; orders is
+    * unique per SF), and each SQL selects its corpus by recomputing
+    * the tag from the tables DuckDB already has views over. Each
+    * consuming query exports idempotently (overwrite, same bytes) so
+    * no cross-query ordering is assumed. */
+  private def exportKnnEdges(s: SparkSession, d: String): Unit = {
     val g = s.read.parquet(knnGraphDir(s, d).getPath)
-    val edges = g.select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    // ORACLE EDGE EXPORT — the "separable deterministic core" template
-    // for shrinking rows-only keys: the GRAPH is approximate by
-    // contract (LSH seed + NN-descent), but the 5-round integer power
-    // iteration over it is exact, so exporting the edge list lets the
-    // DuckDB oracle replay the iteration as 5 unrolled CTE stages and
-    // hash-check the scores GIVEN the edges. The export lands at a
-    // fixed repo-local path the static oracle SQL can read_parquet();
-    // one dir per corpus (tag = n_embeddings·1e9 + n_orders — the
-    // embeddings AND documents counts both collide across sf0.001 and
-    // sf0.01, which hold 500 of each; orders is unique per SF), and
-    // the SQL selects its corpus by recomputing the tag from the
-    // tables DuckDB already has views over.
     val tag = Tables.embeddings(s, d).count() * 1000000000L +
       Tables.orders(s, d).count()
-    edges.select(col("id_a").as("src"), col("id_b").as("dst"),
-        lit(tag).as("corpus_tag"))
+    g.select(col("src_id").as("src"), col("nbr_id").as("dst"),
+        col("rank"), col("cos_e6"), lit(tag).as("corpus_tag"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"/root/repo/target/oracle-export/knng_edges_$tag")
+  }
+
+  val graphPagerankQ: Q = (s, d) => {
+    exportKnnEdges(s, d)
+    val g = s.read.parquet(knnGraphDir(s, d).getPath)
+    val edges = g.select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
     Cluster.pageRank(edges, iters = 5)
       .select(col("id").as("vec_id"), col("pr").as("pr_e12"))
       .orderBy("vec_id")
@@ -1595,9 +1602,14 @@ object LlmQueries {
     * the same Lehmer ring. This is the deployment shape at 100 TB:
     * graph build amortizes across every consumer (SemDeDup, clusters,
     * this miner), and serving is a rank filter + two id joins.
-    * Rows-only (the graph is approximate by contract); LlmSpec pins
-    * the structure and the overlap vs the exact supervised form. */
+    * ROUND 8: oracled GIVEN the edges via [[exportKnnEdges]] — the
+    * graph stays approximate by contract, but the rank-1 selection,
+    * the Lehmer ring, and both cosines are exact functions of the
+    * exported table, so DuckDB replays the serving path and
+    * hash-checks it; LlmSpec additionally pins the structure and the
+    * overlap vs the exact supervised form. */
   val contrastivePairsGraphQ: Q = (s, d) => {
+    exportKnnEdges(s, d)
     val e = Tables.embeddings(s, d)
     val pos = s.read.parquet(knnGraphDir(s, d).getPath)
       .filter(col("rank") === 1)
@@ -2580,7 +2592,8 @@ object LlmQueries {
       // fixed-path glob (see graphPagerankQ).
       """WITH e AS (
         |   SELECT src, dst FROM read_parquet(
-        |     '/root/repo/target/oracle-export/knng_edges_*/*.parquet')
+        |     '/root/repo/target/oracle-export/knng_edges_*/*.parquet',
+        |     union_by_name=true)
         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
         |       * 1000000000 + (SELECT count(*) FROM orders))),
         | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
@@ -2621,6 +2634,31 @@ object LlmQueries {
         |          + (85 * COALESCE(i.inn, 0)) // 100 AS BIGINT) AS pr
         |        FROM verts v LEFT JOIN i5 i ON i.dst = v.id)
         | SELECT id AS vec_id, pr AS pr_e12 FROM p5 ORDER BY vec_id""".stripMargin,
+    "llm_contrastive_pairs_graph" ->
+      // replay of the graph-SERVED miner given the exported edges
+      // (exportKnnEdges): positives = rank-1 edges verbatim, negatives
+      // = the Lehmer-ring successor over ALL vectors (the same chain
+      // as llm_shuffle_order), both cosines exact — the serving path
+      // is a pure function of (edges, embeddings)
+      s"""WITH e AS (
+         |   SELECT src, dst, rank, cos_e6 FROM read_parquet(
+         |     '/root/repo/target/oracle-export/knng_edges_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | pos AS (SELECT src AS anchor_id, dst AS pos_id,
+         |         cos_e6 AS pos_cos_e6 FROM e WHERE rank = 1),
+         | rk AS (SELECT vec_id, embedding,
+         |   row_number() OVER (ORDER BY ${lehmerSql("vec_id")}, vec_id)
+         |     AS rn,
+         |   count(*) OVER () AS n FROM embeddings),
+         | ring AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         |   ${cosSql("a.embedding", "b.embedding")} AS neg_cos_e6
+         |   FROM rk a JOIN rk b ON b.rn = a.rn % a.n + 1)
+         | SELECT p.anchor_id, p.pos_id, p.pos_cos_e6,
+         |   r.neg_id, r.neg_cos_e6
+         | FROM pos p JOIN ring r ON r.anchor_id = p.anchor_id
+         | ORDER BY p.anchor_id""".stripMargin,
     "llm_contrastive_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          | cos AS (SELECT a.vec_id AS anchor_id, a.label,

@@ -158,10 +158,11 @@ class InventorySpec extends SparkSpec {
       // components run over the planted-clone corpus whose clusters
       // are identity-deterministic, and pagerank exports its edges so
       // the oracle replays the integer iteration — both hash-checked.)
+      // (A third consumer left in round 8: the graph-served
+      // contrastive miner is oracled given the exported edges —
+      // rank-1 selection, Lehmer ring, and both cosines are exact
+      // functions of (edges, embeddings).)
       "llm_knn_graph",
-      // graph-pooled positives inherit the graph's approximation;
-      // LlmSpec pins structure + overlap vs the exact oracle form
-      "llm_contrastive_pairs_graph",
       // CMS estimates replay engine hashing SQL cannot express; the
       // exact truth column rides along and CmsSpec pins the bounds
       "llm_cms_counts")
