@@ -150,10 +150,11 @@ object LlmQueries {
 
   /** N3'''''' — MMR diversified rerank over the exact top-50 pool:
     * greedy λ=0.70 relevance-vs-redundancy selection, integer e6
-    * cosines, deterministic ties. No SQL oracle (iterative greedy);
-    * LlmSpec re-verifies the per-step argmax invariant from an
-    * independently computed cosine matrix and the clone-skipping
-    * behavior. */
+    * cosines, deterministic ties. ROUND 8: fully DuckDB-oracled — the
+    * greedy's 10 steps unroll to argmax CTE stages over the pool
+    * ([[mmrOracleSql]]), every quantity integer-exact; LlmSpec still
+    * re-verifies the per-step argmax invariant from an independently
+    * computed cosine matrix and the clone-skipping behavior. */
   val mmrRerankQ: Q = (s, d) =>
     SimSearch.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, poolSize = 50, lambdaE2 = 70)
@@ -1723,6 +1724,51 @@ object LlmQueries {
        |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
        | ) AS BIGINT)""".stripMargin
 
+  /** The MMR greedy unrolled to SQL (round 8 — the last big rows-only
+    * reduction): the pool (exact top-50 cosine, the llm_simsearch_topk
+    * parity) and the within-pool pairwise cosines are plain relational
+    * algebra, and the k=10 greedy is 10 argmax stages, each a
+    * one-row CTE `ORDER BY objective DESC, vec_id LIMIT 1` over the
+    * candidates not yet selected, with the redundancy penalty a
+    * correlated max over the selected set — generated by a fold so
+    * the stage count tracks the declared k. Integer e6 cosines make
+    * every stage engine-exact, so the full greedy hash-matches. */
+  private def mmrOracleSql(k: Int, poolSize: Int, lambdaE2: Int): String = {
+    val header =
+      s"""WITH pool AS MATERIALIZED (
+         |   SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS rel
+         |   FROM embeddings e,
+         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |   WHERE e.vec_id <> 0
+         |   ORDER BY rel DESC, e.vec_id LIMIT $poolSize),
+         | pv AS MATERIALIZED (SELECT p.vec_id, p.rel, e.embedding
+         |        FROM pool p JOIN embeddings e USING (vec_id)),
+         | sims AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y,
+         |     ${cosSql("a.embedding", "b.embedding")} AS c
+         |   FROM pv a JOIN pv b ON a.vec_id <> b.vec_id),
+         | sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS vec_id,
+         |     CAST(NULL AS BIGINT) AS mmr_rank,
+         |     CAST(NULL AS BIGINT) AS rel, CAST(NULL AS BIGINT) AS obj
+         |   WHERE 1 = 0)""".stripMargin
+    val stages = (1 to k).map { i =>
+      s""" step$i AS MATERIALIZED (
+         |   SELECT p.vec_id, CAST($i AS BIGINT) AS mmr_rank, p.rel,
+         |     CAST($lambdaE2 * p.rel - ${100 - lambdaE2} * COALESCE(
+         |       (SELECT max(s.c) FROM sims s
+         |        JOIN sel${i - 1} t ON s.y = t.vec_id
+         |        WHERE s.x = p.vec_id), 0) AS BIGINT) AS obj
+         |   FROM pool p
+         |   WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |   ORDER BY obj DESC, p.vec_id LIMIT 1),
+         | sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+         |           UNION ALL SELECT * FROM step$i)""".stripMargin
+    }
+    (header +: stages).mkString(",\n") +
+      s"""
+         | SELECT vec_id, mmr_rank, rel AS cos_e6, obj AS objective_e8
+         | FROM sel$k ORDER BY mmr_rank""".stripMargin
+  }
+
   /** The Lehmer shuffle-key chain in portable SQL (llm_shuffle_order's
     * normalized form), shared by the contrastive negative ring. */
   private def lehmerSql(id: String) =
@@ -2659,6 +2705,7 @@ object LlmQueries {
          |   r.neg_id, r.neg_cos_e6
          | FROM pos p JOIN ring r ON r.anchor_id = p.anchor_id
          | ORDER BY p.anchor_id""".stripMargin,
+    "llm_mmr_rerank" -> mmrOracleSql(k = 10, poolSize = 50, lambdaE2 = 70),
     "llm_contrastive_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          | cos AS (SELECT a.vec_id AS anchor_id, a.label,

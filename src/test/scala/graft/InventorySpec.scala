@@ -140,12 +140,11 @@ class InventorySpec extends SparkSpec {
       // PQ codebooks are float-avg trained (order-dependent like every
       // distributed k-means) — recall pinned by PqSpec instead
       "llm_simsearch_pq", "llm_simsearch_ivfpq",
-      // iterative greedy selection has no SQL twin; the per-step
-      // argmax invariant is re-verified in LlmSpec from an
-      // independently computed cosine matrix
-      "llm_mmr_rerank",
-      // the IVF-PQ-pooled variants inherit the trained-index and greedy
-      // caveats above; overlap vs the exact-pool forms pinned in LlmSpec
+      // (llm_mmr_rerank left this list in round 8: the greedy unrolls
+      // to 10 argmax CTE stages in DuckDB — integer-exact throughout.)
+      // The IVF-PQ-pooled variants stay rows-only: their POOLS come
+      // from the float-trained index; overlap vs the exact-pool forms
+      // pinned in LlmSpec
       "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq",
       // the BPE merge loop is iterative argmax — no SQL twin; the full
       // merge table and the per-doc encode totals are pinned against an
