@@ -403,9 +403,18 @@ object StreamingAggView {
                countSum: Boolean = true,
                minMax: Boolean = false,
                sketch: Boolean = false,
-               topk: Boolean = false): StreamingQuery = {
+               topk: Boolean = false,
+               onLogAppended: Long => Unit = _ => (),
+               onBatchFolded: Long => Unit = _ => ()): StreamingQuery = {
     require(countSum || minMax || sketch || topk,
       "select at least one view to maintain")
+    // the two crash-window hooks CrashMatrixSpec drives: a kill after
+    // onLogAppended leaves an appended-but-unfolded (torn) log
+    // partition; a kill after onBatchFolded leaves every view folded
+    // but the checkpoint uncommitted, so the batch is REDELIVERED —
+    // the log partition rewrites identical bytes and each fold skips
+    // on its generation stamp. Both must converge on restart at every
+    // batch position.
     spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -415,10 +424,12 @@ object StreamingAggView {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val st = appendAndDerive(s, root, batch, batchId)
+        onLogAppended(batchId)
         if (countSum) foldCountSum(s, sfDir, root, st, batchId)
         if (minMax) foldMinMax(s, sfDir, root, st, batchId)
         if (sketch) foldSketch(s, root, st, batchId)
         if (topk) foldTopK(s, root, st, batchId)
+        onBatchFolded(batchId)
         ()
       }
       .start()

@@ -158,6 +158,57 @@ class CrashMatrixSpec extends SparkSpec {
     }
   }
 
+  test("kill-at-every-batch, BOTH crash windows: the unified agg-view " +
+      "maintainer (4 families, shared log) converges from every position") {
+    import graft.streaming.StreamingAggView
+    // stage four pages once; every matrix cell drains the same feed
+    // through its own state root + checkpoint
+    val stageRoot = tmpDir("cm-aggview-src")
+    val src = s"$stageRoot/src"
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pages = Seq((0L, 700L), (700L, 1500L), (1500L, 2500L),
+      (2500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = s"$stageRoot/stage-$i"
+      graft.cdc.TombstoneCdc.changedInvoicesOps(spark, sf, lo, hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // window "append": kill between the shared log append and the
+    // folds (the torn partition the gen-stamp protocol exists for);
+    // window "fold": kill after every fold, before the checkpoint
+    // commit (full redelivery — every fold must skip on its stamp)
+    for (window <- Seq("append", "fold")) {
+      crashMatrix(s"aggview-$window") { (root, hook) =>
+        StreamingAggView.maintain(spark, sf, src, s"$root/state",
+          s"$root/ck", countSum = true, minMax = true, sketch = true,
+          topk = true,
+          onLogAppended = if (window == "append") hook else _ => (),
+          onBatchFolded = if (window == "fold") hook else _ => ())
+      } { root =>
+        Seq(
+          "cs" -> StreamingAggView.currentView(spark, s"$root/state"),
+          "mm" -> StreamingAggView.currentMinMaxView(spark, s"$root/state"),
+          "sk" -> StreamingAggView.currentSketchView(spark, s"$root/state"),
+          "tk" -> StreamingAggView.currentTopKView(spark, s"$root/state"))
+          .flatMap { case (fam, df) =>
+            df.collect().map(r => fam + "|" + r.toSeq.map {
+              // binary sketch payloads canonicalize to hex — the
+              // default toString is the JVM array identity, which can
+              // never compare equal across runs
+              case b: Array[Byte] => b.map("%02x".format(_)).mkString
+              case v => String.valueOf(v)
+            }.mkString(","))
+          }.toSet
+      }
+    }
+  }
+
   test("kill-at-every-batch: streaming near-dedup accepts the same " +
       "corpus from every crash position") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
