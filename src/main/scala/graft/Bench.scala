@@ -45,12 +45,15 @@ object Bench {
     // ~7 KB and the driver keeps only the tail of stdout, which
     // truncated two-thirds of the round-7 evidence ("parsed": null in
     // BENCH_r07.json). Stdout carries a short, always-parseable summary
-    // line pointing at the file; a copy of the file is committed per
-    // round so every per-query number is auditable from the repo.
+    // line pointing at the file. The default path is NOT gitignored
+    // (unlike target/), so a driver-invoked run leaves the full map as
+    // an uncommitted file the round-end auto-commit picks up — every
+    // per-query number stays auditable from the repo; per-round copies
+    // live under bench/BENCH_FULL_r{N}_*.json via SPARK_GRAFT_BENCH_OUT.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full_latest.json"))
     Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(fullPath, fullJson + "\n")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries_file":"$fullPath","sf":"$sfDir"}""")
