@@ -1430,15 +1430,33 @@ object LlmQueries {
     * unique per SF), and each SQL selects its corpus by recomputing
     * the tag from the tables DuckDB already has views over. Each
     * consuming query exports idempotently (overwrite, same bytes) so
-    * no cross-query ordering is assumed. */
+    * no cross-query ordering is assumed — but only ONCE per (JVM,
+    * corpus): the export is verify-only input, and unguarded it would
+    * charge two count jobs + a coalesce(1) edge-table rewrite to the
+    * TIMED path of both consuming queries on every bench repeat
+    * (round-8 self-review). A completed export from a prior JVM is
+    * also served as-is: the graph artifact is a deterministic
+    * function of the corpus, so same tag ⇒ same bytes. */
+  private val edgeExportDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Absolute export root derived from the working directory — the
+    * oracle SQL embeds the same value at dump time (`oracleSql` is
+    * built in the process that ran the queries), so a checkout at any
+    * path stays self-consistent. */
+  private[llm] lazy val oracleExportRoot: String =
+    new java.io.File("target/oracle-export").getAbsolutePath
+
   private def exportKnnEdges(s: SparkSession, d: String): Unit = {
-    val g = s.read.parquet(knnGraphDir(s, d).getPath)
+    if (!edgeExportDone.add(d)) return
     val tag = Tables.embeddings(s, d).count() * 1000000000L +
       Tables.orders(s, d).count()
-    g.select(col("src_id").as("src"), col("nbr_id").as("dst"),
+    val dir = new java.io.File(s"$oracleExportRoot/knng_edges_v2_$tag")
+    if (new java.io.File(dir, "_SUCCESS").exists()) return
+    s.read.parquet(knnGraphDir(s, d).getPath)
+      .select(col("src_id").as("src"), col("nbr_id").as("dst"),
         col("rank"), col("cos_e6"), lit(tag).as("corpus_tag"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"/root/repo/target/oracle-export/knng_edges_$tag")
+      .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
   }
 
   val graphPagerankQ: Q = (s, d) => {
@@ -2636,9 +2654,9 @@ object LlmQueries {
       // `//` (DuckDB) agree exactly and the scores hash-match. The
       // corpus_tag filter picks this SF's export out of the shared
       // fixed-path glob (see graphPagerankQ).
-      """WITH e AS (
+      s"""WITH e AS (
         |   SELECT src, dst FROM read_parquet(
-        |     '/root/repo/target/oracle-export/knng_edges_*/*.parquet',
+        |     '$oracleExportRoot/knng_edges_v2_*/*.parquet',
         |     union_by_name=true)
         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
         |       * 1000000000 + (SELECT count(*) FROM orders))),
@@ -2688,7 +2706,7 @@ object LlmQueries {
       // is a pure function of (edges, embeddings)
       s"""WITH e AS (
          |   SELECT src, dst, rank, cos_e6 FROM read_parquet(
-         |     '/root/repo/target/oracle-export/knng_edges_*/*.parquet',
+         |     '$oracleExportRoot/knng_edges_v2_*/*.parquet',
          |     union_by_name=true)
          |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
          |       * 1000000000 + (SELECT count(*) FROM orders))),

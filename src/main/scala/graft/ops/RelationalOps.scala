@@ -894,16 +894,27 @@ object RelationalOps {
     * invocation would leak its persisted entry — the TTL sweep only
     * runs on access, and a discarded instance is never accessed again
     * — so repeated Bench/Verify runs would pin one stale block each.
-    * The shared instance caps residency at one entry per session, and
-    * the hit assertion is a DELTA (second call must hit) so it holds
-    * whether the first call was this run's miss or a prior run's
-    * still-fresh hit. */
+    * The shared instance caps residency at one entry per session.
+    * Three correctness points (round-8 self-review):
+    *  - the cache key carries the CORPUS DIR as a SQL comment — the
+    *    temp views re-point per `d`, so identical SQL text over two
+    *    corpora in one session must be two cache entries, never a
+    *    cross-corpus hit;
+    *  - the hit assertion pins the SECOND call specifically (its hits
+    *    delta must be 1) — a (hit-then-TTL-expiry-then-miss) sequence
+    *    must fail it, not slip through a summed delta;
+    *  - entries whose SparkContext has stopped are swept on access
+    *    (their persisted blocks died with the context; a WeakHashMap
+    *    alone can never collect them because the cached DataFrames
+    *    reference their session — the value→key cycle). Residency is
+    *    bounded at one kilobyte-scale entry per LIVE session. */
   private val sessionCaches =
     new java.util.WeakHashMap[SparkSession, ResultCache]()
   val viewCachedSql: Q = (s, d) => {
     Views.registerInvoiceViews(s, d)
     val sqlText =
-      """SELECT h.o_orderstatus AS status,
+      s"""-- corpus: $d
+        |SELECT h.o_orderstatus AS status,
         |       count(*) AS n_lines,
         |       sum(CAST(round(l.qty * l.price * 100) AS BIGINT)) AS cents
         |FROM invoice_header h
@@ -911,12 +922,17 @@ object RelationalOps {
         |      FROM invoice_line) l ON h.o_orderkey = l.l_orderkey
         |GROUP BY 1""".stripMargin
     val rc = sessionCaches.synchronized {
+      val dead = new java.util.ArrayList[SparkSession]()
+      sessionCaches.forEach { (sess, _) =>
+        if (sess.sparkContext.isStopped) dead.add(sess)
+      }
+      dead.forEach(sessionCaches.remove(_))
       sessionCaches.computeIfAbsent(s, _ => new ResultCache(s))
     }
-    val (h0, m0) = (rc.hits, rc.misses)
     rc.sql(sqlText)
+    val h1 = rc.hits
     val served = rc.sql(sqlText)
-    require(rc.hits - h0 >= 1 && (rc.hits - h0) + (rc.misses - m0) == 2,
+    require(rc.hits == h1 + 1,
       "second call must serve from the cache")
     served.orderBy("status")
   }

@@ -34,10 +34,13 @@ class CrashMatrixSpec extends SparkSpec {
   private def crashMatrix[T](family: String)
       (launch: (String, Long => Unit) => StreamingQuery)
       (result: String => Set[T]): Unit = {
-    // clean probe: batch count + the converged truth
+    // clean probe: batch count + the converged truth. Every await
+    // asserts TRUE — a timed-out drain would otherwise yield a partial
+    // "truth" the kill cells then falsely converge against.
     val probeRoot = tmpDir(s"cm-$family-probe")
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    launch(probeRoot, seen.add(_)).awaitTermination(180000)
+    assert(launch(probeRoot, seen.add(_)).awaitTermination(180000),
+      s"$family: probe drain timed out")
     val truth = result(probeRoot)
     val n = seen.size
     assert(n >= 3, s"$family: matrix needs >=3 batches, got $n — " +
@@ -49,14 +52,18 @@ class CrashMatrixSpec extends SparkSpec {
       val q1 = launch(root, bid =>
         if (bid == crashAt)
           throw new RuntimeException(s"injected kill at batch $bid"))
+      // bounded wait: a kill that never fires leaves a normally-
+      // terminating (or hung) query — intercept then fails the test
+      // instead of hanging the suite on an unbounded await
       val failed = intercept[
           org.apache.spark.sql.streaming.StreamingQueryException] {
-        q1.awaitTermination()
+        q1.awaitTermination(300000)
       }
       assert(msgs(failed).exists(_.contains("injected kill")),
         s"$family kill@$crashAt: wrong failure: $failed")
       // restart from the same checkpoint, no injection: must converge
-      launch(root, _ => ()).awaitTermination(180000)
+      assert(launch(root, _ => ()).awaitTermination(180000),
+        s"$family kill@$crashAt: restart drain timed out")
       val got = result(root)
       assert(got == truth,
         s"$family kill@$crashAt diverged after restart: " +
