@@ -91,4 +91,41 @@ class CorpusCacheSpec extends SparkSpec {
     once(); once()
     assert(builds.get() == 1, "a warm key must serve, not rebuild")
   }
+
+  test("a build that CRASHES publishes nothing; the next resolve " +
+      "rebuilds and the orphaned temp never becomes the served dir") {
+    val tag = freshTag()
+    val builds = new AtomicInteger(0)
+    var crashedTmp: java.io.File = null
+    val boom = intercept[RuntimeException] {
+      CorpusCache.resolve(spark, src, "graft-cachespec", tag, markers) { d =>
+        builds.incrementAndGet()
+        crashedTmp = d
+        d.mkdirs()
+        // partial payload on disk, then the process "dies" before any
+        // marker — the crash-mid-build window the temp-sibling +
+        // markers protocol exists for
+        java.nio.file.Files.writeString(
+          new java.io.File(d, "payload").toPath, "partial")
+        throw new RuntimeException("injected build crash")
+      }
+    }
+    assert(boom.getMessage.contains("injected build crash"))
+    // the crash must not have published: a second resolve builds again
+    val served = CorpusCache.resolve(spark, src, "graft-cachespec", tag,
+        markers) { d =>
+      builds.incrementAndGet()
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "payload").toPath, "complete")
+      CorpusCache.touchMarker(d, "_DONE")
+    }
+    assert(builds.get() == 2, "the crashed build must not be served")
+    assert(new java.io.File(served, "_DONE").exists())
+    assert(java.nio.file.Files.readString(
+      new java.io.File(served, "payload").toPath) == "complete",
+      "the served artifact must be the rebuild, not the crash residue")
+    assert(served.getCanonicalPath != crashedTmp.getCanonicalPath,
+      "the orphaned temp sibling must never be promoted")
+  }
 }
