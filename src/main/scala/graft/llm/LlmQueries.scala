@@ -221,9 +221,29 @@ object LlmQueries {
     val planes = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(layout, "_PLANES").toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    // ORACLE CANDIDATE EXPORT (the pagerank edge-export template,
+    // round 8): candidate membership is the engine-hash part; the
+    // oracle re-scores the exported ids with its own cosine and takes
+    // its own top-k, so scoring and ranking are verified independently.
+    // Same once-per-(JVM, corpus) + versioned-dir discipline as
+    // exportKnnEdges.
+    if (annExportDone.add(d)) {
+      val tag = emb.count() * 1000000000L + Tables.orders(s, d).count()
+      val dir = new java.io.File(
+        s"$oracleExportRoot/ann_candidates_v1_$tag")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        SimSearch.annCandidatesBucketed(emb, "vec_id", "embedding",
+            queryId = 0L, layout.getPath, planes)._2
+          .select(col("vec_id"), lit(tag).as("corpus_tag"))
+          .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+      }
+    }
     SimSearch.annTopKBucketed(emb, "vec_id", "embedding", queryId = 0L,
       k = 20, layoutPath = layout.getPath, planes = planes)
   }
+
+  private val annExportDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** N3'' — Aggregator-based top-k; same contract and oracle as the
     * brute-force baseline. */
@@ -2724,6 +2744,24 @@ object LlmQueries {
          | FROM pos p JOIN ring r ON r.anchor_id = p.anchor_id
          | ORDER BY p.anchor_id""".stripMargin,
     "llm_mmr_rerank" -> mmrOracleSql(k = 10, poolSize = 50, lambdaE2 = 70),
+    "llm_simsearch_ann" ->
+      // replay of the ANN SERVING stage given the exported probe-ball
+      // candidates (simsearchAnn writes them): membership is the
+      // engine-hash part; the oracle recomputes every cosine and its
+      // own top-k, so scoring and ranking are independently checked
+      s"""WITH cand AS (
+         |   SELECT vec_id FROM read_parquet(
+         |     '$oracleExportRoot/ann_candidates_v1_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT e.vec_id,
+         |     ${cosSql("e.embedding", "q.qv")} AS cos_e6
+         |   FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+         |   WHERE e.vec_id <> 0)
+         | SELECT vec_id, cos_e6 FROM scored
+         | ORDER BY cos_e6 DESC, vec_id LIMIT 20""".stripMargin,
     "llm_contrastive_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          | cos AS (SELECT a.vec_id AS anchor_id, a.label,

@@ -186,18 +186,34 @@ object SimSearch {
   def annTopKBucketed(emb: DataFrame, idCol: String, vecCol: String,
                       queryId: Long, k: Int, layoutPath: String,
                       planes: Int = 8, probeHamming: Int = 2): DataFrame = {
+    val (qv, cand) = annCandidatesBucketed(emb, idCol, vecCol, queryId,
+      layoutPath, planes, probeHamming)
+    cand
+      .select(col(idCol), cosineE6(col(vecCol), typedLit(qv)).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The probe-ball CANDIDATE stage of [[annTopKBucketed]], exposed so
+    * the declared query can export the candidate id set for its DuckDB
+    * oracle (round 8): candidate MEMBERSHIP is the engine-hash part
+    * (hyperplane signatures — no SQL twin); everything after it
+    * (cosine scoring, ordering, top-k) is exact relational algebra the
+    * oracle recomputes independently. Returns (query vector, pruned
+    * candidate rows with `idCol` and `vecCol`). */
+  def annCandidatesBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                            queryId: Long, layoutPath: String,
+                            planes: Int, probeHamming: Int = 2)
+      : (Seq[Float], DataFrame) = {
     val spark = emb.sparkSession
     VectorFunctions.register(spark)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(col(vecCol), hyperplaneSignature(col(vecCol), planes)).head()
     val qv = qRow.getSeq[Float](0)
     val probes = probeBuckets(qRow.getLong(1), planes, probeHamming)
-    spark.read.parquet(layoutPath)
+    (qv, spark.read.parquet(layoutPath)
       .filter(col("bucket").isin(probes: _*))
-      .filter(col(idCol) =!= queryId)
-      .select(col(idCol), cosineE6(col(vecCol), typedLit(qv)).as("cos_e6"))
-      .orderBy(col("cos_e6").desc, col(idCol))
-      .limit(k)
+      .filter(col(idCol) =!= queryId))
   }
 
   /** MMR diversified rerank (maximal marginal relevance, Carbonell &

@@ -135,7 +135,10 @@ class InventorySpec extends SparkSpec {
     // against exact). The near/ngram/embedding dedup family carries
     // brute-force all-pairs DuckDB oracles since round 4.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expectedRowsOnly = Set("llm_dedup_simhash", "llm_simsearch_ann",
+    // (llm_simsearch_ann left this list in round 8: candidate
+    // membership exports for the oracle, which re-scores and re-ranks
+    // independently — the engine-hash part is the input, not the claim.)
+    val expectedRowsOnly = Set("llm_dedup_simhash",
       "sink_listing", "agg_approx_distinct", "llm_sketch_rollup",
       // PQ codebooks are float-avg trained (order-dependent like every
       // distributed k-means) — recall pinned by PqSpec instead
