@@ -639,9 +639,32 @@ object LlmQueries {
     val pool = Pq.ivfPqTopK(Tables.embeddings(s, d), layout, cb,
       "vec_id", "embedding", queryId = 0L, k = 50, m = 8, dims = 64,
       ks = 16, planes = 6, probeHamming = 3, overfetch = 6)
+    // pool-membership export for the oracle (round 8): the trained
+    // float index picks the MEMBERS; rel is the exact cosine, which
+    // the oracle recomputes itself, so only ids export. Re-exported
+    // once per JVM — NOT skipped across JVMs like the edge export: a
+    // wiped-and-rebuilt PQ index can legally pick a different pool
+    // (float k-means is order-dependent), so the export must always
+    // come from the index THIS process serves.
+    exportPoolIds(s, d, "mmr_pool_v1", pool)
     SimSearch.mmrRerankFromPool(Tables.embeddings(s, d), pool,
       "vec_id", "embedding", k = 10, lambdaE2 = 70)
       .orderBy("mmr_rank")
+  }
+
+  /** Export a bounded pool's member ids for an oracle replay; once per
+    * (JVM, family, corpus), always overwriting any prior JVM's copy
+    * (see [[mmrRerankIvfPqQ]] for why no cross-JVM skip). */
+  private val poolExportDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def exportPoolIds(s: SparkSession, d: String, family: String,
+                            pool: DataFrame): Unit = {
+    if (!poolExportDone.add(s"$family|$d")) return
+    val tag = Tables.embeddings(s, d).count() * 1000000000L +
+      Tables.orders(s, d).count()
+    pool.select(col("vec_id"), lit(tag).as("corpus_tag"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$oracleExportRoot/${family}_$tag")
   }
 
   /** N3''''@idx — hybrid retrieval with BOTH pools index-served:
@@ -654,6 +677,10 @@ object LlmQueries {
     val vecPool = Pq.ivfPqTopK(Tables.embeddings(s, d), layout, cb,
       "vec_id", "embedding", queryId = 0L, k = 100, m = 8, dims = 64,
       ks = 16, planes = 6, probeHamming = 3, overfetch = 6)
+    // vector-pool membership export (the mmrRerankIvfPqQ discipline);
+    // the lexical pool is exact and the oracle recomputes it from the
+    // corpus, so only the index-picked vector members need exporting
+    exportPoolIds(s, d, "hybrid_vpool_v1", vecPool)
     SimSearch.hybridTopKWithPool(s, postingsResolved(s, d), vecPool,
       "doc_id", "vec_id", Seq("spark", "join", "window"), k = 20)
       .orderBy("doc_id")
@@ -1771,14 +1798,23 @@ object LlmQueries {
     * correlated max over the selected set — generated by a fold so
     * the stage count tracks the declared k. Integer e6 cosines make
     * every stage engine-exact, so the full greedy hash-matches. */
-  private def mmrOracleSql(k: Int, poolSize: Int, lambdaE2: Int): String = {
-    val header =
-      s"""WITH pool AS MATERIALIZED (
-         |   SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS rel
+  private def mmrOracleSql(k: Int, poolSize: Int, lambdaE2: Int): String =
+    mmrOracleSqlCore(k, lambdaE2,
+      s"""   SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS rel
          |   FROM embeddings e,
          |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |   WHERE e.vec_id <> 0
-         |   ORDER BY rel DESC, e.vec_id LIMIT $poolSize),
+         |   ORDER BY rel DESC, e.vec_id LIMIT $poolSize""".stripMargin)
+
+  /** The greedy replay over an arbitrary `pool(vec_id, rel)` SQL body —
+    * the exact query computes its pool in SQL; the IVF-PQ-pooled
+    * variant reads its exported member ids and re-scores them (rel is
+    * the exact cosine in both cases, so one greedy serves both). */
+  private def mmrOracleSqlCore(k: Int, lambdaE2: Int,
+                               poolBody: String): String = {
+    val header =
+      s"""WITH pool AS MATERIALIZED (
+         |$poolBody),
          | pv AS MATERIALIZED (SELECT p.vec_id, p.rel, e.embedding
          |        FROM pool p JOIN embeddings e USING (vec_id)),
          | sims AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y,
@@ -2744,6 +2780,59 @@ object LlmQueries {
          | FROM pos p JOIN ring r ON r.anchor_id = p.anchor_id
          | ORDER BY p.anchor_id""".stripMargin,
     "llm_mmr_rerank" -> mmrOracleSql(k = 10, poolSize = 50, lambdaE2 = 70),
+    "llm_mmr_rerank_ivfpq" ->
+      // same greedy replay, pool = the exported IVF-PQ-picked member
+      // ids re-scored by the oracle's own exact cosine
+      mmrOracleSqlCore(k = 10, lambdaE2 = 70, poolBody =
+        s"""   SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS rel
+           |   FROM embeddings e
+           |   JOIN (SELECT vec_id FROM read_parquet(
+           |       '$oracleExportRoot/mmr_pool_v1_*/*.parquet',
+           |       union_by_name=true)
+           |     WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+           |         * 1000000000 + (SELECT count(*) FROM orders))) c
+           |     ON c.vec_id = e.vec_id,
+           |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q""".stripMargin),
+    "llm_hybrid_search_ivfpq" ->
+      // the llm_hybrid_search fusion replay with the vector pool's
+      // MEMBERS from the export (index-picked) and everything else —
+      // lexical scoring, cosines, ranks, integer RRF — recomputed
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |     SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |     FROM documents) t
+         |   WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+         | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         | n AS (SELECT count(*) AS n FROM documents),
+         | kws AS (SELECT doc_id, CAST(sum(tf *
+         |     CAST(round(ln(CAST(n.n AS DOUBLE) / dfq.df) * 10000) AS BIGINT))
+         |     AS BIGINT) AS score_e4
+         |   FROM tf JOIN dfq USING (term) CROSS JOIN n GROUP BY doc_id),
+         | kwpool AS (SELECT doc_id AS id,
+         |     CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id)
+         |       AS BIGINT) AS rank_kw
+         |   FROM kws ORDER BY score_e4 DESC, doc_id LIMIT 100),
+         | cand AS (SELECT vec_id FROM read_parquet(
+         |     '$oracleExportRoot/hybrid_vpool_v1_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | vs AS (SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
+         |   FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
+         |   CROSS JOIN q),
+         | vpool AS (SELECT vec_id AS id,
+         |     CAST(row_number() OVER (ORDER BY c DESC, vec_id)
+         |       AS BIGINT) AS rank_vec
+         |   FROM vs),
+         | f AS (SELECT coalesce(k.id, v.id) AS doc_id,
+         |     CAST(coalesce(1000000000 // (60 + k.rank_kw), 0) +
+         |          coalesce(1000000000 // (60 + v.rank_vec), 0)
+         |       AS BIGINT) AS rrf_e9,
+         |     k.rank_kw, v.rank_vec
+         |   FROM kwpool k FULL JOIN vpool v ON k.id = v.id)
+         | SELECT doc_id, rrf_e9, rank_kw, rank_vec FROM (
+         |   SELECT * FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT 20) tt
+         | ORDER BY doc_id""".stripMargin,
     "llm_simsearch_ann" ->
       // replay of the ANN SERVING stage given the exported probe-ball
       // candidates (simsearchAnn writes them): membership is the

@@ -144,11 +144,10 @@ class InventorySpec extends SparkSpec {
       // distributed k-means) — recall pinned by PqSpec instead
       "llm_simsearch_pq", "llm_simsearch_ivfpq",
       // (llm_mmr_rerank left this list in round 8: the greedy unrolls
-      // to 10 argmax CTE stages in DuckDB — integer-exact throughout.)
-      // The IVF-PQ-pooled variants stay rows-only: their POOLS come
-      // from the float-trained index; overlap vs the exact-pool forms
-      // pinned in LlmSpec
-      "llm_mmr_rerank_ivfpq", "llm_hybrid_search_ivfpq",
+      // to 10 argmax CTE stages in DuckDB — integer-exact throughout.
+      // The IVF-PQ-pooled variants left too: their float-trained index
+      // only picks pool MEMBERS, which export for the oracle; scoring,
+      // ranks, greedy, and fusion are all recomputed independently.)
       // the BPE merge loop is iterative argmax — no SQL twin; the full
       // merge table and the per-doc encode totals are pinned against an
       // independent naive implementation in BpeSpec
