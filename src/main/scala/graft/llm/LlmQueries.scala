@@ -564,10 +564,12 @@ object LlmQueries {
     * and encoding run ONLY on a cache miss, so the declared query
     * measures the PQ SERVING path: ADC scan over the persisted codes
     * (lookup-table literal, no codebook join) + exact top-20 rerank.
-    * Scores are genuine cosines (rerank is exact); the code path is
-    * rows-only by design — codebook floats are summation-order-
-    * dependent like every distributed k-means — with recall pinned by
-    * PqSpec. */
+    * Scores are genuine cosines (rerank is exact). Oracled (round 8)
+    * by exporting the ADC-picked candidate ids — the float-trained
+    * codebook only PICKS candidates (summation-order-dependent like
+    * every distributed k-means, hence per-JVM re-export); DuckDB
+    * re-scores and re-ranks them with its own exact cosine. Recall
+    * additionally pinned by PqSpec. */
   val simsearchPqQ: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val (m, dims, ks) = (8, 64, 16)
@@ -583,8 +585,16 @@ object LlmQueries {
     }
     val cb = s.read.parquet(new java.io.File(dir, "_codebook").getPath)
     val codes = s.read.parquet(dir.getPath)
-    Pq.adcTopK(emb, codes, cb, "vec_id", "embedding", queryId = 0L,
-      k = 20, m, dims, ks, overfetch = 6)
+    // candidate-membership export for the oracle (round 8): the
+    // trained codebook only PICKS the k*overfetch candidates; the
+    // exact-cosine rerank is recomputed independently by DuckDB over
+    // the exported ids. Per-JVM re-export (the mmrRerankIvfPqQ
+    // discipline - float training is order-dependent across rebuilds).
+    val (qv, cand0) = Pq.adcCandidates(emb, codes, cb, "vec_id",
+      "embedding", queryId = 0L, k = 20, m, dims, ks, overfetch = 6)
+    val cand = cand0.localCheckpoint(true)
+    exportPoolIds(s, d, "pq_cand_v1", cand)
+    Pq.exactRerank(emb, "vec_id", "embedding", qv, cand, 20)
   }
 
   /** N3'''' — IVF-PQ top-k ([[Pq.writeIvfPq]]): the composed
@@ -597,9 +607,9 @@ object LlmQueries {
     * train/encode run ONLY on a cache miss; the steady-state query is
     * probe → ADC → rerank. Validity = parquet `_SUCCESS` AND the
     * `_CB_OK` marker written after the codebook; a crash mid-build
-    * leaves one missing and the next query rebuilds. Rows-only like
-    * the other trained-index queries; PqSpec pins recall and the
-    * partition pruning. */
+    * leaves one missing and the next query rebuilds. Oracled (round
+    * 8) via the same candidate-id export as [[simsearchPqQ]]; PqSpec
+    * additionally pins recall and the partition pruning. */
   /** The persisted IVF-PQ layout + codebook for the embeddings corpus
     * (geometry m=8, ks=16, planes=6) — shared by every query that
     * serves a vector pool from the index. */
@@ -624,9 +634,14 @@ object LlmQueries {
 
   val simsearchIvfPqQ: Q = (s, d) => {
     val (layout, cb) = ivfPqResolved(s, d)
-    Pq.ivfPqTopK(Tables.embeddings(s, d), layout, cb, "vec_id",
+    val emb = Tables.embeddings(s, d)
+    // same candidate-membership export as simsearchPqQ
+    val (qv, cand0) = Pq.ivfPqCandidates(emb, layout, cb, "vec_id",
       "embedding", queryId = 0L, k = 20, m = 8, dims = 64, ks = 16,
       planes = 6, probeHamming = 3, overfetch = 6)
+    val cand = cand0.localCheckpoint(true)
+    exportPoolIds(s, d, "ivfpq_cand_v1", cand)
+    Pq.exactRerank(emb, "vec_id", "embedding", qv, cand, 20)
   }
 
   /** N3''''''@idx — MMR rerank whose relevance pool comes from the
@@ -1119,14 +1134,86 @@ object LlmQueries {
       .sortBy(_.rank).toSeq
   }
 
+  /** Merge-PAIR export for the two BPE oracles (round 8). Unlike the
+    * float-trained index pools, the merge list is a rebuild-
+    * DETERMINISTIC function of the corpus (integer pair counts, total-
+    * order argmax: count desc, pair asc), so a completed export from a
+    * prior JVM is served as-is — the knng_edges discipline, not the
+    * per-JVM pool one. Only (rank, left, right, merged) export: the
+    * oracle recomputes every pair count and every argmax itself from
+    * the corpus (the pairs are state-advance input, not the claim —
+    * see the llm_bpe_train oracle SQL). */
+  /** The pre-tokenizer regex, verbatim [[Bpe.preTokRe]], for oracle
+    * SQL (DuckDB's regexp_extract_all segments identically). */
+  private val bpeWordRe = Bpe.preTokRe
+
+  /** Shared CTE fragments for the two BPE oracles. The replay carries
+    * each word's symbol array as a chr(1)-WRAPPED string (every symbol
+    * as ␁sym␁, no separator sharing between neighbors) so that one
+    * merge round is exactly one string `replace` — greedy
+    * left-to-right, non-overlapping, minted symbol not re-scanned —
+    * the [[Bpe.applyMerge]] fold's model, equivalence pinned by
+    * BpeSpec. Pre-stripped so the embedding template's stripMargin
+    * leaves them intact (no line starts with `|`). */
+  private def bpeMergesCte: String =
+    s"""merges AS (
+       |   SELECT "rank", "left", "right", merged FROM read_parquet(
+       |     '$oracleExportRoot/bpe_merges_v1_*/*.parquet',
+       |     union_by_name=true)
+       |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+       |       * 1000000000 + (SELECT count(*) FROM orders)))"""
+      .stripMargin.linesIterator.mkString("\n ")
+  private def bpeVocabCte: String =
+    s"""vocab0 AS (
+       |   SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
+       |     SELECT unnest(regexp_extract_all(text, '$bpeWordRe')) AS word
+       |     FROM documents) GROUP BY word)"""
+      .stripMargin.linesIterator.mkString("\n ")
+  private def bpeReplayCte: String =
+    """rep AS (
+      |   SELECT word, wcount, regexp_replace(word, '(.)',
+      |            chr(1) @@ '\1' @@ chr(1), 'g') AS syms, 0 AS r
+      |   FROM vocab0
+      |   UNION ALL
+      |   SELECT d.word, d.wcount,
+      |          replace(d.syms,
+      |            chr(1) @@ m."left" @@ chr(1) @@ chr(1) @@ m."right" @@ chr(1),
+      |            chr(1) @@ m.merged @@ chr(1)),
+      |          d.r + 1
+      |   FROM rep d JOIN merges m ON m."rank" = d.r)"""
+      .stripMargin.replace("@@", "||").linesIterator.mkString("\n ")
+
+  private val bpeExportDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def exportBpeMerges(s: SparkSession, d: String,
+      merges: Seq[Bpe.Merge]): Unit = {
+    if (!bpeExportDone.add(d)) return
+    val tag = Tables.embeddings(s, d).count() * 1000000000L +
+      Tables.orders(s, d).count()
+    val dir = new java.io.File(s"$oracleExportRoot/bpe_merges_v1_$tag")
+    if (new java.io.File(dir, "_SUCCESS").exists()) return
+    import s.implicits._
+    merges.toDF()
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("merged"), lit(tag).as("corpus_tag"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+  }
+
   /** N4''''''' — real BPE tokenizer training: the learned merge table
     * (rank, pair, minted symbol, weighted pair count) from
-    * [[Bpe.train]]. Rows-only (n/s): the iterative argmax/merge loop is
-    * not SQL-expressible; BpeSpec pins the full table against an
-    * independent naive in-memory implementation at sf0.001. */
+    * [[Bpe.train]]. Oracled (round 8) by exporting the merge PAIRS and
+    * letting DuckDB replay the vocabulary through them (a recursive
+    * CTE over the rank axis, [[Bpe.applyMerge]] replayed as its
+    * separator-wrapped string-replace model — equivalence pinned by
+    * BpeSpec) and then independently recompute every round's pair
+    * counts and argmax; a wrong exported pair at any rank diverges
+    * from the recomputed argmax at that rank. BpeSpec additionally
+    * pins the table against a naive in-memory implementation. */
   val bpeTrainQ: Q = (s, d) => {
     import s.implicits._
-    trainedBpeMerges(s, d, k = 24).toDF()
+    val merges = trainedBpeMerges(s, d, k = 24)
+    exportBpeMerges(s, d, merges)
+    merges.toDF()
       .select(col("rank").cast("long").as("rank"), col("left"),
         col("right"), col("merged"), col("pairCount").as("pair_count"))
       .orderBy("rank")
@@ -1135,10 +1222,15 @@ object LlmQueries {
   /** N4'''''''' — BPE encoding of the corpus with the trained merges:
     * per-document word and piece totals via the word→pieces dictionary
     * join ([[Bpe.encode]] — the corpus never replays the merge loop).
-    * Rows-only (n/s), pinned by BpeSpec against the naive encoder. */
-  val bpeEncodeQ: Q = (s, d) =>
-    Bpe.encode(Tables.documents(s, d), "doc_id", "text",
-      trainedBpeMerges(s, d, k = 24))
+    * Oracled (round 8) given the exported merges: DuckDB replays the
+    * distinct-word dictionary through the merge list (same recursive
+    * replay as the train oracle) and re-aggregates the per-document
+    * totals itself. BpeSpec additionally pins the naive encoder. */
+  val bpeEncodeQ: Q = (s, d) => {
+    val merges = trainedBpeMerges(s, d, k = 24)
+    exportBpeMerges(s, d, merges)
+    Bpe.encode(Tables.documents(s, d), "doc_id", "text", merges)
+  }
 
   /** N4++++++++ — the Gopher quality-rule battery (Rae et al. 2021 §A1,
     * the published pretraining filter set), emitted as per-rule flags
@@ -2780,6 +2872,87 @@ object LlmQueries {
          | FROM pos p JOIN ring r ON r.anchor_id = p.anchor_id
          | ORDER BY p.anchor_id""".stripMargin,
     "llm_mmr_rerank" -> mmrOracleSql(k = 10, poolSize = 50, lambdaE2 = 70),
+    "llm_simsearch_pq" ->
+      // exact-cosine rerank replay over the exported ADC-picked
+      // candidate ids (the llm_simsearch_ann template)
+      s"""WITH cand AS (
+         |   SELECT vec_id FROM read_parquet(
+         |     '$oracleExportRoot/pq_cand_v1_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT e.vec_id,
+         |     ${cosSql("e.embedding", "q.qv")} AS cos_e6
+         |   FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+         |   WHERE e.vec_id <> 0)
+         | SELECT vec_id, cos_e6 FROM scored
+         | ORDER BY cos_e6 DESC, vec_id LIMIT 20""".stripMargin,
+    "llm_simsearch_ivfpq" ->
+      s"""WITH cand AS (
+         |   SELECT vec_id FROM read_parquet(
+         |     '$oracleExportRoot/ivfpq_cand_v1_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT e.vec_id,
+         |     ${cosSql("e.embedding", "q.qv")} AS cos_e6
+         |   FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+         |   WHERE e.vec_id <> 0)
+         | SELECT vec_id, cos_e6 FROM scored
+         | ORDER BY cos_e6 DESC, vec_id LIMIT 20""".stripMargin,
+    "llm_bpe_train" ->
+      // recursive replay of the vocabulary through the EXPORTED merge
+      // pairs (state-advance input only), then an independent
+      // recomputation of every round's weighted pair counts and
+      // deterministic argmax — a wrong exported pair at rank r makes
+      // the recomputed argmax at r diverge from the claimed row.
+      // applyMerge replays as its separator-wrapped string-replace
+      // model (greedy left-to-right non-overlapping, minted symbol
+      // not re-merged within the step) — equivalence pinned by
+      // BpeSpec; chr(1) never occurs in the corpus (word symbols come
+      // from the pre-tokenizer's printable classes).
+      s"""WITH RECURSIVE $bpeMergesCte,
+         | $bpeVocabCte,
+         | $bpeReplayCte
+         | , pairs AS (
+         |   SELECT r, p[1] AS a, p[2] AS b, sum(wcount) AS cnt FROM (
+         |     SELECT r, wcount, unnest(list_zip(l, l[2:])) AS p
+         |     FROM (SELECT r, wcount,
+         |             list_transform(str_split(syms, chr(1) || chr(1)),
+         |                            x -> trim(x, chr(1))) AS l
+         |           FROM rep WHERE r < (SELECT count(*) FROM merges)))
+         |   WHERE p[2] IS NOT NULL
+         |   GROUP BY r, a, b),
+         | argmax AS (
+         |   SELECT r, a, b, cnt, row_number()
+         |       OVER (PARTITION BY r ORDER BY cnt DESC, a, b) AS rn
+         |   FROM pairs)
+         | SELECT CAST(r AS BIGINT) AS "rank", a AS "left", b AS "right",
+         |        a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+         | FROM argmax WHERE rn = 1 AND cnt >= 2
+         | ORDER BY "rank"""".stripMargin,
+    "llm_bpe_encode" ->
+      // same recursive replay to the FINAL state (= the word→pieces
+      // dictionary), then the per-document totals re-aggregated by
+      // the oracle itself from the corpus
+      s"""WITH RECURSIVE $bpeMergesCte,
+         | $bpeVocabCte,
+         | $bpeReplayCte
+         | , dict AS (
+         |   SELECT word, (length(syms)
+         |     - length(replace(syms, chr(1), ''))) // 2 AS n_pieces
+         |   FROM rep WHERE r = (SELECT count(*) FROM merges)),
+         | docwords AS (
+         |   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM (
+         |     SELECT doc_id,
+         |            unnest(regexp_extract_all(text, '$bpeWordRe')) AS word
+         |     FROM documents) GROUP BY doc_id, word)
+         | SELECT w.doc_id, CAST(sum(w.n) AS BIGINT) AS n_words,
+         |        CAST(sum(w.n * d.n_pieces) AS BIGINT) AS n_pieces
+         | FROM docwords w JOIN dict d USING (word)
+         | GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "llm_mmr_rerank_ivfpq" ->
       // same greedy replay, pool = the exported IVF-PQ-picked member
       // ids re-scored by the oracle's own exact cosine

@@ -156,21 +156,40 @@ object Pq {
   def adcTopK(emb: DataFrame, codes: DataFrame, cb: DataFrame,
               idCol: String, vecCol: String, queryId: Long, k: Int,
               m: Int, dims: Int, ks: Int, overfetch: Int = 4): DataFrame = {
+    val (qv, cand) = adcCandidates(emb, codes, cb, idCol, vecCol,
+      queryId, k, m, dims, ks, overfetch)
+    exactRerank(emb, idCol, vecCol, qv, cand, k)
+  }
+
+  /** The ADC CANDIDATE stage of [[adcTopK]], exposed (round 8) so the
+    * declared query can export the index-picked ids for its DuckDB
+    * oracle — the trained codebook only picks the candidates; the
+    * exact-cosine rerank after them is relational algebra the oracle
+    * recomputes independently. */
+  def adcCandidates(emb: DataFrame, codes: DataFrame, cb: DataFrame,
+                    idCol: String, vecCol: String, queryId: Long, k: Int,
+                    m: Int, dims: Int, ks: Int,
+                    overfetch: Int): (Seq[Float], DataFrame) = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val qv = emb.filter(col(idCol) === queryId)
       .select(vecCol).head().getSeq[Float](0)
     val lutLit = array(
       lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
-    val candidates = codes
+    (qv, codes
       .filter(col(idCol) =!= queryId) // the family contract: neighbors only
       .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
       .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
-      .select(col(idCol))
+      .select(col(idCol)))
+  }
+
+  /** The exact-cosine rerank every PQ-family search ends in. */
+  private[llm] def exactRerank(emb: DataFrame, idCol: String, vecCol: String,
+                          qv: Seq[Float], candidates: DataFrame,
+                          k: Int): DataFrame =
     candidates.join(emb, Seq(idCol))
       .select(col(idCol),
         SimSearch.cosineE6(col(vecCol), typedlit(qv)).as("cos_e6"))
       .orderBy(desc("cos_e6"), col(idCol)).limit(k)
-  }
 
   /** IVF-PQ index: the billion-scale serving layout — hyperplane
     * bucket DIRECTORIES for partition pruning ([[SimSearch]]'s IVF
@@ -236,6 +255,18 @@ object Pq {
                 idCol: String, vecCol: String, queryId: Long, k: Int,
                 m: Int, dims: Int, ks: Int, planes: Int,
                 probeHamming: Int = 2, overfetch: Int = 4): DataFrame = {
+    val (qv, cand) = ivfPqCandidates(emb, layoutPath, cb, idCol, vecCol,
+      queryId, k, m, dims, ks, planes, probeHamming, overfetch)
+    exactRerank(emb, idCol, vecCol, qv, cand, k)
+  }
+
+  /** The probe+ADC CANDIDATE stage of [[ivfPqTopK]] (the
+    * [[adcCandidates]] contract over the partition-pruned layout). */
+  def ivfPqCandidates(emb: DataFrame, layoutPath: String, cb: DataFrame,
+                      idCol: String, vecCol: String, queryId: Long,
+                      k: Int, m: Int, dims: Int, ks: Int, planes: Int,
+                      probeHamming: Int,
+                      overfetch: Int): (Seq[Float], DataFrame) = {
     val spark = emb.sparkSession
     graft.streaming.DirSwap.restoreIfTorn(spark, layoutPath, "vecidx")
     graft.functions.VectorFunctions.register(spark)
@@ -246,15 +277,11 @@ object Pq {
     val probes = SimSearch.probeBuckets(qRow.getLong(1), planes, probeHamming)
     val lutLit = array(
       lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
-    val candidates = spark.read.parquet(layoutPath)
+    (qv, spark.read.parquet(layoutPath)
       .filter(col("bucket").isin(probes: _*)) // prunes at the file index
       .filter(col(idCol) =!= queryId) // the family contract: neighbors only
       .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
       .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)
-      .select(col(idCol))
-    candidates.join(emb, Seq(idCol))
-      .select(col(idCol),
-        SimSearch.cosineE6(col(vecCol), typedlit(qv)).as("cos_e6"))
-      .orderBy(desc("cos_e6"), col(idCol)).limit(k)
+      .select(col(idCol)))
   }
 }

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * independent naive in-memory implementation of the textbook algorithm
   * (overlapping pair counts, (count desc, pair asc) argmax, greedy
   * left-to-right non-overlapping replace) over the same sf0.001 corpus.
-  * These back the rows-only keys `llm_bpe_train` / `llm_bpe_encode`.
+  * Since round 8 `llm_bpe_train` / `llm_bpe_encode` are ALSO
+  * DuckDB-oracled via the exported-merges recursive replay; the
+  * wrapped-string-replace property below pins the algebra that replay
+  * relies on.
   */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
@@ -118,6 +121,33 @@ class BpeSpec extends SparkSpec {
     }
     val res = CheckTest.check(
       CheckTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Property (the BPE oracles' algebra): one greedy merge round
+    * equals one string `replace` over the chr(1)-WRAPPED symbol string
+    * (every symbol as ␁sym␁ — no separator sharing, so a consumed
+    * occurrence cannot donate its boundary to an overlapping match).
+    * This is exactly what the DuckDB `llm_bpe_train` /
+    * `llm_bpe_encode` oracles replay per recursion round; Java's
+    * `String.replace` and DuckDB's `replace` share the left-to-right
+    * non-overlapping contract. */
+  test("applyMerge equals the wrapped-string replace model (property)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    val S = "\u0001"
+    def wrap(syms: Seq[String]): String = syms.map(S + _ + S).mkString
+    def unwrap(s: String): Seq[String] =
+      if (s.isEmpty) Nil
+      else s.split(S + S).toSeq.map(_.stripPrefix(S).stripSuffix(S))
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa")
+    val arrGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, sym))
+    val prop = forAll(arrGen, Gen.zip(sym, sym)) { case (syms, (a, b)) =>
+      val replaced = wrap(syms).replace(S + a + S + S + b + S, S + a + b + S)
+      unwrap(replaced) == naiveApply(syms, a, b)
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(120), prop)
     assert(res.passed, res.status.toString)
   }
 

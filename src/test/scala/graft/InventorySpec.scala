@@ -140,18 +140,21 @@ class InventorySpec extends SparkSpec {
     // independently — the engine-hash part is the input, not the claim.)
     val expectedRowsOnly = Set("llm_dedup_simhash",
       "sink_listing", "agg_approx_distinct", "llm_sketch_rollup",
-      // PQ codebooks are float-avg trained (order-dependent like every
-      // distributed k-means) — recall pinned by PqSpec instead
-      "llm_simsearch_pq", "llm_simsearch_ivfpq",
+      // (llm_simsearch_pq / _ivfpq left this list in round 8: the
+      // float-trained codebook only picks candidates, which export for
+      // the oracle's independent re-score and re-rank; recall still
+      // pinned by PqSpec.)
       // (llm_mmr_rerank left this list in round 8: the greedy unrolls
       // to 10 argmax CTE stages in DuckDB — integer-exact throughout.
       // The IVF-PQ-pooled variants left too: their float-trained index
       // only picks pool MEMBERS, which export for the oracle; scoring,
       // ranks, greedy, and fusion are all recomputed independently.)
-      // the BPE merge loop is iterative argmax — no SQL twin; the full
-      // merge table and the per-doc encode totals are pinned against an
-      // independent naive implementation in BpeSpec
-      "llm_bpe_train", "llm_bpe_encode",
+      // (llm_bpe_train / llm_bpe_encode left this list in round 8:
+      // the merge PAIRS export — rebuild-deterministic, integer
+      // argmax — and the oracle replays the vocabulary through them
+      // recursively, recomputing every round's pair counts and argmax
+      // itself; BpeSpec still pins the naive algorithm and the
+      // replay's string-replace algebra.)
       // the kNN graph is approximate by contract (LSH seed + NN-descent);
       // KnnGraphSpec pins recall vs brute force, re-verifies every
       // reported cosine, and requires the descent rounds to add recall.
