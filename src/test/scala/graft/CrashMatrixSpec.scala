@@ -16,10 +16,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * spec happened to pick.
   *
   * Families: SCD2 history maintenance, MERGE state maintenance, the
-  * end-to-end CDC delivery pipeline, and streaming near-dedup. (The
-  * streaming agg-view family runs its own per-window crash specs in
+  * end-to-end CDC delivery pipeline, streaming near-dedup, and the
+  * event-time session stream (custom flatMapGroupsWithState state +
+  * timers — the one family whose per-entity state lives in Spark's own
+  * state store rather than a graft-managed table). (The streaming
+  * agg-view family runs its own per-window crash specs in
   * StreamingAggViewSpec — its crash surface is the log/view two-phase
-  * write, not the foreachBatch hook these four share.)
+  * write, not the foreachBatch hook the others share.)
   */
 class CrashMatrixSpec extends SparkSpec {
   import spark.implicits._
@@ -214,6 +217,98 @@ class CrashMatrixSpec extends SparkSpec {
           }.toSet
       }
     }
+  }
+
+  /** The event-time session stream under the matrix: the feed replays
+    * one file per batch (three event-id pages + the flush sentinel) so
+    * per-entity state genuinely crosses micro-batch boundaries, the
+    * kill fires in foreachBatch AFTER the batch_id-partitioned sink
+    * overwrite but BEFORE the checkpoint commit (the redelivery
+    * window; dynamic partition overwrite is the idempotence), and the
+    * state itself — including the armed event-time timers — lives in
+    * Spark's checkpointed state store, so every cell also exercises
+    * state-store version replay, not just graft's own two-phase
+    * protocols. The probe truth is additionally pinned against the
+    * deterministic batch fold. */
+  test("kill-at-every-batch: the event-time session stream converges " +
+      "from every crash position to the batch fold") {
+    import graft.streaming.{FeedEvent, Sessionize}
+    import org.apache.spark.sql.types.StructType
+    val feedSchema = StructType.fromDDL(
+      "eventId BIGINT, tsMicros BIGINT, userId BIGINT, " +
+        "eventType STRING, value DOUBLE")
+    val sinkSchema = StructType.fromDDL(
+      "userId BIGINT, firstVersion BIGINT, lastVersion BIGINT, " +
+        "nEvents BIGINT, valueSumCents BIGINT, batch_id BIGINT")
+    val ev = Tables.events(spark, sf).select(
+      col("event_id").as("eventId"),
+      unix_micros(col("ts")).as("tsMicros"),
+      col("user_id").as("userId"),
+      col("event_type").as("eventType"),
+      col("value"))
+    val Array(minId, maxId, t0, t1) = ev
+      .agg(min($"eventId"), max($"eventId"),
+        min($"tsMicros"), max($"tsMicros"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    // gap > the whole event-time span → one session per entity (the
+    // declared stream_session_state geometry); flush one gap past the
+    // last event so every timer is strictly below the final watermark
+    val gapMs = (t1 - t0) / 1000L + 1000L
+    val third = (maxId - minId) / 3 + 1
+    val flushPage = Seq((-1L, t1 + (gapMs + 1000L) * 1000L, -1L,
+      "flush", 0.0)).toDF("eventId", "tsMicros", "userId",
+      "eventType", "value")
+    def launch(root: String, hook: Long => Unit): StreamingQuery = {
+      val src = s"$root/src"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pages = (0 until 3).map(i => ev
+        .filter($"eventId" >= minId + i * third &&
+          $"eventId" < minId + (i + 1) * third)) :+ flushPage
+      pages.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$root/stage-$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val feed = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("__ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("__ts", "0 seconds")
+        .as[FeedEvent]
+      Sessionize.sessionStreamEventTime(feed, gapMs)
+        .toDF.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$root/sink")
+          hook(id)
+          ()
+        }.start()
+    }
+    def sessions(root: String): Set[(Long, Long, Long, Long, Long)] =
+      spark.read.schema(sinkSchema).parquet(s"$root/sink")
+        .filter($"userId" =!= -1L)
+        .select($"userId", $"firstVersion", $"lastVersion",
+          $"nEvents", $"valueSumCents")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    crashMatrix("session")(launch)(sessions)
+    // the matrix's convergence target itself equals the deterministic
+    // batch fold (one session per entity, events in eventId order)
+    val want = Sessionize.batchFold(spark, ev.as[FeedEvent])
+      .collect().map(s => (s.userId, s.firstVersion, s.lastVersion,
+        s.nEvents, s.valueSumCents)).toSet
+    val root = tmpDir("cm-session-truth")
+    assert(launch(root, _ => ()).awaitTermination(180000),
+      "session truth drain timed out")
+    assert(sessions(root) == want,
+      "paged session stream diverges from the batch fold")
   }
 
   test("kill-at-every-batch: streaming near-dedup accepts the same " +
