@@ -8,6 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to these query names (dev loop)
     val only = args.drop(2).toSet
+    // Verification instrumentation ON: the approximate-artifact
+    // exports (kNN edges, index-picked candidate/pool ids, BPE merge
+    // pairs, CMS term positions) that the DuckDB oracles replay are
+    // produced ONLY under this property — Bench and production
+    // callers run the pure serving plans (round-8 verdict #1).
+    System.setProperty("graft.oracle.export", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

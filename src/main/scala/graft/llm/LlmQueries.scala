@@ -227,16 +227,18 @@ object LlmQueries {
     // its own top-k, so scoring and ranking are verified independently.
     // Same once-per-(JVM, corpus) + versioned-dir discipline as
     // exportKnnEdges.
-    if (annExportDone.add(d)) {
-      val tag = emb.count() * 1000000000L + Tables.orders(s, d).count()
-      val dir = new java.io.File(
-        s"$oracleExportRoot/ann_candidates_v1_$tag")
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        SimSearch.annCandidatesBucketed(emb, "vec_id", "embedding",
-            queryId = 0L, layout.getPath, planes)._2
-          .select(col("vec_id"), lit(tag).as("corpus_tag"))
-          .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
-      }
+    if (oracleExportsEnabled && annExportDone.add(d)) {
+      try {
+        val tag = emb.count() * 1000000000L + Tables.orders(s, d).count()
+        val dir = new java.io.File(
+          s"$oracleExportRoot/ann_candidates_v1_$tag")
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          SimSearch.annCandidatesBucketed(emb, "vec_id", "embedding",
+              queryId = 0L, layout.getPath, planes)._2
+            .select(col("vec_id"), lit(tag).as("corpus_tag"))
+            .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+        }
+      } catch { case e: Throwable => annExportDone.remove(d); throw e }
     }
     SimSearch.annTopKBucketed(emb, "vec_id", "embedding", queryId = 0L,
       k = 20, layoutPath = layout.getPath, planes = planes)
@@ -592,8 +594,13 @@ object LlmQueries {
     // discipline - float training is order-dependent across rebuilds).
     val (qv, cand0) = Pq.adcCandidates(emb, codes, cb, "vec_id",
       "embedding", queryId = 0L, k = 20, m, dims, ks, overfetch = 6)
-    val cand = cand0.localCheckpoint(true)
-    exportPoolIds(s, d, "pq_cand_v1", cand)
+    // the checkpoint exists only to share the candidate set between
+    // the export write and the rerank — without exports the declared
+    // plan is exactly [[Pq.adcTopK]]'s single-plan serving shape
+    val cand = if (oracleExportsEnabled) {
+      val c = cand0.localCheckpoint(true)
+      exportPoolIds(s, d, "pq_cand_v1", c); c
+    } else cand0
     Pq.exactRerank(emb, "vec_id", "embedding", qv, cand, 20)
   }
 
@@ -639,8 +646,11 @@ object LlmQueries {
     val (qv, cand0) = Pq.ivfPqCandidates(emb, layout, cb, "vec_id",
       "embedding", queryId = 0L, k = 20, m = 8, dims = 64, ks = 16,
       planes = 6, probeHamming = 3, overfetch = 6)
-    val cand = cand0.localCheckpoint(true)
-    exportPoolIds(s, d, "ivfpq_cand_v1", cand)
+    // checkpoint only under exports — see simsearchPqQ
+    val cand = if (oracleExportsEnabled) {
+      val c = cand0.localCheckpoint(true)
+      exportPoolIds(s, d, "ivfpq_cand_v1", c); c
+    } else cand0
     Pq.exactRerank(emb, "vec_id", "embedding", qv, cand, 20)
   }
 
@@ -674,12 +684,16 @@ object LlmQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def exportPoolIds(s: SparkSession, d: String, family: String,
                             pool: DataFrame): Unit = {
+    if (!oracleExportsEnabled) return
     if (!poolExportDone.add(s"$family|$d")) return
-    val tag = Tables.embeddings(s, d).count() * 1000000000L +
-      Tables.orders(s, d).count()
-    pool.select(col("vec_id"), lit(tag).as("corpus_tag"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$oracleExportRoot/${family}_$tag")
+    try {
+      val tag = Tables.embeddings(s, d).count() * 1000000000L +
+        Tables.orders(s, d).count()
+      pool.select(col("vec_id"), lit(tag).as("corpus_tag"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$oracleExportRoot/${family}_$tag")
+    } catch { case e: Throwable =>
+      poolExportDone.remove(s"$family|$d"); throw e }
   }
 
   /** N3''''@idx — hybrid retrieval with BOTH pools index-served:
@@ -792,19 +806,30 @@ object LlmQueries {
 
   /** N2b'''b — the CAPPED serving shape: at most 5 closest partners
     * per anchor (ties by partner id), the bounded emission a dedup /
-    * link-review pipeline consumes. Output is ≤ 5·|anchors| rows at
-    * ANY clone multiplicity — the per-anchor rank turns the quadratic
-    * emission into a linear one while the pair discovery stays
-    * identical. The rank window partitions by anchor id
-    * (high-cardinality — scale-safe, PlanLintSpec-visible). Oracle:
-    * the naive all-pairs DuckDB join under the same row_number cap. */
+    * link-review pipeline consumes. TRUE per-anchor semantics (round-8
+    * ADVICE): the discovered pairs are canonicalized id_a < id_b, so
+    * ranking them directly would hide every smaller-id partner from an
+    * anchor's cap and the max-id doc would never anchor — the pairs are
+    * SYMMETRIZED first (each pair visible from both endpoints; edit
+    * distance is symmetric), then ranked per anchor. Output is
+    * ≤ 5·|docs| rows at ANY clone multiplicity — the per-anchor rank
+    * turns the quadratic emission into a linear one while the pair
+    * discovery stays identical. The rank window partitions by anchor
+    * id (high-cardinality — scale-safe, PlanLintSpec-visible). Oracle:
+    * the naive all-pairs DuckDB join (both orientations) under the
+    * same row_number cap. */
   val fuzzyPairsCappedQ: Q = (s, d) => {
+    val pairs = fuzzyGlobalPairs(s, d)
+    val sym = pairs.select(col("id_a").as("anchor_id"),
+        col("id_b").as("partner_id"), col("dist"))
+      .unionByName(pairs.select(col("id_b").as("anchor_id"),
+        col("id_a").as("partner_id"), col("dist")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("dist").asc, col("id_b").asc)
-    fuzzyGlobalPairs(s, d)
-      .withColumn("pair_rank", row_number().over(w).cast("long"))
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("dist").asc, col("partner_id").asc)
+    sym.withColumn("pair_rank", row_number().over(w).cast("long"))
       .filter(col("pair_rank") <= 5)
-      .orderBy("id_a", "pair_rank")
+      .orderBy("anchor_id", "pair_rank")
   }
 
   /** N2b'' — VARIABLE-length edit-similarity join ([[EditJoin.selfJoin]]):
@@ -1187,16 +1212,19 @@ object LlmQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def exportBpeMerges(s: SparkSession, d: String,
       merges: Seq[Bpe.Merge]): Unit = {
+    if (!oracleExportsEnabled) return
     if (!bpeExportDone.add(d)) return
-    val tag = Tables.embeddings(s, d).count() * 1000000000L +
-      Tables.orders(s, d).count()
-    val dir = new java.io.File(s"$oracleExportRoot/bpe_merges_v1_$tag")
-    if (new java.io.File(dir, "_SUCCESS").exists()) return
-    import s.implicits._
-    merges.toDF()
-      .select(col("rank").cast("long").as("rank"), col("left"),
-        col("right"), col("merged"), lit(tag).as("corpus_tag"))
-      .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+    try {
+      val tag = Tables.embeddings(s, d).count() * 1000000000L +
+        Tables.orders(s, d).count()
+      val dir = new java.io.File(s"$oracleExportRoot/bpe_merges_v1_$tag")
+      if (new java.io.File(dir, "_SUCCESS").exists()) return
+      import s.implicits._
+      merges.toDF()
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("merged"), lit(tag).as("corpus_tag"))
+        .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+    } catch { case e: Throwable => bpeExportDone.remove(d); throw e }
   }
 
   /** N4''''''' — real BPE tokenizer training: the learned merge table
@@ -1303,12 +1331,35 @@ object LlmQueries {
         "graft-knng", "knng-planted-v1|k5-pauto-h2-r3|mod10-off1e7",
         Seq("_SUCCESS")) { tmp =>
       val base = Tables.embeddings(s, d)
+      // STAGING ASSERTS (round-8 ADVICE): the clusters oracle
+      // hard-codes membership from the vec_id % 10 seeds, resting on
+      // two corpus assumptions measured only at sf0.001-0.1. Check
+      // them HERE so a violating future corpus fails with a clear
+      // staging error instead of an opaque oracle mismatch.
+      val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
+      require(maxId < 10000000L,
+        s"planted-clone staging: natural vec_id $maxId collides with " +
+          "the 1e7 clone offset — raise the offset and the oracle with it")
       val planted = base.unionByName(
         base.filter(col("vec_id") % 10 === 0)
           .withColumn("vec_id", col("vec_id") + 10000000L))
       SimSearch.knnGraph(planted, "vec_id", "embedding",
           k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
         .write.mode("overwrite").parquet(tmp.getPath)
+      // every >=0.95 edge in the built graph must be a planted clone
+      // pair {v, v+1e7}: a natural near-dup pair (or natural
+      // byte-identical vectors, which the exact-clone collapse links
+      // at cos 1e6) would otherwise silently break the closed-form
+      // membership the oracle replays
+      val natural = s.read.parquet(tmp.getPath)
+        .filter(col("cos_e6") >= 950000L)
+        .filter(!(abs(col("src_id") - col("nbr_id")) === 10000000L &&
+          pmod(least(col("src_id"), col("nbr_id")), lit(10)) === 0))
+        .limit(1).collect()
+      require(natural.isEmpty,
+        s"planted-clone staging: natural pair at cos>=0.95 " +
+          s"(${natural.headOption}) violates the closed-form oracle's " +
+          "corpus assumption — raise the threshold or retag")
     }
 
   /** N3+++ — graph-based near-dup CLUSTERS: the kNN graph thresholded
@@ -1586,16 +1637,35 @@ object LlmQueries {
   private[llm] lazy val oracleExportRoot: String =
     new java.io.File("target/oracle-export").getAbsolutePath
 
+  /** Verification-instrumentation switch. The candidate/edge/merge
+    * exports exist solely so DuckDB can replay the approximate
+    * artifacts at verify time — they are NOT part of the serving
+    * path, and riding inside the declared queries they charged count
+    * jobs + coalesce(1) writes (and, for the PQ paths, an extra
+    * materialization barrier) to every BENCH timing (round-8 verdict
+    * finding #1: sbt bench wall 157 → 211 s from instrumentation
+    * alone). [[graft.Verify]] sets the property before running the
+    * registry; Bench, tests, and any production caller leave it
+    * unset and get the pure serving plan. */
+  private[llm] def oracleExportsEnabled: Boolean =
+    "1" == System.getProperty("graft.oracle.export")
+
   private def exportKnnEdges(s: SparkSession, d: String): Unit = {
+    if (!oracleExportsEnabled) return
     if (!edgeExportDone.add(d)) return
-    val tag = Tables.embeddings(s, d).count() * 1000000000L +
-      Tables.orders(s, d).count()
-    val dir = new java.io.File(s"$oracleExportRoot/knng_edges_v2_$tag")
-    if (new java.io.File(dir, "_SUCCESS").exists()) return
-    s.read.parquet(knnGraphDir(s, d).getPath)
-      .select(col("src_id").as("src"), col("nbr_id").as("dst"),
-        col("rank"), col("cos_e6"), lit(tag).as("corpus_tag"))
-      .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+    // claim-then-write: on a failed write the claim is released so a
+    // same-JVM retry re-attempts instead of silently serving a
+    // missing/stale export to the verify-time oracle (round-8 ADVICE)
+    try {
+      val tag = Tables.embeddings(s, d).count() * 1000000000L +
+        Tables.orders(s, d).count()
+      val dir = new java.io.File(s"$oracleExportRoot/knng_edges_v2_$tag")
+      if (new java.io.File(dir, "_SUCCESS").exists()) return
+      s.read.parquet(knnGraphDir(s, d).getPath)
+        .select(col("src_id").as("src"), col("nbr_id").as("dst"),
+          col("rank"), col("cos_e6"), lit(tag).as("corpus_tag"))
+        .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+    } catch { case e: Throwable => edgeExportDone.remove(d); throw e }
   }
 
   val graphPagerankQ: Q = (s, d) => {
@@ -2416,21 +2486,22 @@ object LlmQueries {
         | WHERE levenshtein(a.head, b.head) <= 3
         | GROUP BY 1 ORDER BY dist""".stripMargin,
     "llm_fuzzy_pairs_capped" ->
-      // naive all-pairs under the same per-anchor rank cap — the
-      // bounded emission must be a deterministic truncation of the
-      // full form (ties by partner id)
+      // naive all-pairs (BOTH orientations — true per-anchor
+      // semantics) under the same per-anchor rank cap — the bounded
+      // emission must be a deterministic truncation of the full form
+      // (ties by partner id)
       """WITH h AS (
         |   SELECT doc_id, substring(text, 1, 30) AS head
         |   FROM documents WHERE length(text) >= 30),
-        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | p AS (SELECT a.doc_id AS anchor_id, b.doc_id AS partner_id,
         |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-        |   FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |   FROM h a JOIN h b ON a.doc_id <> b.doc_id
         |   WHERE levenshtein(a.head, b.head) <= 3),
-        | r AS (SELECT id_a, id_b, dist,
-        |   CAST(row_number() OVER (PARTITION BY id_a
-        |     ORDER BY dist, id_b) AS BIGINT) AS pair_rank FROM p)
-        | SELECT id_a, id_b, dist, pair_rank FROM r
-        | WHERE pair_rank <= 5 ORDER BY id_a, pair_rank""".stripMargin,
+        | r AS (SELECT anchor_id, partner_id, dist,
+        |   CAST(row_number() OVER (PARTITION BY anchor_id
+        |     ORDER BY dist, partner_id) AS BIGINT) AS pair_rank FROM p)
+        | SELECT anchor_id, partner_id, dist, pair_rank FROM r
+        | WHERE pair_rank <= 5 ORDER BY anchor_id, pair_rank""".stripMargin,
     "llm_fuzzy_pairs_varlen" ->
       // naive all-pairs over MIXED-length heads (24-36 chars, width a
       // function of doc id): the per-length schemes + length-band

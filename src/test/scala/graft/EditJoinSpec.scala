@@ -229,7 +229,12 @@ class EditJoinSpec extends SparkSpec {
 
     val capped = LlmQueries.queries("llm_fuzzy_pairs_capped")(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSeq
-    val expectedCapped = full.groupBy(_._1).toSeq.flatMap {
+    // TRUE per-anchor semantics (round-8 ADVICE): every pair counts
+    // toward BOTH endpoints' caps, so symmetrize the full emission
+    // before the per-anchor truncation
+    val sym = full.flatMap { case (a, b, dist) =>
+      Seq((a, b, dist), (b, a, dist)) }
+    val expectedCapped = sym.groupBy(_._1).toSeq.flatMap {
       case (anchor, rows) =>
         rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex.map {
           case ((a, b, dist), i) => (a, b, dist, i + 1L)
@@ -237,8 +242,14 @@ class EditJoinSpec extends SparkSpec {
     }.sortBy(r => (r._1, r._4))
     assert(capped == expectedCapped,
       "capped output is not the per-anchor (dist, id) truncation of " +
-        "the full emission")
+        "the symmetrized full emission")
     assert(capped.groupBy(_._1).values.forall(_.size <= 5),
       "an anchor exceeded the emission cap")
+    // every doc that appears in any pair anchors at least once — the
+    // round-8 ADVICE defect was the max-id doc never anchoring
+    val anchors = capped.map(_._1).toSet
+    val inPairs = full.flatMap(r => Seq(r._1, r._2)).toSet
+    assert(inPairs.subsetOf(anchors),
+      s"docs in pairs but never anchoring: ${(inPairs -- anchors).take(5)}")
   }
 }
