@@ -382,8 +382,16 @@ object LlmQueries {
     * of content fingerprints built in ONE raw pass, then per-source
     * distinct estimates from sketch unions alone — the re-aggregatable
     * serving shape (any coarsening answered from kilobytes per group,
-    * never a raw re-scan). Estimates are engine-specific → rows-only
-    * oracle; SketchTableSpec bounds them against exact. */
+    * never a raw re-scan). ORACLED (round 9) by the theta-family
+    * precedent: below coupon capacity (< k/4 = 1024 distincts at the
+    * default lgK=12) a DataSketches HLL is in LIST/SET mode where the
+    * estimate IS the exact coupon count, and the rollup unions of
+    * coupon-mode sketches stay coupon-mode — so at every verify SF
+    * (≤ 250 distinct fingerprints per source; the sf1 clone corpus
+    * collapses to the same 250) the declared estimates are
+    * deterministically exact and DuckDB's count(DISTINCT md5) is the
+    * oracle. Verified empirically at sf0.001/0.1/sf1;
+    * SketchTableSpec still bounds the beyond-capacity regime. */
   val sketchRollupQ: Q = (s, d) => {
     val fps = Tables.documents(s, d).select(col("source"), col("lang"),
       TextOps.fingerprint(col("text")).as("fp"))
@@ -2158,6 +2166,17 @@ object LlmQueries {
         |   FROM documents)
         | SELECT term, count(*) AS freq FROM t GROUP BY term
         | ORDER BY freq DESC, term LIMIT 20""".stripMargin,
+    "llm_sketch_rollup" ->
+      // exact ground truth — valid because every per-source group sits
+      // far below the HLL's coupon capacity (SET mode < 1024 distinct
+      // at lgK=12), where the DataSketches estimate is the exact
+      // coupon count by construction (the theta exact-below-capacity
+      // precedent); SketchTableSpec bounds the beyond-capacity regime
+      """SELECT source,
+        |   CAST(count(DISTINCT md5(regexp_replace(lower(text),
+        |     '\s+', ' ', 'g'))) AS BIGINT) AS approx_distinct,
+        |   count(*) AS n_rows
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "llm_cms_counts" ->
       // CMS replay GIVEN the exported term→counter positions (round 9,
       // the pagerank-edges discipline): only the hash→position mapping

@@ -138,8 +138,13 @@ class InventorySpec extends SparkSpec {
     // (llm_simsearch_ann left this list in round 8: candidate
     // membership exports for the oracle, which re-scores and re-ranks
     // independently — the engine-hash part is the input, not the claim.)
+    // (llm_sketch_rollup left this list in round 9: every verify-SF
+    // group sits below the HLL coupon capacity, where the estimate is
+    // deterministically the exact coupon count — the theta
+    // exact-below-capacity precedent — so DuckDB's count(DISTINCT)
+    // is a true oracle; SketchTableSpec bounds beyond-capacity.)
     val expectedRowsOnly = Set("llm_dedup_simhash",
-      "sink_listing", "agg_approx_distinct", "llm_sketch_rollup",
+      "sink_listing", "agg_approx_distinct",
       // (llm_simsearch_pq / _ivfpq left this list in round 8: the
       // float-trained codebook only picks candidates, which export for
       // the oracle's independent re-score and re-rank; recall still
