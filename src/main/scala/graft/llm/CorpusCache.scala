@@ -24,6 +24,10 @@ import org.apache.spark.sql.SparkSession
   */
 object CorpusCache {
 
+  /** Test-only failpoint: crash [[resolve]] after a complete build,
+    * before the atomic publish rename (CrashMatrixSpec). */
+  @volatile private[graft] var failBeforePublish: Boolean = false
+
   /** One monitor per cache key: concurrent same-JVM resolves of one
     * key serialize, so exactly ONE build runs and the rest serve it. */
   private val keyMonitors =
@@ -75,6 +79,13 @@ object CorpusCache {
         build(tmp)
         require(isComplete(tmp, markers),
           s"graft cache: build for $prefix-$key did not write all markers")
+        // crash window: build complete in the temp sibling, publish
+        // rename not yet executed — the orphaned sibling must never be
+        // served and the next resolve must rebuild+publish cleanly
+        // (CrashMatrixSpec kills here)
+        if (CorpusCache.failBeforePublish)
+          throw new RuntimeException(
+            s"graft failpoint: $prefix-$key@beforePublish")
         if (!tmp.renameTo(dir)) {
           // the key path is occupied: either another PROCESS published a
           // complete build first (serve it), or a stale partial dir from

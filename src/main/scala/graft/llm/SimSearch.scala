@@ -407,15 +407,21 @@ object SimSearch {
     tf.repartition(termBuckets, col("tbkt"))
       .write.mode("overwrite").partitionBy("tbkt")
       .parquet(s"$path/postings")
-    // df from the WRITTEN postings — no second tokenize pass
+    // df from the WRITTEN postings — no second tokenize pass. The
+    // corpus row count and the applied-batch ledger live INSIDE the
+    // df directory so every [[appendPostingsIndex]] commit swaps all
+    // three atomically (one DirSwap generation).
     spark.read.parquet(s"$path/postings")
       .groupBy(col("tbkt"), col("term")).agg(count(lit(1)).as("df"))
       .repartition(termBuckets, col("tbkt"))
       .write.mode("overwrite").partitionBy("tbkt").parquet(s"$path/df")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_N"),
+      java.nio.file.Paths.get(path, "df", "_N"),
       docs.count().toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "df", "_APPLIED"),
+      Array.emptyByteArray)
     ()
   }
 
@@ -427,44 +433,145 @@ object SimSearch {
   /** Incremental ingest into the [[buildPostingsIndex]] layout — the
     * growing-corpus twin ([[appendBucketed]] / Dedup.incrementalExact
     * precedent): tokenize ONLY the new batch (docs not already
-    * indexed), append its postings into the bucket directories, fold
-    * its per-term counts into the df table (vocab-sized rewrite, never
-    * a postings re-scan), and bump `_N`. Serving needs no change —
+    * indexed), land its postings in the bucket directories, fold its
+    * per-term counts into the df table (vocab-sized rewrite, never a
+    * postings re-scan), and bump `_N`. Serving needs no change —
     * partition pruning sees old and new files alike, and the scoring
     * integers (df, N) equal a fresh rebuild's, so a query over the
     * appended index is BIT-IDENTICAL to one over a rebuilt index
-    * (spec-pinned). */
+    * (spec-pinned).
+    *
+    * RETRY-IDEMPOTENT TWO-PHASE COMMIT (round 9 — the DirSwap-site
+    * crash matrix surfaced that a naive `mode=append` retried after a
+    * crash double-counts the batch):
+    *  1. STAGE — the batch's postings overwrite `pending-<tag>/`,
+    *     where `tag` is a content fingerprint of the batch (same
+    *     batch ⇒ same tag ⇒ the stage is an idempotent overwrite).
+    *  2. COMMIT — ONE DirSwap install of the df dir folds the batch
+    *     counts AND records the tag in `_APPLIED` AND carries the
+    *     bumped `_N`: the fold, the ledger, and the corpus count
+    *     swap as one atomic generation. A retry consults the ledger
+    *     and never re-folds an applied batch.
+    *  3. PUBLISH — per-file rename of the staged postings into their
+    *     bucket dirs under tag-prefixed names (each rename atomic,
+    *     the set resumable: moved files leave the pending dir), then
+    *     drop the pending dir.
+    * A crash at any point converges on retry, and serving/compaction
+    * first publish any APPLIED-but-unpublished pending generation
+    * ([[recoverPendingPostings]]) so the df a query joins never
+    * counts rows its bucket read cannot see. An UNapplied pending
+    * dir is an uncommitted stage — ignored by readers, overwritten
+    * by the retry. CrashMatrixSpec kills every window. */
   def appendPostingsIndex(batch: DataFrame, docIdCol: String,
                           textCol: String, path: String): Unit = {
     val spark = batch.sparkSession
-    val tf = batch
-      .select(col(docIdCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("tbkt", pmod(xxhash64(col("term")),
-        lit(termBuckets.toLong)))
-      .localCheckpoint(true) // feeds the append AND the df fold
-    tf.repartition(col("tbkt"))
-      .write.mode("append").partitionBy("tbkt").parquet(s"$path/postings")
-    val oldDf = spark.read.schema(dfSchema).parquet(s"$path/df")
-      .select("term", "df", "tbkt")
-    val nextDf = oldDf.unionByName(
-        tf.groupBy(col("term"), col("tbkt")).agg(count(lit(1)).as("df"))
-          .select("term", "df", "tbkt"))
-      .groupBy(col("term"), col("tbkt")).agg(sum(col("df")).as("df"))
-      .localCheckpoint(true) // materialize BEFORE the dir it reads swaps
-    graft.streaming.DirSwap.install(spark, s"$path/df",
-      tag = "postingsdf") { tmp =>
-      nextDf.repartition(termBuckets, col("tbkt"))
-        .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
+    graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/df",
+      tag = "postingsdf")
+    recoverPendingPostings(spark, path)
+    // content-derived batch tag: bit_xor of per-doc hashes + count —
+    // a pure function of the batch rows, so a crashed call retried
+    // with the same batch resumes ITS OWN protocol state
+    val fpRow = batch.agg(
+      expr(s"bit_xor(xxhash64(cast($docIdCol AS string), $textCol))"),
+      count(lit(1))).head
+    if (fpRow.isNullAt(0) || fpRow.getLong(1) == 0L) return // empty batch
+    val tag = f"${fpRow.getLong(0)}%016x-${fpRow.getLong(1)}"
+    val applied = appliedTags(path).contains(tag)
+    val pending = new java.io.File(s"$path/pending-$tag")
+    if (applied && !pending.exists()) return // fully committed earlier
+    if (!applied) {
+      // 1. STAGE
+      batch
+        .select(col(docIdCol).as("doc_id"),
+          explode(TextOps.tokens(col(textCol))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("tbkt", pmod(xxhash64(col("term")),
+          lit(termBuckets.toLong)))
+        .repartition(col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt")
+        .parquet(pending.getPath)
+      // 2. COMMIT — fold + ledger + _N in one swapped generation
+      val staged = spark.read.schema(postingsSchema)
+        .parquet(pending.getPath).select("term", "doc_id", "tf", "tbkt")
+      val oldDf = spark.read.schema(dfSchema).parquet(s"$path/df")
+        .select("term", "df", "tbkt")
+      val nextDf = oldDf.unionByName(
+          staged.groupBy(col("term"), col("tbkt"))
+            .agg(count(lit(1)).as("df")).select("term", "df", "tbkt"))
+        .groupBy(col("term"), col("tbkt")).agg(sum(col("df")).as("df"))
+        .localCheckpoint(true) // materialize BEFORE the dir it reads swaps
+      val n = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path, "df", "_N")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val nNext = n + fpRow.getLong(1)
+      val ledger = appliedTags(path) :+ tag
+      graft.streaming.DirSwap.install(spark, s"$path/df",
+        tag = "postingsdf") { tmp =>
+        nextDf.repartition(termBuckets, col("tbkt"))
+          .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_N"),
+          nNext.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_APPLIED"),
+          ledger.mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
-    val n = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path, "_N")),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_N"),
-      (n + batch.count()).toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-    ()
+    // 3. PUBLISH
+    publishPending(path, tag)
+  }
+
+  private def appliedTags(path: String): Seq[String] = {
+    val f = java.nio.file.Paths.get(path, "df", "_APPLIED")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
+  /** Move every staged parquet of `pending-<tag>` into its bucket dir
+    * under a tag-prefixed name, then drop the pending dir. Resumable:
+    * each rename is atomic and removes its source, so a crashed
+    * publish picks up exactly the files still staged. */
+  private def publishPending(path: String, tag: String): Unit = {
+    val pending = new java.io.File(s"$path/pending-$tag")
+    if (!pending.exists()) return
+    Option(pending.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("tbkt="))
+      .foreach { bktDir =>
+        val target = new java.io.File(s"$path/postings/${bktDir.getName}")
+        target.mkdirs()
+        Option(bktDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dst = new java.io.File(target, s"$tag-${f.getName}")
+            if (dst.exists() || f.renameTo(dst)) ()
+            else throw new java.io.IOException(
+              s"graft postings: cannot publish $f -> $dst")
+          }
+      }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(pending)
+  }
+
+  /** Publish any APPLIED-but-unpublished pending generation (the
+    * crash window between an append's commit and its publish) so df
+    * never over-counts what the bucket reads can see; uncommitted
+    * pending dirs are left for their appender's retry. */
+  def recoverPendingPostings(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val root = new java.io.File(path)
+    val pendings = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("pending-"))
+    if (pendings.isEmpty) return
+    val applied = appliedTags(path).toSet
+    pendings.foreach { p =>
+      val tag = p.getName.stripPrefix("pending-")
+      if (applied(tag)) publishPending(path, tag)
+    }
   }
 
   /** Fold [[appendPostingsIndex]]'s growth back to one file per term
@@ -479,6 +586,12 @@ object SimSearch {
                            path: String): Unit = {
     graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/postings",
       "postings")
+    // publish any applied-but-unpublished append first — compaction
+    // rewrites postings from what it reads, so staged rows the df
+    // already counts must be inside before the fold
+    graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/df",
+      tag = "postingsdf")
+    recoverPendingPostings(spark, path)
     val rows = spark.read.schema(postingsSchema)
       .parquet(s"$path/postings").select("term", "doc_id", "tf", "tbkt")
     graft.streaming.DirSwap.install(spark, s"$path/postings",
@@ -499,9 +612,11 @@ object SimSearch {
       : DataFrame = {
     val bkts = queryTerms.map(termBucket).distinct
     // the df table swaps on incremental append — restore a torn swap
-    // before reading it
+    // and publish any applied-but-unpublished append generation
+    // before reading, so df never counts rows the bucket read misses
     graft.streaming.DirSwap.restoreIfTorn(spark, s"$indexPath/df",
       tag = "postingsdf")
+    recoverPendingPostings(spark, indexPath)
     val posts = spark.read.schema(postingsSchema)
       .parquet(s"$indexPath/postings")
       .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))
@@ -509,7 +624,7 @@ object SimSearch {
       .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))
       .select("term", "df")
     val n = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(indexPath, "_N")),
+        java.nio.file.Paths.get(indexPath, "df", "_N")),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     posts.join(broadcast(dfreq), "term")
       .withColumn("idf_e4",

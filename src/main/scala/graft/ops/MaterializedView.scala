@@ -59,6 +59,14 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
       out.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(path)
+      // crash window: the dynamic overwrite committed but the
+      // stale-bucket deletes below have not run — an emptied bucket
+      // keeps serving its dead rows until the NEXT refresh of the
+      // same page recomputes-empty again and deletes it (refresh is
+      // the converging retry; CrashMatrixSpec kills here)
+      if (MaterializedView.failAfterOverwrite)
+        throw new RuntimeException(
+          "graft failpoint: mview@afterOverwrite")
       val stale = buckets.filterNot(b => present(b.toLong))
       if (stale.nonEmpty) {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -71,4 +79,10 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
   }
 
   def read(): DataFrame = spark.read.parquet(path)
+}
+
+object MaterializedView {
+  /** Test-only failpoint: crash [[MaterializedView.refresh]] between
+    * the partition overwrite and the stale-bucket deletes. */
+  @volatile private[graft] var failAfterOverwrite: Boolean = false
 }

@@ -15,6 +15,20 @@ import org.apache.spark.sql.types.StructType
   * direct caller can never delete the sole surviving copy. */
 private[graft] object DirSwap {
 
+  /** Test-only failpoint: when set to (tag, window), [[install]] for
+    * a matching tag throws at that crash window — "beforeInstall"
+    * (new generation written to tmp, served dir untouched),
+    * "afterMoveAside" (the TORN window [[restoreIfTorn]] exists for:
+    * served dir moved to bak, new generation not yet installed), or
+    * "beforeBakDrop" (new generation installed, bak not yet
+    * dropped). Production code never sets it; the DirSwap-site crash
+    * matrix (CrashMatrixSpec) kills every installing site at every
+    * window through it. */
+  @volatile private[graft] var failpoint: Option[(String, String)] = None
+  private def trip(tag: String, window: String): Unit =
+    if (failpoint.contains((tag, window)))
+      throw new RuntimeException(s"graft failpoint: $tag@$window")
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -47,16 +61,19 @@ private[graft] object DirSwap {
     restoreIfTorn(spark, path, tag)
     val tmp = tmpPath(path, tag)
     write(tmp)
+    trip(tag, "beforeInstall")
     val fs = fsOf(spark, path)
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
     if (fs.exists(bakP)) fs.delete(bakP, true)
     if (fs.exists(p) && !fs.rename(p, bakP))
       throw new java.io.IOException(s"graft swap: cannot move $path aside")
+    trip(tag, "afterMoveAside")
     if (!fs.rename(new Path(tmp), p)) {
       if (fs.exists(bakP)) fs.rename(bakP, p) // roll back
       throw new java.io.IOException(s"graft swap: cannot install $tmp")
     }
+    trip(tag, "beforeBakDrop")
     fs.delete(bakP, true)
   }
 

@@ -128,4 +128,87 @@ class CorpusCacheSpec extends SparkSpec {
     assert(served.getCanonicalPath != crashedTmp.getCanonicalPath,
       "the orphaned temp sibling must never be promoted")
   }
+
+  test("TWO PROCESSES racing one key both serve one complete artifact " +
+      "— no torn read, no promoted intermediate") {
+    // The per-key monitor serializes builders within one JVM only; two
+    // JVMs (driver + BiServe, or concurrent benches) CAN double-build
+    // the same key. The temp-sibling + atomic-publish protocol must
+    // then hand both processes one complete artifact: the first
+    // complete publish wins, the loser discards its own build and
+    // serves the winner's, and neither ever observes the torn
+    // mid-build payload either build stages. (The BiServeSpec
+    // own-JVM precedent: the second builder is a real process.)
+    val tag = freshTag()
+    // the child: a second JVM with this test JVM's classpath and
+    // module options, resolving the same key with a 4-second
+    // deliberately-torn two-step build
+    val jvmOpts = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+      .toArray(Array.empty[String])
+      .filter(o => o.startsWith("--add-opens") ||
+        o.startsWith("--add-exports") || o.startsWith("-Dspark."))
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ jvmOpts ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.CorpusCacheRaceChild", src, tag, "4000")
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    try {
+      // wait until the child is provably MID-BUILD: its temp sibling
+      // exists but the key dir does not
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      def childStaging() = Option(tmpRoot.listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => f.getName.startsWith("graft-ccrace-") &&
+          f.getName.contains(".build-"))
+      val deadline = System.currentTimeMillis() + 60000
+      while (!childStaging() && proc.isAlive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(childStaging(), "child never started building")
+      // race it from THIS process with its own two-step build
+      val stamp = s"parent-${ProcessHandle.current().pid()}"
+      val mine = CorpusCache.resolve(spark, src, "graft-ccrace", tag,
+          Seq("_DONE")) { d =>
+        d.mkdirs()
+        val p = new java.io.File(d, "payload").toPath
+        java.nio.file.Files.writeString(p, s"GEN $stamp START\n")
+        Thread.sleep(500)
+        java.nio.file.Files.writeString(p,
+          s"GEN $stamp START\n${"x" * 4096}\nGEN $stamp END")
+        CorpusCache.touchMarker(d, "_DONE")
+      }
+      val myPayload = java.nio.file.Files.readString(
+        new java.io.File(mine, "payload").toPath)
+      // drain the child and take its served payload
+      val lines = Iterator.continually(out.readLine())
+        .takeWhile(_ != null).toVector
+      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not exit")
+      assert(proc.exitValue() == 0,
+        s"child failed:\n${lines.takeRight(25).mkString("\n")}")
+      val childPayload = lines.collectFirst {
+        case l if l.contains("CCRACE_SERVED=") =>
+          l.substring(l.indexOf("CCRACE_SERVED=") + 14).replace("\\n", "\n")
+      }.getOrElse(fail("child printed no served payload"))
+      // no torn read: both payloads are a COMPLETE generation of ONE
+      // builder (same stamp start to end), and both processes serve
+      // the SAME artifact
+      def completeGen(p: String): Boolean = {
+        val m = "(?s)GEN (\\S+) START\n.*\nGEN (\\S+) END".r
+        p match { case m(a, b) => a == b; case _ => false }
+      }
+      assert(completeGen(myPayload),
+        s"parent served a torn payload: ${myPayload.take(80)}…")
+      assert(completeGen(childPayload),
+        s"child served a torn payload: ${childPayload.take(80)}…")
+      assert(myPayload == childPayload,
+        "the two processes served different artifacts for one key")
+    } finally {
+      proc.destroyForcibly()
+      out.close()
+    }
+  }
 }

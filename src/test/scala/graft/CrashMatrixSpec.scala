@@ -338,4 +338,282 @@ class CrashMatrixSpec extends SparkSpec {
         .select($"doc_id").as[Long].collect().toSet
     }
   }
+
+  // ------------------------------------------------- DirSwap-site matrix --
+  //
+  // Every two-phase directory install in the repo, killed at every
+  // crash window, asserting converge-on-retry. Coverage of the full
+  // DirSwap user list:
+  //
+  // | site (tag)                                   | covered by            |
+  // |----------------------------------------------|-----------------------|
+  // | change-table retention rewrite ("retain")    | dirSwapMatrix below   |
+  // | document-sink compaction ("compact")         | dirSwapMatrix below   |
+  // | vector-index retrain ("vecidx")              | dirSwapMatrix below   |
+  // | postings compaction ("postings")             | dirSwapMatrix below   |
+  // | postings append df fold ("postingsdf")       | append matrix below   |
+  // | z-order rebuild ("zorder")                   | dirSwapMatrix below   |
+  // | materialized-view refresh (dyn. overwrite)   | mview test below      |
+  // | CorpusCache publish (atomic rename)          | cache test below      |
+  // | streaming merge/SCD2 state ("merge")         | kill-at-every-batch   |
+  // |                                              | above + torn-swap     |
+  // |                                              | restore specs         |
+  // | agg-view view/state/log ("aggview*")         | both-window matrix    |
+  // |                                              | above + AggViewSpec   |
+
+  /** Kill one DirSwap-installing maintenance op at every swap window;
+    * the retried op must converge to the never-crashed truth.
+    * `mkSite(root)` stages a fresh fixture, returning the op and a
+    * canonical read-back. */
+  private def dirSwapMatrix[T](site: String, tag: String)
+      (mkSite: String => (() => Unit, () => T)): Unit = {
+    val windows = Seq("beforeInstall", "afterMoveAside", "beforeBakDrop")
+    val (op0, read0) = mkSite(tmpDir(s"dsm-$site-clean"))
+    op0()
+    val truth = read0()
+    for (w <- windows) {
+      val (op, read) = mkSite(tmpDir(s"dsm-$site-$w"))
+      graft.streaming.DirSwap.failpoint = Some((tag, w))
+      try {
+        val e = intercept[Exception] { op() }
+        assert(msgs(e).exists(_.contains("graft failpoint")),
+          s"$site/$w: op failed for another reason: ${msgs(e)}")
+      } finally graft.streaming.DirSwap.failpoint = None
+      op() // the converging retry
+      assert(read() == truth, s"$site/$w: retry did not converge")
+    }
+  }
+
+  private def changePages(n: Int) = {
+    val feed = Tables.events(spark, sf).select(
+      col("user_id").as("entity_id"),
+      col("event_id").as("change_version"),
+      element_at(array(lit("I"), lit("U"), lit("D")),
+        (col("event_id") % 3 + 1).cast("int")).as("change_operation"))
+    (0 until n).map { i =>
+      feed.filter(col("change_version") > i * 200L &&
+        col("change_version") <= (i + 1) * 200L)
+    }
+  }
+
+  test("DirSwap matrix: change-table retention rewrite converges " +
+      "from a kill at every swap window") {
+    dirSwapMatrix[Set[(Long, Long, String)]]("retain", "retain") { root =>
+      val changeDir = s"$root/chg"
+      changePages(5).foreach(_.write.mode("append").parquet(changeDir))
+      (() => graft.cdc.Maintenance.maintainChangeTable(spark, changeDir,
+        watermark = 200L, compactUpTo = 600L, nFiles = 4),
+       () => spark.read.parquet(changeDir)
+        .select($"entity_id", $"change_version", $"change_operation")
+        .as[(Long, Long, String)].collect().toSet)
+    }
+  }
+
+  test("DirSwap matrix: document-sink compaction converges from a " +
+      "kill at every swap window") {
+    dirSwapMatrix[Set[(Long, Long)]]("sink", "compact") { root =>
+      val sinkDir = s"$root/sink"; val errDir = s"$root/err"
+      changePages(3).foreach { p =>
+        graft.sinks.DocumentSink.writeVersioned(
+          p.select(col("entity_id").as("invoice_id"),
+            concat(lit("INV-"), lpad(col("entity_id").cast("string"),
+              9, "0")).as("invoice_number"),
+            col("change_version")),
+          sinkDir, errDir)
+      }
+      (() => graft.sinks.DocumentSink.compact(spark, sinkDir),
+       () => graft.sinks.DocumentSink.deduplicated(spark, sinkDir)
+        .select($"invoice_id", $"change_version")
+        .as[(Long, Long)].collect().toSet)
+    }
+  }
+
+  test("DirSwap matrix: vector-index retrain converges from a kill " +
+      "at every swap window") {
+    // float retrain is summation-order-dependent, so the read-back is
+    // the layout's structural invariants (codes, ids, codebook shape,
+    // a served probe's row count), not float-exact contents
+    dirSwapMatrix[(Long, Long, Long, Long)]("vecidx", "vecidx") { root =>
+      val embDir = s"$root/emb"
+      Tables.embeddings(spark, sf).limit(256)
+        .write.mode("overwrite").parquet(embDir)
+      val vi = graft.cdc.Maintenance.VectorIndex(embDir, s"$root/layout")
+      graft.cdc.Maintenance.maintainVectorIndex(spark, vi) // initial build
+      (() => graft.cdc.Maintenance.maintainVectorIndex(spark, vi),
+       () => {
+        val emb = spark.read.parquet(embDir)
+        val cb = spark.read.parquet(s"$root/layout/_codebook")
+        val codes = spark.read.parquet(s"$root/layout")
+        val served = graft.llm.Pq.ivfPqTopK(emb, s"$root/layout", cb,
+          "vec_id", "embedding", queryId = emb.select(min($"vec_id"))
+            .head.getLong(0), k = 5, m = 8, dims = 64, ks = 16,
+          planes = 6, probeHamming = 3, overfetch = 6)
+        (codes.count(), codes.select($"vec_id").distinct().count(),
+          cb.count(), served.count())
+      })
+    }
+  }
+
+  test("DirSwap matrix: postings compaction converges from a kill at " +
+      "every swap window") {
+    val docs = Tables.documents(spark, sf)
+    dirSwapMatrix[(Set[(String, Long, Long)], Long)](
+        "postings", "postings") { root =>
+      val idx = s"$root/idx"
+      graft.llm.SimSearch.buildPostingsIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", idx)
+      graft.llm.SimSearch.appendPostingsIndex(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", idx)
+      (() => graft.llm.SimSearch.compactPostingsIndex(spark, idx),
+       () => (spark.read.parquet(s"$idx/postings")
+          .select($"term", $"doc_id", $"tf")
+          .as[(String, Long, Long)].collect().toSet,
+        spark.read.parquet(s"$idx/df")
+          .agg(sum($"df")).head.getLong(0)))
+    }
+  }
+
+  test("DirSwap matrix: z-order rebuild converges from a kill at " +
+      "every swap window") {
+    import graft.ops.ZOrder
+    val pages = changePages(2).map(_.toDF())
+    val dims = Seq(ZOrder.Dim("entity_id", 0L, 1000L),
+      ZOrder.Dim("change_version", 0L, 1000L))
+    dirSwapMatrix[Set[(Long, Long)]]("zorder", "zorder") { root =>
+      val zdir = s"$root/layout"
+      ZOrder.layoutN(pages(0), zdir, dims, 2)
+      ZOrder.appendN(pages(1), zdir, dims, 2)
+      (() => ZOrder.rebuild(spark, zdir, dims, 2),
+       () => spark.read.parquet(zdir)
+        .select($"entity_id", $"change_version")
+        .as[(Long, Long)].collect().toSet)
+    }
+  }
+
+  test("postings append: a kill at every commit window (and in the " +
+      "publish gap) neither loses nor double-counts the batch") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def readAll(idx: String) = (
+      spark.read.parquet(s"$idx/postings")
+        .select($"term", $"doc_id", $"tf")
+        .as[(String, Long, Long)].collect().toSet,
+      spark.read.parquet(s"$idx/df").filter(!$"term".isNull)
+        .select($"term", $"df").as[(String, Long)].collect().toSet,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(idx, "df", "_N"))).trim.toLong)
+    // truth: one clean append
+    val clean = tmpDir("dsm-papp-clean") + "/idx"
+    graft.llm.SimSearch.buildPostingsIndex(base, "doc_id", "text", clean)
+    graft.llm.SimSearch.appendPostingsIndex(batch, "doc_id", "text", clean)
+    val truth = readAll(clean)
+    for (w <- Seq("beforeInstall", "afterMoveAside", "beforeBakDrop")) {
+      val idx = tmpDir(s"dsm-papp-$w") + "/idx"
+      graft.llm.SimSearch.buildPostingsIndex(base, "doc_id", "text", idx)
+      graft.streaming.DirSwap.failpoint = Some(("postingsdf", w))
+      try {
+        val e = intercept[Exception] {
+          graft.llm.SimSearch.appendPostingsIndex(
+            batch, "doc_id", "text", idx)
+        }
+        assert(msgs(e).exists(_.contains("graft failpoint")),
+          s"papp/$w: failed for another reason: ${msgs(e)}")
+      } finally graft.streaming.DirSwap.failpoint = None
+      // beforeBakDrop leaves the commit LIVE but unpublished — the
+      // exact df-counts-rows-the-read-misses window; serving must
+      // self-heal it before scoring (recoverPendingPostings)
+      if (w == "beforeBakDrop") {
+        val healed = graft.llm.SimSearch.hybridTopKIndexed(
+          Tables.embeddings(spark, sf), idx, "doc_id", "vec_id",
+          "embedding", Seq("spark", "join", "window"), 0L, 20)
+          .collect().map(_.toSeq).toSeq
+        val truthServe = graft.llm.SimSearch.hybridTopKIndexed(
+          Tables.embeddings(spark, sf), clean, "doc_id", "vec_id",
+          "embedding", Seq("spark", "join", "window"), 0L, 20)
+          .collect().map(_.toSeq).toSeq
+        assert(healed == truthServe,
+          "serving over the commit-live/unpublished window diverged")
+      }
+      // the converging retry — and a THIRD call must be a no-op
+      // (the double-count hazard the protocol exists for)
+      graft.llm.SimSearch.appendPostingsIndex(batch, "doc_id", "text", idx)
+      assert(readAll(idx) == truth, s"papp/$w: retry did not converge")
+      graft.llm.SimSearch.appendPostingsIndex(batch, "doc_id", "text", idx)
+      assert(readAll(idx) == truth,
+        s"papp/$w: an already-applied retry re-folded the batch")
+    }
+  }
+
+  test("materialized-view refresh: a kill between the partition " +
+      "overwrite and the stale-bucket delete converges on retry") {
+    import graft.ops.MaterializedView
+    // stage a mutable corpus copy: the stale window needs a bucket
+    // whose every invoice disappears
+    val root = tmpDir("dsm-mview")
+    val corpus = s"$root/corpus"
+    for (t <- Seq("orders", "lineitem"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$corpus/$t.parquet")
+    val mv = new MaterializedView(spark, corpus, s"$root/view", nBuckets = 16)
+    mv.build()
+    val bucket0 = spark.read.parquet(s"$corpus/orders.parquet")
+      .filter($"o_orderkey" % 16 === 0)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    assert(bucket0.nonEmpty, "fixture needs invoices in bucket 0")
+    // delete every bucket-0 invoice at the source
+    val kept = spark.read.parquet(s"$corpus/orders.parquet")
+      .filter($"o_orderkey" % 16 =!= 0).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$corpus/orders.parquet")
+    MaterializedView.failAfterOverwrite = true
+    try {
+      val e = intercept[Exception] { mv.refresh(bucket0) }
+      assert(msgs(e).exists(_.contains("graft failpoint")), msgs(e))
+    } finally MaterializedView.failAfterOverwrite = false
+    // torn state: bucket 0 still serves the deleted invoices
+    assert(mv.read().filter($"invoice_id" % 16 === 0).count() > 0,
+      "fixture did not reach the stale window")
+    mv.refresh(bucket0) // the converging retry
+    assert(mv.read().filter($"invoice_id" % 16 === 0).count() == 0,
+      "retry did not delete the emptied bucket")
+    // the flat view is the orders⋈lineitem join — an order with no
+    // lines never appears in it
+    val expect = spark.read.parquet(s"$corpus/orders.parquet")
+      .join(spark.read.parquet(s"$corpus/lineitem.parquet"),
+        $"o_orderkey" === $"l_orderkey", "left_semi").count()
+    assert(mv.read().select($"invoice_id").distinct().count() == expect,
+      "converged view diverged from the source")
+  }
+
+  test("CorpusCache: a kill after a complete build, before the " +
+      "publish rename, rebuilds cleanly and never serves the orphan") {
+    import graft.llm.CorpusCache
+    val src = tmpDir("dsm-cc") + "/src.parquet"
+    spark.range(100).write.mode("overwrite").parquet(src)
+    val tag = s"crash-${System.nanoTime()}"
+    var builds = 0
+    def resolveOnce() = CorpusCache.resolve(spark, src, "graft-cctest",
+        tag, Seq("_DONE")) { dir =>
+      builds += 1
+      dir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(dir, "payload").toPath,
+        s"gen-$builds".getBytes)
+      CorpusCache.touchMarker(dir, "_DONE")
+    }
+    CorpusCache.failBeforePublish = true
+    try {
+      val e = intercept[Exception] { resolveOnce() }
+      assert(msgs(e).exists(_.contains("beforePublish")), msgs(e))
+    } finally CorpusCache.failBeforePublish = false
+    val dir = resolveOnce()
+    assert(builds == 2, s"the crashed build's orphan must not be " +
+      s"served as the key — expected a rebuild, got $builds build(s)")
+    assert(new java.io.File(dir, "_DONE").exists() &&
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "payload").toPath)) == "gen-2",
+      "served artifact is not the completed rebuild")
+    assert(resolveOnce() == dir, "steady-state resolve must serve, not build")
+    assert(builds == 2, "steady-state resolve re-built")
+  }
 }
