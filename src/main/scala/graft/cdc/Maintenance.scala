@@ -134,6 +134,11 @@ object Maintenance {
         vi.m, vi.dims, vi.planes, tmp)
       cb.write.mode("overwrite")
         .parquet(tmp.stripSuffix("/") + "/_codebook")
+      // the retrain re-encodes the FULL current corpus, superseding
+      // every prior incremental append — mint a fresh append
+      // generation (atomic with the layout swap) so staged appends of
+      // the old layout are swept, never replayed into this one
+      graft.streaming.StagedAppend.mintGeneration(tmp)
     }
   }
 

@@ -224,11 +224,23 @@ object Pq {
                   cb: DataFrame, m: Int, dims: Int, planes: Int,
                   path: String): Unit = {
     graft.functions.VectorFunctions.register(batch.sparkSession)
-    batch.select(col(idCol),
-        SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"))
-      .join(encode(batch, idCol, vecCol, cb, m, dims), Seq(idCol))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // staged append (round 9) — retry-idempotent; generation-scoped:
+    // the periodic retrain ([[graft.cdc.Maintenance
+    // .maintainVectorIndex]]) re-encodes the FULL current corpus and
+    // mints a fresh _APPGEN, which orphans (and sweeps) any staged
+    // appends of the superseded layout instead of replaying them
+    graft.streaming.StagedAppend.contentTag(
+        batch.select(col(idCol), col(vecCol))).foreach { tag =>
+      graft.streaming.StagedAppend.append(
+          batch.sparkSession, path, tag) { pending =>
+        batch.select(col(idCol),
+            SimSearch.hyperplaneSignature(col(vecCol), planes)
+              .as("bucket"))
+          .join(encode(batch, idCol, vecCol, cb, m, dims), Seq(idCol))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(pending)
+      }
+    }
   }
 
   /** Codebook of a serving index directory: the `_codebook` subdir a

@@ -157,10 +157,19 @@ object SimSearch {
   def appendBucketed(batch: DataFrame, idCol: String, vecCol: String,
                      planes: Int, path: String): Unit = {
     VectorFunctions.register(batch.sparkSession)
-    batch.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), planes).as("bucket"))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // staged append (round 9): a crashed ingest retried must not land
+    // the batch's vectors twice — duplicate ids would surface twice
+    // in a probe's top-k
+    graft.streaming.StagedAppend.contentTag(
+        batch.select(col(idCol), col(vecCol))).foreach { tag =>
+      graft.streaming.StagedAppend.append(
+          batch.sparkSession, path, tag) { pending =>
+        batch.select(col(idCol), col(vecCol),
+          hyperplaneSignature(col(vecCol), planes).as("bucket"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(pending)
+      }
+    }
   }
 
   /** All bucket signatures within `probeHamming` bits of `qbucket` —
@@ -461,7 +470,15 @@ object SimSearch {
     * ([[recoverPendingPostings]]) so the df a query joins never
     * counts rows its bucket read cannot see. An UNapplied pending
     * dir is an uncommitted stage — ignored by readers, overwritten
-    * by the retry. CrashMatrixSpec kills every window. */
+    * by the retry. CrashMatrixSpec kills every window.
+    *
+    * Writer contract: ONE maintainer per index, the same single-writer
+    * contract as every state maintainer here (the CDC consumer model —
+    * ingest is a consumer of the document feed, serialized by its
+    * cursor); concurrent readers are always safe. Two DIFFERENT
+    * batches folded concurrently would race the df swap — that is an
+    * ops error, not a crash mode, and the feed's exactly-once cursor
+    * prevents it upstream. */
   def appendPostingsIndex(batch: DataFrame, docIdCol: String,
                           textCol: String, path: String): Unit = {
     val spark = batch.sparkSession

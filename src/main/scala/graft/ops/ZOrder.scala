@@ -175,12 +175,23 @@ object ZOrder {
     * [[prunedScanN]] treats files the index doesn't know as hot. */
   def appendN(batch: DataFrame, path: String, dims: Seq[Dim],
               files: Int): Unit = {
-    batch.withColumn("__z", zOf(dims))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("append").parquet(path)
     val spark = batch.sparkSession
+    // RETRY-IDEMPOTENT (round 9): a crashed append retried must not
+    // land the batch's rows twice — the staged-append protocol
+    // (stage → ledger commit → per-file atomic publish) makes the
+    // whole ingest a pure function of the batch content. The stats
+    // index refresh below is already idempotent (it indexes exactly
+    // the files the listing has that the index lacks) and
+    // crash-safe (unknown files are treated hot by prunedScanN).
+    graft.streaming.StagedAppend.contentTag(batch).foreach { tag =>
+      graft.streaming.StagedAppend.append(spark, path, tag) { pending =>
+        batch.withColumn("__z", zOf(dims))
+          .repartitionByRange(files, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(pending)
+      }
+    }
     val known = readStatsLines(spark, path)
       .map(_.takeWhile(_ != '\t')).toSet
     val newFiles = listDataFiles(spark, path).filterNot(known)
@@ -204,10 +215,17 @@ object ZOrder {
     * drifted bounds tighten: pass the CURRENT min/max so edge-clamped
     * appends re-spread over the full curve. */
   def rebuild(spark: SparkSession, path: String, dims: Seq[Dim],
-              files: Int): Unit =
+              files: Int): Unit = {
+    // publish any committed-but-unpublished staged append first — the
+    // fold reads the layout, and committed rows must be inside it.
+    // The fold PRESERVES rows (no supersession), so the append ledger
+    // and generation carry across: a late retry of an already-folded
+    // batch still finds its ledger entry and skips.
+    graft.streaming.StagedAppend.recover(spark, path)
     graft.streaming.DirSwap.install(spark, path, "zorder") { tmp =>
       layoutN(spark.read.parquet(path), tmp, dims, files)
     }
+  }
 
   private def fsOf(spark: SparkSession,
                    path: String): org.apache.hadoop.fs.FileSystem =

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retry-idempotent STAGED APPEND for the file-append ingest layouts
+  * (z-order [[graft.ops.ZOrder.appendN]], the bucketed vector layout
+  * [[graft.llm.SimSearch.appendBucketed]], the IVF-PQ incremental
+  * encode [[graft.llm.Pq.appendIvfPq]]). A naive partitioned
+  * `mode=append` retried after a crash lands the batch's rows twice —
+  * the same double-count hole the round-9 crash matrix surfaced in
+  * the postings append. Protocol, keyed by a content-derived batch
+  * tag scoped to the layout's GENERATION:
+  *
+  *  1. STAGE — the batch writes (mode=overwrite, idempotent) into a
+  *     sibling `<layout>.pending-<gen>-<tag>` dir with the target's
+  *     internal structure (flat files or `bucket=K/` subdirs).
+  *  2. COMMIT — the tag is appended to the ledger, a one-file
+  *     DirSwap-managed sibling dir (`<layout>.applied`): atomic, and
+  *     a committed tag is never re-staged.
+  *  3. PUBLISH — every staged data file moves into the layout under
+  *     a tag-prefixed name, one atomic rename per file; moves remove
+  *     their source, so a crashed publish resumes with exactly the
+  *     files still staged. The pending dir drops last.
+  *
+  * A crash anywhere converges on retry of the same batch (same
+  * content ⇒ same tag ⇒ the committed ledger decides whether to
+  * re-fold); a third call is a no-op. [[recover]] publishes any
+  * committed-but-unpublished stage and is run by every appender
+  * first, so maintenance folds ([[graft.ops.ZOrder.rebuild]]) see
+  * every committed row.
+  *
+  * GENERATIONS: a maintenance rebuild that SUPERSEDES prior appends
+  * (the IVF-PQ retrain — it re-encodes the full current corpus, so
+  * committed-but-unpublished appends must NOT be replayed into the
+  * new layout) mints a fresh generation id ([[mintGeneration]],
+  * `_APPGEN` inside the swapped-in layout). Pending dirs and ledger
+  * entries carry the generation; [[recover]] publishes only
+  * current-generation stages and SWEEPS orphans from superseded
+  * generations. Folding rebuilds (z-order — rows are preserved, not
+  * re-derived) keep the generation, so a late retry of an
+  * already-folded batch still finds its ledger entry and skips.
+  *
+  * Writer contract (same as every maintainer here): ONE ingest
+  * maintainer per layout, serialized with its maintenance window by
+  * the feed's consumer cursor; concurrent readers always safe. */
+private[graft] object StagedAppend {
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ledgerDir(path: String): String =
+    path.stripSuffix("/") + ".applied"
+
+  private def readAll(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Content fingerprint of the batch: bit_xor of per-row hashes over
+    * ALL columns + the row count — a pure function of the rows, so a
+    * crashed call retried with the same batch resumes its own
+    * protocol state. None for an empty batch (appending nothing). */
+  def contentTag(batch: DataFrame): Option[String] = {
+    val r = batch.agg(expr("bit_xor(xxhash64(struct(*)))"),
+      count(lit(1))).head
+    if (r.isNullAt(0) || r.getLong(1) == 0L) None
+    else Some(f"${r.getLong(0)}%016x-${r.getLong(1)}")
+  }
+
+  /** The layout's append generation: `_APPGEN` inside the layout dir,
+    * or "g0" for layouts that never superseded their appends. */
+  def generation(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path.stripSuffix("/") + "/_APPGEN")
+    if (fs.exists(p)) readAll(fs, p).trim else "g0"
+  }
+
+  /** Write a fresh `_APPGEN` into a layout directory being built —
+    * call INSIDE the DirSwap install lambda of a superseding rebuild
+    * so the generation swaps in atomically with the new layout. */
+  def mintGeneration(dir: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.stripSuffix("/"), "_APPGEN"),
+      java.util.UUID.randomUUID().toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+
+  def appliedTags(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val p = new Path(ledgerDir(path) + "/tags")
+    if (!fs.exists(p)) return Seq.empty
+    readAll(fs, p).linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** The staged append: stage on a ledger miss, commit, publish.
+    * `writeBatch(pendingDir)` must write the batch with
+    * mode=overwrite in the layout's internal structure. */
+  def append(spark: SparkSession, path: String, batchTag: String)
+            (writeBatch: String => Unit): Unit = {
+    recover(spark, path)
+    val gen = generation(spark, path)
+    val fullTag = s"$gen-$batchTag"
+    val pending = path.stripSuffix("/") + s".pending-$fullTag"
+    val fs = fsOf(spark, path)
+    val committed = appliedTags(spark, path).contains(fullTag)
+    if (committed && !fs.exists(new Path(pending))) return
+    if (!committed) {
+      writeBatch(pending)
+      val tags = appliedTags(spark, path) :+ fullTag
+      DirSwap.install(spark, ledgerDir(path), "appledger") { tmp =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "tags"),
+          tags.mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    publish(spark, path, fullTag)
+  }
+
+  /** Move every staged data file of `pending-<fullTag>` into the
+    * layout under a tag-prefixed name; resumable (each rename removes
+    * its source), pending dir dropped last. */
+  private def publish(spark: SparkSession, path: String,
+                      fullTag: String): Unit = {
+    val fs = fsOf(spark, path)
+    val pending = new Path(path.stripSuffix("/") + s".pending-$fullTag")
+    if (!fs.exists(pending)) return
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.startsWith("_") && !name.startsWith("."))
+            walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        } else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val targetDir = new Path(
+            if (rel.isEmpty) path else s"${path.stripSuffix("/")}/$rel")
+          fs.mkdirs(targetDir)
+          val dst = new Path(targetDir, s"$fullTag-$name")
+          if (fs.exists(dst)) fs.delete(st.getPath, false)
+          else if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"graft staged append: cannot publish ${st.getPath} -> $dst")
+        }
+      }
+    walk(pending, "")
+    fs.delete(pending, true)
+  }
+
+  /** Publish every committed-but-unpublished stage of the CURRENT
+    * generation; sweep stages of superseded generations (their rows
+    * were re-derived by the rebuild that minted the new generation).
+    * Uncommitted current-generation stages are left for their
+    * appender's retry. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    // a commit crash can leave the ledger swap torn — heal before
+    // any tag lookup (bak holds the only copy in that window)
+    DirSwap.restoreIfTorn(spark, ledgerDir(path), "appledger")
+    val fs = fsOf(spark, path)
+    val p = new Path(path.stripSuffix("/"))
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = p.getName + ".pending-"
+    val pendings = fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    if (pendings.isEmpty) return
+    val gen = generation(spark, path)
+    val applied = appliedTags(spark, path).toSet
+    pendings.foreach { st =>
+      val fullTag = st.getPath.getName.stripPrefix(prefix)
+      if (!fullTag.startsWith(s"$gen-"))
+        fs.delete(st.getPath, true) // superseded generation — sweep
+      else if (applied(fullTag)) publish(spark, path, fullTag)
+    }
+  }
+}

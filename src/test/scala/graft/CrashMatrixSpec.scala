@@ -353,6 +353,8 @@ class CrashMatrixSpec extends SparkSpec {
   // | postings compaction ("postings")             | dirSwapMatrix below   |
   // | postings append df fold ("postingsdf")       | append matrix below   |
   // | z-order rebuild ("zorder")                   | dirSwapMatrix below   |
+  // | staged-append ledger commit ("appledger":    | staged-append tests   |
+  // |   z-order / bucketed-vector / IVF-PQ ingest) | below                 |
   // | materialized-view refresh (dyn. overwrite)   | mview test below      |
   // | CorpusCache publish (atomic rename)          | cache test below      |
   // | streaming merge/SCD2 state ("merge")         | kill-at-every-batch   |
@@ -543,6 +545,81 @@ class CrashMatrixSpec extends SparkSpec {
       assert(readAll(idx) == truth,
         s"papp/$w: an already-applied retry re-folded the batch")
     }
+  }
+
+  test("staged append (bucketed vector layout): a kill at every " +
+      "protocol window neither loses nor double-ingests the batch") {
+    import graft.llm.SimSearch
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    def ids(path: String) = spark.read.parquet(path)
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    def idsWithDups(path: String) = spark.read.parquet(path)
+      .select($"vec_id").as[Long].collect().length
+    // truth: one clean build + append
+    val clean = tmpDir("sa-clean") + "/layout"
+    SimSearch.writeBucketed(base, "vec_id", "embedding", 4, clean)
+    SimSearch.appendBucketed(batch, "vec_id", "embedding", 4, clean)
+    val truth = ids(clean)
+    assert(truth.distinct == truth, "clean fixture already has dups")
+    // the three ledger-commit windows: post-stage/pre-commit,
+    // torn-ledger, committed/unpublished
+    for (w <- Seq("beforeInstall", "afterMoveAside", "beforeBakDrop")) {
+      val layout = tmpDir(s"sa-$w") + "/layout"
+      SimSearch.writeBucketed(base, "vec_id", "embedding", 4, layout)
+      graft.streaming.DirSwap.failpoint = Some(("appledger", w))
+      try {
+        val e = intercept[Exception] {
+          SimSearch.appendBucketed(batch, "vec_id", "embedding", 4, layout)
+        }
+        assert(msgs(e).exists(_.contains("graft failpoint")),
+          s"sa/$w: failed for another reason: ${msgs(e)}")
+      } finally graft.streaming.DirSwap.failpoint = None
+      SimSearch.appendBucketed(batch, "vec_id", "embedding", 4, layout)
+      assert(ids(layout) == truth, s"sa/$w: retry did not converge")
+      // an already-applied retry must be a no-op — the double-count
+      // hazard the ledger exists for
+      SimSearch.appendBucketed(batch, "vec_id", "embedding", 4, layout)
+      assert(idsWithDups(layout) == truth.size,
+        s"sa/$w: an already-applied retry re-ingested the batch")
+    }
+  }
+
+  test("staged append generations: the IVF-PQ retrain supersedes a " +
+      "committed-but-unpublished append instead of replaying it") {
+    import graft.cdc.Maintenance
+    val root = tmpDir("sa-gen")
+    val embDir = s"$root/emb"
+    Tables.embeddings(spark, sf).limit(200)
+      .write.mode("overwrite").parquet(embDir)
+    val vi = Maintenance.VectorIndex(embDir, s"$root/layout")
+    Maintenance.maintainVectorIndex(spark, vi) // initial build (mints gen)
+    val corpus = spark.read.parquet(embDir)
+    val batch = corpus.filter($"vec_id" % 7 === 3)
+    val cb = graft.llm.Pq.indexCodebook(spark, vi.layoutPath)
+    // commit the append but crash before publish
+    graft.streaming.DirSwap.failpoint = Some(("appledger", "beforeBakDrop"))
+    try intercept[Exception] {
+      graft.llm.Pq.appendIvfPq(batch, "vec_id", "embedding", cb,
+        8, 64, 6, vi.layoutPath)
+    } finally graft.streaming.DirSwap.failpoint = None
+    // maintenance retrains from the FULL corpus (which contains the
+    // batch's vectors) and mints a fresh generation
+    Maintenance.maintainVectorIndex(spark, vi)
+    // the next append runs recover first — the superseded pending
+    // must be SWEPT, not replayed into the new layout
+    graft.streaming.StagedAppend.recover(spark, vi.layoutPath)
+    val served = spark.read.parquet(vi.layoutPath)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(served.distinct.size == served.size,
+      "a superseded staged append was replayed into the new layout")
+    assert(served.size == corpus.count(),
+      "the retrained layout must hold exactly the corpus")
+    val stale = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("layout.pending-"))
+    assert(stale.isEmpty, "superseded pending dirs must be swept")
   }
 
   test("materialized-view refresh: a kill between the partition " +
