@@ -64,11 +64,10 @@ object Bench {
     // ~14 KB and the driver keeps only the tail of stdout, which
     // truncated two-thirds of the round-7 evidence ("parsed": null in
     // BENCH_r07.json). Stdout carries a short, always-parseable summary
-    // line pointing at the file. The default path is NOT gitignored
-    // (unlike target/), so a driver-invoked run leaves the full maps as
-    // an uncommitted file the round-end auto-commit picks up — every
-    // per-query number stays auditable from the repo; per-round copies
-    // live under bench/BENCH_FULL_r{N}_*.json via SPARK_GRAFT_BENCH_OUT.
+    // line pointing at the file. The default path is gitignored (it is
+    // rewritten by every driver-invoked run, which kept the tree dirty);
+    // the audited per-query evidence is the per-round copies committed
+    // under bench/BENCH_FULL_r{N}_*.json via SPARK_GRAFT_BENCH_OUT.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm2":${js(warm2)},"warm2_total":$warmTotal,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(

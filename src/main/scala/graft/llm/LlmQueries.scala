@@ -1355,9 +1355,15 @@ object LlmQueries {
     * embeddings have no near-dup pair at any SF (max natural cosine
     * 0.60 — measured over sf0.001/0.01/0.1), so a graph thresholded at
     * 0.95 over the raw corpus is empty and a declared query over it
-    * certifies nothing (the round-7 `weak`). The staged corpus plants
-    * one exact clone of every 10th vector (id + 1e7 — far above any
-    * testdata id), giving the thresholded graph a known, fully
+    * certifies nothing (the round-7 `weak`). The staged corpus first
+    * collapses byte-identical natural vectors to their min-id
+    * representative (a no-op on the driver testdata; essential on
+    * key-shifted scale-probe copies, which carry N byte-identical
+    * copies of every vector), then plants one exact clone of every
+    * 10th representative (id + 1e12 — far above any testdata id AND
+    * any scale-probe id ~1e9; the round-8 offset of 1e7 collided
+    * there, caught by the staging assert below), giving the
+    * thresholded graph a known, fully
     * deterministic structure: [[SimSearch.knnGraph]]'s exact-clone
     * collapse emits clone-mate edges at cos 1e6 BY IDENTITY (never by
     * LSH luck), and no natural pair can cross 0.95 — so the clusters
@@ -1366,32 +1372,45 @@ object LlmQueries {
     * per corpus identity, served thereafter. */
   private def knnGraphPlantedDir(s: SparkSession, d: String) =
     CorpusCache.resolve(s, s"$d/embeddings.parquet",
-        "graft-knng", "knng-planted-v1|k5-pauto-h2-r3|mod10-off1e7",
+        "graft-knng", "knng-planted-v3|k5-pauto-h2-r3|mod10-off1e12-declone",
         Seq("_SUCCESS")) { tmp =>
-      val base = Tables.embeddings(s, d)
+      // De-clone the base to the min-id representative per DISTINCT
+      // embedding before planting: byte-identical natural vectors would
+      // otherwise co-cluster with the planted pairs and break the
+      // closed-form membership. A no-op on the driver testdata (no SF
+      // carries a duplicate embedding — the oracle SQL replays the same
+      // min-id GROUP BY, so the two sides collapse identically), but it
+      // makes the staged corpus well-defined on corpora that DO carry
+      // exact clones, e.g. the key-shifted scale-probe copies (10
+      // byte-identical copies of every vector — the r8 sf1 sweep
+      // silently benched that contract violation; caught by the asserts
+      // below in r9).
+      val rep = Tables.embeddings(s, d)
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id", "embedding")
       // STAGING ASSERTS (round-8 ADVICE): the clusters oracle
       // hard-codes membership from the vec_id % 10 seeds, resting on
-      // two corpus assumptions measured only at sf0.001-0.1. Check
-      // them HERE so a violating future corpus fails with a clear
-      // staging error instead of an opaque oracle mismatch.
-      val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
-      require(maxId < 10000000L,
+      // corpus assumptions measured only at sf0.001-0.1. Check them
+      // HERE so a violating future corpus fails with a clear staging
+      // error instead of an opaque oracle mismatch.
+      val maxId = rep.agg(max(col("vec_id"))).head.getLong(0)
+      require(maxId < 1000000000000L,
         s"planted-clone staging: natural vec_id $maxId collides with " +
-          "the 1e7 clone offset — raise the offset and the oracle with it")
-      val planted = base.unionByName(
-        base.filter(col("vec_id") % 10 === 0)
-          .withColumn("vec_id", col("vec_id") + 10000000L))
+          "the 1e12 clone offset — raise the offset and the oracle with it")
+      val planted = rep.unionByName(
+        rep.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000000000L))
       SimSearch.knnGraph(planted, "vec_id", "embedding",
           k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
         .write.mode("overwrite").parquet(tmp.getPath)
       // every >=0.95 edge in the built graph must be a planted clone
-      // pair {v, v+1e7}: a natural near-dup pair (or natural
-      // byte-identical vectors, which the exact-clone collapse links
-      // at cos 1e6) would otherwise silently break the closed-form
-      // membership the oracle replays
+      // pair {v, v+1e12}: after the de-clone only a natural NON-identical
+      // near-dup pair could cross the threshold, and that would silently
+      // break the closed-form membership the oracle replays
       val natural = s.read.parquet(tmp.getPath)
         .filter(col("cos_e6") >= 950000L)
-        .filter(!(abs(col("src_id") - col("nbr_id")) === 10000000L &&
+        .filter(!(abs(col("src_id") - col("nbr_id")) === 1000000000000L &&
           pmod(least(col("src_id"), col("nbr_id")), lit(10)) === 0))
         .limit(1).collect()
       require(natural.isEmpty,
@@ -1409,7 +1428,7 @@ object LlmQueries {
     * once (persisted), derive clusters, survivors, and curation
     * decisions from it repeatedly. Runs over the planted-clone corpus
     * ([[knnGraphPlantedDir]]) so the declared output is non-empty and
-    * exactly predictable — every planted pair {v, v+1e7} co-clusters
+    * exactly predictable — every planted pair {v, v+1e12} co-clusters
     * at size 2 with label v — which upgrades the key from rows-only to
     * a full DuckDB-oracle row; KnnGraphSpec additionally pins the
     * clone-edge identity guarantee the oracle relies on. */
@@ -2995,11 +3014,17 @@ object LlmQueries {
       // edges exist at cos 1e6 BY IDENTITY and no natural testdata
       // pair crosses the 0.95 threshold (max measured cosine 0.60 at
       // every SF), so the thresholded components are exactly the
-      // planted pairs {v, v+1e7} labeled by their min member
-      """WITH seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0),
+      // planted pairs {v, v+1e12} labeled by their min member. The rep
+      // CTE replays the staging's exact-clone collapse (min id per
+      // distinct embedding) — a no-op on the driver testdata, but it
+      // keeps both sides identical on corpora with byte-identical
+      // natural vectors
+      """WITH rep AS (SELECT min(vec_id) AS vec_id
+        |             FROM embeddings GROUP BY embedding),
+        | seeds AS (SELECT vec_id FROM rep WHERE vec_id % 10 = 0),
         | m AS (SELECT vec_id, vec_id AS cluster_id FROM seeds
         |       UNION ALL
-        |       SELECT vec_id + 10000000, vec_id FROM seeds)
+        |       SELECT vec_id + 1000000000000, vec_id FROM seeds)
         | SELECT vec_id, cluster_id, CAST(2 AS BIGINT) AS cluster_size
         | FROM m ORDER BY vec_id""".stripMargin,
     "llm_graph_pagerank" ->

@@ -143,8 +143,8 @@ class KnnGraphSpec extends SparkSpec {
   test("declared llm_knn_graph_clusters: planted-corpus output is " +
       "exactly the clone pairs (the DuckDB-oracle contract)") {
     // round-8 non-vacuity fix: the declared query stages one exact
-    // clone per 10th vector (id + 1e7), so at EVERY driver SF its
-    // output is 2 rows per seed — {v, v+1e7} labeled v, size 2 — and
+    // clone per 10th vector (id + 1e12), so at EVERY driver SF its
+    // output is 2 rows per seed — {v, v+1e12} labeled v, size 2 — and
     // nothing else (no natural testdata pair crosses cos 0.95; max
     // measured 0.60). This replays the oracle's closed form in-process.
     val out = graft.llm.LlmQueries.queries("llm_knn_graph_clusters")(
@@ -153,7 +153,7 @@ class KnnGraphSpec extends SparkSpec {
       .filter($"vec_id" % 10 === 0).select($"vec_id")
       .as[Long].collect().sorted
     val expected = seeds.flatMap(v =>
-      Seq((v, v, 2L), (v + 10000000L, v, 2L))).sortBy(_._1)
+      Seq((v, v, 2L), (v + 1000000000000L, v, 2L))).sortBy(_._1)
     assert(out.toSeq == expected.toSeq,
       s"clusters diverged from the planted-clone closed form " +
         s"(got ${out.length} rows, expected ${expected.length})")
