@@ -158,4 +158,37 @@ class KnnGraphSpec extends SparkSpec {
       s"clusters diverged from the planted-clone closed form " +
         s"(got ${out.length} rows, expected ${expected.length})")
   }
+
+  test("planted-corpus staging de-clones byte-identical natural " +
+      "vectors (the key-shifted scale-corpus shape, round 9)") {
+    // The r8 sf1 sweep silently benched a contract violation: key-shifted
+    // probe corpora carry N byte-identical copies of every vector, which
+    // co-cluster with the planted pairs. The staging now collapses each
+    // distinct embedding to its min-id representative first; pin that ON
+    // a clone-carrying corpus (the driver testdata is clone-free, so the
+    // declared-key test above only exercises the no-op path).
+    val dir = tmpDir("graft-knng-clonecorpus")
+    val base = Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(60)
+    // natural clones: a byte-identical copy of every 7th vector under a
+    // DIFFERENT natural id (id + 5000 — same embedding, higher id, so the
+    // min-id rule must keep the original and drop the copy)
+    base.unionByName(
+        base.filter($"vec_id" % 7 === 0)
+          .withColumn("vec_id", $"vec_id" + 5000L))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.llm.LlmQueries.queries("llm_knn_graph_clusters")(
+      spark, dir).as[(Long, Long, Long)].collect()
+    // closed form over the min-id representatives: the 60 base ids
+    // survive the de-clone (every +5000 copy drops), seeds are the
+    // surviving ids % 10 == 0, and each seed clusters exactly with its
+    // planted 1e12 clone — the natural clones must contribute NOTHING
+    val repSeeds = base.select($"vec_id").as[Long].collect()
+      .filter(_ % 10 == 0).sorted
+    val expected = repSeeds.flatMap(v =>
+      Seq((v, v, 2L), (v + 1000000000000L, v, 2L))).sortBy(_._1)
+    assert(out.toSeq == expected.toSeq,
+      s"clone-carrying corpus broke the closed form (got ${out.length} " +
+        s"rows, expected ${expected.length})")
+  }
 }
