@@ -87,16 +87,54 @@ object Cluster {
   /** N2''''' — dup clusters of a corpus: connected components over the
     * MinHash-verified near-dup pairs, one row per clustered document
     * with its cluster id (min member) and cluster size. Documents with
-    * no near-dup stay out of the output (their cluster is themselves). */
+    * no near-dup stay out of the output (their cluster is themselves).
+    *
+    * Clone-heavy corpora go through [[Dedup.cloneGroups]] (round 9 —
+    * the sf5/sf10 probes measured the pair graph growing as C(m,2) per
+    * duplicated text, 15 → 57 s warm2 at 2× data): components run over
+    * the REP-level pair graph, then each clustered rep's whole clone
+    * group joins its component by membership (clone-mates are J=1.0
+    * partners of their rep, so they belong by construction — identical
+    * texts ALWAYS verify: HashUtil.shingleHashes emits ≥1 shingle for
+    * any token run), and a clone group with no rep edge is its own
+    * component (label = rep = min member, size = group width). Labels
+    * and sizes are unchanged: reps are group minima, so the component
+    * min over reps IS the min member, and sizes count members. At the
+    * driver verify SFs the gate is off and the original single-plan
+    * path runs — oracle-identical. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = Dedup.minhashNearDups(df, idCol, textCol)
-      .select("id_a", "id_b")
-    val cc = connectedComponents(pairs)
-    val sizes = cc.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "label")
-      .select(col("label").as("cluster_id"), col("id").as(idCol),
-        col("cluster_size"))
+    val (groups, mapping, hasClones) =
+      Dedup.cloneGroups(df, idCol, textCol)
+    if (!hasClones) {
+      val pairs = Dedup.minhashNearDups(df, idCol, textCol)
+        .select("id_a", "id_b")
+      val cc = connectedComponents(pairs)
+      val sizes = cc.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "label")
+        .select(col("label").as("cluster_id"), col("id").as(idCol),
+          col("cluster_size"))
+    } else {
+      val reps = df.join(groups.select(col("__rep").as(idCol)), Seq(idCol))
+        .select(col(idCol), col(textCol))
+      val repPairs = Dedup.minhashNearDups(reps, idCol, textCol)
+        .select("id_a", "id_b")
+      val cc = connectedComponents(repPairs)
+      val clustered = mapping
+        .join(cc.withColumnRenamed("id", "__rep"), "__rep")
+        .select(col("label"), col("__id"))
+      val iso = groups.filter(col("__n") > 1)
+        .join(cc.select(col("id").as("__rep")), Seq("__rep"), "left_anti")
+        .select(col("__rep"))
+      val isoMembers = mapping.join(iso, "__rep")
+        .select(col("__rep").as("label"), col("__id"))
+      val all = clustered.unionByName(isoMembers)
+      val sizes = all.groupBy("label")
+        .agg(count(lit(1)).as("cluster_size"))
+      all.join(sizes, "label")
+        .select(col("label").as("cluster_id"), col("__id").as(idCol),
+          col("cluster_size"))
+    }
   }
 
   /** PAGERANK centrality over a directed edge list — importance

@@ -171,12 +171,94 @@ object Dedup {
       .filter(col("jaccard_e4") >= minJaccardE4)
   }
 
+  /** Adaptive exact-clone grouping shared by the LINEAR-OUTPUT dedup
+    * consumers ([[minhashDedup]], [[Cluster.dupClusters]]) — the
+    * EditJoin / knnGraph precedent, motivated here by the round-9
+    * sf5/sf10 probes: a corpus with clone multiplicity m pays C(m,2)
+    * verified pairs per duplicated text in [[minhashNearDups]] (the
+    * 50/100-wide probe clone groups sit UNDER the 256 giant-bucket
+    * cap, so nothing bounds them), measured 15 → 57 s warm2 for 2×
+    * data on `llm_dedup_clusters`. Survivors and cluster rows are
+    * linear in documents, so those consumers derive their answers
+    * from the REP-level pair graph + group membership and never
+    * materialize the quadratic intermediate. The pair-emitting API
+    * itself stays uncollapsed: its output IS the pair set (intra-clone
+    * pairs are real J=1.0 near-dup pairs), and its degenerate-bucket
+    * behavior is the giant-bucket cap contract LlmSpec pins.
+    *
+    * ADAPTIVE, with a MATERIALITY threshold: the gate reads one
+    * checkpointed (id, fingerprint) projection — one corpus scan, a
+    * 24-byte-per-row shuffle — and collapses only when the clone pair
+    * mass Σ C(n_g, 2) exceeds the corpus size, i.e. when the direct
+    * path's pair graph would be superlinear in documents. Incidental
+    * duplication (sf0.1 testdata carries 8 duplicate texts in 5000 —
+    * measured when the any-clone draft of this gate fired there and
+    * put the collapse's extra join rounds on the benched path for a
+    * sub-corpus-sized pair graph) stays on the original single-plan
+    * path, as does every driver verify SF (clone-free, so oracle
+    * outputs are bit-identical). Identity is the content fingerprint,
+    * the same md5 equivalence [[exact]] already rests on. Returns
+    * (groups: __fp, __rep, __n; mapping: __id, __rep; both null below
+    * the threshold). */
+  private[llm] def cloneGroups(df: DataFrame, idCol: String,
+                               textCol: String): (DataFrame, DataFrame, Boolean) = {
+    // ONE pass over the texts: checkpoint the (id, fp) projection so the
+    // gate aggregates, the grouped table, and the membership mapping all
+    // read the 24-byte rows, never the corpus again
+    val keyed = df
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .localCheckpoint(true)
+    val probe = keyed.agg(count(lit(1)).as("n"),
+      countDistinct(col("__fp")).as("d")).head
+    if (probe.getLong(0) == probe.getLong(1)) return (null, null, false)
+    val groups = keyed.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val pairMass = groups
+      .agg(sum(col("__n") * (col("__n") - 1) / 2).cast("long")).head.getLong(0)
+    if (pairMass <= probe.getLong(0)) return (null, null, false)
+    val mapping = keyed
+      .join(groups.select(col("__fp"), col("__rep")), Seq("__fp"))
+      .select(col(idCol).as("__id"), col("__rep"))
+    (groups, mapping, true)
+  }
+
   /** N2' — the dedup *result*: drop the higher-id member of every verified
-    * near-dup pair (plus exact dups), keep the rest. */
+    * near-dup pair (plus exact dups), keep the rest.
+    *
+    * Clone-heavy corpora go through [[cloneGroups]]: verified pairs are
+    * computed over one representative per distinct text and the loser
+    * set derives group-level — a member x loses iff a VERIFIED pair
+    * would rank it second, i.e. iff the min rep adjacent to x's group
+    * is < x (every member of the adjacent group ≥ its rep pairs with x),
+    * or x is a non-rep member of a clone group (clone-mates are J=1.0
+    * partners: HashUtil.shingleHashes emits ≥1 shingle for ANY token
+    * run, even empty, so identical texts always verify). Linear in
+    * documents at any clone multiplicity; at the driver SFs the gate
+    * is off and the plan is the original one. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val losers = minhashNearDups(df, idCol, textCol)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+    val (groups, mapping, hasClones) = cloneGroups(df, idCol, textCol)
+    if (!hasClones) {
+      val losers = minhashNearDups(df, idCol, textCol)
+        .select(col("id_b").as(idCol)).distinct()
+      df.join(losers, Seq(idCol), "left_anti")
+    } else {
+      val reps = df.join(groups.select(col("__rep").as(idCol)), Seq(idCol))
+        .select(col(idCol), col(textCol))
+      val repPairs = minhashNearDups(reps, idCol, textCol)
+        .select("id_a", "id_b")
+      val minAdj = repPairs.select(col("id_a").as("__rep"), col("id_b").as("__o"))
+        .unionByName(repPairs.select(col("id_b").as("__rep"), col("id_a").as("__o")))
+        .groupBy("__rep").agg(min(col("__o")).as("__minadj"))
+      val cloned = groups.filter(col("__n") > 1)
+        .select(col("__rep"), lit(true).as("__cl"))
+      val losers = mapping.join(minAdj, Seq("__rep"), "left")
+        .join(cloned, Seq("__rep"), "left")
+        .filter((col("__minadj").isNotNull && col("__minadj") < col("__id")) ||
+          (col("__cl").isNotNull && col("__id") > col("__rep")))
+        .select(col("__id").as(idCol)).distinct()
+      df.join(losers, Seq(idCol), "left_anti")
+    }
   }
 
   // ----------------------------------------------------------- SimHash ----

@@ -95,6 +95,67 @@ class LlmSpec extends SparkSpec {
     } finally pairs.unpersist()
   }
 
+  test("N2'/N2''''' clone collapse: survivors and clusters equal the " +
+      "pairwise semantics on a clone-heavy corpus") {
+    // Round 9: minhashDedup and dupClusters derive their linear outputs
+    // from the rep-level pair graph when clones exist (the sf5/sf10
+    // probes measured C(m,2) pair growth otherwise). At sub-cap scale
+    // candidacy is IDENTICAL between the two paths (byte-identical
+    // texts have byte-identical signatures, buckets stay under the
+    // giant-bucket cap), so the collapsed outputs must EQUAL the
+    // direct pairwise derivation — including planted near-dups that
+    // cross clone groups, and a shorter-than-the-shingle clone group
+    // (HashUtil.shingleHashes emits one whole-run shingle when m < n,
+    // so even short identical texts verify at J=1e4 and collapse).
+    // 40 copies of 10 docs: pair mass 10·C(41,2) = 8200 ≫ the ~920-doc
+    // corpus, so the materiality gate fires (5 copies would sit under
+    // it and ride the direct path — by design)
+    val base = withPlants.select($"doc_id", $"text")
+    val copies = (1 to 40).map(c => base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 300000 + c * 1000).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    val shorts = spark.range(400000, 400003)
+      .select($"id".as("doc_id"), lit("zz yy").as("text"))
+    val corpus = base.unionByName(copies).unionByName(shorts).cache()
+    try {
+      // direct pairwise derivation (ground truth at this scale)
+      val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text").cache()
+      val directLosers = pairs.select("id_b").as[Long].collect().toSet
+      val directSurvivors = corpus.select("doc_id").as[Long]
+        .collect().toSet -- directLosers
+      val gotSurvivors = Dedup.minhashDedup(corpus, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotSurvivors == directSurvivors,
+        s"collapsed survivors diverged: extra=${gotSurvivors -- directSurvivors} " +
+          s"missing=${directSurvivors -- gotSurvivors}")
+      // clusters: components over the direct pair graph
+      val directCc = Cluster.connectedComponents(
+          pairs.select("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val directSizes = directCc.groupBy(_._2).map { case (l, m) => l -> m.size }
+      val got = Cluster.dupClusters(corpus, "doc_id", "text")
+        .as[(Long, Long, Long)].collect()
+      val gotMap = got.map(r => r._2 -> r._1).toMap
+      assert(gotMap == directCc,
+        s"collapsed clusters diverged (got ${gotMap.size} rows, " +
+          s"direct ${directCc.size})")
+      got.foreach { case (label, id, size) =>
+        assert(size == directSizes(label),
+          s"cluster $label size $size != direct ${directSizes(label)}")
+      }
+      // the short clone group is a genuine J=1e4 clique: min id
+      // survives, the other two lose, all three cluster at label
+      // 400000 with size 3
+      assert(gotSurvivors.contains(400000L) &&
+          !gotSurvivors.contains(400001L) && !gotSurvivors.contains(400002L),
+        "short clone group must keep exactly its min id")
+      assert(gotMap.get(400001L).contains(400000L) &&
+          gotMap.get(400002L).contains(400000L),
+        "short clones must cluster under their min id")
+      pairs.unpersist()
+    } finally corpus.unpersist()
+  }
+
   test("N2 skew: the bucket-cap window adds no extra exchange") {
     // the groupBy(band, bucket, sub) must reuse the window's
     // (band, bucket) hash partitioning. Self-baselining: compare the
