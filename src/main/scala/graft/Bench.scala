@@ -19,14 +19,24 @@ object Bench {
     // codebooks, graphs, merge tables) that deployment builds once per
     // corpus: charging a one-time build to whichever query runs first
     // measures build scheduling, not the engine (round-8 verdict #1).
+    // A warm failure must be VISIBLE in the emitted JSON (round-9
+    // ADVICE): if the artifact warm-up dies, every one-time build cost
+    // folds back into whichever query's cold timing resolves it first
+    // — the round-8 distortion — and a stderr-only note leaves sweep
+    // tooling unable to tell warmed from unwarmed cold numbers.
+    var warmFailed: Option[String] = None
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).count()
       graft.llm.LlmQueries.warmServingArtifacts(spark, sfDir)
     } catch { case e: Throwable =>
-      System.err.println(s"BENCH_WARM_FAIL: ${e.getClass.getSimpleName}: " +
-        s"${e.getMessage}")
+      warmFailed = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      System.err.println(s"BENCH_WARM_FAIL: ${warmFailed.get}")
     }
+    val warmFailedJson = warmFailed
+      .map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").take(300) + "\"")
+      .getOrElse("null")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // a broken query must not pass as a fast success: failures are
     // excluded from the per-query maps AND the totals (a 5 ms analysis
@@ -69,12 +79,12 @@ object Bench {
     // the audited per-query evidence is the per-round copies committed
     // under bench/BENCH_FULL_r{N}_*.json via SPARK_GRAFT_BENCH_OUT.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm2":${js(warm2)},"warm2_total":$warmTotal,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm2":${js(warm2)},"warm2_total":$warmTotal,"failed":$failedJson,"warm_failed":$warmFailedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full_latest.json"))
     Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(fullPath, fullJson + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${cold.size},"warm2_total":$warmTotal,"failed":$failedJson,"queries_file":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${cold.size},"warm2_total":$warmTotal,"failed":$failedJson,"warm_failed":$warmFailedJson,"queries_file":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

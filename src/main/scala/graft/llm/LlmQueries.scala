@@ -854,7 +854,11 @@ object LlmQueries {
     * the naive all-pairs DuckDB join (both orientations) under the
     * same row_number cap. */
   val fuzzyPairsCappedQ: Q = (s, d) => {
-    val pairs = fuzzyGlobalPairs(s, d)
+    // materialize the pair discovery ONCE before the two-orientation
+    // union (round-9 ADVICE): fixedLenSelfJoin's candidate join +
+    // banded-DP verify is the expensive half, and unioning two
+    // projections of the same lazy plan would execute it twice
+    val pairs = fuzzyGlobalPairs(s, d).localCheckpoint(true)
     val sym = pairs.select(col("id_a").as("anchor_id"),
         col("id_b").as("partner_id"), col("dist"))
       .unionByName(pairs.select(col("id_b").as("anchor_id"),

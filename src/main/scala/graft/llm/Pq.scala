@@ -223,20 +223,47 @@ object Pq {
   def appendIvfPq(batch: DataFrame, idCol: String, vecCol: String,
                   cb: DataFrame, m: Int, dims: Int, planes: Int,
                   path: String): Unit = {
-    graft.functions.VectorFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    graft.streaming.DirSwap.restoreIfTorn(spark, path, "vecidx")
+    // publish any committed-but-unpublished stage FIRST so the
+    // membership guard below reads every row the ledger counts
+    graft.streaming.StagedAppend.recover(spark, path)
+    // RETRY-STRADDLES-RETRAIN guard (round-9 ADVICE): a crash BEFORE
+    // the ledger commit followed by a retrain (which re-encodes the
+    // full current corpus, batch included, and mints a fresh _APPGEN)
+    // leaves the retried batch invisible to both the new ledger and
+    // the generation sweep — a naive retry would double-ingest it.
+    // The guard drops every batch id already present in the layout,
+    // and the read is PARTITION-PRUNED to the batch's own hyperplane
+    // buckets (≤ min(|batch|, 2^planes) directories of 8-byte codes),
+    // so its cost scales with the batch, not the index.
+    // Int literals: the signature is a < 2^planes bitmask, and the
+    // partition-dir inference types `bucket=N` as int — a literal of
+    // the inferred type keeps the cast off the partition attribute,
+    // which is what the file-index pruning keys on.
+    val buckets = batch
+      .select(SimSearch.hyperplaneSignature(col(vecCol), planes)
+        .as("bucket"))
+      .distinct().collect().map(_.getLong(0).toInt).toSeq
+    if (buckets.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*)).select(col(idCol))
+    val fresh = batch.select(col(idCol), col(vecCol))
+      .join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // one membership scan, stable across the
+                             // tag agg + staging write below
     // staged append (round 9) — retry-idempotent; generation-scoped:
     // the periodic retrain ([[graft.cdc.Maintenance
     // .maintainVectorIndex]]) re-encodes the FULL current corpus and
     // mints a fresh _APPGEN, which orphans (and sweeps) any staged
     // appends of the superseded layout instead of replaying them
-    graft.streaming.StagedAppend.contentTag(
-        batch.select(col(idCol), col(vecCol))).foreach { tag =>
-      graft.streaming.StagedAppend.append(
-          batch.sparkSession, path, tag) { pending =>
-        batch.select(col(idCol),
+    graft.streaming.StagedAppend.contentTag(fresh).foreach { tag =>
+      graft.streaming.StagedAppend.append(spark, path, tag) { pending =>
+        fresh.select(col(idCol),
             SimSearch.hyperplaneSignature(col(vecCol), planes)
               .as("bucket"))
-          .join(encode(batch, idCol, vecCol, cb, m, dims), Seq(idCol))
+          .join(encode(fresh, idCol, vecCol, cb, m, dims), Seq(idCol))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(pending)
       }

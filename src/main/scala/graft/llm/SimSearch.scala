@@ -485,14 +485,23 @@ object SimSearch {
     graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/df",
       tag = "postingsdf")
     recoverPendingPostings(spark, path)
-    // content-derived batch tag: bit_xor of per-doc hashes + count —
-    // a pure function of the batch rows, so a crashed call retried
-    // with the same batch resumes ITS OWN protocol state
+    // content-derived batch tag: bit_xor of per-doc hashes + the
+    // multiset SUM of the same hashes (mod 2^64; decimal so ANSI never
+    // overflows) + count — a pure function of the batch row MULTISET,
+    // so a crashed call retried with the same batch resumes ITS OWN
+    // protocol state. xor alone self-cancels duplicate rows (round-9
+    // ADVICE: {r1,r1,b} vs {r2,r2,b} would collide and silently skip
+    // the second batch); the sum breaks every multiset difference.
     val fpRow = batch.agg(
       expr(s"bit_xor(xxhash64(cast($docIdCol AS string), $textCol))"),
+      expr(s"sum(cast(xxhash64(cast($docIdCol AS string), $textCol)" +
+        " as decimal(38,0)))"),
       count(lit(1))).head
-    if (fpRow.isNullAt(0) || fpRow.getLong(1) == 0L) return // empty batch
-    val tag = f"${fpRow.getLong(0)}%016x-${fpRow.getLong(1)}"
+    if (fpRow.isNullAt(0) || fpRow.getLong(2) == 0L) return // empty batch
+    val sumMod = fpRow.getDecimal(1).toBigInteger
+      .mod(java.math.BigInteger.ONE.shiftLeft(64))
+    val tag = f"${fpRow.getLong(0)}%016x" + "s" + sumMod.toString(16) +
+      "-" + fpRow.getLong(2)
     val applied = appliedTags(path).contains(tag)
     val pending = new java.io.File(s"$path/pending-$tag")
     if (applied && !pending.exists()) return // fully committed earlier
@@ -520,7 +529,7 @@ object SimSearch {
       val n = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path, "df", "_N")),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      val nNext = n + fpRow.getLong(1)
+      val nNext = n + fpRow.getLong(2)
       val ledger = appliedTags(path) :+ tag
       graft.streaming.DirSwap.install(spark, s"$path/df",
         tag = "postingsdf") { tmp =>
@@ -562,7 +571,13 @@ object SimSearch {
           .filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
             val dst = new java.io.File(target, s"$tag-${f.getName}")
-            if (dst.exists() || f.renameTo(dst)) ()
+            // re-check after a failed rename: recoverPendingPostings
+            // runs on the SERVING path, so a reader healing the same
+            // tag can win the rename race between our exists check and
+            // our rename (round-9 ADVICE). dst appearing or the source
+            // vanishing means the other party published this file.
+            if (dst.exists() || f.renameTo(dst)
+                || dst.exists() || !f.exists()) ()
             else throw new java.io.IOException(
               s"graft postings: cannot publish $f -> $dst")
           }

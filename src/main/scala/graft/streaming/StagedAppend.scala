@@ -66,14 +66,26 @@ private[graft] object StagedAppend {
   }
 
   /** Content fingerprint of the batch: bit_xor of per-row hashes over
-    * ALL columns + the row count — a pure function of the rows, so a
+    * ALL columns + the multiset SUM of the same hashes (mod 2^64) +
+    * the row count — a pure function of the row MULTISET, so a
     * crashed call retried with the same batch resumes its own
-    * protocol state. None for an empty batch (appending nothing). */
+    * protocol state. xor alone self-cancels duplicate rows (so
+    * {r1,r1,b} and {r2,r2,b} could share a tag and the second batch
+    * would be skipped as already-applied — round-9 ADVICE); the sum
+    * column breaks every multiset difference. Summed as decimal(38,0)
+    * so ANSI mode never overflows, then reduced mod 2^64. None for an
+    * empty batch (appending nothing). */
   def contentTag(batch: DataFrame): Option[String] = {
     val r = batch.agg(expr("bit_xor(xxhash64(struct(*)))"),
+      expr("sum(cast(xxhash64(struct(*)) as decimal(38,0)))"),
       count(lit(1))).head
-    if (r.isNullAt(0) || r.getLong(1) == 0L) None
-    else Some(f"${r.getLong(0)}%016x-${r.getLong(1)}")
+    if (r.isNullAt(0) || r.getLong(2) == 0L) None
+    else {
+      val sumMod = r.getDecimal(1).toBigInteger
+        .mod(java.math.BigInteger.ONE.shiftLeft(64))
+      Some(f"${r.getLong(0)}%016x" + "s" + sumMod.toString(16) +
+        "-" + r.getLong(2))
+    }
   }
 
   /** The layout's append generation: `_APPGEN` inside the layout dir,
@@ -135,8 +147,16 @@ private[graft] object StagedAppend {
     val fs = fsOf(spark, path)
     val pending = new Path(path.stripSuffix("/") + s".pending-$fullTag")
     if (!fs.exists(pending)) return
-    def walk(dir: Path, rel: String): Unit =
-      fs.listStatus(dir).foreach { st =>
+    // Concurrent healers are benign (round-9 ADVICE): a reader's
+    // recover() can race the appender's own publish of the same tag.
+    // Every step below therefore treats "the other party already did
+    // it" as success — a dir vanishing mid-walk, a rename losing to
+    // an identical rename, a source file already moved.
+    def walk(dir: Path, rel: String): Unit = {
+      val entries =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (!name.startsWith("_") && !name.startsWith("."))
@@ -147,13 +167,25 @@ private[graft] object StagedAppend {
           fs.mkdirs(targetDir)
           val dst = new Path(targetDir, s"$fullTag-$name")
           if (fs.exists(dst)) fs.delete(st.getPath, false)
-          else if (!fs.rename(st.getPath, dst))
-            throw new java.io.IOException(
-              s"graft staged append: cannot publish ${st.getPath} -> $dst")
+          else {
+            // RawLocalFileSystem.rename THROWS FileNotFoundException
+            // (not false) when the source vanished — i.e. when a
+            // concurrent healer already moved it
+            val renamed =
+              try fs.rename(st.getPath, dst)
+              catch { case _: java.io.FileNotFoundException => false }
+            // re-checked after the failed rename: dst appearing or the
+            // source vanishing means a concurrent healer won the race
+            if (!renamed && !fs.exists(dst) && fs.exists(st.getPath))
+              throw new java.io.IOException(
+                s"graft staged append: cannot publish ${st.getPath} -> $dst")
+          }
         }
       }
+    }
     walk(pending, "")
-    fs.delete(pending, true)
+    try fs.delete(pending, true)
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Publish every committed-but-unpublished stage of the CURRENT

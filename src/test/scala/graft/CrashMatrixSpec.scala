@@ -547,6 +547,73 @@ class CrashMatrixSpec extends SparkSpec {
     }
   }
 
+  test("concurrent healers: a committed-but-unpublished window " +
+      "survives 8 racing recover calls on the SERVING path (the " +
+      "round-9 TOCTOU: a lost rename re-checked, not thrown)") {
+    import graft.llm.SimSearch
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def postings(idx: String) = spark.read.parquet(s"$idx/postings")
+      .select($"term", $"doc_id", $"tf")
+      .as[(String, Long, Long)].collect().toSet
+    val clean = tmpDir("race-clean") + "/idx"
+    SimSearch.buildPostingsIndex(base, "doc_id", "text", clean)
+    SimSearch.appendPostingsIndex(batch, "doc_id", "text", clean)
+    // stage the exact window: commit live, publish pending
+    val idx = tmpDir("race-idx") + "/idx"
+    SimSearch.buildPostingsIndex(base, "doc_id", "text", idx)
+    graft.streaming.DirSwap.failpoint = Some(("postingsdf", "beforeBakDrop"))
+    try intercept[Exception] {
+      SimSearch.appendPostingsIndex(batch, "doc_id", "text", idx)
+    } finally graft.streaming.DirSwap.failpoint = None
+    graft.streaming.DirSwap.restoreIfTorn(spark, s"$idx/df", "postingsdf")
+    // 8 concurrent readers all heal the same tag: every rename race
+    // must resolve to "the other healer won", never an IOException
+    def hammer(body: => Unit): Seq[Throwable] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            gate.await()
+            try body catch { case t: Throwable => errs.add(t) }
+          }
+        })
+      }
+      gate.countDown()
+      tasks.foreach(_.get())
+      pool.shutdown()
+      errs.toArray(Array.empty[Throwable]).toSeq
+    }
+    val errs = hammer(SimSearch.recoverPendingPostings(spark, idx))
+    assert(errs.isEmpty,
+      s"racing postings healers threw: ${errs.map(_.toString).mkString("; ")}")
+    assert(postings(idx) == postings(clean),
+      "racing healers corrupted the published postings")
+    // same race on the generic staged-append healer (bucketed layout)
+    val emb = Tables.embeddings(spark, sf)
+    val vbase = emb.filter($"vec_id" % 2 === 0)
+    val vbatch = emb.filter($"vec_id" % 2 === 1)
+    def ids(path: String) = spark.read.parquet(path)
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    val vclean = tmpDir("race-sa-clean") + "/layout"
+    SimSearch.writeBucketed(vbase, "vec_id", "embedding", 4, vclean)
+    SimSearch.appendBucketed(vbatch, "vec_id", "embedding", 4, vclean)
+    val layout = tmpDir("race-sa") + "/layout"
+    SimSearch.writeBucketed(vbase, "vec_id", "embedding", 4, layout)
+    graft.streaming.DirSwap.failpoint = Some(("appledger", "beforeBakDrop"))
+    try intercept[Exception] {
+      SimSearch.appendBucketed(vbatch, "vec_id", "embedding", 4, layout)
+    } finally graft.streaming.DirSwap.failpoint = None
+    val errs2 = hammer(graft.streaming.StagedAppend.recover(spark, layout))
+    assert(errs2.isEmpty,
+      s"racing staged-append healers threw: ${errs2.map(_.toString).mkString("; ")}")
+    assert(ids(layout) == ids(vclean),
+      "racing staged-append healers corrupted the layout")
+  }
+
   test("staged append (bucketed vector layout): a kill at every " +
       "protocol window neither loses nor double-ingests the batch") {
     import graft.llm.SimSearch
@@ -591,12 +658,19 @@ class CrashMatrixSpec extends SparkSpec {
     import graft.cdc.Maintenance
     val root = tmpDir("sa-gen")
     val embDir = s"$root/emb"
-    Tables.embeddings(spark, sf).limit(200)
+    // deployment-true fixture: the layout is built from the base
+    // corpus, the corpus then GROWS by the batch (ingest appends to
+    // corpus and index alike), and the retrain later re-encodes the
+    // grown corpus — so the batch is genuinely new to the layout at
+    // append time (the membership guard would correctly no-op an
+    // append of rows the layout already holds)
+    val all = Tables.embeddings(spark, sf).limit(200).localCheckpoint(true)
+    val batch = all.filter($"vec_id" % 7 === 3)
+    all.filter($"vec_id" % 7 =!= 3)
       .write.mode("overwrite").parquet(embDir)
     val vi = Maintenance.VectorIndex(embDir, s"$root/layout")
     Maintenance.maintainVectorIndex(spark, vi) // initial build (mints gen)
-    val corpus = spark.read.parquet(embDir)
-    val batch = corpus.filter($"vec_id" % 7 === 3)
+    all.write.mode("overwrite").parquet(embDir) // corpus grows
     val cb = graft.llm.Pq.indexCodebook(spark, vi.layoutPath)
     // commit the append but crash before publish
     graft.streaming.DirSwap.failpoint = Some(("appledger", "beforeBakDrop"))
@@ -614,12 +688,71 @@ class CrashMatrixSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSeq
     assert(served.distinct.size == served.size,
       "a superseded staged append was replayed into the new layout")
-    assert(served.size == corpus.count(),
+    assert(served.size == all.count(),
       "the retrained layout must hold exactly the corpus")
     val stale = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.startsWith("layout.pending-"))
     assert(stale.isEmpty, "superseded pending dirs must be swept")
+  }
+
+  test("staged append generations: a retry that STRADDLES a retrain " +
+      "(crash BEFORE the ledger commit) does not double-ingest the " +
+      "batch the retrain already covered") {
+    import graft.cdc.Maintenance
+    val root = tmpDir("sa-straddle")
+    val embDir = s"$root/emb"
+    val all = Tables.embeddings(spark, sf).limit(200).localCheckpoint(true)
+    val batch = all.filter($"vec_id" % 7 === 3)
+    all.filter($"vec_id" % 7 =!= 3)
+      .write.mode("overwrite").parquet(embDir)
+    val vi = Maintenance.VectorIndex(embDir, s"$root/layout")
+    Maintenance.maintainVectorIndex(spark, vi)
+    all.write.mode("overwrite").parquet(embDir) // corpus grows
+    // the round-9 ADVICE window: crash BEFORE the ledger commit — the
+    // stage exists but NO tag is recorded anywhere, so neither the new
+    // ledger nor the generation sweep knows about this batch
+    graft.streaming.DirSwap.failpoint = Some(("appledger", "beforeInstall"))
+    try {
+      val e = intercept[Exception] {
+        graft.llm.Pq.appendIvfPq(batch, "vec_id", "embedding",
+          graft.llm.Pq.indexCodebook(spark, vi.layoutPath),
+          8, 64, 6, vi.layoutPath)
+      }
+      assert(msgs(e).exists(_.contains("graft failpoint")),
+        s"straddle: failed for another reason: ${msgs(e)}")
+    } finally graft.streaming.DirSwap.failpoint = None
+    // the intervening retrain re-encodes the grown corpus — batch
+    // included — and mints a fresh generation
+    Maintenance.maintainVectorIndex(spark, vi)
+    // the appender's retry: without the membership guard this would
+    // re-stage under the new generation and double-ingest the batch
+    graft.llm.Pq.appendIvfPq(batch, "vec_id", "embedding",
+      graft.llm.Pq.indexCodebook(spark, vi.layoutPath),
+      8, 64, 6, vi.layoutPath)
+    val served = spark.read.parquet(vi.layoutPath)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(served.distinct.size == served.size,
+      "a retry straddling the retrain double-ingested the batch")
+    assert(served.size == all.count(),
+      "the layout must hold exactly the grown corpus")
+  }
+
+  test("staged append contentTag: multiset-distinct batches get " +
+      "distinct tags (duplicate rows must not xor-cancel)") {
+    // {r1, r1, b} vs {r2, r2, b}: the duplicated rows self-cancel in
+    // a pure bit_xor fingerprint, so both batches would share b's tag
+    // and the second would be silently skipped as already-applied —
+    // the round-9 ADVICE data-loss shape. The sum component breaks it.
+    def tag(rows: (String, Int)*): String =
+      graft.streaming.StagedAppend.contentTag(
+        rows.toSeq.toDF("k", "v")).get
+    val t1 = tag(("r1", 1), ("r1", 1), ("b", 0))
+    val t2 = tag(("r2", 2), ("r2", 2), ("b", 0))
+    assert(t1 != t2, "duplicate rows xor-cancelled into a shared tag")
+    // and the tag stays a pure function of the multiset (retry anchor)
+    assert(tag(("b", 0), ("r1", 1), ("r1", 1)) == t1,
+      "tag must be order-independent")
   }
 
   test("materialized-view refresh: a kill between the partition " +
