@@ -47,10 +47,17 @@ private[graft] object DirSwap {
     val fs = fsOf(spark, path)
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
-    if (!fs.exists(p) && fs.exists(bakP) && !fs.rename(bakP, p) &&
-        !fs.exists(p))
-      throw new java.io.IOException(
-        s"graft swap: cannot restore $bakP after interrupted swap")
+    if (!fs.exists(p) && fs.exists(bakP)) {
+      // RawLocalFileSystem.rename THROWS FileNotFoundException (not
+      // false) when the source vanished — i.e. the racing healer
+      // already restored it; fold that into the lost-race branch
+      val renamed =
+        try fs.rename(bakP, p)
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!renamed && !fs.exists(p))
+        throw new java.io.IOException(
+          s"graft swap: cannot restore $bakP after interrupted swap")
+    }
   }
 
   /** Run `write` against the tmp path, then swap it in. Restores a

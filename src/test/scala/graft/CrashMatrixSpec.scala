@@ -612,6 +612,25 @@ class CrashMatrixSpec extends SparkSpec {
       s"racing staged-append healers threw: ${errs2.map(_.toString).mkString("; ")}")
     assert(ids(layout) == ids(vclean),
       "racing staged-append healers corrupted the layout")
+    // and the torn-swap healer itself: every serving read runs
+    // restoreIfTorn first, so N readers arriving inside a torn window
+    // all race the bak → dir rename; the losers must treat the
+    // winner's restore as success (local-fs rename THROWS FNF when
+    // the source vanished, it does not return false)
+    val swapDir = tmpDir("race-swap") + "/state"
+    def writeOne(dir: String): Unit =
+      Seq(1L).toDF("v").write.mode("overwrite").parquet(dir)
+    graft.streaming.DirSwap.install(spark, swapDir, "racetag")(writeOne)
+    graft.streaming.DirSwap.failpoint = Some(("racetag", "afterMoveAside"))
+    try intercept[Exception] {
+      graft.streaming.DirSwap.install(spark, swapDir, "racetag")(writeOne)
+    } finally graft.streaming.DirSwap.failpoint = None
+    val errs3 = hammer(
+      graft.streaming.DirSwap.restoreIfTorn(spark, swapDir, "racetag"))
+    assert(errs3.isEmpty,
+      s"racing torn-swap healers threw: ${errs3.map(_.toString).mkString("; ")}")
+    assert(spark.read.parquet(swapDir).count() == 1,
+      "racing torn-swap healers lost the sole surviving generation")
   }
 
   test("staged append (bucketed vector layout): a kill at every " +
