@@ -234,10 +234,12 @@ object Pq {
     // full current corpus, batch included, and mints a fresh _APPGEN)
     // leaves the retried batch invisible to both the new ledger and
     // the generation sweep — a naive retry would double-ingest it.
-    // The guard drops every batch id already present in the layout,
-    // and the read is PARTITION-PRUNED to the batch's own hyperplane
-    // buckets (≤ min(|batch|, 2^planes) directories of 8-byte codes),
-    // so its cost scales with the batch, not the index.
+    // The guard drops every batch id already present in the layout.
+    // Cost: the ID COLUMN of the bucket directories the batch touches
+    // (partition-pruned; ≤ min(|batch|, 2^planes) dirs) — for a small
+    // batch a sliver of the index, for a bucket-covering batch at
+    // worst the full 8-bytes-per-vector id column, which is the price
+    // of making a retry safe against a retrain it cannot observe.
     // Int literals: the signature is a < 2^planes bitmask, and the
     // partition-dir inference types `bucket=N` as int — a literal of
     // the inferred type keeps the cast off the partition attribute,

@@ -774,6 +774,34 @@ class CrashMatrixSpec extends SparkSpec {
       "tag must be order-independent")
   }
 
+  test("ScalaCheck: contentTag is a pure function of the row multiset " +
+      "— equal multisets share a tag, different multisets never do") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    // a TINY row domain so duplicate rows and near-identical multisets
+    // (the xor-cancellation shapes) are common in the samples
+    val genRow = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 2)
+    } yield (k, v)
+    val genBatch = Gen.choose(0, 6).flatMap(Gen.listOfN(_, genRow))
+    def tag(rows: List[(String, Int)]): Option[String] =
+      graft.streaming.StagedAppend.contentTag(
+        rows.toDF("k", "v").repartition(rows.size.max(1)))
+    val prop = forAll(genBatch, genBatch) { (m1, m2) =>
+      val (t1, t2) = (tag(m1), tag(m2))
+      val sameMultiset = m1.sorted == m2.sorted
+      // order/partitioning independence, None exactly on empty, and
+      // tag equality ⇔ multiset equality (a collision here would be
+      // the silent-skip data-loss shape)
+      tag(m1.reverse) == t1 && t1.isEmpty == m1.isEmpty &&
+        (t1 == t2) == (sameMultiset || (m1.isEmpty && m2.isEmpty))
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"contentTag property failed: ${res.status}")
+  }
+
   test("materialized-view refresh: a kill between the partition " +
       "overwrite and the stale-bucket delete converges on retry") {
     import graft.ops.MaterializedView
