@@ -33,9 +33,14 @@ object Bench {
       warmFailed = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       System.err.println(s"BENCH_WARM_FAIL: ${warmFailed.get}")
     }
+    // sanitize + truncate BEFORE escaping: truncating after could split
+    // an escape pair and leave a lone trailing backslash (malformed
+    // JSON), and raw control chars are illegal inside JSON strings
     val warmFailedJson = warmFailed
-      .map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ").take(300) + "\"")
+      .map { m0 =>
+        val m = m0.replaceAll("\\p{Cntrl}", " ").take(300)
+        "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
       .getOrElse("null")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // a broken query must not pass as a fast success: failures are

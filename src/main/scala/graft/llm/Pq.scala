@@ -229,6 +229,13 @@ object Pq {
     // publish any committed-but-unpublished stage FIRST so the
     // membership guard below reads every row the ledger counts
     graft.streaming.StagedAppend.recover(spark, path)
+    // ONE signature pass, materialized: the bucket probe list, the
+    // membership anti-join, the tag aggregate, and the staging write
+    // below all read this frame instead of re-evaluating the
+    // planes×dims signature per consumer
+    val signed = batch.select(col(idCol), col(vecCol),
+        SimSearch.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      .localCheckpoint(true)
     // RETRY-STRADDLES-RETRAIN guard (round-9 ADVICE): a crash BEFORE
     // the ledger commit followed by a retrain (which re-encodes the
     // full current corpus, batch included, and mints a fresh _APPGEN)
@@ -240,32 +247,37 @@ object Pq {
     // batch a sliver of the index, for a bucket-covering batch at
     // worst the full 8-bytes-per-vector id column, which is the price
     // of making a retry safe against a retrain it cannot observe.
-    // Int literals: the signature is a < 2^planes bitmask, and the
-    // partition-dir inference types `bucket=N` as int — a literal of
-    // the inferred type keeps the cast off the partition attribute,
-    // which is what the file-index pruning keys on.
-    val buckets = batch
-      .select(SimSearch.hyperplaneSignature(col(vecCol), planes)
-        .as("bucket"))
-      .distinct().collect().map(_.getLong(0).toInt).toSeq
-    if (buckets.isEmpty) return
-    val existing = spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*)).select(col(idCol))
-    val fresh = batch.select(col(idCol), col(vecCol))
-      .join(existing, Seq(idCol), "left_anti")
-      .localCheckpoint(true) // one membership scan, stable across the
-                             // tag agg + staging write below
+    // A first-ever ingest (no layout yet) bootstraps: nothing to probe.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) signed
+      else {
+        // Int literals: the signature is a < 2^planes bitmask, and the
+        // partition-dir inference types `bucket=N` as int — a literal
+        // of the inferred type keeps the cast off the partition
+        // attribute, which is what the file-index pruning keys on.
+        val buckets = signed.select("bucket").distinct()
+          .collect().map(_.getLong(0).toInt).toSeq
+        if (buckets.isEmpty) return
+        val existing = spark.read.parquet(path)
+          .filter(col("bucket").isin(buckets: _*)).select(col(idCol))
+        signed.join(existing, Seq(idCol), "left_anti")
+          .localCheckpoint(true) // one membership scan, stable across
+                                 // the tag agg + staging write below
+      }
     // staged append (round 9) — retry-idempotent; generation-scoped:
     // the periodic retrain ([[graft.cdc.Maintenance
     // .maintainVectorIndex]]) re-encodes the FULL current corpus and
     // mints a fresh _APPGEN, which orphans (and sweeps) any staged
-    // appends of the superseded layout instead of replaying them
-    graft.streaming.StagedAppend.contentTag(fresh).foreach { tag =>
+    // appends of the superseded layout instead of replaying them.
+    // Tagged over (id, vec) only — the tag must not depend on planes.
+    graft.streaming.StagedAppend.contentTag(
+        fresh.select(col(idCol), col(vecCol))).foreach { tag =>
       graft.streaming.StagedAppend.append(spark, path, tag) { pending =>
-        fresh.select(col(idCol),
-            SimSearch.hyperplaneSignature(col(vecCol), planes)
-              .as("bucket"))
-          .join(encode(fresh, idCol, vecCol, cb, m, dims), Seq(idCol))
+        fresh.select(col(idCol), col("bucket"))
+          .join(encode(fresh.select(col(idCol), col(vecCol)),
+            idCol, vecCol, cb, m, dims), Seq(idCol))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(pending)
       }

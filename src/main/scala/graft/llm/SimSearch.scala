@@ -498,11 +498,13 @@ object SimSearch {
         " as decimal(38,0)))"),
       count(lit(1))).head
     if (fpRow.isNullAt(0) || fpRow.getLong(2) == 0L) return // empty batch
-    val sumMod = fpRow.getDecimal(1).toBigInteger
-      .mod(java.math.BigInteger.ONE.shiftLeft(64))
-    val tag = f"${fpRow.getLong(0)}%016x" + "s" + sumMod.toString(16) +
-      "-" + fpRow.getLong(2)
-    val applied = appliedTags(path).contains(tag)
+    val tag = graft.streaming.StagedAppend.assembleTag(
+      fpRow.getLong(0), fpRow.getDecimal(1), fpRow.getLong(2))
+    val applied0 = appliedTags(path)
+    // a batch committed under the pre-upgrade tag format counts as
+    // committed (recoverPendingPostings above published its pending)
+    val applied = applied0.contains(tag) ||
+      graft.streaming.StagedAppend.legacyTag(tag).exists(applied0.contains)
     val pending = new java.io.File(s"$path/pending-$tag")
     if (applied && !pending.exists()) return // fully committed earlier
     if (!applied) {

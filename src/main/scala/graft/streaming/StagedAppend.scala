@@ -80,12 +80,29 @@ private[graft] object StagedAppend {
       expr("sum(cast(xxhash64(struct(*)) as decimal(38,0)))"),
       count(lit(1))).head
     if (r.isNullAt(0) || r.getLong(2) == 0L) None
-    else {
-      val sumMod = r.getDecimal(1).toBigInteger
-        .mod(java.math.BigInteger.ONE.shiftLeft(64))
-      Some(f"${r.getLong(0)}%016x" + "s" + sumMod.toString(16) +
-        "-" + r.getLong(2))
-    }
+    else Some(assembleTag(r.getLong(0), r.getDecimal(1), r.getLong(2)))
+  }
+
+  /** Assemble a tag from the fingerprint aggregate's components —
+    * shared with the postings append's doc-keyed fingerprint
+    * ([[graft.llm.SimSearch.appendPostingsIndex]]) so the two
+    * encoders cannot drift apart. */
+  private[graft] def assembleTag(xor: Long, sum: java.math.BigDecimal,
+                                 count: Long): String = {
+    val sumMod = sum.toBigInteger
+      .mod(java.math.BigInteger.ONE.shiftLeft(64))
+    f"$xor%016x" + "s" + sumMod.toString(16) + "-" + count
+  }
+
+  /** The PRE-multiset-sum tag of the same batch (`<xor16hex>-<count>`),
+    * derived from the current tag's own components: a ledger written
+    * before the format upgrade must still recognize its batches, or a
+    * crash-retry spanning the upgrade re-ingests an already-applied
+    * batch — the exact double-count the ledger exists to prevent.
+    * (xor hex never contains 's', so the separator is unambiguous.) */
+  private[graft] def legacyTag(tag: String): Option[String] = {
+    val s = tag.indexOf('s'); val d = tag.lastIndexOf('-')
+    if (s == 16 && d > s) Some(tag.take(16) + tag.substring(d)) else None
   }
 
   /** The layout's append generation: `_APPGEN` inside the layout dir,
@@ -122,7 +139,12 @@ private[graft] object StagedAppend {
     val fullTag = s"$gen-$batchTag"
     val pending = path.stripSuffix("/") + s".pending-$fullTag"
     val fs = fsOf(spark, path)
-    val committed = appliedTags(spark, path).contains(fullTag)
+    val tags = appliedTags(spark, path)
+    // a batch committed under the pre-upgrade tag format counts as
+    // committed (its pending dir, if any, carries the legacy name and
+    // is published by the recover() above)
+    val committed = tags.contains(fullTag) ||
+      legacyTag(batchTag).exists(lt => tags.contains(s"$gen-$lt"))
     if (committed && !fs.exists(new Path(pending))) return
     if (!committed) {
       writeBatch(pending)

@@ -774,6 +774,54 @@ class CrashMatrixSpec extends SparkSpec {
       "tag must be order-independent")
   }
 
+  test("staged append: ledgers written before the multiset-tag " +
+      "upgrade still recognize their batches (legacy alias, both " +
+      "protocols)") {
+    import graft.llm.SimSearch
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // bucketed-layout protocol: ledger at <layout>.applied/tags
+    val emb = Tables.embeddings(spark, sf)
+    val layout = tmpDir("sa-legacy") + "/layout"
+    SimSearch.writeBucketed(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", 4, layout)
+    SimSearch.appendBucketed(emb.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", 4, layout)
+    val n = spark.read.parquet(layout).count()
+    val tagsPath = java.nio.file.Paths.get(layout + ".applied", "tags")
+    val downgraded = new String(
+      java.nio.file.Files.readAllBytes(tagsPath), utf8)
+      .linesIterator.filter(_.nonEmpty).map { full =>
+        val t = full.stripPrefix("g0-")
+        "g0-" + graft.streaming.StagedAppend.legacyTag(t)
+          .getOrElse(fail(s"not a new-format tag: $full"))
+      }.mkString("\n")
+    java.nio.file.Files.write(tagsPath, downgraded.getBytes(utf8))
+    // an at-least-once redelivery spanning the upgrade must be a no-op
+    SimSearch.appendBucketed(emb.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", 4, layout)
+    assert(spark.read.parquet(layout).count() == n,
+      "a legacy-committed batch was re-ingested after the tag upgrade")
+    // postings protocol: raw tags in df/_APPLIED
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("papp-legacy") + "/idx"
+    SimSearch.buildPostingsIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", idx)
+    SimSearch.appendPostingsIndex(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", idx)
+    val nPost = spark.read.parquet(s"$idx/postings").count()
+    val ap = java.nio.file.Paths.get(idx, "df", "_APPLIED")
+    val down2 = new String(java.nio.file.Files.readAllBytes(ap), utf8)
+      .linesIterator.filter(_.nonEmpty).map { t =>
+        graft.streaming.StagedAppend.legacyTag(t)
+          .getOrElse(fail(s"not a new-format tag: $t"))
+      }.mkString("\n")
+    java.nio.file.Files.write(ap, down2.getBytes(utf8))
+    SimSearch.appendPostingsIndex(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", idx)
+    assert(spark.read.parquet(s"$idx/postings").count() == nPost,
+      "a legacy-committed postings batch was re-folded after the upgrade")
+  }
+
   test("ScalaCheck: contentTag is a pure function of the row multiset " +
       "— equal multisets share a tag, different multisets never do") {
     import org.scalacheck.Prop.forAll
