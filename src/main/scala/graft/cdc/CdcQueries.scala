@@ -335,7 +335,7 @@ object CdcQueries {
       .withWatermark("__ts", "0 seconds")
       .as[graft.streaming.FeedEvent]
     graft.streaming.Sessionize.sessionStreamEventTime(feed, gapMs)
-      .toDF.writeStream
+      .toDF().writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ck)
       .foreachBatch {

@@ -209,13 +209,13 @@ object Dedup {
       .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
       .localCheckpoint(true)
     val probe = keyed.agg(count(lit(1)).as("n"),
-      countDistinct(col("__fp")).as("d")).head
+      countDistinct(col("__fp")).as("d")).head()
     if (probe.getLong(0) == probe.getLong(1)) return (null, null, false)
     val groups = keyed.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
       .localCheckpoint(true)
     val pairMass = groups
-      .agg(sum(col("__n") * (col("__n") - 1) / 2).cast("long")).head.getLong(0)
+      .agg(sum(col("__n") * (col("__n") - 1) / 2).cast("long")).head().getLong(0)
     if (pairMass <= probe.getLong(0)) return (null, null, false)
     val mapping = keyed
       .join(groups.select(col("__fp"), col("__rep")), Seq("__fp"))

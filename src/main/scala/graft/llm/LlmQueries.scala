@@ -1398,7 +1398,7 @@ object LlmQueries {
       // corpus assumptions measured only at sf0.001-0.1. Check them
       // HERE so a violating future corpus fails with a clear staging
       // error instead of an opaque oracle mismatch.
-      val maxId = rep.agg(max(col("vec_id"))).head.getLong(0)
+      val maxId = rep.agg(max(col("vec_id"))).head().getLong(0)
       require(maxId < 1000000000000L,
         s"planted-clone staging: natural vec_id $maxId collides with " +
           "the 1e12 clone offset — raise the offset and the oracle with it")
@@ -1798,7 +1798,7 @@ object LlmQueries {
       .select("term", "__h").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val est = sketches.select(col("source"), explode(array(
-      probes.map { case (t, h) =>
+      probes.toIndexedSeq.map { case (t, h) =>
         struct(lit(t).as("term"),
           graft.functions.CountMinSketch
             .estimateCol(col("cms"), h, depth, width).as("est_n"))
@@ -1806,7 +1806,7 @@ object LlmQueries {
       .select(col("source"), col("pe.term").as("term"),
         col("pe.est_n").as("est_n"))
     val truth = terms
-      .filter(col("term").isin(probes.map(_._1): _*))
+      .filter(col("term").isin(probes.toIndexedSeq.map(_._1): _*))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("true_n"))
     est.join(truth, Seq("source", "term"), "left")

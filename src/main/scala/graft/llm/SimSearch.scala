@@ -496,7 +496,7 @@ object SimSearch {
       expr(s"bit_xor(xxhash64(cast($docIdCol AS string), $textCol))"),
       expr(s"sum(cast(xxhash64(cast($docIdCol AS string), $textCol)" +
         " as decimal(38,0)))"),
-      count(lit(1))).head
+      count(lit(1))).head()
     if (fpRow.isNullAt(0) || fpRow.getLong(2) == 0L) return // empty batch
     val tag = graft.streaming.StagedAppend.assembleTag(
       fpRow.getLong(0), fpRow.getDecimal(1), fpRow.getLong(2))

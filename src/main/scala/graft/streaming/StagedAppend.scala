@@ -78,7 +78,7 @@ private[graft] object StagedAppend {
   def contentTag(batch: DataFrame): Option[String] = {
     val r = batch.agg(expr("bit_xor(xxhash64(struct(*)))"),
       expr("sum(cast(xxhash64(struct(*)) as decimal(38,0)))"),
-      count(lit(1))).head
+      count(lit(1))).head()
     if (r.isNullAt(0) || r.getLong(2) == 0L) None
     else Some(assembleTag(r.getLong(0), r.getDecimal(1), r.getLong(2)))
   }

@@ -52,7 +52,7 @@ object StreamingScd2 {
       batch.select("invoice_id", "change_operation", "change_version")))
     val untouched = hist.join(touched, Seq("invoice_id"), "left_anti")
     val next = untouched.unionByName(
-      rebuilt.select(untouched.columns.map(col): _*))
+      rebuilt.select(untouched.columns.toIndexedSeq.map(col): _*))
     DirSwap.install(spark, historyPath)(tmp =>
       next.write.mode("overwrite").parquet(tmp))
   }

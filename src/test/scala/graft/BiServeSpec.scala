@@ -58,7 +58,7 @@ class BiServeSpec extends SparkSpec {
       port = freePort()
       spark.conf.set("hive.server2.thrift.port", port.toString)
       val s = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-        .startWithContext(spark.sqlContext)
+        .startWithSparkSession(spark, exitOnError = false)
       if (awaitPort(port, 30000)) Some(() => s.stop())
       else { s.stop(); None }
     }

@@ -280,7 +280,7 @@ class CrashMatrixSpec extends SparkSpec {
         .withWatermark("__ts", "0 seconds")
         .as[FeedEvent]
       Sessionize.sessionStreamEventTime(feed, gapMs)
-        .toDF.writeStream
+        .toDF().writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$root/ck")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -448,7 +448,7 @@ class CrashMatrixSpec extends SparkSpec {
         val codes = spark.read.parquet(s"$root/layout")
         val served = graft.llm.Pq.ivfPqTopK(emb, s"$root/layout", cb,
           "vec_id", "embedding", queryId = emb.select(min($"vec_id"))
-            .head.getLong(0), k = 5, m = 8, dims = 64, ks = 16,
+            .head().getLong(0), k = 5, m = 8, dims = 64, ks = 16,
           planes = 6, probeHamming = 3, overfetch = 6)
         (codes.count(), codes.select($"vec_id").distinct().count(),
           cb.count(), served.count())
@@ -471,7 +471,7 @@ class CrashMatrixSpec extends SparkSpec {
           .select($"term", $"doc_id", $"tf")
           .as[(String, Long, Long)].collect().toSet,
         spark.read.parquet(s"$idx/df")
-          .agg(sum($"df")).head.getLong(0)))
+          .agg(sum($"df")).head().getLong(0)))
     }
   }
 

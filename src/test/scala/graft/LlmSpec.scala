@@ -176,7 +176,7 @@ class LlmSpec extends SparkSpec {
     val base = Tables.embeddings(spark, sf).limit(100)
       .select($"vec_id", $"embedding")
     // 2000 identical vectors → one hyperplane bucket
-    val one = base.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val one = base.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
     val clones = spark.range(300000, 302000).select(
       $"id".as("vec_id"),
       typedLit(one).cast("array<float>").as("embedding"))
@@ -315,7 +315,7 @@ class LlmSpec extends SparkSpec {
         c * math.round(math.log(n / dfm(t)) * 10000) }.sum }
     val kwRank = kwScore.toSeq.sortBy { case (id, s) => (-s, id) }
       .take(100).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
-    val qv = emb.filter($"vec_id" === 0L).select($"embedding").head
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding").head()
     val cos = emb.select($"vec_id",
       SimSearch.cosineE6($"embedding", typedLit(qv.getSeq[Float](0))).as("c"))
       .as[(Long, Long)].collect()

@@ -18,8 +18,8 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
-    val left = lMem.toDF.toDF("event_id", "ts", "user_id")
-    val right = rMem.toDF.toDF("event_id", "ts", "user_id")
+    val left = lMem.toDF().toDF("event_id", "ts", "user_id")
+    val right = rMem.toDF().toDF("event_id", "ts", "user_id")
 
     val joined = EventStream.intervalJoin(left, right, "user_id",
       lookback = "1 hour")
