@@ -241,12 +241,14 @@ object Pq {
     // full current corpus, batch included, and mints a fresh _APPGEN)
     // leaves the retried batch invisible to both the new ledger and
     // the generation sweep — a naive retry would double-ingest it.
-    // The guard drops every batch id already present in the layout.
-    // Cost: the ID COLUMN of the bucket directories the batch touches
-    // (partition-pruned; ≤ min(|batch|, 2^planes) dirs) — for a small
-    // batch a sliver of the index, for a bucket-covering batch at
-    // worst the full 8-bytes-per-vector id column, which is the price
-    // of making a retry safe against a retrain it cannot observe.
+    // The guard drops every batch id already present in the layout —
+    // but only if it carries the SAME vector (loud-check below).
+    // Cost: the (id, bucket, codes) columns of the bucket directories
+    // the batch touches (partition-pruned; ≤ min(|batch|, 2^planes)
+    // dirs) — for a small batch a sliver of the index, for a
+    // bucket-covering batch at worst the full ~16-bytes-per-vector
+    // id+codes read, which is the price of making a retry safe
+    // against a retrain it cannot observe.
     // A first-ever ingest (no layout yet) bootstraps: nothing to probe.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,10 +263,44 @@ object Pq {
           .collect().map(_.getLong(0).toInt).toSeq
         if (buckets.isEmpty) return
         val existing = spark.read.parquet(path)
-          .filter(col("bucket").isin(buckets: _*)).select(col(idCol))
-        signed.join(existing, Seq(idCol), "left_anti")
-          .localCheckpoint(true) // one membership scan, stable across
-                                 // the tag agg + staging write below
+          .filter(col("bucket").isin(buckets: _*))
+          .select(col(idCol), col("bucket").cast("long").as("_idx_bucket"),
+            col("codes").as("_idx_codes"))
+        // ONE probe scan of the pruned buckets, materialized: fresh
+        // rows AND id-matches come out of the same join
+        val probed = signed.join(existing, Seq(idCol), "left_outer")
+          .localCheckpoint(true)
+        val matched = probed.filter(col("_idx_codes").isNotNull)
+        // LOUD contract check (round-10 ADVICE): an id the probe finds
+        // must carry the SAME vector as the indexed row — same
+        // hyperplane signature AND same PQ codes under the frozen
+        // codebook. A mismatch means a re-embedding was routed through
+        // append instead of retrain; silently dropping it would
+        // diverge index from corpus (the planted-clone require()
+        // pattern). Honest limit: a re-embedded id whose OLD vector
+        // lives entirely outside the probed buckets is not visible to
+        // this probe and surfaces as a duplicate id at the next
+        // retrain — detecting it here would cost a full-index id scan
+        // on every append.
+        if (!matched.isEmpty) {
+          val divergent = matched
+            .join(encode(matched.select(col(idCol), col(vecCol)),
+              idCol, vecCol, cb, m, dims)
+              .withColumnRenamed("codes", "_re_codes"), Seq(idCol))
+            .filter(col("bucket") =!= col("_idx_bucket") ||
+              col("_idx_codes") =!= col("_re_codes"))
+            .select(col(idCol)).limit(5).collect().map(_.get(0))
+          require(divergent.isEmpty,
+            s"graft appendIvfPq: batch ids ${divergent.mkString(", ")} " +
+              "already exist in the index with a DIFFERENT vector " +
+              "(signature or PQ codes differ) — a re-embedding must go " +
+              "through retrain (Maintenance.maintainVectorIndex), not " +
+              "append; refusing to silently drop or duplicate it")
+        }
+        probed.filter(col("_idx_codes").isNull)
+          .select(col(idCol), col(vecCol), col("bucket"))
+        // probed is localCheckpointed: one membership scan, stable
+        // across the tag agg + staging write below
       }
     // staged append (round 9) — retry-idempotent; generation-scoped:
     // the periodic retrain ([[graft.cdc.Maintenance

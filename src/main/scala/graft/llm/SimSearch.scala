@@ -502,9 +502,17 @@ object SimSearch {
       fpRow.getLong(0), fpRow.getDecimal(1), fpRow.getLong(2))
     val applied0 = appliedTags(path)
     // a batch committed under the pre-upgrade tag format counts as
-    // committed (recoverPendingPostings above published its pending)
+    // committed (recoverPendingPostings above published its pending);
+    // the alias is consulted only while legacy-format lines remain —
+    // each commit below retires them (StagedAppend.legacyTag scaladoc:
+    // the single serialized maintainer committing a NEW batch proves
+    // every older batch was acked, so retirement cannot orphan a
+    // future retry, and a post-retirement xor-aliasing new batch is
+    // no longer silently skipped)
     val applied = applied0.contains(tag) ||
-      graft.streaming.StagedAppend.legacyTag(tag).exists(applied0.contains)
+      graft.streaming.StagedAppend.legacyTag(tag).exists(lt =>
+        applied0.filter(graft.streaming.StagedAppend.isLegacyLine)
+          .contains(lt))
     val pending = new java.io.File(s"$path/pending-$tag")
     if (applied && !pending.exists()) return // fully committed earlier
     if (!applied) {
@@ -532,7 +540,8 @@ object SimSearch {
           java.nio.file.Paths.get(path, "df", "_N")),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       val nNext = n + fpRow.getLong(2)
-      val ledger = appliedTags(path) :+ tag
+      val ledger = appliedTags(path)
+        .filterNot(graft.streaming.StagedAppend.isLegacyLine) :+ tag
       graft.streaming.DirSwap.install(spark, s"$path/df",
         tag = "postingsdf") { tmp =>
         nextDf.repartition(termBuckets, col("tbkt"))

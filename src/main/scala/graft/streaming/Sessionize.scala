@@ -93,7 +93,15 @@ object Sessionize {
     * the entity's latest event time + `gapMs` — emission is driven by
     * the data's own clock, so a backlog drain (AvailableNow) replays
     * deterministically and terminates (event-time timers schedule
-    * extra batches only while the watermark advances). */
+    * extra batches only while the watermark advances).
+    *
+    * Measured Spark semantics this flavor inherits (pinned by the
+    * StreamPropertySpec replay model): input rows at or below the
+    * watermark are dropped BEFORE this function sees them, and an
+    * expired timer fires with the OLD state even when the same
+    * micro-batch carries new data for the key — the expired session
+    * closes as-is and the new data opens a fresh session, which is
+    * the honest reading of "the gap elapsed". */
   def updateStateEventTime(gapMs: Long)(
       userId: Long, events: Iterator[FeedEvent],
       state: GroupState[EntityState]): Iterator[EntitySession] = {

@@ -72,7 +72,16 @@ private[graft] object StagedAppend {
     * protocol state. xor alone self-cancels duplicate rows (so
     * {r1,r1,b} and {r2,r2,b} could share a tag and the second batch
     * would be skipped as already-applied — round-9 ADVICE); the sum
-    * column breaks every multiset difference. Summed as decimal(38,0)
+    * column breaks those xor self-cancellation shapes STRUCTURALLY,
+    * but the overall tag remains a statistical fingerprint: the sum
+    * loses carries out of bit 63, so two distinct multisets collide
+    * with probability ~2^-128 over the (xor, sum) pair of xxhash64
+    * values (and xxhash64 itself is non-cryptographic). COLLISION
+    * CONTRACT: a colliding batch would be silently skipped as
+    * already-applied; exposure is bounded by the single serialized
+    * maintainer (at most ONE in-flight batch is ever compared against
+    * the ledger on the retry path), which is the same trust level as
+    * every content-addressed ingest ledger. Summed as decimal(38,0)
     * so ANSI mode never overflows, then reduced mod 2^64. None for an
     * empty batch (appending nothing). */
   def contentTag(batch: DataFrame): Option[String] = {
@@ -99,11 +108,30 @@ private[graft] object StagedAppend {
     * before the format upgrade must still recognize its batches, or a
     * crash-retry spanning the upgrade re-ingests an already-applied
     * batch — the exact double-count the ledger exists to prevent.
-    * (xor hex never contains 's', so the separator is unambiguous.) */
+    * (xor hex never contains 's', so the separator is unambiguous.)
+    *
+    * The alias is TRANSITIONAL (round-10 ADVICE): a legacy tag is
+    * xor-only, so a genuinely NEW batch can alias a pre-upgrade ledger
+    * line ({r1,r1,b} legacy-committed, then {r2,r2,b} arrives — same
+    * xor, same count). Every commit therefore RETIRES the remaining
+    * legacy-format lines from the ledger it rewrites: the recover() at
+    * append entry has already published any committed legacy stage,
+    * and the single serialized maintainer committing a NEW batch
+    * proves every older batch was acked (it retries a batch until
+    * success before moving on), so no retry of a legacy batch can
+    * arrive after retirement. This bounds the alias exposure to the
+    * window between the format upgrade and the first post-upgrade
+    * commit, instead of forever. */
   private[graft] def legacyTag(tag: String): Option[String] = {
     val s = tag.indexOf('s'); val d = tag.lastIndexOf('-')
     if (s == 16 && d > s) Some(tag.take(16) + tag.substring(d)) else None
   }
+
+  /** A ledger line in the pre-multiset-sum format: no 's' separator
+    * anywhere (generation ids are "g0" or UUID hex — never contain
+    * 's'; post-upgrade batch tags always do). */
+  private[graft] def isLegacyLine(line: String): Boolean =
+    !line.contains('s')
 
   /** The layout's append generation: `_APPGEN` inside the layout dir,
     * or "g0" for layouts that never superseded their appends. */
@@ -142,13 +170,17 @@ private[graft] object StagedAppend {
     val tags = appliedTags(spark, path)
     // a batch committed under the pre-upgrade tag format counts as
     // committed (its pending dir, if any, carries the legacy name and
-    // is published by the recover() above)
+    // is published by the recover() above); the alias is consulted
+    // only while legacy-format lines remain — each commit below
+    // retires them (see [[legacyTag]])
     val committed = tags.contains(fullTag) ||
-      legacyTag(batchTag).exists(lt => tags.contains(s"$gen-$lt"))
+      legacyTag(batchTag).exists(lt =>
+        tags.filter(isLegacyLine).contains(s"$gen-$lt"))
     if (committed && !fs.exists(new Path(pending))) return
     if (!committed) {
       writeBatch(pending)
-      val tags = appliedTags(spark, path) :+ fullTag
+      val tags = appliedTags(spark, path)
+        .filterNot(isLegacyLine) :+ fullTag
       DirSwap.install(spark, ledgerDir(path), "appledger") { tmp =>
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(tmp))

@@ -822,6 +822,70 @@ class CrashMatrixSpec extends SparkSpec {
       "a legacy-committed postings batch was re-folded after the upgrade")
   }
 
+  test("staged append: the first post-upgrade commit RETIRES legacy " +
+      "ledger lines, so an xor-aliasing NEW batch is ingested, not " +
+      "silently skipped (round-10 ADVICE)") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val layout = tmpDir("sa-retire") + "/layout"
+    def append(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.StagedAppend.contentTag(df).foreach { t =>
+        graft.streaming.StagedAppend.append(spark, layout, t) { p =>
+          df.write.mode("overwrite").parquet(p)
+        }
+      }
+    Seq((0L, "seed")).toDF("k", "v")
+      .write.mode("overwrite").parquet(layout)
+    // legacy-committed batch {r1, r1, b}: its duplicate rows xor-cancel,
+    // so the pre-upgrade (xor, count) tag depends only on b
+    append(Seq((1L, "r1"), (1L, "r1"), (9L, "b")).toDF("k", "v"))
+    val tagsPath = java.nio.file.Paths.get(layout + ".applied", "tags")
+    val downgraded = new String(
+      java.nio.file.Files.readAllBytes(tagsPath), utf8)
+      .linesIterator.filter(_.nonEmpty).map { full =>
+        val t = full.stripPrefix("g0-")
+        "g0-" + graft.streaming.StagedAppend.legacyTag(t)
+          .getOrElse(fail(s"not a new-format tag: $full"))
+      }.mkString("\n")
+    java.nio.file.Files.write(tagsPath, downgraded.getBytes(utf8))
+    // the aliasing NEW multiset {r2, r2, b}: same xor (its duplicates
+    // cancel too), same count — under the unbounded alias this batch
+    // would be dropped as already-applied forever. A post-upgrade
+    // commit of an UNRELATED batch must retire the legacy line first…
+    append(Seq((3L, "other")).toDF("k", "v"))
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(tagsPath), utf8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    assert(lines.forall(l => !graft.streaming.StagedAppend.isLegacyLine(l)),
+      s"post-upgrade commit must retire legacy ledger lines, got: $lines")
+    // …after which the aliasing batch lands (pre-fix: silently skipped)
+    val before = spark.read.parquet(layout).count()
+    append(Seq((2L, "r2"), (2L, "r2"), (9L, "b")).toDF("k", "v"))
+    assert(spark.read.parquet(layout).count() == before + 3,
+      "an xor-aliasing new batch was skipped against a retired ledger")
+    // postings twin: the df commit rewrites _APPLIED without legacy lines
+    import graft.llm.SimSearch
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("papp-retire") + "/idx"
+    SimSearch.buildPostingsIndex(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", idx)
+    SimSearch.appendPostingsIndex(docs.filter($"doc_id" % 3 === 1),
+      "doc_id", "text", idx)
+    val ap = java.nio.file.Paths.get(idx, "df", "_APPLIED")
+    val down2 = new String(java.nio.file.Files.readAllBytes(ap), utf8)
+      .linesIterator.filter(_.nonEmpty).map { t =>
+        graft.streaming.StagedAppend.legacyTag(t)
+          .getOrElse(fail(s"not a new-format tag: $t"))
+      }.mkString("\n")
+    java.nio.file.Files.write(ap, down2.getBytes(utf8))
+    SimSearch.appendPostingsIndex(docs.filter($"doc_id" % 3 === 2),
+      "doc_id", "text", idx)
+    val lines2 = new String(java.nio.file.Files.readAllBytes(ap), utf8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    assert(
+      lines2.forall(l => !graft.streaming.StagedAppend.isLegacyLine(l)),
+      s"postings commit must retire legacy _APPLIED lines, got: $lines2")
+  }
+
   test("ScalaCheck: contentTag is a pure function of the row multiset " +
       "— equal multisets share a tag, different multisets never do") {
     import org.scalacheck.Prop.forAll
@@ -840,8 +904,16 @@ class CrashMatrixSpec extends SparkSpec {
       val (t1, t2) = (tag(m1), tag(m2))
       val sameMultiset = m1.sorted == m2.sorted
       // order/partitioning independence, None exactly on empty, and
-      // tag equality ⇔ multiset equality (a collision here would be
-      // the silent-skip data-loss shape)
+      // tag equality ⇔ multiset equality ON THESE SAMPLES. The ⇐
+      // direction is structural (the tag is a pure function of the
+      // multiset); the ⇒ direction is statistical — the sum loses
+      // carries out of bit 63, so distinct multisets collide with
+      // probability ~2^-128 over the (xor, sum) pair (round-10
+      // ADVICE: the guarantee is "breaks the xor self-cancellation
+      // shapes", not "no collision exists"). What this property pins
+      // is that the deliberately-adversarial tiny domain (duplicate
+      // rows, near-identical multisets — the shapes that DID collide
+      // pre-fix) never shares a tag.
       tag(m1.reverse) == t1 && t1.isEmpty == m1.isEmpty &&
         (t1 == t2) == (sameMultiset || (m1.isEmpty && m2.isEmpty))
     }

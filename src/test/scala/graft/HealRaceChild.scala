@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Second-JVM half of the cross-process racing-healer matrix
+  * (HealRaceSpec). The round-10 hammer proved heal-race safety within
+  * ONE JVM (shared Hadoop FileSystem object, shared locks); the
+  * deployment contract — "concurrent readers always safe" — spans
+  * PROCESSES with independent FileSystem instances and nothing shared
+  * but the directory tree. This child drives the three heal paths
+  * against windows the parent staged, each heal hammered on 4 local
+  * threads while the parent hammers the same path from its own JVM:
+  *
+  *   1. `staged`   — [[graft.streaming.StagedAppend.recover]] over a
+  *                   committed-but-unpublished bucketed-layout append.
+  *   2. `postings` — [[graft.llm.SimSearch.recoverPendingPostings]]
+  *                   over a committed-but-unpublished postings append.
+  *   3. `dirswap`  — [[graft.streaming.DirSwap.restoreIfTorn]] over a
+  *                   torn swap, repeated for `rounds` fresh windows
+  *                   (the heal is a single rename, so repetition is
+  *                   what buys overlap probability).
+  *
+  * File-based handshake: the parent touches `go-<phase>`; this child
+  * heals and touches `done-<phase>`. Any throwable fails the run
+  * (exit 1) — the contract under test is that a healer losing a
+  * rename race treats "the other party already did it" as success. */
+object HealRaceChild {
+  private def waitFor(f: java.io.File, ms: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!f.exists()) {
+      if (System.currentTimeMillis() > deadline)
+        sys.error(s"child timed out waiting for $f")
+      Thread.sleep(2)
+    }
+  }
+
+  private def touch(f: java.io.File): Unit = {
+    java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+    ()
+  }
+
+  /** Run `body` on 4 threads at once; rethrow the first failure. */
+  private def hammer(body: => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tasks = (1 to 4).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          try body catch { case t: Throwable => errs.add(t) }
+        }
+      })
+    }
+    gate.countDown()
+    tasks.foreach(_.get())
+    pool.shutdown()
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(ctl, layout, idx, swapDir, swapTag, roundsS) = args.take(6)
+    val rounds = roundsS.toInt
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("healrace-child")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def ctlFile(n: String) = new java.io.File(ctl, n)
+    touch(ctlFile("ready"))
+
+    waitFor(ctlFile("go-staged"))
+    hammer(graft.streaming.StagedAppend.recover(spark, layout))
+    touch(ctlFile("done-staged"))
+
+    waitFor(ctlFile("go-postings"))
+    hammer(graft.llm.SimSearch.recoverPendingPostings(spark, idx))
+    touch(ctlFile("done-postings"))
+
+    for (i <- 0 until rounds) {
+      waitFor(ctlFile(s"go-swap-$i"))
+      hammer(graft.streaming.DirSwap.restoreIfTorn(spark, swapDir, swapTag))
+      touch(ctlFile(s"done-swap-$i"))
+    }
+
+    println("HEALRACE_ALL_OK")
+    spark.stop()
+  }
+}

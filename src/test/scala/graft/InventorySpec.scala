@@ -143,8 +143,15 @@ class InventorySpec extends SparkSpec {
     // deterministically the exact coupon count — the theta
     // exact-below-capacity precedent — so DuckDB's count(DISTINCT)
     // is a true oracle; SketchTableSpec bounds beyond-capacity.)
+    // (agg_approx_distinct left this list in round 10→11: the
+    // implementation moved from Spark's HLL++ — whose estimate was 151
+    // vs 150 exact at sf0.01 and partition-sensitive at sf0.1, the
+    // measured reason it could not be oracled — to a theta sketch,
+    // which is in EXACT mode below its 4096-entry nominal capacity at
+    // every verify SF, so DuckDB's count(DISTINCT) is a true oracle;
+    // SketchSpec bounds the above-capacity estimator.)
     val expectedRowsOnly = Set("llm_dedup_simhash",
-      "sink_listing", "agg_approx_distinct",
+      "sink_listing",
       // (llm_simsearch_pq / _ivfpq left this list in round 8: the
       // float-trained codebook only picks candidates, which export for
       // the oracle's independent re-score and re-rank; recall still

@@ -115,6 +115,59 @@ class PqSpec extends SparkSpec {
       s"union probe should surface both generations, got ${got.toSeq}")
   }
 
+  test("IVF-PQ append: an already-indexed id with a DIFFERENT vector " +
+      "fails loudly instead of being silently dropped (round-10 ADVICE)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m, dims, ks,
+      iters = 1)
+    val path = tmpDir("ivfpq-diverge")
+    Pq.writeIvfPq(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      cb, m, dims, 6, path)
+    val n = spark.read.parquet(path).count()
+    // a retry carrying the SAME (id, vector) rows is a silent no-op —
+    // the membership guard's whole purpose
+    Pq.appendIvfPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+      cb, m, dims, 6, path)
+    assert(spark.read.parquet(path).count() == n,
+      "a same-vector retry must be a no-op")
+    // but an existing id arriving with a DIFFERENT vector is an
+    // upstream contract violation (a re-embedding routed through
+    // append instead of retrain) — refuse loudly, never silently
+    // drop it (index/corpus divergence) or duplicate the id. The
+    // probe only reads the buckets the BATCH's vectors hash to, so
+    // the deterministic construction is id `a` arriving with id `b`'s
+    // vector where both live in the same bucket with different codes:
+    // the probe then provably sees a's indexed row. (100 ids over 64
+    // buckets pigeonholes such a pair.)
+    import scala.jdk.CollectionConverters._
+    val rows = spark.read.parquet(path)
+      .select(col("vec_id"), col("bucket").cast("long").as("bkt"),
+        col("codes"))
+      .collect()
+    val pair = rows.toSeq.groupBy(_.getLong(1)).values.toSeq.flatMap { grp =>
+      for {
+        x <- grp; y <- grp
+        if x.getLong(0) < y.getLong(0) &&
+          x.getSeq[Long](2) != y.getSeq[Long](2)
+      } yield (x.getLong(0), y.getLong(0))
+    }.headOption.getOrElse(
+      fail("fixture: no same-bucket pair with differing codes"))
+    val vecB = emb.filter(col("vec_id") === pair._2)
+      .select("embedding").head().getSeq[Float](0)
+    val mutated = spark.createDataFrame(
+        List(org.apache.spark.sql.Row(pair._1)).asJava,
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+      .withColumn("embedding", typedlit(vecB))
+    val e = intercept[IllegalArgumentException] {
+      Pq.appendIvfPq(mutated, "vec_id", "embedding", cb, m, dims,
+        6, path)
+    }
+    assert(e.getMessage.contains("DIFFERENT vector"),
+      s"wrong failure: ${e.getMessage}")
+    assert(spark.read.parquet(path).count() == n,
+      "the refused batch must not have landed anything")
+  }
+
   test("recall vs probe-ball radius is monotone and saturates at the " +
       "PQ ceiling (the documented scan/recall knob)") {
     val emb = Tables.embeddings(spark, sf)
