@@ -502,17 +502,16 @@ object SimSearch {
       fpRow.getLong(0), fpRow.getDecimal(1), fpRow.getLong(2))
     val applied0 = appliedTags(path)
     // a batch committed under the pre-upgrade tag format counts as
-    // committed (recoverPendingPostings above published its pending);
-    // the alias is consulted only while legacy-format lines remain —
-    // each commit below retires them (StagedAppend.legacyTag scaladoc:
-    // the single serialized maintainer committing a NEW batch proves
-    // every older batch was acked, so retirement cannot orphan a
-    // future retry, and a post-retirement xor-aliasing new batch is
-    // no longer silently skipped)
+    // committed (recoverPendingPostings above published its pending).
+    // The alias string is legacy-format by construction so it can only
+    // match a legacy ledger line — and each commit below retires
+    // those, bounding the alias window (StagedAppend.legacyTag
+    // scaladoc: the single serialized maintainer committing a NEW
+    // batch proves every older batch was acked, so retirement cannot
+    // orphan a future retry, and a post-retirement xor-aliasing new
+    // batch is no longer silently skipped)
     val applied = applied0.contains(tag) ||
-      graft.streaming.StagedAppend.legacyTag(tag).exists(lt =>
-        applied0.filter(graft.streaming.StagedAppend.isLegacyLine)
-          .contains(lt))
+      graft.streaming.StagedAppend.legacyTag(tag).exists(applied0.contains)
     val pending = new java.io.File(s"$path/pending-$tag")
     if (applied && !pending.exists()) return // fully committed earlier
     if (!applied) {

@@ -97,11 +97,21 @@ object Sessionize {
     *
     * Measured Spark semantics this flavor inherits (pinned by the
     * StreamPropertySpec replay model): input rows at or below the
-    * watermark are dropped BEFORE this function sees them, and an
-    * expired timer fires with the OLD state even when the same
-    * micro-batch carries new data for the key — the expired session
-    * closes as-is and the new data opens a fresh session, which is
-    * the honest reading of "the gap elapsed". */
+    * watermark are dropped BEFORE this function sees them, and a timer
+    * fires at the first batch boundary after the watermark passes it.
+    * One semantic Spark leaves BATCH-SCHEDULE-DEPENDENT is enforced
+    * here instead: when new data for a key arrives in the same
+    * micro-batch in which its timer already sits below the watermark
+    * (back-to-back data batches in one backlog drain — an interleaved
+    * no-data batch would have fired the timer first, but Spark
+    * processes data groups with hasTimedOut=false), the expired
+    * session must CLOSE AS-IS and the new data open a fresh session —
+    * those events are more than `gapMs` after the session's last
+    * event, so folding them in would merge across the very gap that
+    * defines the session. The self-heal below (getCurrentWatermarkMs)
+    * makes the output independent of whether a no-data batch happened
+    * to run; the round-11 review caught the original doc overclaiming
+    * this as Spark's own in-batch behavior. */
   def updateStateEventTime(gapMs: Long)(
       userId: Long, events: Iterator[FeedEvent],
       state: GroupState[EntityState]): Iterator[EntitySession] = {
@@ -113,12 +123,23 @@ object Sessionize {
       val sorted = events.toSeq.sortBy(_.eventId)
       if (sorted.isEmpty) Iterator.empty
       else {
-        val next = fold(userId,
-          state.getOption.getOrElse(EntityState(userId, 0L, 0L, 0L, 0.0, 0L)),
-          sorted)
+        // close an already-expired session BEFORE folding: the
+        // watermark passed its gap, so this batch's events are more
+        // than gapMs after its last event (they are above the
+        // watermark — late rows never reach this function)
+        val (closed, base) = state.getOption match {
+          case Some(s) if s.nEvents > 0L &&
+              s.maxTsMicros / 1000L + gapMs < state.getCurrentWatermarkMs() =>
+            (Iterator.single(emit(s)),
+              EntityState(userId, 0L, 0L, 0L, 0.0, 0L))
+          case other =>
+            (Iterator.empty,
+              other.getOrElse(EntityState(userId, 0L, 0L, 0L, 0.0, 0L)))
+        }
+        val next = fold(userId, base, sorted)
         state.update(next)
         state.setTimeoutTimestamp(next.maxTsMicros / 1000L + gapMs)
-        Iterator.empty
+        closed
       }
     }
   }

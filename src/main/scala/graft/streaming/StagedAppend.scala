@@ -170,12 +170,12 @@ private[graft] object StagedAppend {
     val tags = appliedTags(spark, path)
     // a batch committed under the pre-upgrade tag format counts as
     // committed (its pending dir, if any, carries the legacy name and
-    // is published by the recover() above); the alias is consulted
-    // only while legacy-format lines remain — each commit below
-    // retires them (see [[legacyTag]])
+    // is published by the recover() above). The alias string is
+    // legacy-format by construction so it can only ever match a
+    // legacy ledger line — and each commit below retires those, which
+    // bounds the alias window (see [[legacyTag]])
     val committed = tags.contains(fullTag) ||
-      legacyTag(batchTag).exists(lt =>
-        tags.filter(isLegacyLine).contains(s"$gen-$lt"))
+      legacyTag(batchTag).exists(lt => tags.contains(s"$gen-$lt"))
     if (committed && !fs.exists(new Path(pending))) return
     if (!committed) {
       writeBatch(pending)

@@ -130,10 +130,11 @@ class InventorySpec extends SparkSpec {
     // rows-only by design: simhash emits engine-hash signatures (no
     // DuckDB twin possible; completeness spec-proven vs brute force in
     // LlmSpec), ANN is approximate-by-contract (recall spec), listing
-    // is filesystem shape, approx-distinct and the HLL sketch-table
-    // rollup are sketch-valued (SketchTableSpec bounds the estimates
-    // against exact). The near/ngram/embedding dedup family carries
-    // brute-force all-pairs DuckDB oracles since round 4.
+    // is filesystem shape. The near/ngram/embedding dedup family
+    // carries brute-force all-pairs DuckDB oracles since round 4; the
+    // sketch-valued keys all left this list once their verify-SF
+    // regimes proved exact-below-capacity (rollup r9, approx-distinct
+    // r11 — see below).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // (llm_simsearch_ann left this list in round 8: candidate
     // membership exports for the oracle, which re-scores and re-ranks

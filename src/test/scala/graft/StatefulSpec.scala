@@ -61,6 +61,50 @@ class StatefulSpec extends SparkSpec {
     assert(state.get.maxTsMicros == 3000L)
   }
 
+  test("event-time fold closes an already-expired session before " +
+      "folding same-batch data (batch-schedule independence)") {
+    // back-to-back data batches in one backlog drain: the key's timer
+    // sits below the watermark AND the batch carries new (non-late)
+    // events — without the self-heal the fold would merge events
+    // separated by more than the gap into one session. This scenario
+    // cannot be sampled through MemoryStream+processAllAvailable
+    // (an interleaved no-data batch always fires the timer first),
+    // which is exactly why it is pinned at the function level.
+    val old = EntityState(7L, firstVersion = 1L, lastVersion = 3L,
+      nEvents = 2L, valueSum = 3.0, maxTsMicros = 3000L)
+    val state = TestGroupState.create[EntityState](
+      optionalState = org.apache.spark.api.java.Optional.of(old),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      // wm = 100 s: far past the old session's 3 ms + 5 s gap
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = false)
+    val out = Sessionize.updateStateEventTime(5000L)(7L,
+      Iterator(FeedEvent(9L, 200000000L, 7L, "purchase", 2.5)),
+      state).toList
+    assert(out == List(graft.streaming.EntitySession(7L, 1L, 3L, 2L, 300L)),
+      s"expired session must close AS-IS, got $out")
+    val fresh = state.get
+    assert(fresh.firstVersion == 9L && fresh.nEvents == 1L,
+      s"new data must open a FRESH session, got $fresh")
+    assert(state.getTimeoutTimestampMs.get() == 205000L,
+      s"fresh timer at new maxTs + gap, got ${state.getTimeoutTimestampMs}")
+    // and a LIVE session (timer ahead of the watermark) keeps merging
+    val state2 = TestGroupState.create[EntityState](
+      optionalState = org.apache.spark.api.java.Optional.of(old),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(1L),
+      hasTimedOut = false)
+    val out2 = Sessionize.updateStateEventTime(5000L)(7L,
+      Iterator(FeedEvent(9L, 4000000L, 7L, "purchase", 2.5)), state2).toList
+    assert(out2.isEmpty && state2.get.nEvents == 3L &&
+      state2.get.firstVersion == 1L,
+      s"live session must keep folding, got $out2 / ${state2.get}")
+  }
+
   test("batchFold matches the declarative groupBy twin") {
     val events = Tables.events(spark, sf).select(
       col("event_id").as("eventId"), unix_micros(col("ts")).as("tsMicros"),

@@ -31,9 +31,12 @@ def main(a_dir, b_dir):
         n for n in os.listdir(b_dir)
         if os.path.isdir(os.path.join(b_dir, n))
         and not os.path.isdir(os.path.join(a_dir, n)))
-    if only_a or only_b:
-        print(f"WARN asymmetric dumps: only_a={only_a} only_b={only_b}")
     n_same = n_diff = 0
+    if only_a or only_b:
+        # a query dumped on one side only means that run crashed or
+        # skipped it — that is a FAILED invariance check, not a warning
+        print(f"DIFF asymmetric dumps: only_a={only_a} only_b={only_b}")
+        n_diff += len(only_a) + len(only_b)
     for name in names:
         try:
             a = con.execute(
