@@ -211,4 +211,120 @@ class StreamPropertySpec extends SparkSpec {
       CheckTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, s"sessionization property failed: ${res.status}")
   }
+
+  // ---- stream-stream interval join ---------------------------------
+
+  private case class JEv(id: Long, ts: Long, key: Long, left: Boolean)
+
+  /** (l.id, r.id) pairs of the batch interval-join truth: same key,
+    * r.ts in the half-open (l.ts - lookback, l.ts] window. */
+  private def intervalPairs(evs: Seq[JEv], lookbackS: Long)
+      : Set[(Long, Long)] = {
+    val (ls, rs) = evs.partition(_.left)
+    (for {
+      l <- ls; r = rs
+      m <- r if m.key == l.key && m.ts <= l.ts && m.ts > l.ts - lookbackS
+    } yield (l.id, m.id)).toSet
+  }
+
+  private def genJoinEvents: org.scalacheck.Gen[List[JEv]] = {
+    import org.scalacheck.Gen
+    val genEv = for {
+      ts <- Gen.choose(0L, 7200L)
+      key <- Gen.choose(1L, 3L)
+      left <- Gen.oneOf(true, false)
+    } yield JEv(0L, ts, key, left)
+    for {
+      n <- Gen.choose(2, 24)
+      evs <- Gen.listOfN(n, genEv)
+    } yield evs.zipWithIndex.map { case (e, i) => e.copy(id = i + 1L) }
+  }
+
+  /** Run intervalJoin over the given batches; returns (pairs, rawCount).
+    * Watermark delay 600.5 s: a timer/watermark can never tie an
+    * integer-second row ts, so the strict-vs-nonstrict late boundary
+    * is never sampled (the gapMs trick above). */
+  private def runIntervalJoin(batches: List[List[JEv]])
+      : (Set[(Long, Long)], Int) = {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStream.intervalJoin(
+      lMem.toDF().toDF("event_id", "ts", "user_id"),
+      rMem.toDF().toDF("event_id", "ts", "user_id"),
+      "user_id", lookback = "1 hour", watermarkDelay = "600500 milliseconds")
+    val name = s"ivjprop_${qn.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        val (ls, rs) = b.partition(_.left)
+        if (ls.nonEmpty) lMem.addData(
+          ls.map(e => (e.id, new java.sql.Timestamp(e.ts * 1000L), e.key)))
+        if (rs.nonEmpty) rMem.addData(
+          rs.map(e => (e.id, new java.sql.Timestamp(e.ts * 1000L), e.key)))
+        q.processAllAvailable()
+      }
+      val raw = spark.table(name)
+        .select(col("event_id"), col("r_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (raw.toSet, raw.length)
+    } finally q.stop()
+  }
+
+  test("ScalaCheck: interval join over an in-order feed equals the " +
+      "batch join — the on-time completeness contract") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    val gen = for {
+      evs <- genJoinEvents
+      nBatches <- Gen.choose(1, 5)
+    } yield {
+      // ts-ordered cut: every row arrives at or after all earlier rows,
+      // so nothing is ever late vs the min-of-sides watermark and the
+      // stream must find EVERY batch-join match
+      val sorted = evs.sortBy(e => (e.ts, e.id))
+      val size = math.max(1, (sorted.size + nBatches - 1) / nBatches)
+      sorted.grouped(size).map(_.toList).toList
+    }
+    val prop = forAll(gen) { batches =>
+      val evs = batches.flatten
+      val expected = intervalPairs(evs, 3600L)
+      val (got, rawCount) = runIntervalJoin(batches)
+      if (got != expected || rawCount != got.size)
+        info(s"interval completeness mismatch: got=$got " +
+          s"expected=$expected raw=$rawCount batches=$batches")
+      got == expected && rawCount == got.size
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"interval-join completeness failed: ${res.status}")
+  }
+
+  test("ScalaCheck: interval join under random lateness emits only " +
+      "true pairs and never duplicates — the soundness contract") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    val gen = for {
+      evs <- genJoinEvents
+      nBatches <- Gen.choose(1, 5)
+    } yield // arbitrary order: late rows and evicted-partner windows
+      // arise naturally; completeness is NOT asserted here (late data
+      // beyond the watermark is contractually droppable), soundness is
+      evs.zipWithIndex
+        .groupBy { case (e, i) => (i * 17 + e.ts) % nBatches }
+        .toList.sortBy(_._1).map(_._2.map(_._1)).filter(_.nonEmpty)
+    val prop = forAll(gen) { batches =>
+      val evs = batches.flatten
+      val allPairs = intervalPairs(evs, 3600L)
+      val (got, rawCount) = runIntervalJoin(batches)
+      if (!got.subsetOf(allPairs) || rawCount != got.size)
+        info(s"interval soundness violation: got=$got " +
+          s"allPairs=$allPairs raw=$rawCount batches=$batches")
+      got.subsetOf(allPairs) && rawCount == got.size
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, s"interval-join soundness failed: ${res.status}")
+  }
 }
