@@ -558,10 +558,14 @@ object SimSearch {
 
   private def appliedTags(path: String): Seq[String] = {
     val f = java.nio.file.Paths.get(path, "df", "_APPLIED")
+    // exists→read can straddle a live maintainer's df swap (the dir is
+    // absent for two renames); empty is the safe answer — a healer
+    // then treats in-flight stages as uncommitted and leaves them
     if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f),
+      try new String(java.nio.file.Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8)
         .linesIterator.filter(_.nonEmpty).toSeq
+      catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
     else Seq.empty
   }
 

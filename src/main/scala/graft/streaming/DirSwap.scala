@@ -77,8 +77,22 @@ private[graft] object DirSwap {
       throw new java.io.IOException(s"graft swap: cannot move $path aside")
     trip(tag, "afterMoveAside")
     if (!fs.rename(new Path(tmp), p)) {
-      if (fs.exists(bakP)) fs.rename(bakP, p) // roll back
-      throw new java.io.IOException(s"graft swap: cannot install $tmp")
+      // A serving-path healer's restoreIfTorn can land INSIDE this
+      // two-rename window and put the old generation back (correct
+      // from the reader's side: it must never start from an empty
+      // dir), leaving our install target occupied. Detect that exact
+      // shape — old copy back at p, bak consumed by the heal, our tmp
+      // untouched — take the restored copy aside again and finish the
+      // install, so a live maintainer doesn't fail spuriously under
+      // reader load (round-11 cross-process live-appender race). A
+      // second interference in the re-opened window throws, and the
+      // caller's retry-level protocol converges as for any crash.
+      val healed =
+        !fs.exists(bakP) && fs.exists(p) && fs.exists(new Path(tmp))
+      if (!(healed && fs.rename(p, bakP) && fs.rename(new Path(tmp), p))) {
+        if (fs.exists(bakP) && !fs.exists(p)) fs.rename(bakP, p) // roll back
+        throw new java.io.IOException(s"graft swap: cannot install $tmp")
+      }
     }
     trip(tag, "beforeBakDrop")
     fs.delete(bakP, true)

@@ -138,7 +138,13 @@ private[graft] object StagedAppend {
   def generation(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
     val p = new Path(path.stripSuffix("/") + "/_APPGEN")
-    if (fs.exists(p)) readAll(fs, p).trim else "g0"
+    // exists→read can straddle the retrain's layout swap; "g0" is the
+    // safe answer — any pending visible during a retrain swap is
+    // superseded by that retrain and correctly swept
+    if (fs.exists(p))
+      try readAll(fs, p).trim
+      catch { case _: java.io.FileNotFoundException => "g0" }
+    else "g0"
   }
 
   /** Write a fresh `_APPGEN` into a layout directory being built —
@@ -154,7 +160,12 @@ private[graft] object StagedAppend {
     val fs = fsOf(spark, path)
     val p = new Path(ledgerDir(path) + "/tags")
     if (!fs.exists(p)) return Seq.empty
-    readAll(fs, p).linesIterator.filter(_.nonEmpty).toSeq
+    // the exists→open pair can straddle a live maintainer's ledger
+    // swap (the dir is absent for two renames); an empty read is the
+    // safe answer — a healer then treats in-flight stages as
+    // uncommitted and leaves them for their appender
+    try readAll(fs, p).linesIterator.filter(_.nonEmpty).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   /** The staged append: stage on a ledger miss, commit, publish.

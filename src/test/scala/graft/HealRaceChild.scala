@@ -84,6 +84,20 @@ object HealRaceChild {
       touch(ctlFile(s"done-swap-$i"))
     }
 
+    // phase 4: a LIVE appender in the parent runs the full staged
+    // append while this process loops the healer — the serving-path
+    // posture (readers recover() before every read) racing an active
+    // maintainer's own stage+commit+publish, across processes. Loop
+    // until the parent says stop; any throw fails the child.
+    waitFor(ctlFile("go-live"))
+    val stop = ctlFile("stop-live")
+    while (!stop.exists()) {
+      graft.streaming.StagedAppend.recover(spark, layout)
+      Thread.sleep(1)
+    }
+    graft.streaming.StagedAppend.recover(spark, layout) // once post-stop
+    touch(ctlFile("done-live"))
+
     println("HEALRACE_ALL_OK")
     spark.stop()
   }

@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * writer would leave it, then BOTH JVMs hammer the same healer — 4
   * threads each side, 8 concurrent healers across 2 processes. Every
   * rename race must resolve to "the other party already did it", never
-  * an exception, and the healed state must equal the clean truth. */
+  * an exception, and the healed state must equal the clean truth. A
+  * final LIVE phase races the child's continuous healer loop against an
+  * active appender running the full staged-append protocol in this JVM —
+  * the actual serving posture (readers recover before every read, the
+  * one maintainer keeps ingesting), which exercises the mid-install
+  * ledger-swap window DirSwap.install now re-takes after a concurrent
+  * heal. */
 class HealRaceSpec extends SparkSpec {
   import spark.implicits._
   import graft.llm.SimSearch
@@ -155,6 +161,27 @@ class HealRaceSpec extends SparkSpec {
         assert(spark.read.parquet(swapDir).count() == 1,
           s"round $i: racing healers lost the sole surviving generation")
       }
+
+      // phase 4: a LIVE appender races the child's healer loop — the
+      // serving-path posture (every reader recovers first) against an
+      // active maintainer's full stage+commit+publish, across
+      // processes. The child hammers recover() the whole time; the
+      // two appends below cross its loop thousands of times,
+      // including the ledger-swap window (DirSwap.install re-takes a
+      // healed swap) and the shared-tag publish walk.
+      touch(new java.io.File(ctl, "go-live"))
+      val batch2 = emb.select(($"vec_id" + 1000000000L).as("vec_id"),
+        $"embedding")
+      val batch3 = emb.select(($"vec_id" + 2000000000L).as("vec_id"),
+        $"embedding").filter($"vec_id" % 3 === 0)
+      SimSearch.appendBucketed(batch2, "vec_id", "embedding", 4, layout)
+      SimSearch.appendBucketed(batch3, "vec_id", "embedding", 4, layout)
+      touch(new java.io.File(ctl, "stop-live"))
+      waitFor(new java.io.File(ctl, "done-live"))
+      SimSearch.appendBucketed(batch2, "vec_id", "embedding", 4, vclean)
+      SimSearch.appendBucketed(batch3, "vec_id", "embedding", 4, vclean)
+      assert(ids(layout) == ids(vclean),
+        "a healer racing a LIVE appender corrupted the layout")
 
       val lines = Iterator.continually(out.readLine())
         .takeWhile(_ != null).toVector
