@@ -25,12 +25,61 @@ private[graft] object DirSwap {
     * matrix (CrashMatrixSpec) kills every installing site at every
     * window through it. */
   @volatile private[graft] var failpoint: Option[(String, String)] = None
-  private def trip(tag: String, window: String): Unit =
+  /** Test-only NON-throwing window hook: when set to (tag, window,
+    * body), [[install]] for a matching tag runs `body` at that window
+    * and continues — the deterministic way to land a concurrent
+    * healer INSIDE a swap window (the crash failpoint above can only
+    * kill the writer there, not race it). One-shot: cleared before
+    * `body` runs so the raced healer's own swaps don't re-trigger. */
+  @volatile private[graft] var windowAction
+      : Option[(String, String, () => Unit)] = None
+  /** Same idea for [[restoreIfTorn]]'s single rename: runs between the
+    * torn-shape check and the restoring rename. One-shot. */
+  @volatile private[graft] var restoreWindowAction: Option[() => Unit] = None
+  private def trip(tag: String, window: String): Unit = {
+    windowAction match {
+      case Some((t, w, body)) if t == tag && w == window =>
+        windowAction = None
+        body()
+      case _ => ()
+    }
     if (failpoint.contains((tag, window)))
       throw new RuntimeException(s"graft failpoint: $tag@$window")
+  }
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Directory rename with FAIL-IF-DESTINATION-EXISTS semantics on
+    * every filesystem. Hadoop's LOCAL rename silently falls back to
+    * FileUtil.copy when the destination directory exists, NESTING the
+    * source inside it and returning true (measured against the
+    * build's own hadoop jars) — fatal for a swap protocol, where
+    * "destination appeared" means the other party won and the only
+    * correct move is to back off. Local paths therefore go through
+    * NIO Files.move — an atomic rename(2) that THROWS instead of
+    * merging — while everything else uses fs.rename, whose HDFS
+    * contract already returns false on an existing destination.
+    * Returns false on any lost race: destination exists, or the
+    * source vanished under a concurrent healer. */
+  private[graft] def renameNoReplace(fs: FileSystem, src: Path,
+                                     dst: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(src.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    case _ =>
+      try fs.rename(src, dst)
+      catch { case _: java.io.FileNotFoundException => false }
+  }
 
   def bakPath(path: String, tag: String = "merge"): String =
     path.stripSuffix("/") + s".$tag-bak"
@@ -48,12 +97,18 @@ private[graft] object DirSwap {
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
     if (!fs.exists(p) && fs.exists(bakP)) {
-      // RawLocalFileSystem.rename THROWS FileNotFoundException (not
-      // false) when the source vanished — i.e. the racing healer
-      // already restored it; fold that into the lost-race branch
-      val renamed =
-        try fs.rename(bakP, p)
-        catch { case _: java.io.FileNotFoundException => false }
+      restoreWindowAction.foreach { body =>
+        restoreWindowAction = None
+        body()
+      }
+      // renameNoReplace folds BOTH lost-race shapes into false: the
+      // source vanishing (a racing healer already restored it — the
+      // local fs THROWS FileNotFoundException rather than returning
+      // false) and the destination appearing (another healer's restore
+      // or the live writer's install landing first — where a plain
+      // local fs.rename would "succeed" by NESTING bak inside the
+      // winner's directory and silently corrupting it)
+      val renamed = renameNoReplace(fs, bakP, p)
       if (!renamed && !fs.exists(p))
         throw new java.io.IOException(
           s"graft swap: cannot restore $bakP after interrupted swap")
@@ -73,26 +128,32 @@ private[graft] object DirSwap {
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
     if (fs.exists(bakP)) fs.delete(bakP, true)
-    if (fs.exists(p) && !fs.rename(p, bakP))
+    if (fs.exists(p) && !renameNoReplace(fs, p, bakP))
       throw new java.io.IOException(s"graft swap: cannot move $path aside")
     trip(tag, "afterMoveAside")
-    if (!fs.rename(new Path(tmp), p)) {
-      // A serving-path healer's restoreIfTorn can land INSIDE this
-      // two-rename window and put the old generation back (correct
-      // from the reader's side: it must never start from an empty
-      // dir), leaving our install target occupied. Detect that exact
-      // shape — old copy back at p, bak consumed by the heal, our tmp
-      // untouched — take the restored copy aside again and finish the
-      // install, so a live maintainer doesn't fail spuriously under
-      // reader load (round-11 cross-process live-appender race). A
-      // second interference in the re-opened window throws, and the
-      // caller's retry-level protocol converges as for any crash.
-      val healed =
-        !fs.exists(bakP) && fs.exists(p) && fs.exists(new Path(tmp))
-      if (!(healed && fs.rename(p, bakP) && fs.rename(new Path(tmp), p))) {
-        if (fs.exists(bakP) && !fs.exists(p)) fs.rename(bakP, p) // roll back
-        throw new java.io.IOException(s"graft swap: cannot install $tmp")
-      }
+    // A serving-path healer's restoreIfTorn can land INSIDE this
+    // two-rename window and put the old generation back (correct from
+    // the reader's side: it must never start from an empty dir),
+    // leaving our install target occupied. Detect that exact shape —
+    // old copy back at p, bak consumed by the heal, our tmp untouched —
+    // take the restored copy aside again and finish, so a live
+    // maintainer doesn't fail spuriously under reader load (round-11
+    // cross-process live-appender race). Bounded loop: each retry
+    // needs a fresh heal inside a microsecond window, so 8 attempts
+    // is effectively never exhausted; on exhaustion the caller's
+    // retry-level protocol converges as for any crash.
+    var installed = renameNoReplace(fs, new Path(tmp), p)
+    var attempts = 0
+    while (!installed && attempts < 8 && !fs.exists(bakP) &&
+        fs.exists(p) && fs.exists(new Path(tmp))) {
+      if (renameNoReplace(fs, p, bakP))
+        installed = renameNoReplace(fs, new Path(tmp), p)
+      attempts += 1
+    }
+    if (!installed) {
+      if (fs.exists(bakP) && !fs.exists(p))
+        renameNoReplace(fs, bakP, p) // roll back
+      throw new java.io.IOException(s"graft swap: cannot install $tmp")
     }
     trip(tag, "beforeBakDrop")
     fs.delete(bakP, true)

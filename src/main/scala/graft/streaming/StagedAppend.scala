@@ -53,6 +53,17 @@ private[graft] object StagedAppend {
   private def ledgerDir(path: String): String =
     path.stripSuffix("/") + ".applied"
 
+  /** Read `p`, or `default` when the file vanished between the
+    * caller's exists check and the open — the exists→read pair can
+    * straddle a live maintainer's directory swap (the dir is absent
+    * for two renames), and the default must be the SAFE answer: a
+    * healer reading it treats in-flight stages as uncommitted and
+    * leaves them for their appender. */
+  private def readAllOrElse(fs: FileSystem, p: Path,
+                            default: String): String =
+    try readAll(fs, p)
+    catch { case _: java.io.FileNotFoundException => default }
+
   private def readAll(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
@@ -138,13 +149,9 @@ private[graft] object StagedAppend {
   def generation(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
     val p = new Path(path.stripSuffix("/") + "/_APPGEN")
-    // exists→read can straddle the retrain's layout swap; "g0" is the
-    // safe answer — any pending visible during a retrain swap is
-    // superseded by that retrain and correctly swept
-    if (fs.exists(p))
-      try readAll(fs, p).trim
-      catch { case _: java.io.FileNotFoundException => "g0" }
-    else "g0"
+    // "g0" on a read straddling the retrain's layout swap: any pending
+    // visible during a retrain swap is superseded and correctly swept
+    if (fs.exists(p)) readAllOrElse(fs, p, "g0").trim else "g0"
   }
 
   /** Write a fresh `_APPGEN` into a layout directory being built —
@@ -160,12 +167,7 @@ private[graft] object StagedAppend {
     val fs = fsOf(spark, path)
     val p = new Path(ledgerDir(path) + "/tags")
     if (!fs.exists(p)) return Seq.empty
-    // the exists→open pair can straddle a live maintainer's ledger
-    // swap (the dir is absent for two renames); an empty read is the
-    // safe answer — a healer then treats in-flight stages as
-    // uncommitted and leaves them for their appender
-    try readAll(fs, p).linesIterator.filter(_.nonEmpty).toSeq
-    catch { case _: java.io.FileNotFoundException => Seq.empty }
+    readAllOrElse(fs, p, "").linesIterator.filter(_.nonEmpty).toSeq
   }
 
   /** The staged append: stage on a ledger miss, commit, publish.

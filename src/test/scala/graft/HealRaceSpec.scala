@@ -56,6 +56,68 @@ class HealRaceSpec extends SparkSpec {
     errs.toArray(Array.empty[Throwable]).toSeq
   }
 
+  test("a heal landing INSIDE install's two-rename window neither nests " +
+      "nor loses the new generation (the local-fs rename copy-fallback)") {
+    // Hadoop's local rename onto an occupied directory returns TRUE and
+    // NESTS the source inside it (measured against the build's own
+    // jars) — a swap protocol trusting that boolean would serve the old
+    // generation forever while reporting success. The window hook lands
+    // a full heal exactly between install's two renames.
+    val dir = tmpDir("swapwin") + "/state"
+    def write(v: Long)(d: String): Unit =
+      Seq(v).toDF("v").write.mode("overwrite").parquet(d)
+    graft.streaming.DirSwap.install(spark, dir, "swtag")(write(1L))
+    graft.streaming.DirSwap.windowAction = Some(("swtag", "afterMoveAside",
+      () => graft.streaming.DirSwap.restoreIfTorn(spark, dir, "swtag")))
+    try graft.streaming.DirSwap.install(spark, dir, "swtag")(write(2L))
+    finally graft.streaming.DirSwap.windowAction = None
+    assert(spark.read.parquet(dir).as[Long].collect().toSeq == Seq(2L),
+      "the raced install must still serve the NEW generation")
+    val junk = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.contains("-tmp") || f.getName.contains("-bak"))
+    assert(junk.isEmpty, s"nested swap junk inside the state dir: " +
+      junk.toSeq.map(_.getName))
+    val siblings = Option(new java.io.File(dir).getParentFile.listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(siblings == Set("state"),
+      s"leftover swap siblings after the raced install: $siblings")
+  }
+
+  test("a heal whose restore loses to a completing install backs off " +
+      "instead of nesting the old generation inside the new one") {
+    val dir = tmpDir("swapwin2") + "/state"
+    def write(v: Long)(d: String): Unit =
+      Seq(v).toDF("v").write.mode("overwrite").parquet(d)
+    graft.streaming.DirSwap.install(spark, dir, "swtag2")(write(1L))
+    // tear the swap with the new generation already staged: p missing,
+    // bak = gen 1, tmp = gen 2 (the resumed-maintainer shape)
+    graft.streaming.DirSwap.failpoint = Some(("swtag2", "afterMoveAside"))
+    try intercept[Exception] {
+      graft.streaming.DirSwap.install(spark, dir, "swtag2")(write(2L))
+    } finally graft.streaming.DirSwap.failpoint = None
+    // the healer arrives; INSIDE its check→rename window the maintainer
+    // finishes the install (tmp → p) — without no-replace semantics the
+    // healer's rename would then nest gen 1 inside the live gen 2 dir
+    graft.streaming.DirSwap.restoreWindowAction = Some(() =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(
+          graft.streaming.DirSwap.tmpPath(dir, "swtag2")),
+        java.nio.file.Paths.get(dir)))
+    try graft.streaming.DirSwap.restoreIfTorn(spark, dir, "swtag2")
+    finally graft.streaming.DirSwap.restoreWindowAction = None
+    assert(spark.read.parquet(dir).as[Long].collect().toSeq == Seq(2L),
+      "the healer must back off from the completed install")
+    val junk = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.contains("-tmp") || f.getName.contains("-bak"))
+    assert(junk.isEmpty,
+      s"the losing heal nested junk inside the live dir: " +
+        junk.toSeq.map(_.getName))
+    // the surviving bak is the standard beforeBakDrop crash shape the
+    // next install clears; the essential point is p stayed clean
+  }
+
   test("TWO PROCESSES x 4 threads racing every heal path: staged-append " +
       "recover, postings recover, torn-swap restore — no exception, no " +
       "lost or doubled state") {

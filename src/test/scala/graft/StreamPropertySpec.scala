@@ -222,8 +222,8 @@ class StreamPropertySpec extends SparkSpec {
       : Set[(Long, Long)] = {
     val (ls, rs) = evs.partition(_.left)
     (for {
-      l <- ls; r = rs
-      m <- r if m.key == l.key && m.ts <= l.ts && m.ts > l.ts - lookbackS
+      l <- ls
+      m <- rs if m.key == l.key && m.ts <= l.ts && m.ts > l.ts - lookbackS
     } yield (l.id, m.id)).toSet
   }
 
