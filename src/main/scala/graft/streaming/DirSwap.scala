@@ -12,8 +12,44 @@ import org.apache.spark.sql.types.StructType
   * renames leaves the only copy under the bak path — [[restoreIfTorn]]
   * puts it back before any reader starts from empty (the
   * silent-state-loss hazard), and [[install]] runs it FIRST so a
-  * direct caller can never delete the sole surviving copy. */
+  * direct caller can never delete the sole surviving copy.
+  *
+  * '''Filesystem contract.''' The whole protocol rests on atomic
+  * directory rename with fail-if-destination-exists semantics: POSIX
+  * rename(2) (the local branch of [[renameNoReplace]]) and the HDFS
+  * `FileSystem.rename` contract both qualify. Object stores do NOT —
+  * S3A/GCS/ABFS-style filesystems emulate directory rename as a
+  * non-atomic copy-then-delete over every key, so a crash mid-"rename"
+  * leaves both halves and a concurrent reader can observe a partial
+  * generation; no amount of healing recovers the invariant. [[install]]
+  * and [[restoreIfTorn]] therefore REFUSE known object-store schemes up
+  * front ([[requireAtomicRename]]) instead of corrupting state slowly;
+  * on such stores the correct design is a manifest-pointer commit
+  * (write the new generation to a fresh keyed prefix, then CAS a small
+  * pointer object), which is a different protocol, not a DirSwap
+  * configuration. */
 private[graft] object DirSwap {
+
+  /** Filesystem schemes whose directory "rename" is a non-atomic
+    * copy+delete emulation — the swap protocol is unsound on them. */
+  private val nonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "cosn", "swift")
+
+  /** Cheap capability gate run at every heal/install entry: reject the
+    * filesystems known to fake directory rename rather than let the
+    * two-rename swap silently lose its atomicity premise. Unknown
+    * schemes pass — the HDFS contract is the default assumption for
+    * real cluster filesystems (hdfs, viewfs, ofs, file). */
+  private[graft] def requireAtomicRename(fs: FileSystem): Unit = {
+    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+    if (nonAtomicRenameSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"graft swap: filesystem scheme '$scheme' emulates directory " +
+          "rename as copy+delete; DirSwap requires atomic rename " +
+          "(POSIX rename(2) or the HDFS contract). Use a " +
+          "manifest-pointer commit for object stores.")
+  }
 
   /** Test-only failpoint: when set to (tag, window), [[install]] for
     * a matching tag throws at that crash window — "beforeInstall"
@@ -75,6 +111,20 @@ private[graft] object DirSwap {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.DirectoryNotEmptyException => false
         case _: java.nio.file.NoSuchFileException => false
+        case e: java.nio.file.FileSystemException =>
+          // NIO's no-REPLACE_EXISTING move is exists-check THEN
+          // rename(2): a destination appearing inside that window
+          // surfaces as ENOTEMPTY from rename(2), which NIO maps to
+          // this GENERIC type, not FileAlreadyExists. A confirmed
+          // occupied destination is the same lost race as the typed
+          // cases above; anything else is a real I/O failure. (An
+          // EMPTY destination dir in the window would be replaced by
+          // rename(2) — benign here, because every destination in
+          // this protocol appears via a completed rename of a
+          // non-empty generation, never as a bare mkdir.)
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dst.toUri.getPath))) false
+          else throw e
       }
     case _ =>
       try fs.rename(src, dst)
@@ -94,6 +144,7 @@ private[graft] object DirSwap {
   def restoreIfTorn(spark: SparkSession, path: String,
                     tag: String = "merge"): Unit = {
     val fs = fsOf(spark, path)
+    requireAtomicRename(fs)
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
     if (!fs.exists(p) && fs.exists(bakP)) {
@@ -120,7 +171,7 @@ private[graft] object DirSwap {
     * destroy the only surviving copy. */
   def install(spark: SparkSession, path: String, tag: String = "merge")
              (write: String => Unit): Unit = {
-    restoreIfTorn(spark, path, tag)
+    restoreIfTorn(spark, path, tag) // also runs the capability gate
     val tmp = tmpPath(path, tag)
     write(tmp)
     trip(tag, "beforeInstall")

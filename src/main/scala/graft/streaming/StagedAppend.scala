@@ -144,15 +144,34 @@ private[graft] object StagedAppend {
   private[graft] def isLegacyLine(line: String): Boolean =
     !line.contains('s')
 
-  /** The layout's append generation: `_APPGEN` inside the layout dir,
-    * or "g0" for layouts that never superseded their appends. */
-  def generation(spark: SparkSession, path: String): String = {
+  /** The layout's append generation, or None when the read cannot be
+    * trusted: the `_APPGEN` file vanished between the exists check and
+    * the open (a live maintainer's layout swap in flight), or the
+    * layout directory itself is absent (mid-swap — indistinguishable
+    * from a not-yet-bootstrapped layout). Callers whose next action is
+    * DESTRUCTIVE ([[recover]]'s superseded-generation sweep) must bail
+    * out on None instead of guessing (round-11 ADVICE: a straddled
+    * "g0" guess fed the sweep, and its safety rested entirely on the
+    * single-maintainer contract rather than on this code). */
+  private def generationIfStable(spark: SparkSession,
+                                 path: String): Option[String] = {
     val fs = fsOf(spark, path)
+    val layout = new Path(path.stripSuffix("/"))
     val p = new Path(path.stripSuffix("/") + "/_APPGEN")
-    // "g0" on a read straddling the retrain's layout swap: any pending
-    // visible during a retrain swap is superseded and correctly swept
-    if (fs.exists(p)) readAllOrElse(fs, p, "g0").trim else "g0"
+    if (fs.exists(p))
+      try Some(readAll(fs, p).trim)
+      catch { case _: java.io.FileNotFoundException => None }
+    else if (fs.exists(layout)) Some("g0") // present, never superseded
+    else None
   }
+
+  /** The layout's append generation: `_APPGEN` inside the layout dir,
+    * or "g0" for layouts that never superseded their appends (and, as
+    * the SAFE non-destructive default, for a read straddling a live
+    * layout swap — see [[generationIfStable]] for callers that must
+    * not guess). */
+  def generation(spark: SparkSession, path: String): String =
+    generationIfStable(spark, path).getOrElse("g0")
 
   /** Write a fresh `_APPGEN` into a layout directory being built —
     * call INSIDE the DirSwap install lambda of a superseding rebuild
@@ -172,7 +191,17 @@ private[graft] object StagedAppend {
 
   /** The staged append: stage on a ledger miss, commit, publish.
     * `writeBatch(pendingDir)` must write the batch with
-    * mode=overwrite in the layout's internal structure. */
+    * mode=overwrite in the layout's internal structure.
+    *
+    * CALLER CONTRACT (load-bearing, not advisory): ONE serialized
+    * maintainer per layout, and it retries a failed batch to success
+    * BEFORE submitting any newer batch. Two protocol decisions lean on
+    * it — the legacy-line retirement below assumes every batch older
+    * than a new commit was already acked (an out-of-band re-submission
+    * of a legacy-committed batch AFTER retirement would be silently
+    * re-ingested; retirements are logged so that shape is diagnosable),
+    * and [[recover]]'s superseded-generation sweep assumes a rebuild
+    * never overlaps an in-flight append. */
   def append(spark: SparkSession, path: String, batchTag: String)
             (writeBatch: String => Unit): Unit = {
     recover(spark, path)
@@ -192,8 +221,19 @@ private[graft] object StagedAppend {
     if (committed && !fs.exists(new Path(pending))) return
     if (!committed) {
       writeBatch(pending)
-      val tags = appliedTags(spark, path)
-        .filterNot(isLegacyLine) :+ fullTag
+      val all = appliedTags(spark, path)
+      val retired = all.filter(isLegacyLine)
+      // retirement must be LOUD (round-11 ADVICE): if the caller
+      // contract above is ever violated by an out-of-band retry of a
+      // legacy-committed batch arriving after this commit, the
+      // re-ingest is silent — this line is the forensic anchor that
+      // makes it attributable
+      if (retired.nonEmpty)
+        System.err.println(
+          s"graft staged append: retiring ${retired.size} legacy-format " +
+            s"ledger line(s) at $path on commit of $fullTag: " +
+            retired.mkString(", "))
+      val tags = all.filterNot(isLegacyLine) :+ fullTag
       DirSwap.install(spark, ledgerDir(path), "appledger") { tmp =>
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(tmp))
@@ -272,7 +312,20 @@ private[graft] object StagedAppend {
     val pendings = fs.listStatus(parent).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
     if (pendings.isEmpty) return
-    val gen = generation(spark, path)
+    val gen = generationIfStable(spark, path) match {
+      case Some(g) => g
+      case None =>
+        // the generation read straddled a live layout swap (or hit a
+        // not-yet-bootstrapped layout): BOTH halves of recovery are
+        // unsafe under an unknown generation — the sweep could delete
+        // a committed pending of a generation a crashed rebuild is
+        // about to roll back to, and a publish could land a superseded
+        // stage inside the swap window. Do neither. The swap is two
+        // renames wide and every reader recovers before reading, so
+        // the next recover sees the settled generation and converges;
+        // a bootstrap append publishes its own stage after this call.
+        return
+    }
     val applied = appliedTags(spark, path).toSet
     pendings.foreach { st =>
       val fullTag = st.getPath.getName.stripPrefix(prefix)

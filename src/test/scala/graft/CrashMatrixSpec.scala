@@ -355,7 +355,8 @@ class CrashMatrixSpec extends SparkSpec {
   // | z-order rebuild ("zorder")                   | dirSwapMatrix below   |
   // | staged-append ledger commit ("appledger":    | staged-append tests   |
   // |   z-order / bucketed-vector / IVF-PQ ingest) | below                 |
-  // | materialized-view refresh (dyn. overwrite)   | mview test below      |
+  // | materialized-view refresh ("mview" per       | mview test below +    |
+  // |   bucket since r12; was dyn. overwrite)      | HealRace live cell    |
   // | CorpusCache publish (atomic rename)          | cache test below      |
   // | streaming merge/SCD2 state ("merge")         | kill-at-every-batch   |
   // |                                              | above + torn-swap     |
@@ -993,4 +994,38 @@ class CrashMatrixSpec extends SparkSpec {
     assert(resolveOnce() == dir, "steady-state resolve must serve, not build")
     assert(builds == 2, "steady-state resolve re-built")
   }
+
+  test("DirSwap refuses filesystems without atomic directory rename " +
+      "(object-store schemes) before touching any state") {
+    // the swap protocol's precondition is atomic rename with
+    // fail-if-destination-exists semantics; S3A-style stores emulate
+    // directory rename as copy+delete, so DirSwap must refuse them up
+    // front instead of corrupting state slowly (round-11 verdict #4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setClass("fs.s3a.impl", classOf[FakeS3AFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        graft.streaming.DirSwap.install(spark, "s3a://bkt/state", "s3tag")(
+          _ => fail("write must never run on a refused filesystem"))
+      }
+      assert(e.getMessage.contains("atomic rename"), e.getMessage)
+      val e2 = intercept[UnsupportedOperationException] {
+        graft.streaming.DirSwap.readOrEmpty(spark, "s3a://bkt/state",
+          org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"),
+          "s3tag")
+      }
+      assert(e2.getMessage.contains("atomic rename"), e2.getMessage)
+    } finally conf.unset("fs.s3a.impl")
+    // the cached FakeS3AFileSystem instance stays keyed under its own
+    // scheme+authority; nothing else in the suite resolves s3a paths
+  }
+}
+
+/** Test stand-in for an object-store FileSystem: local semantics but a
+  * scheme DirSwap must refuse (the real S3A jar is not on the zero-
+  * egress classpath, and nothing should be, since the gate fires before
+  * any filesystem operation). */
+class FakeS3AFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
 }

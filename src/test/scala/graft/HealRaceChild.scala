@@ -59,7 +59,8 @@ object HealRaceChild {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(ctl, layout, idx, swapDir, swapTag, roundsS) = args.take(6)
+    val Array(ctl, layout, idx, swapDir, swapTag, roundsS,
+      retainDir, mvCorpus, mvPath) = args.take(9)
     val rounds = roundsS.toInt
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -97,6 +98,33 @@ object HealRaceChild {
     }
     graft.streaming.StagedAppend.recover(spark, layout) // once post-stop
     touch(ctlFile("done-live"))
+
+    // phase 5: a LIVE retention maintainer (full expire+logcompact
+    // rewrite through DirSwap tag "retain") in the parent, raced by
+    // this process looping the change table's designated healer — the
+    // round-12 verdict ask: the retention site's write pattern (whole
+    // table rewritten per window) differs from the staged-append
+    // ledger's one-file swap, so it gets its own live cell.
+    waitFor(ctlFile("go-retain"))
+    val stopR = ctlFile("stop-retain")
+    while (!stopR.exists()) {
+      graft.streaming.DirSwap.restoreIfTorn(spark, retainDir, "retain")
+      Thread.sleep(1)
+    }
+    graft.streaming.DirSwap.restoreIfTorn(spark, retainDir, "retain")
+    touch(ctlFile("done-retain"))
+
+    // phase 6: a LIVE materialized-view refresher (per-bucket DirSwap
+    // installs, several independent swap windows per refresh) in the
+    // parent, raced by this process looping the view's serving-path
+    // heal (scan for torn buckets, restore each).
+    waitFor(ctlFile("go-mview"))
+    val stopM = ctlFile("stop-mview")
+    val mv = new graft.ops.MaterializedView(spark, mvCorpus, mvPath,
+      nBuckets = 8)
+    while (!stopM.exists()) { mv.heal(); Thread.sleep(1) }
+    mv.heal()
+    touch(ctlFile("done-mview"))
 
     println("HEALRACE_ALL_OK")
     spark.stop()

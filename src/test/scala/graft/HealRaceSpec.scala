@@ -174,6 +174,44 @@ class HealRaceSpec extends SparkSpec {
     }
     tearSwap()
 
+    // ---- fixture 4: a change table under live retention maintenance
+    // (phase 5) — a version-keyed op feed paged like the crash matrix's
+    def opPage(i: Int) = Tables.events(spark, sf).select(
+        col("user_id").as("entity_id"),
+        col("event_id").as("change_version"),
+        element_at(array(lit("I"), lit("U"), lit("D")),
+          (col("event_id") % 3 + 1).cast("int")).as("change_operation"))
+      .filter(col("change_version") > i * 200L &&
+        col("change_version") <= (i + 1) * 200L)
+    def chgRows(dir: String) = spark.read.parquet(dir)
+      .select($"entity_id", $"change_version", $"change_operation")
+      .as[(Long, Long, String)].collect().toSet
+    val retainDir = tmpDir("healrace-retain") + "/chg"
+    val retainTwin = tmpDir("healrace-retain-twin") + "/chg"
+    for (d <- Seq(retainDir, retainTwin); i <- 0 until 2)
+      opPage(i).write.mode("append").parquet(d)
+
+    // ---- fixture 5: a bucket-partitioned materialized view under live
+    // refresh (phase 6) — two corpus snapshots so consecutive refreshes
+    // flip real content through the per-bucket DirSwap installs
+    val mvRoot = tmpDir("healrace-mv")
+    val corpusA = s"$mvRoot/corpusA"; val corpusB = s"$mvRoot/corpusB"
+    val mvPath = s"$mvRoot/view"
+    for (t <- Seq("orders", "lineitem"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$corpusA/$t.parquet")
+    val mvIds = spark.read.parquet(s"$corpusA/orders.parquet")
+      .select($"o_orderkey").orderBy($"o_orderkey")
+      .limit(12).as[Long].collect().toSeq
+    val victims = mvIds.filter(_ % 2 == 0)
+    spark.read.parquet(s"$corpusA/orders.parquet")
+      .filter(!$"o_orderkey".isin(victims: _*))
+      .write.mode("overwrite").parquet(s"$corpusB/orders.parquet")
+    spark.read.parquet(s"$corpusA/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$corpusB/lineitem.parquet")
+    new graft.ops.MaterializedView(spark, corpusA, mvPath, nBuckets = 8)
+      .build()
+
     // ---- launch the second JVM (CorpusCacheSpec precedent: same
     // classpath + module options as this test JVM)
     val jvmOpts = java.lang.management.ManagementFactory
@@ -185,7 +223,7 @@ class HealRaceSpec extends SparkSpec {
       s"${System.getProperty("java.home")}/bin/java") ++ jvmOpts ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.HealRaceChild", ctl.getPath, layout, idx, swapDir, "hrtag",
-      swapRounds.toString)
+      swapRounds.toString, retainDir, corpusA, mvPath)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
@@ -244,6 +282,55 @@ class HealRaceSpec extends SparkSpec {
       SimSearch.appendBucketed(batch3, "vec_id", "embedding", 4, vclean)
       assert(ids(layout) == ids(vclean),
         "a healer racing a LIVE appender corrupted the layout")
+
+      // phase 5: a LIVE retention maintainer (whole-table rewrite per
+      // window, DirSwap tag "retain") races the child's healer loop —
+      // the round-12 verdict ask. Four windows, each preceded by a
+      // fresh page append so every rewrite installs new content.
+      touch(new java.io.File(ctl, "go-retain"))
+      for (i <- 2 until 6) {
+        opPage(i).write.mode("append").parquet(retainDir)
+        graft.cdc.Maintenance.maintainChangeTable(spark, retainDir,
+          watermark = i * 120L, compactUpTo = i * 180L, nFiles = 3)
+      }
+      touch(new java.io.File(ctl, "stop-retain"))
+      waitFor(new java.io.File(ctl, "done-retain"))
+      for (i <- 2 until 6) { // the never-raced twin
+        opPage(i).write.mode("append").parquet(retainTwin)
+        graft.cdc.Maintenance.maintainChangeTable(spark, retainTwin,
+          watermark = i * 120L, compactUpTo = i * 180L, nFiles = 3)
+      }
+      assert(chgRows(retainDir) == chgRows(retainTwin),
+        "a healer racing a LIVE retention rewrite corrupted the table")
+
+      // phase 6: a LIVE materialized-view refresher races the child's
+      // bucket-heal loop. Alternating corpus snapshots flip real rows
+      // through each per-bucket swap; the last refresh is from corpusA,
+      // so the settled view must equal a never-raced corpusA build.
+      touch(new java.io.File(ctl, "go-mview"))
+      for (i <- 1 to 6) {
+        val corpus = if (i % 2 == 0) corpusA else corpusB
+        new graft.ops.MaterializedView(spark, corpus, mvPath, nBuckets = 8)
+          .refresh(mvIds)
+      }
+      touch(new java.io.File(ctl, "stop-mview"))
+      waitFor(new java.io.File(ctl, "done-mview"))
+      def mvRows(path: String, corpus: String) =
+        new graft.ops.MaterializedView(spark, corpus, path, nBuckets = 8)
+          .read()
+          .select($"invoice_id", $"line_no", $"qty", $"price_cents",
+            $"bucket".cast("long"))
+          .as[(Long, Int, Long, Long, Long)].collect().toSet
+      val twinPath = s"$mvRoot/view-twin"
+      new graft.ops.MaterializedView(spark, corpusA, twinPath, nBuckets = 8)
+        .build()
+      assert(mvRows(mvPath, corpusA) == mvRows(twinPath, corpusA),
+        "a healer racing LIVE per-bucket view refreshes corrupted the view")
+      val leftovers = Option(new java.io.File(mvPath).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.contains(".mview-tmp") || n.contains(".mview-bak"))
+      assert(leftovers.isEmpty,
+        s"raced refreshes left swap litter in the view: ${leftovers.toSeq}")
 
       val lines = Iterator.continually(out.readLine())
         .takeWhile(_ != null).toVector
