@@ -127,6 +127,25 @@ object Maintenance {
     * build, budgeted like every other rewrite in this window. */
   def maintainVectorIndex(spark: SparkSession, vi: VectorIndex): Unit = {
     val emb = spark.read.parquet(vi.embDir)
+    // [[graft.llm.Pq.appendIvfPq]]'s membership guard documents one
+    // blind spot: a re-embedded id whose OLD vector hashes entirely
+    // outside the probed buckets is invisible to the append-time check
+    // and "surfaces as a duplicate id at the next retrain" — THIS is
+    // that retrain, so the promise must be a check, not a comment
+    // (round-11 verdict #1). One id-keyed count over the corpus the
+    // rebuild is about to re-encode anyway (the retrain already scans
+    // it `iters`+1 times); a duplicate would otherwise ride silently
+    // into the new layout as two rows under one id with divergent
+    // vectors, poisoning every probe that id serves.
+    val dupIds = emb.groupBy(col(vi.idCol)).count()
+      .filter(col("count") > 1)
+      .select(col(vi.idCol)).limit(5).collect().map(_.get(0))
+    require(dupIds.isEmpty,
+      s"graft maintainVectorIndex: corpus ${vi.embDir} carries " +
+        s"duplicate ${vi.idCol} rows (e.g. ${dupIds.mkString(", ")}) — " +
+        "a re-embedding was appended past the membership guard's " +
+        "probed buckets (appendIvfPq's documented blind spot); " +
+        "resolve the corpus to one row per id before retraining")
     DirSwap.install(spark, vi.layoutPath, "vecidx") { tmp =>
       val cb = graft.llm.Pq.trainCodebooks(emb, vi.idCol, vi.vecCol,
         vi.m, vi.dims, vi.ks, vi.iters)

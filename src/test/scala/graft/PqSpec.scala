@@ -168,6 +168,58 @@ class PqSpec extends SparkSpec {
       "the refused batch must not have landed anything")
   }
 
+  test("IVF-PQ append blind spot: a divergent re-embedding whose OLD " +
+      "vector hides outside the probed buckets slips past append, and " +
+      "the NEXT RETRAIN refuses the duplicate id loudly (round-11 " +
+      "verdict #1)") {
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m, dims, ks,
+      iters = 1)
+    val root = tmpDir("ivfpq-retrain-dup")
+    val path = s"$root/layout"
+    val embDir = s"$root/corpus"
+    emb.write.parquet(embDir)
+    Pq.writeIvfPq(emb, "vec_id", "embedding", cb, m, dims, 6, path)
+    // pick ids a, b living in DIFFERENT buckets: id a re-embedded with
+    // b's vector probes only b's bucket, so a's indexed row is outside
+    // the membership guard's partition-pruned read — the documented
+    // blind spot, constructed deterministically
+    val byBucket = spark.read.parquet(path)
+      .select(col("vec_id"), col("bucket").cast("long").as("bkt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (aId, aBkt) = byBucket.minBy(_._1)
+    val bId = byBucket.collectFirst {
+      case (id, bkt) if bkt != aBkt => id
+    }.getOrElse(fail("fixture: need two occupied buckets"))
+    val vecB = emb.filter(col("vec_id") === bId)
+      .select("embedding").head().getSeq[Float](0)
+    val mutated = spark.createDataFrame(
+        List(org.apache.spark.sql.Row(aId)).asJava,
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+      .withColumn("embedding", typedlit(vecB))
+    // the append SUCCEEDS (the guard cannot see a's old row) and the
+    // layout now carries two rows under one id — the poisoned state
+    Pq.appendIvfPq(mutated, "vec_id", "embedding", cb, m, dims, 6, path)
+    assert(spark.read.parquet(path)
+        .filter(col("vec_id") === aId).count() == 2,
+      "fixture must reach the duplicate-id layout the blind spot allows")
+    // the re-embedding also lands in the corpus the retrain re-encodes
+    mutated.write.mode("append").parquet(embDir)
+    val before = spark.read.parquet(path).count()
+    val e = intercept[IllegalArgumentException] {
+      graft.cdc.Maintenance.maintainVectorIndex(spark,
+        graft.cdc.Maintenance.VectorIndex(embDir, path,
+          m = m, dims = dims, ks = ks, planes = 6, iters = 1))
+    }
+    assert(e.getMessage.contains("duplicate") &&
+        e.getMessage.contains(aId.toString),
+      s"retrain must name the duplicated id: ${e.getMessage}")
+    // the refusal is pre-install: the old layout still serves intact
+    assert(spark.read.parquet(path).count() == before,
+      "a refused retrain must leave the serving layout untouched")
+  }
+
   test("recall vs probe-ball radius is monotone and saturates at the " +
       "PQ ceiling (the documented scan/recall knob)") {
     val emb = Tables.embeddings(spark, sf)
