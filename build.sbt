@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of re-logging
+// it line-by-line with an "[info] " prefix: the driver machine-parses
+// Bench's final JSON line from raw stdout, and the prefix breaks any
+// per-line json parse (BENCH_r*.json carried "parsed": null for 11
+// rounds because of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

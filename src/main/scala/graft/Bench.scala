@@ -69,26 +69,35 @@ object Bench {
           System.err.println(s"BENCH_FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
+    // 4-decimal fixed point keeps the per-query stdout line compact
+    // (Locale.ROOT: a comma decimal separator would corrupt the JSON)
     def js(m: collection.Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", v)
+      }.mkString("{", ",", "}")
     val total = cold.values.sum
     val warmTotal = warm2.values.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // The full per-query maps go to a FILE: at 180 queries the maps are
-    // ~14 KB and the driver keeps only the tail of stdout, which
-    // truncated two-thirds of the round-7 evidence ("parsed": null in
-    // BENCH_r07.json). Stdout carries a short, always-parseable summary
-    // line pointing at the file. The default path is gitignored (it is
-    // rewritten by every driver-invoked run, which kept the tree dirty);
-    // the audited per-query evidence is the per-round copies committed
-    // under bench/BENCH_FULL_r{N}_*.json via SPARK_GRAFT_BENCH_OUT.
+    // The full per-query maps go to BOTH a file and stdout. The file
+    // (default path gitignored — every driver-invoked run rewrites it;
+    // the audited per-round copies live under bench/BENCH_FULL_r{N}_*
+    // via SPARK_GRAFT_BENCH_OUT) is the durable evidence. Stdout prints
+    // the full map line FIRST and a compact summary line LAST: the
+    // driver machine-parses stdout but keeps only a bounded tail of it
+    // (BENCH_r*.json tails are exactly 2000 chars), so a scan over the
+    // full stream finds the complete per-query map while a parse
+    // restricted to the tail still lands on the short final line —
+    // whichever window the driver uses, it gets a parseable object.
+    // (build.sbt's run/outputStrategy passes these lines through
+    // unprefixed; sbt's default "[info] " logger prefix is what kept
+    // "parsed": null for rounds 1-11.)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm2":${js(warm2)},"warm2_total":$warmTotal,"failed":$failedJson,"warm_failed":$warmFailedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full_latest.json"))
     Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(fullPath, fullJson + "\n")
+    println(fullJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${cold.size},"warm2_total":$warmTotal,"failed":$failedJson,"warm_failed":$warmFailedJson,"queries_file":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -111,7 +111,20 @@ object Sessionize {
     * defines the session. The self-heal below (getCurrentWatermarkMs)
     * makes the output independent of whether a no-data batch happened
     * to run; the round-11 review caught the original doc overclaiming
-    * this as Spark's own in-batch behavior. */
+    * this as Spark's own in-batch behavior.
+    *
+    * Boundary tie (round-11 ADVICE, deliberate): the close-before-fold
+    * guard uses STRICT '<' — at exact equality (last event + gapMs ==
+    * watermark) the expired-by-exactly-zero session still folds the
+    * batch's events in, so events exactly gapMs+ε past a session whose
+    * timer equals the watermark can merge where the prose above says
+    * "more than gapMs ⇒ fresh session". This mirrors Spark's own
+    * strict timer firing (a timer AT the watermark has not fired yet),
+    * which is what keeps the output batch-schedule-INDEPENDENT — a
+    * '<=' here would close sessions a no-data batch would not have
+    * closed, reintroducing the schedule dependence this guard exists
+    * to remove. The one-tick generosity at the boundary is the price
+    * of that invariance. */
   def updateStateEventTime(gapMs: Long)(
       userId: Long, events: Iterator[FeedEvent],
       state: GroupState[EntityState]): Iterator[EntitySession] = {

@@ -43,7 +43,7 @@ object StreamingMerge {
   /** Collapse one micro-batch of change records latest-op-wins per
     * entity — same single-aggregate shape as
     * TombstoneCdc.changedInvoicesOps, over the bounded page. */
-  private[streaming] def collapseBatch(batch: DataFrame): DataFrame =
+  private[graft] def collapseBatch(batch: DataFrame): DataFrame =
     batch.groupBy(col("entity_id").as("invoice_id"))
       .agg(max(struct(col("change_version"), col("change_operation"))).as("m"))
       .select(col("invoice_id"),
@@ -52,7 +52,7 @@ object StreamingMerge {
 
   /** One maintenance step: merge a collapsed batch into the state
     * table and swap the new state in ([[DirSwap]], rollback-safe). */
-  private[streaming] def applyBatch(spark: SparkSession, statePath: String,
+  private[graft] def applyBatch(spark: SparkSession, statePath: String,
                                     collapsed: DataFrame): Unit = {
     val next = Merge.mergeUpsert(stateTable(spark, statePath), collapsed)
     DirSwap.install(spark, statePath)(tmp =>

@@ -40,7 +40,7 @@ object StreamingScd2 {
     * from (stored changes ∪ batch changes), pass untouched entities
     * through, swap. `batch` columns: (invoice_id, change_version,
     * change_operation). */
-  private[streaming] def applyBatch(spark: SparkSession, historyPath: String,
+  private[graft] def applyBatch(spark: SparkSession, historyPath: String,
                                     batch: DataFrame): Unit = {
     val hist = historyTable(spark, historyPath)
     val touched = batch.select(col("invoice_id")).distinct()
