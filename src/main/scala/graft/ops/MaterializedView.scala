@@ -129,14 +129,23 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
     * are never mistaken for partitions). */
   def read(): DataFrame = {
     heal()
-    val dirs = fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(p => MaterializedView.DataName.matches(p.getName))
-      .map(_.toString).sorted
-    if (dirs.isEmpty)
+    val p = new Path(path)
+    val dirs =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).map(_.getPath)
+        .filter(d => MaterializedView.DataName.matches(d.getName))
+        .map(_.toString).sorted
+    if (dirs.isEmpty) {
+      // same schema as the non-empty branch: partition inference types
+      // the bucket dir names as INT, not flatView's long
+      val schema = org.apache.spark.sql.types.StructType(
+        flatView(None).schema.map(f =>
+          if (f.name == "bucket")
+            f.copy(dataType = org.apache.spark.sql.types.IntegerType)
+          else f))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        flatView(None).schema)
-    else
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
       spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*)
   }
 }

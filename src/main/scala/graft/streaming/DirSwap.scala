@@ -42,7 +42,13 @@ private[graft] object DirSwap {
     * schemes pass — the HDFS contract is the default assumption for
     * real cluster filesystems (hdfs, viewfs, ofs, file). */
   private[graft] def requireAtomicRename(fs: FileSystem): Unit = {
-    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+    // getUri.getScheme, NOT fs.getScheme: Hadoop's base
+    // FileSystem.getScheme THROWS UnsupportedOperationException for
+    // implementations that never override it, and this gate runs at
+    // every install/heal entry — it must classify, never crash
+    val scheme = Option(fs.getUri)
+      .flatMap(u => Option(u.getScheme))
+      .map(_.toLowerCase).getOrElse("")
     if (nonAtomicRenameSchemes.contains(scheme))
       throw new UnsupportedOperationException(
         s"graft swap: filesystem scheme '$scheme' emulates directory " +

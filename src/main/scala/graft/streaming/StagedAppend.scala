@@ -161,7 +161,17 @@ private[graft] object StagedAppend {
     if (fs.exists(p))
       try Some(readAll(fs, p).trim)
       catch { case _: java.io.FileNotFoundException => None }
-    else if (fs.exists(layout)) Some("g0") // present, never superseded
+    else if (fs.exists(layout)) {
+      // the layout can materialize BETWEEN the two probes (a healer's
+      // restore or an installer's swap completing — both whole-dir
+      // renames, so any _APPGEN arrives WITH the directory): only a
+      // layout still carrying no _APPGEN after it was seen present is
+      // a genuine never-minted g0. Without this re-check, a restore
+      // landing in the probe gap yielded a confident wrong Some("g0")
+      // during the exact straddle this function exists to detect
+      // (round-12 review).
+      if (fs.exists(p)) None else Some("g0")
+    }
     else None
   }
 
@@ -331,7 +341,20 @@ private[graft] object StagedAppend {
       val fullTag = st.getPath.getName.stripPrefix(prefix)
       if (!fullTag.startsWith(s"$gen-"))
         fs.delete(st.getPath, true) // superseded generation — sweep
-      else if (applied(fullTag)) publish(spark, path, fullTag)
+      else if (applied(fullTag)) {
+        // re-validate at the last moment: a retrain swap COMPLETING
+        // between the generation snapshot above and this publish would
+        // otherwise land a superseded stage inside the new layout.
+        // The residual window is one exists+read against a whole-dir
+        // rename — and reaching it at all requires a retrain running
+        // while a committed-but-unpublished pending exists, which the
+        // maintenance contract already forbids (the maintainer retries
+        // an append to success before entering a maintenance window);
+        // this check is defense in depth for that contract, not a
+        // replacement (round-12 review).
+        if (generationIfStable(spark, path).contains(gen))
+          publish(spark, path, fullTag)
+      }
     }
   }
 }

@@ -1028,4 +1028,7 @@ class CrashMatrixSpec extends SparkSpec {
   * any filesystem operation). */
 class FakeS3AFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "s3a"
+  // the gate classifies by getUri.getScheme (the never-throwing
+  // identity every FileSystem carries), so the fake must fake THAT
+  override def getUri: java.net.URI = java.net.URI.create("s3a://bkt/")
 }
