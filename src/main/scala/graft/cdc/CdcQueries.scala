@@ -713,9 +713,19 @@ object CdcQueries {
          |   CAST(count(*) AS BIGINT) AS n_obs
          | FROM paged GROUP BY op ORDER BY grp""".stripMargin,
     "stream_view_topk" ->
-      // exact-regime replay: the MG cap never binds below capacity, so
-      // the maintained counters equal the exact per-(op, entity) page
-      // counts and the top-10 replays directly
+      // FULL Misra-Gries replay, page by page in arrival order (the
+      // staged page files carry ordered mtimes, so the file stream's
+      // batch order is the page order): each stage merges the page's
+      // per-(op, entity) counts into the running counters, then caps
+      // any group over capacity — rank by (cnt desc, id), subtract the
+      // first evicted count, drop zeros — exactly foldTopK's fold.
+      // Below capacity every evict term is 0 and the whole fold
+      // degenerates to the plain exact counts (the sf0.001/sf0.01
+      // regime, where this oracle equals its pre-round-12 exact-regime
+      // form); at sf0.1 the U group (~100k near-uniform entities)
+      // crosses the 65536 cap and the replay reproduces the documented
+      // MG wipe (no heavy hitters to keep), hash-pinning the capped
+      // path at the scale where the gate actually flips.
       s"""WITH $feedsOpsCte,
          | pages AS (SELECT * FROM (VALUES (0, 1000), (1000, 5000),
          |     (5000, 50000), (50000, 9223372036854775807))
@@ -726,12 +736,51 @@ object CdcQueries {
          |   FROM feeds f JOIN pages p
          |     ON f.change_version > p.lo AND f.change_version <= p.hi
          |   GROUP BY p.lo, f.invoice_id),
-         | c AS (SELECT op AS grp, invoice_id, count(*) AS cnt
-         |   FROM paged GROUP BY op, invoice_id),
-         | r AS (SELECT grp, invoice_id, cnt, row_number() OVER (
-         |     PARTITION BY grp ORDER BY cnt DESC, invoice_id) AS rank
-         |   FROM c)
-         | SELECT grp, CAST(rank AS BIGINT) AS rank, invoice_id,
+         | m1 AS (SELECT op AS grp, invoice_id AS id,
+         |     CAST(1 AS BIGINT) AS cnt FROM paged WHERE page = 0),
+         | x1 AS (SELECT grp, id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m1),
+         | e1 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
+         |     ELSE 0 END) AS ev FROM x1 GROUP BY grp),
+         | v1 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
+         |   FROM x1 x JOIN e1 e USING (grp)
+         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
+         | m2 AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |     SELECT * FROM v1 UNION ALL
+         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
+         |     FROM paged WHERE page = 1000) GROUP BY grp, id),
+         | x2 AS (SELECT grp, id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m2),
+         | e2 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
+         |     ELSE 0 END) AS ev FROM x2 GROUP BY grp),
+         | v2 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
+         |   FROM x2 x JOIN e2 e USING (grp)
+         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
+         | m3 AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |     SELECT * FROM v2 UNION ALL
+         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
+         |     FROM paged WHERE page = 5000) GROUP BY grp, id),
+         | x3 AS (SELECT grp, id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m3),
+         | e3 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
+         |     ELSE 0 END) AS ev FROM x3 GROUP BY grp),
+         | v3 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
+         |   FROM x3 x JOIN e3 e USING (grp)
+         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
+         | m4 AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |     SELECT * FROM v3 UNION ALL
+         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
+         |     FROM paged WHERE page = 50000) GROUP BY grp, id),
+         | x4 AS (SELECT grp, id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m4),
+         | e4 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
+         |     ELSE 0 END) AS ev FROM x4 GROUP BY grp),
+         | v4 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
+         |   FROM x4 x JOIN e4 e USING (grp)
+         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
+         | r AS (SELECT grp, id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rank FROM v4)
+         | SELECT grp, CAST(rank AS BIGINT) AS rank, id AS invoice_id,
          |   CAST(cnt AS BIGINT) AS n_changes
          | FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
     "cdc_view_minmax" ->

@@ -133,18 +133,26 @@ object LlmQueries {
       .orderBy("group_a", "group_b")
   }
 
-  /** N4''## — per-source NET-NEW content via theta a-not-b: from the
-    * same sketch table as the overlap matrix, |source \ ∪(others)| —
+  /** N4''## — per-source NET-NEW content via theta a-not-b: from a
+    * sketch table like the overlap matrix's, |source \ ∪(others)| —
     * "what does this source add that no other source has?", the
     * difference leg of the dedup-planning set algebra. Exact below
-    * sketch capacity → real oracle. */
+    * sketch capacity → real oracle. lgk = 16 here, NOT the default
+    * 2^12: the a-not-b subtracts the UNION of all other sources, and
+    * that union is the first sketch to cross into estimation mode —
+    * at sf0.1 it holds 4750 distincts and the 2^12 estimates drifted
+    * ±6% off the oracle (round-12 sf0.1 sweep). 2^16 keeps the union
+    * exact through the sf1 corpus (~50k distincts) at 512 KB/sketch —
+    * the standard capacity-sizing trade (foldTopK note): cover the
+    * scales served exactly, stay a fixed bound at 100 TB. */
   val sketchDifferenceQ: Q = (s, d) => {
     val fps = Tables.documents(s, d)
       .select(col("source"),
         TextOps.fingerprint(col("text")).as("fp"))
     graft.ops.SketchTable
       .thetaDifferenceVsRest(
-        graft.ops.SketchTable.buildTheta(fps, "source", "fp"), "source")
+        graft.ops.SketchTable.buildTheta(fps, "source", "fp", lgk = 16),
+        "source", lgk = 16)
       .orderBy("source")
   }
 

@@ -37,16 +37,19 @@ object SketchTable {
     * Unlike HLL, theta sketches support INTERSECTION and DIFFERENCE —
     * the dedup-planning primitives ("how much of source A is already
     * inside source B?") that a union-only sketch cannot answer. Below
-    * the sketch's nominal capacity (default 2^12 retained hashes) the
-    * estimates are EXACT, which is why the declared overlap query
-    * carries a real DuckDB oracle at the verify scales. */
+    * the sketch's nominal capacity (2^lgk retained hashes, default
+    * 2^12) the estimates are EXACT, which is why the declared overlap
+    * query carries a real DuckDB oracle at the verify scales. Size
+    * `lgk` like every capacity bound here (the MG top-k note): cover
+    * the cardinalities you serve exactly outright, while staying a
+    * fixed kilobyte bound the corpus can never push past at 100 TB. */
   def buildTheta(df: DataFrame, groupCol: String,
-                 valueCol: String): DataFrame =
+                 valueCol: String, lgk: Int = 12): DataFrame =
     // one sketch aggregate per group; n_distinct is a post-projection
     // over the finished sketch, not a second aggregate Catalyst has to
     // recognize as a duplicate
     df.groupBy(col(groupCol))
-      .agg(expr(s"theta_sketch_agg($valueCol)").as("sketch"))
+      .agg(expr(s"theta_sketch_agg($valueCol, $lgk)").as("sketch"))
       .withColumn("n_distinct",
         expr("CAST(theta_sketch_estimate(sketch) AS BIGINT)"))
 
@@ -59,16 +62,24 @@ object SketchTable {
     * below the sketches' nominal capacity (estimates on exact-mode
     * sketches replay set algebra exactly), so the declared query
     * carries a real oracle at the verify scales. A lone group has no
-    * rest to subtract: its net-new count is its own distinct count. */
+    * rest to subtract: its net-new count is its own distinct count.
+    *
+    * `lgk` must cover the UNION-of-rest cardinality, not just the
+    * per-group ones — the rest-union is the largest sketch in the
+    * algebra and is what first crosses into estimation mode (measured
+    * at sf0.1: 20 exact 250-hash sketches union to 4750 > 2^12, and
+    * the a-not-b estimates drifted ±6% off the exact counts while
+    * every per-group n_distinct stayed exact). Pass the same `lgk` the
+    * table was built with. */
   def thetaDifferenceVsRest(thetaTable: DataFrame,
-                            groupCol: String): DataFrame = {
+                            groupCol: String, lgk: Int = 12): DataFrame = {
     val a = thetaTable.select(col(groupCol).as("__g"),
       col("sketch").as("sketch_a"), col("n_distinct").as("n_a"))
     val b = thetaTable.select(col(groupCol).as("__gb"),
       col("sketch").as("sketch_b"))
     val rest = a.select("__g").join(b, col("__g") =!= col("__gb"))
       .groupBy(col("__g"))
-      .agg(expr("theta_union_agg(sketch_b)").as("rest"))
+      .agg(expr(s"theta_union_agg(sketch_b, $lgk)").as("rest"))
     a.join(rest, Seq("__g"), "left")
       .select(col("__g").as(groupCol),
         col("n_a").as("n_distinct"),
