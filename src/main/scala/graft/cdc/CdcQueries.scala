@@ -139,6 +139,43 @@ object CdcQueries {
     base
   }
 
+  /** The staged agg-view page LOWER bounds — ONE source of truth for
+    * the staging (each page is (lo, next lo], last unbounded), every
+    * stream_view oracle's pages CTE, and the MG replay's stage list
+    * (round-12 review: the constants were duplicated in 4+ places). */
+  private val aggViewPageLos = Seq(0L, 1000L, 5000L, 50000L)
+  private def aggViewPages: Seq[(Long, Long)] =
+    aggViewPageLos.zip(aggViewPageLos.tail :+ Long.MaxValue)
+  private def pagesCteSql: String =
+    "pages AS (SELECT * FROM (VALUES " +
+      aggViewPages.map { case (lo, hi) => s"($lo, $hi)" }.mkString(", ") +
+      ") AS t(lo, hi))"
+
+  /** One Misra-Gries fold stage per staged page, as SQL CTEs: m_i
+    * merges the running counters v_{i-1} with page i's per-(op, entity)
+    * counts, x_i ranks within group, e_i finds the first evicted count
+    * (0 while the group is under capacity), v_i keeps the capped
+    * survivors. Generated from [[aggViewPageLos]] and the maintainer's
+    * [[graft.streaming.StreamingAggView.TopKCapacity]] so the oracle
+    * and the fold share one source of truth. */
+  private def mgStagesSql: String = {
+    val cap = graft.streaming.StreamingAggView.TopKCapacity
+    aggViewPageLos.zipWithIndex.map { case (lo, j) =>
+      val i = j + 1
+      s""" m$i AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |     SELECT * FROM v$j UNION ALL
+         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
+         |     FROM paged WHERE page = $lo) GROUP BY grp, id),
+         | x$i AS (SELECT grp, id, cnt, row_number() OVER (
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m$i),
+         | e$i AS (SELECT grp, max(CASE WHEN rk = ${cap + 1} THEN cnt
+         |     ELSE 0 END) AS ev FROM x$i GROUP BY grp),
+         | v$i AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
+         |   FROM x$i x JOIN e$i e USING (grp)
+         |   WHERE x.rk <= $cap AND x.cnt - e.ev > 0),""".stripMargin
+    }.mkString("\n")
+  }
+
   private def stagedAggViewBase(s: SparkSession, d: String): String = {
     val base = scratchRoot(s, d, "aggview")
     val src = s"$base/src"
@@ -146,8 +183,7 @@ object CdcQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(s"$base/_staged")
     if (!fs.exists(done)) {
-      val pages = Seq((0L, 1000L), (1000L, 5000L), (5000L, 50000L),
-        (50000L, Long.MaxValue))
+      val pages = aggViewPages
       pages.zipWithIndex.foreach { case ((lo, hi), i) =>
         val tmp = s"$base/stage-$i"
         TombstoneCdc.changedInvoicesOps(s, d, lo, hi)
@@ -699,9 +735,7 @@ object CdcQueries {
       // row counts per latest-op group (theta estimates are exact below
       // the sketch's nominal capacity)
       s"""WITH $feedsOpsCte,
-         | pages AS (SELECT * FROM (VALUES (0, 1000), (1000, 5000),
-         |     (5000, 50000), (50000, 9223372036854775807))
-         |   AS t(lo, hi)),
+         | $pagesCteSql,
          | paged AS (
          |   SELECT p.lo AS page, f.invoice_id,
          |     arg_max(f.change_operation, f.change_version) AS op
@@ -717,69 +751,31 @@ object CdcQueries {
       // staged page files carry ordered mtimes, so the file stream's
       // batch order is the page order): each stage merges the page's
       // per-(op, entity) counts into the running counters, then caps
-      // any group over capacity — rank by (cnt desc, id), subtract the
-      // first evicted count, drop zeros — exactly foldTopK's fold.
+      // any group over capacity -- rank by (cnt desc, id), subtract the
+      // first evicted count, drop zeros -- exactly foldTopK's fold.
       // Below capacity every evict term is 0 and the whole fold
       // degenerates to the plain exact counts (the sf0.001/sf0.01
-      // regime, where this oracle equals its pre-round-12 exact-regime
-      // form); at sf0.1 the U group (~100k near-uniform entities)
-      // crosses the 65536 cap and the replay reproduces the documented
+      // regime); at sf0.1 the U group (~100k near-uniform entities)
+      // crosses the capacity and the replay reproduces the documented
       // MG wipe (no heavy hitters to keep), hash-pinning the capped
-      // path at the scale where the gate actually flips.
+      // path at the scale where the gate actually flips. The stages
+      // are GENERATED from aggViewPageLos and the maintainer's own
+      // TopKCapacity, so the replay cannot drift from the staging or
+      // the fold (round-12 review).
       s"""WITH $feedsOpsCte,
-         | pages AS (SELECT * FROM (VALUES (0, 1000), (1000, 5000),
-         |     (5000, 50000), (50000, 9223372036854775807))
-         |   AS t(lo, hi)),
+         | $pagesCteSql,
          | paged AS (
          |   SELECT p.lo AS page, f.invoice_id,
          |     arg_max(f.change_operation, f.change_version) AS op
          |   FROM feeds f JOIN pages p
          |     ON f.change_version > p.lo AND f.change_version <= p.hi
          |   GROUP BY p.lo, f.invoice_id),
-         | m1 AS (SELECT op AS grp, invoice_id AS id,
-         |     CAST(1 AS BIGINT) AS cnt FROM paged WHERE page = 0),
-         | x1 AS (SELECT grp, id, cnt, row_number() OVER (
-         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m1),
-         | e1 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
-         |     ELSE 0 END) AS ev FROM x1 GROUP BY grp),
-         | v1 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
-         |   FROM x1 x JOIN e1 e USING (grp)
-         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
-         | m2 AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
-         |     SELECT * FROM v1 UNION ALL
-         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
-         |     FROM paged WHERE page = 1000) GROUP BY grp, id),
-         | x2 AS (SELECT grp, id, cnt, row_number() OVER (
-         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m2),
-         | e2 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
-         |     ELSE 0 END) AS ev FROM x2 GROUP BY grp),
-         | v2 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
-         |   FROM x2 x JOIN e2 e USING (grp)
-         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
-         | m3 AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
-         |     SELECT * FROM v2 UNION ALL
-         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
-         |     FROM paged WHERE page = 5000) GROUP BY grp, id),
-         | x3 AS (SELECT grp, id, cnt, row_number() OVER (
-         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m3),
-         | e3 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
-         |     ELSE 0 END) AS ev FROM x3 GROUP BY grp),
-         | v3 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
-         |   FROM x3 x JOIN e3 e USING (grp)
-         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
-         | m4 AS (SELECT grp, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
-         |     SELECT * FROM v3 UNION ALL
-         |     SELECT op, invoice_id, CAST(1 AS BIGINT)
-         |     FROM paged WHERE page = 50000) GROUP BY grp, id),
-         | x4 AS (SELECT grp, id, cnt, row_number() OVER (
-         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rk FROM m4),
-         | e4 AS (SELECT grp, max(CASE WHEN rk = 65537 THEN cnt
-         |     ELSE 0 END) AS ev FROM x4 GROUP BY grp),
-         | v4 AS (SELECT x.grp, x.id, x.cnt - e.ev AS cnt
-         |   FROM x4 x JOIN e4 e USING (grp)
-         |   WHERE x.rk <= 65536 AND x.cnt - e.ev > 0),
+         | v0 AS (SELECT op AS grp, invoice_id AS id,
+         |     CAST(0 AS BIGINT) AS cnt FROM paged WHERE 1 = 0),
+         |$mgStagesSql
          | r AS (SELECT grp, id, cnt, row_number() OVER (
-         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rank FROM v4)
+         |     PARTITION BY grp ORDER BY cnt DESC, id) AS rank
+         |   FROM v${aggViewPageLos.size})
          | SELECT grp, CAST(rank AS BIGINT) AS rank, id AS invoice_id,
          |   CAST(cnt AS BIGINT) AS n_changes
          | FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,

@@ -152,7 +152,7 @@ object LlmQueries {
     graft.ops.SketchTable
       .thetaDifferenceVsRest(
         graft.ops.SketchTable.buildTheta(fps, "source", "fp", lgk = 16),
-        "source", lgk = 16)
+        "source")
       .orderBy("source")
   }
 

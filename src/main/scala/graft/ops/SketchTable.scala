@@ -47,11 +47,16 @@ object SketchTable {
                  valueCol: String, lgk: Int = 12): DataFrame =
     // one sketch aggregate per group; n_distinct is a post-projection
     // over the finished sketch, not a second aggregate Catalyst has to
-    // recognize as a duplicate
+    // recognize as a duplicate. The table CARRIES its lgk (a literal
+    // column, one int per group row) so downstream set algebra reads
+    // the right nominal structurally instead of trusting a caller to
+    // re-pass the same value (round-12 review: a defaulted mismatch
+    // would silently re-compress exact sketches into estimation mode).
     df.groupBy(col(groupCol))
       .agg(expr(s"theta_sketch_agg($valueCol, $lgk)").as("sketch"))
       .withColumn("n_distinct",
         expr("CAST(theta_sketch_estimate(sketch) AS BIGINT)"))
+      .withColumn("__lgk", lit(lgk))
 
   /** Per-group set DIFFERENCE vs the rest, from the sketch table
     * alone: |A \ ∪(others)| — "how much NET-NEW content does source A
@@ -64,15 +69,23 @@ object SketchTable {
     * carries a real oracle at the verify scales. A lone group has no
     * rest to subtract: its net-new count is its own distinct count.
     *
-    * `lgk` must cover the UNION-of-rest cardinality, not just the
-    * per-group ones — the rest-union is the largest sketch in the
-    * algebra and is what first crosses into estimation mode (measured
-    * at sf0.1: 20 exact 250-hash sketches union to 4750 > 2^12, and
-    * the a-not-b estimates drifted ±6% off the exact counts while
-    * every per-group n_distinct stayed exact). Pass the same `lgk` the
-    * table was built with. */
+    * The union nominal must cover the UNION-of-rest cardinality, not
+    * just the per-group ones — the rest-union is the largest sketch in
+    * the algebra and is what first crosses into estimation mode
+    * (measured at sf0.1: 20 exact 250-hash sketches union to
+    * 4750 > 2^12, and the a-not-b estimates drifted ±6% off the exact
+    * counts while every per-group n_distinct stayed exact). The lgk is
+    * read from the table's own `__lgk` column ([[buildTheta]] stamps
+    * it), so the built and union nominals cannot drift apart; a table
+    * from an older build without the stamp gets the legacy default. */
   def thetaDifferenceVsRest(thetaTable: DataFrame,
-                            groupCol: String, lgk: Int = 12): DataFrame = {
+                            groupCol: String): DataFrame = {
+    val lgk =
+      if (!thetaTable.columns.contains("__lgk")) 12
+      else {
+        val r = thetaTable.select(max(col("__lgk"))).head()
+        if (r.isNullAt(0)) 12 else r.getInt(0) // null = empty table
+      }
     val a = thetaTable.select(col(groupCol).as("__g"),
       col("sketch").as("sketch_a"), col("n_distinct").as("n_a"))
     val b = thetaTable.select(col(groupCol).as("__gb"),

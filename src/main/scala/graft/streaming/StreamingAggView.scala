@@ -316,9 +316,14 @@ object StreamingAggView {
     * visible — the default covers the verify AND bench scales' entity
     * counts outright (exact regime), while staying a fixed bound the
     * entity cardinality can never push past at 100 TB. */
+  /** The MG view's default counter capacity per group — shared with
+    * the declared query's DuckDB oracle (CdcQueries builds the SQL
+    * replay from this constant, so the two cannot drift). */
+  private[graft] val TopKCapacity = 65536
+
   private def foldTopK(spark: SparkSession, root: String,
                        st: BatchState, batchId: Long,
-                       capacity: Int = 65536): Unit = {
+                       capacity: Int = TopKCapacity): Unit = {
     if (viewGen(spark, root, "viewtk", "aggviewtk") >= batchId) return
     val oldView = DirSwap.readOrEmpty(spark, s"$root/viewtk",
       topkViewSchema, tag = "aggviewtk")
@@ -390,7 +395,7 @@ object StreamingAggView {
     * so the spec can force the Misra–Gries decrement regime. */
   def applyTopKBatch(spark: SparkSession, root: String,
                      batch: DataFrame, batchId: Long,
-                     capacity: Int = 65536): Unit =
+                     capacity: Int = TopKCapacity): Unit =
     foldTopK(spark, root,
       appendAndDerive(spark, root, batch, batchId), batchId, capacity)
 
