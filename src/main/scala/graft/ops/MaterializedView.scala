@@ -13,12 +13,17 @@ import graft.streaming.DirSwap
   * Layout: parquet under `bucket = pmod(invoice_id, nBuckets)` partition
   * directories. A change page touches a bounded set of invoices → a
   * bounded set of bucket partitions; `refresh` recomputes ONLY those
-  * buckets (join pruned by the bucket filter) and swaps each one in via
+  * buckets (join reduced by the bucket predicate — honest note: that
+  * prunes ROWS, not IO, since `pmod(invoice_id)` is no partition
+  * column of the base tables; at deployment scale the recompute side
+  * reads a bucket-aligned state layout
+  * ([[graft.plans.StateLayout]]-style) so touched-bucket IO is pruned
+  * too) and swaps each one in via
   * the rollback-safe [[DirSwap]] (tag "mview"): one staging write job
   * for the whole page, then a metadata-only rename pair per bucket. At
-  * 100 TB a poll-page refresh rewrites O(page) buckets while the other
-  * ~nBuckets stay untouched — incremental cost proportional to the
-  * change rate, not the view size.
+  * 100 TB a poll-page refresh REWRITES O(page) buckets while the other
+  * ~nBuckets stay untouched — write cost proportional to the change
+  * rate, not the view size.
   *
   * Why not dynamic partition overwrite: Spark's committer DELETES each
   * touched partition directory before moving the new files in, so a
