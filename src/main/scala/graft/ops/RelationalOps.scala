@@ -38,7 +38,12 @@ object RelationalOps {
       col("l_orderkey"), col("l_linenumber"),
       round(col("l_quantity") * col("l_extendedprice") * 100).cast("long")
         .as("line_total_cents"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // the computed column joins the sort: (orderkey, linenumber) is
+      // unique on real lineitem data but NOT on the key-shifted scale
+      // probes (10 copies fold distinct originals onto one key pair),
+      // and a non-total ORDER BY makes the dump tie-order-dependent
+      // (caught by the round-12 sf1 oracle probe)
+      .orderBy("l_orderkey", "l_linenumber", "line_total_cents")
 
   /** P3 — version-range predicate (storedprocedure.sql:18,26). */
   val filterVersionRange: Q = (s, d) =>
@@ -851,9 +856,15 @@ object RelationalOps {
     * kilobyte-mergeable. The ±5% accuracy bound vs exact above
     * capacity is asserted in SketchSpec. */
   val aggApproxDistinct: Q = (s, d) =>
+    // lgk 16 (not the 2^12 default): the sf1 scale probe measured the
+    // 4096-nominal sketch crossing into estimation (15306 vs 15000
+    // exact at 15k distinct users) — the same capacity-sizing trade as
+    // the theta difference query and the MG top-k view: cover the
+    // scales served exactly (through sf1's 15k; sf10's 150k estimates,
+    // SketchSpec's pinned regime) at a fixed kilobyte bound.
     Tables.events(s, d)
-      .agg(expr("CAST(theta_sketch_estimate(theta_sketch_agg(user_id))" +
-        " AS BIGINT)").as("approx_entities"))
+      .agg(expr("CAST(theta_sketch_estimate(theta_sketch_agg(user_id," +
+        " 16)) AS BIGINT)").as("approx_entities"))
 
   /** F11 — timestamp → filename fragment (server.js:64). */
   val fnTsFormat: Q = (s, d) =>
@@ -1304,7 +1315,8 @@ object RelationalOps {
     "computed_column" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(round(l_quantity * l_extendedprice * 100, 0) AS BIGINT) AS line_total_cents
-        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        | FROM lineitem
+        | ORDER BY l_orderkey, l_linenumber, line_total_cents""".stripMargin,
     "filter_version_range" ->
       """SELECT event_id, user_id, event_type FROM events
         | WHERE event_id > 100 AND event_id <= 500 ORDER BY event_id""".stripMargin,
@@ -1405,10 +1417,11 @@ object RelationalOps {
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "agg_approx_distinct" ->
       // a true oracle because the theta sketch is in EXACT mode below
-      // its 4096-entry nominal capacity at every verify SF (measured:
-      // 15 / 150 / 1500 distinct user_ids) — the llm_sketch_rollup
-      // exact-below-capacity precedent; SketchSpec bounds the
-      // above-capacity regime
+      // its 2^16 nominal capacity at every verify AND probe SF
+      // (measured: 15 / 150 / 1500 / 15k distinct user_ids at
+      // sf0.001…sf1; the 2^12 default crossed into estimation at sf1,
+      // round-12 probe) — the llm_sketch_rollup exact-below-capacity
+      // precedent; SketchSpec bounds the above-capacity regime
       ("SELECT CAST(count(DISTINCT user_id) AS BIGINT) " +
         "AS approx_entities FROM events"),
     "agg_collect_lines" ->
