@@ -105,7 +105,9 @@ object RelationalOps {
         col("o_orderdate").as("invoice_date"),
         round(col("l_quantity")).cast("long").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
-      .orderBy("invoice_id", "line_no")
+      // total order: (invoice_id, line_no) is unique on real lineitem
+      // but not on the key-shifted scale probes (round-12 sf1 oracle)
+      .orderBy("invoice_id", "line_no", "qty", "price_cents")
   }
 
   /** J4 — semi join: headers with any recently-shipped line
@@ -1350,7 +1352,7 @@ object RelationalOps {
         | CAST(round(l_quantity, 0) AS BIGINT) AS qty,
         | CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        | ORDER BY invoice_id, line_no""".stripMargin,
+        | ORDER BY invoice_id, line_no, qty, price_cents""".stripMargin,
     "join_semi_changed" ->
       """SELECT o_orderkey AS invoice_id, o_orderstatus AS status FROM orders
         | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
