@@ -1193,7 +1193,11 @@ object RelationalOps {
       .filter(col("customer_key") <= 100)
       .select(col("invoice_id"), col("line_no"), col("customer_key"),
         col("status"), col("qty"), col("price_cents"))
-      .orderBy("invoice_id", "line_no")
+      // total order: (invoice_id, line_no) carries duplicate pairs with
+      // differing measures in the synthetic lineitem (777 tie groups at
+      // sf0.01 — the round-12 total-order lint), same class as
+      // join_view_flat; the measures join the sort on both sides
+      .orderBy("invoice_id", "line_no", "qty", "price_cents")
   }
 
   // ------------------------------------------------------------ registry --
@@ -1688,7 +1692,7 @@ object RelationalOps {
         |   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
         | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         | WHERE o.o_custkey <= 100
-        | ORDER BY invoice_id, line_no""".stripMargin,
+        | ORDER BY invoice_id, line_no, qty, price_cents""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |   SELECT user_id, event_type, count(*) AS n

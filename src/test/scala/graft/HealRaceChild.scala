@@ -60,7 +60,7 @@ object HealRaceChild {
 
   def main(args: Array[String]): Unit = {
     val Array(ctl, layout, idx, swapDir, swapTag, roundsS,
-      retainDir, mvCorpus, mvPath) = args.take(9)
+      retainDir, mvCorpus, mvPath, sinkDir, zPath) = args.take(11)
     val rounds = roundsS.toInt
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -125,6 +125,35 @@ object HealRaceChild {
     while (!stopM.exists()) { mv.heal(); Thread.sleep(1) }
     mv.heal()
     touch(ctlFile("done-mview"))
+
+    // phase 7: a LIVE sink compaction (whole-sink dedup rewrite through
+    // DirSwap tag "compact") in the parent, raced by this process
+    // looping the sink reader's heal (every listSink/readBack restores
+    // a torn compaction before reading).
+    waitFor(ctlFile("go-sink"))
+    val stopS = ctlFile("stop-sink")
+    while (!stopS.exists()) {
+      graft.streaming.DirSwap.restoreIfTorn(spark, sinkDir, "compact")
+      Thread.sleep(1)
+    }
+    graft.streaming.DirSwap.restoreIfTorn(spark, sinkDir, "compact")
+    touch(ctlFile("done-sink"))
+
+    // phase 8: a LIVE z-order maintainer (staged-append ingest + full
+    // re-cluster rebuild through DirSwap tag "zorder") in the parent,
+    // raced by this process looping the layout reader's heal pair —
+    // prunedScanN's torn-swap restore plus the staged-append publish
+    // every layout reader performs before listing files.
+    waitFor(ctlFile("go-zorder"))
+    val stopZ = ctlFile("stop-zorder")
+    while (!stopZ.exists()) {
+      graft.streaming.DirSwap.restoreIfTorn(spark, zPath, "zorder")
+      graft.streaming.StagedAppend.recover(spark, zPath)
+      Thread.sleep(1)
+    }
+    graft.streaming.DirSwap.restoreIfTorn(spark, zPath, "zorder")
+    graft.streaming.StagedAppend.recover(spark, zPath)
+    touch(ctlFile("done-zorder"))
 
     println("HEALRACE_ALL_OK")
     spark.stop()

@@ -212,6 +212,44 @@ class HealRaceSpec extends SparkSpec {
     new graft.ops.MaterializedView(spark, corpusA, mvPath, nBuckets = 8)
       .build()
 
+    // ---- fixture 6: a versioned document sink under live compaction
+    // (phase 7) — paged delivery with redeliveries so each compaction
+    // rewrite (DirSwap tag "compact") has real duplicates to collapse
+    import graft.sinks.DocumentSink
+    def docPage(i: Int) = Tables.orders(spark, sf).select(
+        col("o_orderkey").as("invoice_id"),
+        concat(lit("INV-"), lpad(col("o_orderkey").cast("string"), 9, "0"))
+          .as("invoice_number"),
+        concat(lit("CUST-"), col("o_custkey")).as("customer_code"),
+        col("o_orderkey").as("change_version"))
+      .filter(col("o_orderkey") % 6 === i)
+    def sinkRows(dir: String) = DocumentSink.deduplicated(spark, dir)
+      .select($"invoice_id", $"change_version", $"invoice_number",
+        $"customer_code")
+      .as[(Long, Long, String, String)].collect().toSet
+    val sinkDir = tmpDir("healrace-sink") + "/sink"
+    val sinkTwin = tmpDir("healrace-sink-twin") + "/sink"
+    val sinkErr = tmpDir("healrace-sink-err")
+    for (d <- Seq(sinkDir, sinkTwin); i <- 0 until 2)
+      DocumentSink.writeVersioned(docPage(i), d, sinkErr)
+
+    // ---- fixture 7: a z-order layout under live ingest + fold
+    // (phase 8) — staged appends then full re-cluster rebuilds, the
+    // two-protocol site (append ledger + DirSwap tag "zorder")
+    import graft.ops.ZOrder
+    val zDims = Seq(ZOrder.Dim("user_id", 0L, 15L),
+      ZOrder.Dim("event_id", 0L, 999L))
+    def zBatch(i: Int) = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type")
+      .filter($"event_id" % 5 === i)
+    def zRows(dir: String) = spark.read.parquet(dir)
+      .select($"event_id", $"user_id", $"event_type")
+      .as[(Long, Long, String)].collect().toSet
+    val zDir = tmpDir("healrace-z") + "/layout"
+    val zTwin = tmpDir("healrace-z-twin") + "/layout"
+    for (d <- Seq(zDir, zTwin))
+      ZOrder.layoutN(zBatch(0), d, zDims, files = 3)
+
     // ---- launch the second JVM (CorpusCacheSpec precedent: same
     // classpath + module options as this test JVM)
     val jvmOpts = java.lang.management.ManagementFactory
@@ -223,7 +261,7 @@ class HealRaceSpec extends SparkSpec {
       s"${System.getProperty("java.home")}/bin/java") ++ jvmOpts ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.HealRaceChild", ctl.getPath, layout, idx, swapDir, "hrtag",
-      swapRounds.toString, retainDir, corpusA, mvPath)
+      swapRounds.toString, retainDir, corpusA, mvPath, sinkDir, zDir)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
@@ -331,6 +369,70 @@ class HealRaceSpec extends SparkSpec {
         .filter(n => n.contains(".mview-tmp") || n.contains(".mview-bak"))
       assert(leftovers.isEmpty,
         s"raced refreshes left swap litter in the view: ${leftovers.toSeq}")
+
+      // phase 7: a LIVE sink compaction races the child's reader-heal
+      // loop — compaction is a whole-sink dedup rewrite (DirSwap tag
+      // "compact"), so every cycle is a fresh two-rename window the
+      // healer can land inside. Redeliver a page per cycle so each
+      // rewrite collapses real duplicates.
+      touch(new java.io.File(ctl, "go-sink"))
+      for (i <- 2 until 6) {
+        DocumentSink.writeVersioned(docPage(i), sinkDir, sinkErr)
+        DocumentSink.writeVersioned(docPage(i), sinkDir, sinkErr) // redelivery
+        DocumentSink.compact(spark, sinkDir)
+      }
+      touch(new java.io.File(ctl, "stop-sink"))
+      waitFor(new java.io.File(ctl, "done-sink"))
+      for (i <- 2 until 6) { // the never-raced twin
+        DocumentSink.writeVersioned(docPage(i), sinkTwin, sinkErr)
+        DocumentSink.writeVersioned(docPage(i), sinkTwin, sinkErr)
+        DocumentSink.compact(spark, sinkTwin)
+      }
+      assert(sinkRows(sinkDir) == sinkRows(sinkTwin),
+        "a healer racing LIVE sink compactions corrupted the sink")
+      val sinkLitter = Option(
+        new java.io.File(sinkDir).getParentFile.listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.contains("-tmp") || n.contains("-bak"))
+      assert(sinkLitter.isEmpty,
+        s"raced compactions left swap litter beside the sink: " +
+          sinkLitter.toSeq)
+
+      // phase 8: a LIVE z-order maintainer (staged-append ingest, then
+      // a full re-cluster rebuild per cycle) races the child's
+      // reader-heal pair (torn-"zorder" restore + staged publish) —
+      // the one site where BOTH protocols' windows interleave.
+      touch(new java.io.File(ctl, "go-zorder"))
+      for (i <- 1 until 5) {
+        ZOrder.appendN(zBatch(i), zDir, zDims, files = 2)
+        ZOrder.rebuild(spark, zDir, zDims, files = 3)
+      }
+      touch(new java.io.File(ctl, "stop-zorder"))
+      waitFor(new java.io.File(ctl, "done-zorder"))
+      for (i <- 1 until 5) { // the never-raced twin
+        ZOrder.appendN(zBatch(i), zTwin, zDims, files = 2)
+        ZOrder.rebuild(spark, zTwin, zDims, files = 3)
+      }
+      assert(zRows(zDir) == zRows(zTwin),
+        "a healer racing a LIVE z-order ingest+fold corrupted the layout")
+      // the pruned serving read over the raced layout equals a plain
+      // filter over the never-raced twin (index skipping stayed
+      // conservative through every raced window)
+      val box = Seq(("user_id", 3L, 9L), ("event_id", 100L, 700L))
+      val prunedGot = ZOrder.prunedScanN(spark, zDir, box)
+        .select($"event_id", $"user_id", $"event_type")
+        .as[(Long, Long, String)].collect().toSet
+      val prunedWant = zRows(zTwin).filter(r =>
+        r._2 >= 3L && r._2 <= 9L && r._1 >= 100L && r._1 <= 700L)
+      assert(prunedGot == prunedWant,
+        "pruned scan over the raced z-order layout diverged from truth")
+      val zLitter = Option(
+        new java.io.File(zDir).getParentFile.listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(n => n.contains("-tmp") || n.contains("-bak"))
+      assert(zLitter.isEmpty,
+        s"raced rebuilds left swap litter beside the layout: " +
+          zLitter.toSeq)
 
       val lines = Iterator.continually(out.readLine())
         .takeWhile(_ != null).toVector
