@@ -58,11 +58,36 @@ object LlmQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
-  /** N2'' — SimHash signatures per document. */
-  val dedupSimhash: Q = (s, d) =>
-    Dedup.simhashSigs(Tables.documents(s, d), "doc_id", "text")
-      .withColumnRenamed("sig", "simhash")
+  /** N2'' — SimHash signatures per document. Oracled via the artifact-
+    * export pattern (BPE-merge/kNN-edge precedent): at verify time the
+    * per-document TOKEN-HASH arrays — the signature's exact input —
+    * are exported, and the DuckDB oracle replays the 64-bit strict-
+    * majority vote + bit packing from them in pure SQL
+    * (graft.functions.HashExprs.simhashSig's contract). What stays
+    * engine-trusted is xxhash64 itself, the same status every
+    * fingerprint/minhash path already has; the custom codegen'd
+    * SimHashSig expression — the part that could silently drift — is
+    * cross-engine-replayed per document. */
+  private val simhashExportDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val dedupSimhash: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val th = Tables.documents(s, d).select(col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
+    if (oracleExportsEnabled && simhashExportDone.add(d)) {
+      try {
+        val tag = Tables.embeddings(s, d).count() * 1000000000L +
+          Tables.orders(s, d).count()
+        th.withColumn("corpus_tag", lit(tag))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$oracleExportRoot/simhash_th_v1_$tag")
+      } catch { case e: Throwable =>
+        simhashExportDone.remove(d); throw e }
+    }
+    th.select(col("doc_id"),
+        graft.functions.VectorFunctions.simhashSig(col("th")).as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** N2'''' — embedding-cosine near-dup survivors. Oracle: brute-force
     * all-pairs cosine in DuckDB (same e6 rounding as cosineE6). */
@@ -95,14 +120,20 @@ object LlmQueries {
     * summaries of n_chars re-aggregate to per-source p50/p90/p99
     * without re-scanning raw rows — the rollup touches only
     * summary-sized arrays. Below the compaction threshold the summary
-    * IS the exact multiset (err = 0), so at the verify scales the
-    * DuckDB oracle replays the rank walk exactly; the certified error
-    * bound in the forced-compaction regime is QuantileSketchSpec's
-    * job. */
+    * IS the exact multiset (err = 0), so at the scales the oracle
+    * hashes the DuckDB oracle replays the rank walk exactly; the
+    * certified error bound in the forced-compaction regime is
+    * QuantileSketchSpec's job. k = 1024 (not 256): the round-12 sf1
+    * probe measured the 256-threshold crossing into compaction at sf1
+    * group sizes (~500 per (source, lang); p50/p90 drifted 1-5 off the
+    * exact walk) — the same capacity-sizing trade as the theta
+    * families: cover the probed scales exactly (through sf1; sf5+
+    * compacts, QuantileSketchSpec's regime) at a fixed 8 KB/group
+    * summary bound. */
   val quantileRollupQ: Q = (s, d) => {
     val fine = Tables.documents(s, d)
       .groupBy("source", "lang")
-      .agg(graft.functions.QuantileSketch.agg(256)(col("n_chars")).as("qs"))
+      .agg(graft.functions.QuantileSketch.agg(1024)(col("n_chars")).as("qs"))
     fine.groupBy("source")
       .agg(sum("qs.n").as("n_docs"),
         array_sort(flatten(collect_list(col("qs.items")))).as("items"))
@@ -2184,6 +2215,33 @@ object LlmQueries {
         |   AND NOT EXISTS (SELECT 1 FROM b b2
         |     WHERE b2.fp = b.fp AND b2.doc_id < b.doc_id)
         | ORDER BY doc_id""".stripMargin,
+    "llm_dedup_simhash" ->
+      // replay the 64-bit strict-majority vote + bit packing from the
+      // exported token-hash arrays (the signature's exact input); bit
+      // extraction via (h >> i) & 1 is shift-kind-agnostic, and the
+      // sign bit packs as the explicit Long.MinValue contribution so
+      // the BIGINT sum reproduces Spark's signed signature
+      s"""WITH th AS (
+         |   SELECT doc_id, th FROM read_parquet(
+         |     '$oracleExportRoot/simhash_th_v1_*/*.parquet',
+         |     union_by_name=true)
+         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
+         |       * 1000000000 + (SELECT count(*) FROM orders))),
+         | b AS (SELECT doc_id, unnest(th) AS h FROM th),
+         | bits AS (
+         |   SELECT doc_id, i AS bit,
+         |     CASE WHEN 2 * sum((h >> i) & 1) > count(*) THEN 1 ELSE 0
+         |       END AS one
+         |   FROM b CROSS JOIN (SELECT unnest(range(64)) AS i)
+         |   GROUP BY doc_id, i),
+         | sig AS (
+         |   SELECT doc_id, CAST(sum(CASE WHEN one = 0 THEN 0
+         |       WHEN bit = 63 THEN -9223372036854775808
+         |       ELSE (1::BIGINT << bit) END) AS BIGINT) AS simhash
+         |   FROM bits GROUP BY doc_id)
+         | SELECT t.doc_id, coalesce(s.simhash, 0) AS simhash
+         | FROM th t LEFT JOIN sig s USING (doc_id)
+         | ORDER BY doc_id""".stripMargin,
     "llm_profile" ->
       """WITH u AS (
         |   SELECT 'lang' AS col_name, lang AS value FROM documents

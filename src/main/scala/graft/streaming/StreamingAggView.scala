@@ -276,7 +276,13 @@ object StreamingAggView {
     // EXACT regime through the verify scales — the oracle depends on
     // it; the union must carry the same size or it would compress the
     // exact inputs back into estimation. At deployment scale dial it
-    // down and accept the ±1.6% estimate band.
+    // down and accept the ±1.6% estimate band. Measured at the sf1
+    // probe (round 12): the U op-group's 1,071,031 distinct ids put
+    // the sketch 4× past nominal — estimate 1,071,971, error 0.088%,
+    // well inside the lgk-18 1σ band (~0.2%); exactness there would
+    // need lgk 21 (8 MB/group retained), which is the deployment
+    // dial-down trade in reverse — the estimation regime IS the
+    // design above capacity, so the probe records it, not a resize.
     val batchSk = st.page.groupBy(col("change_operation").as("grp"))
       .agg(expr("theta_sketch_agg(invoice_id, 18)").as("sketch"),
         count(lit(1)).as("n_rows"))

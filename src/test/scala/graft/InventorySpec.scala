@@ -151,7 +151,13 @@ class InventorySpec extends SparkSpec {
     // which is in EXACT mode below its 4096-entry nominal capacity at
     // every verify SF, so DuckDB's count(DISTINCT) is a true oracle;
     // SketchSpec bounds the above-capacity estimator.)
-    val expectedRowsOnly = Set("llm_dedup_simhash",
+    // (llm_dedup_simhash left this list in round 12: the per-document
+    // token-hash arrays — the signature's exact input — export like
+    // the kNN edges, and the oracle replays the 64-bit strict-majority
+    // vote + bit packing from them in pure SQL; only xxhash64 itself
+    // stays engine-trusted, the same status as every fingerprint path.
+    // HashUtilSpec still pins SimHashSig vs the interpreted HOF form.)
+    val expectedRowsOnly = Set(
       "sink_listing",
       // (llm_simsearch_pq / _ivfpq left this list in round 8: the
       // float-trained codebook only picks candidates, which export for
