@@ -160,6 +160,21 @@ def main(out_dir, sf_dir=None):
         klist = ", ".join(keys)
         if nrows <= 1:
             continue  # order of one row is vacuously total
+        # NULL-ordering hazard: Spark sorts ASC NULLS FIRST, DuckDB
+        # defaults ASC NULLS LAST — a NULL in any final sort key makes
+        # the ordered compare engine-dependent unless the oracle spells
+        # NULLS FIRST/LAST to match
+        try:
+            n_null = con.execute(
+                f"SELECT count(*) FROM {rel} WHERE " +
+                " OR ".join(f"({k}) IS NULL" for k in keys)).fetchone()[0]
+            if n_null and not re.search(r"NULLS\s+(FIRST|LAST)", sql, re.I):
+                print(f"FLAG {name}: {n_null} rows with NULL in sort keys "
+                      f"({klist}) and no explicit NULLS ordering — "
+                      f"Spark/DuckDB default tie order differs")
+                n_flag += 1
+        except Exception:
+            pass  # unevaluable keys already reported by the tie check
         # a tie group whose member rows differ anywhere = order-dependent
         try:
             bad = con.execute(
