@@ -52,15 +52,22 @@ object Bench {
     // codegen, any per-session staging), `warm2` the repeat (the
     // steady-state serving cost). Regressions are judged on warm2; the
     // cold column keeps the staging cost auditable instead of hidden.
+    // The timed action is the NOOP SINK, not count(): under
+    // groupBy().count() Catalyst prunes every unused projection — a
+    // pure scan→project→sort query collapsed to a metadata row-count
+    // (measured round 12: the simhash query's count() plan reads
+    // struct<>, zero columns). The noop write demands every column of
+    // every output row — the full declared plan, sort included —
+    // while discarding rows executor-side (no driver collect).
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warm2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         cold(name) = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         warm2(name) = (System.nanoTime() - t1) / 1e9
       } catch {
         case e: Throwable =>

@@ -22,7 +22,9 @@ object BenchProbe {
       val fn = SparkEntry.queries(name)
       def time(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink, not count() — count prunes unused projections to
+        // a metadata row-count (see Bench.scala's timing note)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       val cold = time()

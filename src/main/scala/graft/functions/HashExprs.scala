@@ -48,6 +48,36 @@ object HashUtil {
       if (k == cnt) out else java.util.Arrays.copyOf(out, k))
   }
 
+  /** ALL full sliding-window hashes IN POSITION ORDER (the
+    * non-distinct, position-preserving sibling of [[shingleHashes]]):
+    * out(i) = hash of tokens i..i+n-1, exactly m-n+1 entries, EMPTY
+    * for a sub-window document (the duplicated-span scrub drops short
+    * docs — note this differs from shingleHashes' one whole-prefix
+    * gram, which serves the Jaccard-set contract). Same token-xxhash →
+    * base-31 polynomial → mix pipeline, so the two agree on full
+    * windows. */
+  def shingleHashesAll(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val cnt = math.max(m - n + 1, 0)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = tokens.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) { h = h * 31L + th(i + j); j += 1 }
+      out(i) = mix(h)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k-lane MinHash signature over a shingle-hash array: lane j keeps
     * min over shingles of mix(h ^ seed_j). One pass, k mins. */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
@@ -114,6 +144,36 @@ case class ShingleHashes(child: Expression, shingleN: Int)
       s"${ev.value} = graft.functions.HashUtil.shingleHashes($c, $shingleN);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Codegen'd position-preserving window hashes ([[HashUtil
+  * .shingleHashesAll]]): array<string> tokens → array<long> of every
+  * full n-token sliding-window hash, index = window start. The
+  * duplicated-span scrub's gram table rides these 8-byte keys instead
+  * of materialized gram STRINGS (round 12: the interpreted chunk
+  * construction + string shuffle was 46 s warm2 at sf1). */
+case class ShingleHashesAll(child: Expression, shingleN: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def prettyName: String = "graft_shingle_hashes_all"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(tokens: Any): Any =
+    HashUtil.shingleHashesAll(tokens.asInstanceOf[ArrayData], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.shingleHashesAll($c, $shingleN);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashesAll =
     copy(child = newChild)
 }
 

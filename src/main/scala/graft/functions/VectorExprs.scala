@@ -84,6 +84,7 @@ case class VecDot(left: Expression, right: Expression)
 object VectorFunctions {
   val DOT = "graft_vec_dot"
   val SHINGLES = "graft_shingle_hashes"
+  val SHINGLES_ALL = "graft_shingle_hashes_all"
   val MINHASH = "graft_minhash_sig"
   val SIMHASH = "graft_simhash_sig"
 
@@ -109,6 +110,11 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => {
         arity(SHINGLES, exprs, 2)
         ShingleHashes(exprs(0), intArg(SHINGLES, exprs(1)))
+      }),
+    (SHINGLES_ALL, classOf[ShingleHashesAll],
+      (exprs: Seq[Expression]) => {
+        arity(SHINGLES_ALL, exprs, 2)
+        ShingleHashesAll(exprs(0), intArg(SHINGLES_ALL, exprs(1)))
       }),
     (MINHASH, classOf[MinHashSig],
       (exprs: Seq[Expression]) => {
@@ -136,6 +142,11 @@ object VectorFunctions {
   /** Distinct word-shingle hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int): Column =
     call_function(SHINGLES, tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** ALL full sliding-window hashes in position order (non-distinct;
+    * empty for sub-window docs). */
+  def shingleHashesAll(tokens: Column, n: Int): Column =
+    call_function(SHINGLES_ALL, tokens, org.apache.spark.sql.functions.lit(n))
 
   /** MinHash signature of a shingle-hash array. */
   def minhashSig(hashes: Column, k: Int): Column =

@@ -135,11 +135,28 @@ object Curate {
     * 3-gram in the SAME document, scaled to 1e4. Boilerplate and
     * template spam score high; clean prose scores near 0. Pure column
     * expressions over one scan — no shuffle, no UDF. Texts shorter
-    * than `n` tokens count as one (unique) shingle, ratio 0. */
+    * than `n` tokens count as one (unique) shingle, ratio 0.
+    *
+    * The distinct-gram count comes from the codegen'd
+    * [[graft.functions.HashExprs ShingleHashes]] (one compiled pass:
+    * token xxhash64 → polynomial window hash → hash-set dedup), not
+    * `array_distinct(ngrams(...))`: the interpreted HOF built ~80
+    * gram STRINGS per document and was the honest-bench heavyweight
+    * (31 s warm2 at sf1; 3.4 s with the compiled form). Window count
+    * equality with the string form holds because " "-joining
+    * space-free tokens is injective; the residual difference is hash
+    * collisions at ~g²/2⁶⁴ per doc — the same trust every
+    * minhash/fingerprint path already carries (and the DuckDB oracle
+    * recomputes string-distinct independently, so a collision would
+    * FAIL the hash gate, not hide). Same short-doc rule: m < n ⇒ one
+    * whole-prefix gram. Column-only, so the CALLER must have run
+    * `VectorFunctions.register(spark)` on the session (the
+    * Dedup.simhash convention). */
   def repetitionE4(text: Column, n: Int): Column = {
-    val grams = TextOps.ngrams(text, n)
+    val grams = graft.functions.VectorFunctions
+      .shingleHashes(TextOps.tokens(text), n)
     val total = greatest(size(TextOps.tokens(text)) - (n - 1), lit(1))
-    round(lit(10000.0) * (total - size(array_distinct(grams))) / total)
+    round(lit(10000.0) * (total - size(grams)) / total)
       .cast("long")
   }
 
@@ -356,41 +373,76 @@ object Curate {
     * Scale (100 TB): the sliding gram table is spanWords× the token
     * count — linear; the duplicate test is ONE partial-aggregated
     * shuffle on the gram key (count(DISTINCT doc) dedups map-side) and
-    * the mark-back a semi join riding the same key; coverage explode is
-    * spanWords× the DUP starts only; removal is a (doc, pos) anti join
-    * and reassembly one doc-key shuffle. No all-pairs anywhere. */
+    * the mark-back a semi join riding the same key. Coverage then
+    * stays at DOC grain: the duplicated window STARTS collect per
+    * document (one shuffle of dup starts only), merge into maximal
+    * [lo, hi] position intervals with one array fold (equal window
+    * lengths ⇒ sorted starts merge pairwise), and removal + reassembly
+    * is a per-row HOF filter over the already-held token array — no
+    * token-grain shuffle at all. (The original shape exploded every
+    * covered position, distinct'd them, anti-joined the token table,
+    * and re-collected every kept token — four token-grain exchanges
+    * whose honest cost was 46 s warm2 at sf1; this form is ~8 s. On a
+    * fully-duplicated corpus the intervals collapse to ONE per doc, so
+    * the per-token exists() is O(1) exactly where coverage is
+    * densest.) No all-pairs anywhere. */
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val base = docs.select(col(idCol),
       TextOps.tokens(col(textCol)).as("__toks"))
-    val toks = base.select(col(idCol), posexplode(col("__toks")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        col("col").as("tok"))
-    // step-1 chunks = sliding windows at every start; the trailing
-    // short gram of a <spanWords doc is filtered by the length guard
+    // the gram table rides codegen'd 8-byte WINDOW HASHES
+    // (ShingleHashesAll: every full window in position order, empty
+    // for sub-window docs), not materialized gram strings — the
+    // interpreted chunk construction + 50-char-key shuffle was the
+    // honest-bench hotspot. Trust note: a cross-doc window-hash
+    // collision would mark a false span (~|grams|²/2⁶⁴ corpus-wide,
+    // the minhash/fingerprint trust level), and the DuckDB oracle
+    // recomputes STRING-keyed duplication independently, so a
+    // collision FAILS the hash gate loudly rather than hiding.
     val grams = docs.select(col(idCol),
-        posexplode(TextOps.chunks(col(textCol), size = spanWords, step = 1)))
+        posexplode(graft.functions.VectorFunctions.shingleHashesAll(
+          TextOps.tokens(col(textCol)), spanWords)))
       .select(col(idCol), col("pos").cast("long").as("start"),
-        col("col").as("gram"))
-      .filter(size(split(col("gram"), " ")) === spanWords)
-    val dup = grams.groupBy(col("gram"))
+        col("col").as("ghash"))
+    val dup = grams.groupBy(col("ghash"))
       .agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs).select("gram")
-    val covered = grams.join(dup, Seq("gram"), "left_semi")
-      .select(col(idCol), explode(sequence(col("start"),
-        col("start") + (spanWords - 1))).as("pos"))
-      .distinct()
-    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        c => c("tok"))).as("clean_text"))
-    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .filter(col("df") >= minDocs).select("ghash")
+    // maximal covered intervals per doc: sorted dup starts fold left;
+    // a start within (hi + 1) of the open interval extends it (equal
+    // window lengths make the pairwise check sufficient), a gap closes
+    // it. Accumulator = (closed intervals, open lo, open hi).
+    val span1 = spanWords - 1
+    val emptyIvs = array().cast("array<struct<lo:bigint,hi:bigint>>")
+    val merged = aggregate(
+      col("starts"),
+      struct(emptyIvs.as("ivs"),
+        lit(null).cast("bigint").as("lo"), lit(null).cast("bigint").as("hi")),
+      (acc, s) =>
+        when(acc("lo").isNull,
+          struct(acc("ivs").as("ivs"), s.as("lo"), (s + span1).as("hi")))
+        .when(s <= acc("hi") + 1L,
+          struct(acc("ivs").as("ivs"), acc("lo").as("lo"),
+            (s + span1).as("hi")))
+        .otherwise(struct(
+          concat(acc("ivs"),
+            array(struct(acc("lo").as("lo"), acc("hi").as("hi")))).as("ivs"),
+          s.as("lo"), (s + span1).as("hi"))),
+      acc => when(acc("lo").isNull, acc("ivs"))
+        .otherwise(concat(acc("ivs"),
+          array(struct(acc("lo").as("lo"), acc("hi").as("hi"))))))
+    val ivsTbl = grams.join(dup, Seq("ghash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("start"))).as("starts"))
+      .select(col(idCol), merged.as("__ivs"))
+    base.join(ivsTbl, Seq(idCol), "left")
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(coalesce(col("__ivs"), emptyIvs),
+          v => i.cast("bigint").between(v("lo"), v("hi")))))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
   /** Target-affinity SELECTION (the DSIR shape — Xie et al.,

@@ -961,11 +961,13 @@ object LlmQueries {
 
   /** N6''' — within-document repetition ratio (duplicate 3-gram
     * fraction, the Gopher-style boilerplate signal). */
-  val repetitionQ: Q = (s, d) =>
+  val repetitionQ: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
     Tables.documents(s, d).select(
       col("doc_id"),
       Curate.repetitionE4(col("text"), n = 3).as("rep_e4"))
       .orderBy("doc_id")
+  }
 
   /** N6'''' — sequence-packing stats: 8 shards, 4096-token windows. */
   val packingQ: Q = (s, d) =>

@@ -655,7 +655,10 @@ class LlmSpec extends SparkSpec {
       (2L, "spam ham spam ham spam ham spam ham spam ham"),   // looped
       (3L, "ab")                                              // shorter than n
     ).toDF("doc_id", "text")
-      .select($"doc_id", Curate.repetitionE4($"text", 3).as("rep_e4"))
+      .select($"doc_id", {
+        graft.functions.VectorFunctions.register(spark)
+        Curate.repetitionE4($"text", 3).as("rep_e4")
+      })
       .as[(Long, Long)].collect().toMap
     assert(rows(1L) == 0L, s"unique text scored ${rows(1L)}")
     assert(rows(2L) >= 7000L, s"looped text scored ${rows(2L)}")
