@@ -160,6 +160,17 @@ object Curate {
       .cast("long")
   }
 
+  /** DataFrame overload of [[repetitionE4]] that SELF-registers the
+    * codegen'd shingle functions (the [[scrubDupSpans]] convention) —
+    * the Column form above cannot, having no session handle, and an
+    * unregistered session fails only at analysis time with an opaque
+    * unresolved-function error (round-12 advice). Adds `outCol`. */
+  def repetitionE4(docs: DataFrame, textCol: String, n: Int,
+                   outCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs.withColumn(outCol, repetitionE4(col(textCol), n))
+  }
+
   /** Greedy sequence-packing statistics: documents are packed
     * shard-by-shard in id order into fixed `windowTokens` context
     * windows (contiguous fill, documents may straddle windows — the

@@ -106,8 +106,11 @@ object RelationalOps {
         round(col("l_quantity")).cast("long").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
       // total order: (invoice_id, line_no) is unique on real lineitem
-      // but not on the key-shifted scale probes (round-12 sf1 oracle)
-      .orderBy("invoice_id", "line_no", "qty", "price_cents")
+      // but not on the key-shifted scale probes (round-12 sf1 oracle).
+      // Every output column joins the sort so totality is structural,
+      // not corpus-dependent (round-12 advice on view_materialized)
+      .orderBy("invoice_id", "line_no", "qty", "price_cents",
+        "customer_key", "invoice_date")
   }
 
   /** J4 — semi join: headers with any recently-shipped line
@@ -1196,8 +1199,13 @@ object RelationalOps {
       // total order: (invoice_id, line_no) carries duplicate pairs with
       // differing measures in the synthetic lineitem (777 tie groups at
       // sf0.01 — the round-12 total-order lint), same class as
-      // join_view_flat; the measures join the sort on both sides
-      .orderBy("invoice_id", "line_no", "qty", "price_cents")
+      // join_view_flat. The sort lists EVERY output column — not just
+      // the measures observed to differ — so totality is structural,
+      // not a property of the tested corpora (round-12 advice: a tie on
+      // the four-key sort with differing status would have reintroduced
+      // the flake)
+      .orderBy("invoice_id", "line_no", "qty", "price_cents",
+        "customer_key", "status")
   }
 
   // ------------------------------------------------------------ registry --
@@ -1356,7 +1364,8 @@ object RelationalOps {
         | CAST(round(l_quantity, 0) AS BIGINT) AS qty,
         | CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        | ORDER BY invoice_id, line_no, qty, price_cents""".stripMargin,
+        | ORDER BY invoice_id, line_no, qty, price_cents,
+        |   customer_key, invoice_date""".stripMargin,
     "join_semi_changed" ->
       """SELECT o_orderkey AS invoice_id, o_orderstatus AS status FROM orders
         | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -1692,7 +1701,8 @@ object RelationalOps {
         |   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
         | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         | WHERE o.o_custkey <= 100
-        | ORDER BY invoice_id, line_no, qty, price_cents""".stripMargin,
+        | ORDER BY invoice_id, line_no, qty, price_cents,
+        |   customer_key, status""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |   SELECT user_id, event_type, count(*) AS n

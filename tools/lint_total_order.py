@@ -65,11 +65,19 @@ def split_top_level(s):
 
 
 def depth0_spans(sql, word):
-    """Start offsets of `word` at paren depth 0 (word-bounded)."""
+    """Start offsets of `word` at paren depth 0 (word-bounded).
+
+    Quote-aware like split_top_level: parens (or the keyword itself)
+    inside a SQL string literal are skipped, otherwise an unbalanced
+    paren in a literal permanently desynchronizes the depth counter and
+    the FINAL order-by/limit can be misidentified (round-12 advice)."""
     spans = []
     depth = 0
-    for m in re.finditer(r"[()]|\b" + word + r"\b", sql, re.I):
+    for m in re.finditer(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[()]|\b" +
+                         word + r"\b", sql, re.I):
         tok = m.group(0)
+        if tok[0] in "'\"":
+            continue
         if tok == "(":
             depth += 1
         elif tok == ")":
