@@ -20,11 +20,18 @@ object BenchProbe {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // SPARK_GRAFT_ACTION=count re-times a key under the PRE-round-12
+      // action for attribution: when a step-up in the committed sweeps
+      // is claimed to be "the honest action now pays emission/sort",
+      // the claim is checkable — count() should reproduce the old
+      // number on the SAME build, plan unchanged. Default: the noop
+      // sink (the honest, committed action — count prunes unused
+      // projections to a metadata row-count; see Bench.scala).
+      val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "noop")
       def time(): Double = {
         val t0 = System.nanoTime()
-        // noop sink, not count() — count prunes unused projections to
-        // a metadata row-count (see Bench.scala's timing note)
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        if (action == "count") fn(spark, sfDir).count()
+        else fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       val cold = time()

@@ -95,6 +95,9 @@ object Maintenance {
   def maintainChangeTable(spark: SparkSession, changeDir: String,
                           watermark: Long, compactUpTo: Long,
                           nFiles: Int): Unit = {
+    // the change table is read in place by every feed consumer:
+    // rename-protocol-only until a manifest-native layout lands
+    DirSwap.requireRenameProtocol(spark, changeDir, "retention rewrite")
     DirSwap.restoreIfTorn(spark, changeDir, "retain")
     val kept = logCompactRows(
       Retention.expire(spark.read.parquet(changeDir), watermark),
@@ -146,6 +149,10 @@ object Maintenance {
         "a re-embedding was appended past the membership guard's " +
         "probed buckets (appendIvfPq's documented blind spot); " +
         "resolve the corpus to one row per id before retraining")
+    // the IVF-PQ layout is an append-style root probed in place:
+    // rename-protocol-only until a manifest-native layout lands
+    DirSwap.requireRenameProtocol(spark, vi.layoutPath,
+      "vector-index rebuild")
     DirSwap.install(spark, vi.layoutPath, "vecidx") { tmp =>
       val cb = graft.llm.Pq.trainCodebooks(emb, vi.idCol, vi.vecCol,
         vi.m, vi.dims, vi.ks, vi.iters)

@@ -482,6 +482,10 @@ object SimSearch {
   def appendPostingsIndex(batch: DataFrame, docIdCol: String,
                           textCol: String, path: String): Unit = {
     val spark = batch.sparkSession
+    // append-style index root, read in place by the lexical probes:
+    // rename-protocol-only until a manifest-native layout lands
+    graft.streaming.DirSwap.requireRenameProtocol(
+      spark, path, "postings index")
     graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/df",
       tag = "postingsdf")
     recoverPendingPostings(spark, path)

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.streaming.DirSwap
+import graft.streaming.{DirSwap, ManifestSwap}
 
 /** Incrementally-maintained materialization of the denormalized BI view
   * (vw_invoice_header_line) — the Superset serving layer kept fresh from
@@ -32,12 +32,45 @@ import graft.streaming.DirSwap
   * NO copy of the bucket). The per-bucket DirSwap keeps the standard
   * invariant instead — a crash at any window leaves a generation
   * restorable, and [[read]] heals torn buckets before listing, the
-  * same serving posture as every other swap site. */
+  * same serving posture as every other swap site.
+  *
+  * PROTOCOLS (round-13): `protocol = "dir"` is the per-bucket DirSwap
+  * above; `"manifest"` publishes through [[ManifestSwap]]'s keyed
+  * manifest — every refresh writes ONE immutable generation holding
+  * the recomputed buckets and CAS-commits the bucket→dir map, so the
+  * whole page cuts over atomically (readers can never observe a
+  * half-refreshed page, which the bucket-by-bucket rename protocol
+  * permits), crashes leave only invisible orphans (no heal step at
+  * all), and the protocol is sound on object stores where directory
+  * rename is not. `"auto"` follows [[DirSwap]]'s scheme gate. The
+  * declared `view_materialized` key pins `"manifest"` so the
+  * object-store publish path sits under the DuckDB correctness gate
+  * every round. */
 class MaterializedView(spark: SparkSession, dir: String, path: String,
-                       nBuckets: Int = 64) {
+                       nBuckets: Int = 64, protocol: String = "auto") {
+  require(Set("auto", "dir", "manifest")(protocol),
+    s"unknown mview protocol '$protocol'")
 
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True when this view publishes through [[ManifestSwap]]'s keyed
+    * manifest (one `bucket=N -> generation-relative dir` entry per
+    * bucket) instead of per-bucket DirSwap renames. "auto" follows the
+    * scheme gate — object stores get the manifest, rename-capable
+    * filesystems the swap; "manifest" pins it (the declared
+    * `view_materialized` key runs pinned, so the object-store publish
+    * path is exercised by the correctness gate on every round even
+    * though the build can only run local-fs). The manifest mode is
+    * strictly STRONGER than the per-bucket swap here: a refresh page
+    * touching k buckets cuts over in ONE atomic pointer commit, so a
+    * reader can never observe a half-refreshed page — the per-bucket
+    * rename protocol publishes bucket-by-bucket and cannot. */
+  private val manifestMode: Boolean = protocol match {
+    case "manifest" => true
+    case "dir"      => false
+    case _          => DirSwap.manifestMode(fs)
+  }
 
   private def flatView(onlyBuckets: Option[Seq[Int]]): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -58,10 +91,49 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
 
   /** Full build — done once; later refreshes are incremental. No
     * readers exist before the first build, so the plain overwrite is
-    * fine here; only the steady-state refresh needs swap semantics. */
+    * fine here in dir mode; manifest mode publishes the same way a
+    * refresh does (one generation + one pointer commit). */
   def build(): Unit =
-    flatView(None).write.mode(SaveMode.Overwrite)
+    if (manifestMode) publishManifest(flatView(None), removeAbsent = true)
+    else flatView(None).write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)
+
+  /** MANIFEST-MODE publish shared by build and refresh: write the
+    * recomputed buckets into ONE fresh generation (partitioned by a
+    * `bucket_part` twin column so the real `bucket` column stays in
+    * the data files — resolved generation dirs are read WITHOUT
+    * partition discovery), then CAS-merge the bucket→dir map: touched
+    * present buckets point into the new generation, recomputed-empty
+    * buckets leave the map (the dir-mode stale-delete, but atomic with
+    * the installs instead of a separate crash window), untouched
+    * buckets keep serving their old generations. Superseded/orphan
+    * generations are reaped by [[ManifestSwap.gc]] after the commit —
+    * age-graced, so a reader mid-scan on the old snapshot never loses
+    * its files. */
+  private def publishManifest(out: DataFrame,
+                              removeAbsent: Boolean,
+                              touched: Seq[Int] = Nil): Unit = {
+    val (gen, genDir) = ManifestSwap.newGeneration(path)
+    val staged = out.withColumn("bucket_part", col("bucket")).cache()
+    try {
+      val present = staged.select("bucket").distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      staged.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket_part").parquet(genDir)
+      val adds = present.toSeq.sorted
+        .map(b => s"bucket=$b" -> s"$gen/bucket_part=$b")
+      val drops =
+        if (removeAbsent) (0 until nBuckets).filterNot(present)
+        else touched.filterNot(present)
+      ManifestSwap.commitUpdate(spark, path, "mview")(m =>
+        m -- drops.map(b => s"bucket=$b") ++ adds)
+      ManifestSwap.gc(spark, path)
+      ()
+    } finally {
+      staged.unpersist()
+      ()
+    }
+  }
 
   /** Incremental refresh from a change page: recompute and swap only
     * the buckets containing changed invoices. One staging job writes
@@ -79,6 +151,11 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
     heal()
     val buckets = changedInvoiceIds
       .map(id => (((id % nBuckets) + nBuckets) % nBuckets).toInt).distinct
+    if (manifestMode) {
+      publishManifest(flatView(Some(buckets)), removeAbsent = false,
+        touched = buckets)
+      return
+    }
     val staging = path.stripSuffix("/") + ".mview-stage"
     val out = flatView(Some(buckets)).cache()
     try {
@@ -119,6 +196,8 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
     * `bucket=N.mview-bak` siblings; each is the standard DirSwap torn
     * shape for its bucket directory. */
   def heal(): Unit = {
+    if (manifestMode) return // no torn window: generations are
+    // invisible until their pointer commits, and pointers are atomic
     val p = new Path(path)
     if (!fs.exists(p)) return
     fs.listStatus(p).map(_.getPath.getName).foreach {
@@ -134,12 +213,22 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
     * are never mistaken for partitions). */
   def read(): DataFrame = {
     heal()
-    val p = new Path(path)
-    val dirs =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).map(_.getPath)
-        .filter(d => MaterializedView.DataName.matches(d.getName))
-        .map(_.toString).sorted
+    val dirs: Array[String] =
+      if (manifestMode)
+        // resolve ONE committed snapshot and read exactly its
+        // generation dirs — atomic view of the last whole refresh page
+        ManifestSwap.resolveRaw(spark, path)
+          .map(_._2.toSeq.sortBy(_._1)
+            .map { case (_, rel) => ManifestSwap.entryPath(path, rel) }
+            .toArray)
+          .getOrElse(Array.empty)
+      else {
+        val p = new Path(path)
+        if (!fs.exists(p)) Array.empty[String]
+        else fs.listStatus(p).map(_.getPath)
+          .filter(d => MaterializedView.DataName.matches(d.getName))
+          .map(_.toString).sorted
+      }
     if (dirs.isEmpty) {
       // same schema as the non-empty branch: partition inference types
       // the bucket dir names as INT, not flatView's long
@@ -150,6 +239,14 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
           else f))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else if (manifestMode) {
+      // generation dirs carry `bucket` IN the data files (the
+      // bucket_part twin was the partition column); cast long→int and
+      // re-order for exact schema parity with the dir-mode read
+      val cols = flatView(None).schema.map(_.name)
+      spark.read.parquet(dirs.toIndexedSeq: _*)
+        .withColumn("bucket", col("bucket").cast("int"))
+        .select(cols.map(col): _*)
     } else
       spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*)
   }

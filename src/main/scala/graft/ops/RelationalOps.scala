@@ -1186,7 +1186,14 @@ object RelationalOps {
     // never an overwrite race on one path
     val path = scratch(s,
       "mview-" + java.lang.Integer.toHexString(d.hashCode))
-    val mv = new MaterializedView(s, d, path, nBuckets = 16)
+    // protocol = "manifest": the declared serving key drives the
+    // object-store publish path (immutable generations + atomic
+    // pointer commit) through the full DuckDB oracle gate every round;
+    // output is identical by construction — the protocol is
+    // output-invisible, and the atomic whole-page cutover is STRONGER
+    // than the per-bucket rename swap it replaces here
+    val mv = new MaterializedView(s, d, path, nBuckets = 16,
+      protocol = "manifest")
     val key = s"${s.sparkContext.applicationId}|$d"
     if (!mvBuilt.contains(key)) mvBuilt.synchronized {
       if (!mvBuilt.contains(key)) { mv.build(); mvBuilt.add(key) }

@@ -167,6 +167,10 @@ object DocumentSink {
     * scheduled maintenance window, not concurrent with delivery. */
   def compact(spark: SparkSession, dir: String,
               schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // the sink root takes in-place delivery appends and direct reads:
+    // rename-protocol-only until a manifest-native sink layout lands
+    graft.streaming.DirSwap.requireRenameProtocol(
+      spark, dir, "document-sink compaction")
     val survivors = deduplicated(spark, dir, schema)
     graft.streaming.DirSwap.install(spark, dir, "compact")(tmp =>
       survivors

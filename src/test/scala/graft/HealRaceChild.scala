@@ -60,7 +60,7 @@ object HealRaceChild {
 
   def main(args: Array[String]): Unit = {
     val Array(ctl, layout, idx, swapDir, swapTag, roundsS,
-      retainDir, mvCorpus, mvPath, sinkDir, zPath) = args.take(11)
+      retainDir, mvCorpus, mvPath, sinkDir, zPath, mfRoot) = args.take(12)
     val rounds = roundsS.toInt
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -154,6 +154,61 @@ object HealRaceChild {
     graft.streaming.DirSwap.restoreIfTorn(spark, zPath, "zorder")
     graft.streaming.StagedAppend.recover(spark, zPath)
     touch(ctlFile("done-zorder"))
+
+    // phase 9: a LIVE manifest publisher + hot gc in the parent
+    // (round-13 — the ManifestSwap protocol's own cross-process cell),
+    // raced by this process's READER loop and a RIVAL INSTALLER. The
+    // reader asserts every SUCCESSFUL read is COMPLETE (uniform value,
+    // full row count) — the protocol's whole claim is that no reader
+    // can ever observe a torn generation. A LOST-FILE failure
+    // (resolve → gc reaps → read) is tolerated WITH A BOUNDED RETRY
+    // here and only here: the parent deliberately runs gc with a grace
+    // far below this loaded local[4] JVM's worst-case resolve→read
+    // latency to force reaping pressure, which violates the protocol's
+    // deployment premise (grace > longest scan) by construction — the
+    // within-grace stability guarantee is pinned DETERMINISTICALLY in
+    // ManifestSwapSpec's gc test instead. What this cell must prove:
+    // no torn read ever, the stale-resolve retry always recovers, and
+    // the CAS stream from two JVMs never loses or duplicates a commit.
+    waitFor(ctlFile("go-manifest"))
+    val stopMf = ctlFile("stop-manifest")
+    var mfReads = 0L
+    var staleStreak = 0
+    var rival = 1000000000L
+    def lostFile(t: Throwable): Boolean = {
+      val m = Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
+        m.contains("FILE_NOT_EXIST")
+    }
+    while (!stopMf.exists()) {
+      graft.streaming.ManifestSwap.readPath(spark, mfRoot).foreach { p =>
+        try {
+          val vs = spark.read.parquet(p)
+            .select("v").collect().map(_.getLong(0))
+          if (vs.toSet.size != 1 || vs.length != 8)
+            sys.error(s"torn manifest snapshot observed: ${vs.toSeq}")
+          mfReads += 1
+          staleStreak = 0
+        } catch {
+          case t: Throwable if lostFile(t) =>
+            // stale resolve under reaping pressure: re-loop (the next
+            // pass re-resolves). Persistent loss = a real protocol
+            // break, not pressure.
+            staleStreak += 1
+            if (staleStreak > 25)
+              sys.error(s"stale-resolve retry never recovered: $t")
+        }
+      }
+      rival += 1
+      val rv = rival
+      graft.streaming.ManifestSwap.install(spark, mfRoot, "hrmf") { d =>
+        spark.range(8).selectExpr(s"CAST($rv AS BIGINT) AS v")
+          .write.mode("overwrite").parquet(d)
+      }
+    }
+    if (mfReads == 0L) sys.error("manifest reader loop never resolved")
+    touch(ctlFile("done-manifest"))
 
     println("HEALRACE_ALL_OK")
     spark.stop()

@@ -250,6 +250,17 @@ class HealRaceSpec extends SparkSpec {
     for (d <- Seq(zDir, zTwin))
       ZOrder.layoutN(zBatch(0), d, zDims, files = 3)
 
+    // ---- fixture 8: a manifest-published state table (phase 9) — the
+    // round-13 object-store publish path under a live cross-process
+    // writer/reader/gc race
+    val mfRoot = tmpDir("healrace-mf") + "/state"
+    def mfInstall(v: Long): Unit =
+      graft.streaming.ManifestSwap.install(spark, mfRoot, "hrmf") { d =>
+        spark.range(8).selectExpr(s"CAST($v AS BIGINT) AS v")
+          .write.mode("overwrite").parquet(d)
+      }
+    mfInstall(0L)
+
     // ---- launch the second JVM (CorpusCacheSpec precedent: same
     // classpath + module options as this test JVM)
     val jvmOpts = java.lang.management.ManagementFactory
@@ -261,10 +272,17 @@ class HealRaceSpec extends SparkSpec {
       s"${System.getProperty("java.home")}/bin/java") ++ jvmOpts ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.HealRaceChild", ctl.getPath, layout, idx, swapDir, "hrtag",
-      swapRounds.toString, retainDir, corpusA, mvPath, sinkDir, zDir)
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
+      swapRounds.toString, retainDir, corpusA, mvPath, sinkDir, zDir,
+      mfRoot)
+    // child output goes to a FILE, not a pipe: the parent only drains
+    // output at the end, so a chatty child could fill the pipe buffer
+    // and block mid-phase — and on a timeout the pipe's contents were
+    // unreachable for diagnosis
+    val childLog = new java.io.File(ctl, "child.log")
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(childLog).start()
+    def childLines: Vector[String] =
+      scala.io.Source.fromFile(childLog).getLines().toVector
     try {
       waitFor(new java.io.File(ctl, "ready"))
 
@@ -434,10 +452,61 @@ class HealRaceSpec extends SparkSpec {
         s"raced rebuilds left swap litter beside the layout: " +
           zLitter.toSeq)
 
-      val lines = Iterator.continually(out.readLine())
-        .takeWhile(_ != null).toVector
+      // phase 9: a LIVE manifest publisher + gc races the child's
+      // reader loop and rival installer across processes. gc runs HOT
+      // (every parent install) but with a 3 s age grace — the
+      // protocol's documented reader protection is an AGE grace above
+      // the longest scan, and a first draft of this cell proved the
+      // point the hard way: a keep-COUNT window (keep 6, grace 0) let
+      // the two-writer commit stream age a generation out from under
+      // the child's resolve→read in flight (FileNotFound on the
+      // footer read). With ~200 ms reads under a 3 s grace, reaping
+      // still happens live (the loop spans >3 s, so early generations
+      // cross the age bar while the child races) but no reader can
+      // lose its snapshot. The settled state must be SOME complete
+      // snapshot (LWW between the two writers), the pointer log
+      // strictly monotone with no number committed twice.
+      touch(new java.io.File(ctl, "go-manifest"))
+      var reapedLive = 0
+      for (i <- 1 to 10) {
+        mfInstall(i.toLong)
+        reapedLive += graft.streaming.ManifestSwap.gc(spark, mfRoot,
+          keepManifests = 2, graceMs = 3000L)
+        Thread.sleep(320) // the loop must span the 3 s grace so early
+        // generations cross the age bar WHILE the child still races
+      }
+      touch(new java.io.File(ctl, "stop-manifest"))
+      waitFor(new java.io.File(ctl, "done-manifest"))
+      val settled = graft.streaming.ManifestSwap.readPath(spark, mfRoot)
+        .map(p => spark.read.parquet(p).select($"v").as[Long]
+          .collect().toSeq)
+        .getOrElse(Seq.empty)
+      assert(settled.size == 8 && settled.toSet.size == 1,
+        s"settled manifest state is not one complete snapshot: $settled")
+      val ptrNames = Option(
+        new java.io.File(s"$mfRoot/_ptr").list()).getOrElse(Array.empty)
+        .filter(_.endsWith(".mf")).map(_.stripSuffix(".mf").toLong).sorted
+      assert(ptrNames.distinct.length == ptrNames.length,
+        "a manifest number was committed twice")
+      assert(ptrNames.nonEmpty &&
+        ptrNames.last >= 11L, // parent 0..10 plus at least one rival win
+        s"pointer log too short for the race that ran: ${ptrNames.toSeq}")
+      // the live gc really reaped while the race ran (the loop spans
+      // >3.2 s, so the earliest generations aged past the 3 s grace
+      // under fire), and a settled gc converges to the keep window
+      assert(reapedLive >= 1,
+        "live gc never reaped a generation during the race")
+      Thread.sleep(3100)
+      graft.streaming.ManifestSwap.gc(spark, mfRoot,
+        keepManifests = 2, graceMs = 3000L)
+      val gensLeft = Option(
+        new java.io.File(s"$mfRoot/_gens").list()).getOrElse(Array.empty)
+      assert(gensLeft.length <= 2,
+        s"settled gc left ${gensLeft.length} generations (keep window 2)")
+
       assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
         "child JVM did not exit")
+      val lines = childLines
       assert(proc.exitValue() == 0,
         s"child failed:\n${lines.takeRight(25).mkString("\n")}")
       assert(lines.exists(_.contains("HEALRACE_ALL_OK")),
