@@ -2223,6 +2223,45 @@ object LlmQueries {
 
   private val shingleCte = "WITH" + shinglePairCtes("documents")
 
+  /** LINEAR fixed-length edit-distance pair CTEs shared by the
+    * threshold-3 fuzzy oracles (round-12 verdict ask #2, same program
+    * as [[shinglePairCtes]]): candidate pairs come from the PassJoin
+    * pigeonhole — partition every 30-char head into 4 segments
+    * (lengths 7,7,8,8); lev(a,b) ≤ 3 guarantees some segment of b
+    * equals a substring of a at an alignment displacement ≤ 3, so
+    * joining each head's 4 canonical segments against every head's
+    * ±3-shifted substrings of the matching (segment, length) finds
+    * every qualifying pair — a THEOREM, not a heuristic, independently
+    * re-derived here from the same published result the engine's
+    * EditJoin uses (Li et al., PASS-JOIN), with DuckDB's own
+    * levenshtein re-verifying every candidate. The previous `a JOIN b
+    * ON a.doc_id < b.doc_id` formulation was quadratic by construction
+    * (infeasible at sf1's 50k heads); this is ~35 index rows per doc.
+    * Emits `h(doc_id, head)` and `vp(ia, ib, dist)` — the verified
+    * unordered pair set. */
+  private val passJoinCte =
+    """WITH h AS MATERIALIZED (
+      |   SELECT doc_id, substring(text, 1, 30) AS head
+      |   FROM documents WHERE length(text) >= 30),
+      | sch(i, s, l) AS (VALUES (1, 1, 7), (2, 8, 7), (3, 15, 8),
+      |   (4, 23, 8)),
+      | seg AS MATERIALIZED (
+      |   SELECT doc_id, i, substring(head, s, l) AS sub FROM h, sch),
+      | prb AS MATERIALIZED (
+      |   SELECT doc_id, i, substring(head, s + o, l) AS sub
+      |   FROM h, sch, (SELECT unnest(range(-3, 4)) AS o)
+      |   WHERE s + o >= 1 AND s + o + l - 1 <= 30),
+      | cand AS MATERIALIZED (
+      |   SELECT DISTINCT p.doc_id AS ia, s.doc_id AS ib
+      |   FROM prb p JOIN seg s ON p.i = s.i AND p.sub = s.sub
+      |     AND p.doc_id < s.doc_id),
+      | hp AS (SELECT c.ia, c.ib, a.head AS ha, b.head AS hb
+      |   FROM cand c JOIN h a ON a.doc_id = c.ia
+      |   JOIN h b ON b.doc_id = c.ib),
+      | vp AS MATERIALIZED (SELECT ia, ib,
+      |   CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+      |   FROM hp WHERE levenshtein(ha, hb) <= 3)""".stripMargin
+
   /** Connected components over `p`-derived edges as UNROLLED
     * materialized label-propagation rounds — the linear replacement for
     * the recursive `walk(id, comp)` CTE, which enumerated every
@@ -2741,57 +2780,72 @@ object LlmQueries {
         |  AND len(string_split(a.text, ' ')) >= 8
         |  AND position((' ' || a.text || ' ') IN (' ' || b.text || ' ')) > 0
         | ORDER BY inner_id, outer_id""".stripMargin,
-    "llm_fuzzy_pairs_global" ->
-      // the naive corpus-wide all-pairs ground truth: the PassJoin
-      // segment blocking must be output-invisible
-      """WITH h AS (
-        |   SELECT doc_id, substring(text, 1, 30) AS head
-        |   FROM documents WHERE length(text) >= 30)
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-        | FROM h a JOIN h b ON a.doc_id < b.doc_id
-        | WHERE levenshtein(a.head, b.head) <= 3
-        | ORDER BY id_a, id_b""".stripMargin,
+    "llm_fuzzy_pairs_global" -> (passJoinCte +
+      """
+        | SELECT ia AS id_a, ib AS id_b, dist FROM vp
+        | ORDER BY id_a, id_b""".stripMargin),
     "llm_fuzzy_pairs_summary" ->
-      // naive all-pairs aggregate — the summary serving shape must be
-      // the exact per-distance histogram of the full emission
-      """WITH h AS (
-        |   SELECT doc_id, substring(text, 1, 30) AS head
-        |   FROM documents WHERE length(text) >= 30)
-        | SELECT CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist,
-        |   count(*) AS n_pairs
-        | FROM h a JOIN h b ON a.doc_id < b.doc_id
-        | WHERE levenshtein(a.head, b.head) <= 3
-        | GROUP BY 1 ORDER BY dist""".stripMargin,
+      // the summary serving shape must be the exact per-distance
+      // histogram of the full (unordered-pair) emission
+      (passJoinCte +
+      """
+        | SELECT dist, count(*) AS n_pairs FROM vp
+        | GROUP BY 1 ORDER BY dist""".stripMargin),
     "llm_fuzzy_pairs_capped" ->
-      // naive all-pairs (BOTH orientations — true per-anchor
-      // semantics) under the same per-anchor rank cap — the bounded
-      // emission must be a deterministic truncation of the full form
-      // (ties by partner id)
-      """WITH h AS (
-        |   SELECT doc_id, substring(text, 1, 30) AS head
-        |   FROM documents WHERE length(text) >= 30),
-        | p AS (SELECT a.doc_id AS anchor_id, b.doc_id AS partner_id,
-        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-        |   FROM h a JOIN h b ON a.doc_id <> b.doc_id
-        |   WHERE levenshtein(a.head, b.head) <= 3),
+      // BOTH orientations (true per-anchor semantics) under the same
+      // per-anchor rank cap — the bounded emission must be a
+      // deterministic truncation of the full form (ties by partner id).
+      // Orientations derive from the unordered verified set: (a,b)
+      // qualifies as anchor=a,partner=b iff as anchor=b,partner=a
+      (passJoinCte +
+      """,
+        | p AS (SELECT ia AS anchor_id, ib AS partner_id, dist FROM vp
+        |       UNION ALL SELECT ib, ia, dist FROM vp),
         | r AS (SELECT anchor_id, partner_id, dist,
         |   CAST(row_number() OVER (PARTITION BY anchor_id
         |     ORDER BY dist, partner_id) AS BIGINT) AS pair_rank FROM p)
         | SELECT anchor_id, partner_id, dist, pair_rank FROM r
-        | WHERE pair_rank <= 5 ORDER BY anchor_id, pair_rank""".stripMargin,
+        | WHERE pair_rank <= 5 ORDER BY anchor_id, pair_rank""".stripMargin),
     "llm_fuzzy_pairs_varlen" ->
-      // naive all-pairs over MIXED-length heads (24-36 chars, width a
-      // function of doc id): the per-length schemes + length-band
-      // probe must be output-invisible
-      """WITH h AS (
+      // MIXED-length heads (24-36 chars, width a function of doc id):
+      // per-length 4-segment schemes, probes generated for every
+      // partner length within edit distance 3, shift window ±3 (the
+      // alignment displacement bound) — the engine's length-band
+      // blocking must be output-invisible to this independent
+      // re-derivation
+      """WITH h AS MATERIALIZED (
         |   SELECT doc_id,
-        |     substr(text, 1, CAST(24 + doc_id % 13 AS INT)) AS head
-        |   FROM documents)
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-        | FROM h a JOIN h b ON a.doc_id < b.doc_id
-        | WHERE levenshtein(a.head, b.head) <= 3
+        |     substr(text, 1, CAST(24 + doc_id % 13 AS INT)) AS head,
+        |     CAST(24 + doc_id % 13 AS INT) AS hl
+        |   FROM documents),
+        | sch AS MATERIALIZED (
+        |   SELECT hlen, i,
+        |     1 + CAST(floor((hlen * (i - 1)) / 4.0) AS INT) AS segs,
+        |     CAST(floor((hlen * i) / 4.0) AS INT)
+        |       - CAST(floor((hlen * (i - 1)) / 4.0) AS INT) AS segl
+        |   FROM (SELECT unnest(range(21, 40)) AS hlen),
+        |        (SELECT unnest(range(1, 5)) AS i)),
+        | seg AS MATERIALIZED (
+        |   SELECT h.doc_id, h.hl AS hlen, sch.i,
+        |     substring(h.head, sch.segs, sch.segl) AS sub
+        |   FROM h JOIN sch ON sch.hlen = h.hl),
+        | prb AS MATERIALIZED (
+        |   SELECT h.doc_id, sch.hlen, sch.i,
+        |     substring(h.head, sch.segs + o.o, sch.segl) AS sub
+        |   FROM h JOIN sch ON sch.hlen BETWEEN h.hl - 3 AND h.hl + 3,
+        |        (SELECT unnest(range(-3, 4)) AS o) o
+        |   WHERE sch.segs + o.o >= 1
+        |     AND sch.segs + o.o + sch.segl - 1 <= h.hl),
+        | cand AS MATERIALIZED (
+        |   SELECT DISTINCT p.doc_id AS ia, s.doc_id AS ib
+        |   FROM prb p JOIN seg s ON p.hlen = s.hlen AND p.i = s.i
+        |     AND p.sub = s.sub AND p.doc_id < s.doc_id),
+        | hp AS (SELECT c.ia, c.ib, a.head AS ha, b.head AS hb
+        |   FROM cand c JOIN h a ON a.doc_id = c.ia
+        |   JOIN h b ON b.doc_id = c.ib)
+        | SELECT ia AS id_a, ib AS id_b,
+        |   CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+        | FROM hp WHERE levenshtein(ha, hb) <= 3
         | ORDER BY id_a, id_b""".stripMargin,
     "llm_shuffle_order" ->
       // the normalized Lehmer chain of llm_sample applied twice (one
