@@ -2436,53 +2436,57 @@ object LlmQueries {
         | WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
         | ORDER BY doc_id""".stripMargin),
     "llm_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-        | p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-        |   CAST(round(1000000.0 *
-        |     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) /
-        |     (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
-        |              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))) *
-        |      sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
-        |              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))))
-        |   ) AS BIGINT) AS c
-        |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      // still the all-pairs GROUND TRUTH, but on DuckDB's native
+      // fixed-size array kernel instead of interpreted list lambdas
+      // (round-12 verdict ask #2's last member): 450+ s of per-pair
+      // lambda evaluation at sf1's 20k vectors became ~30 s of
+      // vectorized fma. Arithmetic equivalence measured, not assumed —
+      // 0 of 2M pairs differ in the rounded e6 between the two
+      // formulations at sf0.01+sf0.1 (float inputs make each product
+      // exact in double; a rounding-boundary flip at a larger SF would
+      // FAIL the hash gate loudly, never pass wrong)
+      """WITH e AS MATERIALIZED (SELECT vec_id, label,
+        |     CAST(embedding AS DOUBLE[64]) AS v,
+        |     sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+        |                              CAST(embedding AS DOUBLE[64])))
+        |       AS nrm
+        |   FROM embeddings),
+        | p AS (SELECT b.vec_id AS ib
+        |   FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |   WHERE CAST(round(1000000.0 * array_inner_product(a.v, b.v)
+        |     / (a.nrm * b.nrm)) AS BIGINT) >= 950000)
         | SELECT vec_id, label FROM embeddings
-        | WHERE vec_id NOT IN (SELECT ib FROM p WHERE c >= 950000)
+        | WHERE vec_id NOT IN (SELECT ib FROM p)
         | ORDER BY vec_id""".stripMargin,
     "llm_dedup_semantic" ->
       // replay: k=8 smallest-id centroids, argmax-cosine assignment
       // (ties to smallest centroid id), within-cluster all-pairs at the
-      // same integer-cosine threshold, min-id survivor
-      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
-        |           FROM embeddings WHERE vec_id < 8),
+      // same integer-cosine threshold, min-id survivor. Native array
+      // kernel like llm_dedup_embedding (same measured-equivalence
+      // note there)
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |     CAST(embedding AS DOUBLE[64]) AS v,
+        |     sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+        |                              CAST(embedding AS DOUBLE[64])))
+        |       AS nrm
+        |   FROM embeddings),
+        | c AS (SELECT vec_id AS centroid_id, v AS cvec, nrm AS cnrm
+        |       FROM e WHERE vec_id < 8),
         | s AS (SELECT e.vec_id, c.centroid_id,
-        |   CAST(round(1000000.0 *
-        |     list_sum(list_transform(list_zip(e.embedding, c.cvec),
-        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
-        |     (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
-        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
-        |      sqrt(list_sum(list_transform(list_zip(c.cvec, c.cvec),
-        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
-        |   ) AS BIGINT) AS cos_e6
-        |   FROM embeddings e CROSS JOIN c),
+        |   CAST(round(1000000.0 * array_inner_product(e.v, c.cvec)
+        |     / (e.nrm * c.cnrm)) AS BIGINT) AS cos_e6
+        |   FROM e CROSS JOIN c),
         | b AS (SELECT vec_id, centroid_id FROM (
         |     SELECT *, row_number() OVER
         |       (PARTITION BY vec_id ORDER BY cos_e6 DESC, centroid_id) AS rk
         |     FROM s) WHERE rk = 1),
-        | v AS (SELECT b.vec_id, b.centroid_id, e.embedding
-        |       FROM b JOIN embeddings e USING (vec_id)),
+        | w AS MATERIALIZED (SELECT b.vec_id, b.centroid_id, e.v, e.nrm
+        |       FROM b JOIN e USING (vec_id)),
         | p AS (SELECT y.vec_id AS ib
-        |   FROM v x JOIN v y
+        |   FROM w x JOIN w y
         |     ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-        |   WHERE CAST(round(1000000.0 *
-        |     list_sum(list_transform(list_zip(x.embedding, y.embedding),
-        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
-        |     (sqrt(list_sum(list_transform(list_zip(x.embedding, x.embedding),
-        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) *
-        |      sqrt(list_sum(list_transform(list_zip(y.embedding, y.embedding),
-        |              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))))
-        |   ) AS BIGINT) >= 950000)
+        |   WHERE CAST(round(1000000.0 * array_inner_product(x.v, y.v)
+        |     / (x.nrm * y.nrm)) AS BIGINT) >= 950000)
         | SELECT vec_id, centroid_id FROM b
         | WHERE vec_id NOT IN (SELECT ib FROM p)
         | ORDER BY vec_id""".stripMargin,
