@@ -188,6 +188,11 @@ object HealRaceChild {
             .select("v").collect().map(_.getLong(0))
           if (vs.toSet.size != 1 || vs.length != 8)
             sys.error(s"torn manifest snapshot observed: ${vs.toSeq}")
+          // handshake: the parent keeps publishing until this child
+          // has completed at least one CLEAN read — a fixed-length
+          // parent loop under full-suite host load could finish before
+          // this JVM's first read job even scheduled (observed)
+          if (mfReads == 0L) touch(ctlFile("mfread-ok"))
           mfReads += 1
           staleStreak = 0
         } catch {

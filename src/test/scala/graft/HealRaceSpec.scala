@@ -454,27 +454,42 @@ class HealRaceSpec extends SparkSpec {
 
       // phase 9: a LIVE manifest publisher + gc races the child's
       // reader loop and rival installer across processes. gc runs HOT
-      // (every parent install) but with a 3 s age grace — the
-      // protocol's documented reader protection is an AGE grace above
-      // the longest scan, and a first draft of this cell proved the
-      // point the hard way: a keep-COUNT window (keep 6, grace 0) let
-      // the two-writer commit stream age a generation out from under
-      // the child's resolve→read in flight (FileNotFound on the
-      // footer read). With ~200 ms reads under a 3 s grace, reaping
-      // still happens live (the loop spans >3 s, so early generations
-      // cross the age bar while the child races) but no reader can
-      // lose its snapshot. The settled state must be SOME complete
-      // snapshot (LWW between the two writers), the pointer log
-      // strictly monotone with no number committed twice.
+      // (every parent install) with a 10 s supersession grace — the
+      // protocol's documented reader protection is a grace above the
+      // longest scan, and the drafts of this cell earned each design
+      // element the hard way: (1) a keep-COUNT window (keep 6, grace
+      // 0) let the two-writer commit stream age a generation out from
+      // under the child's in-flight resolve→read (FileNotFound on the
+      // footer read); (2) a CREATION-age grace let the long-current
+      // fixture generation be reaped the instant two commits
+      // superseded it — the find that forced gc's supersession rule;
+      // (3) a 3 s grace under full-suite host load lost to reads that
+      // took >3 s to schedule, hence 10 s here plus the child's
+      // bounded stale-resolve retry (the deterministic within-grace
+      // guarantee lives in ManifestSwapSpec). The settled state must
+      // be SOME complete snapshot (LWW between the two writers), the
+      // pointer log strictly monotone with no number committed twice.
       touch(new java.io.File(ctl, "go-manifest"))
       var reapedLive = 0
-      for (i <- 1 to 10) {
-        mfInstall(i.toLong)
+      // self-pacing: at least 12 publish+gc cycles AND at least one
+      // CLEAN read completed by the child (handshake file) — a
+      // fixed-length loop under full-suite load could finish before
+      // the child's first read job scheduled. The 10 s grace sits
+      // above a loaded local[4] JVM's worst observed resolve→read
+      // latency while the >13 s loop span still reaps live.
+      val mfReadOk = new java.io.File(ctl, "mfread-ok")
+      val mfDeadline = System.currentTimeMillis() + 180000
+      var mfI = 0
+      while (mfI < 12 ||
+          (!mfReadOk.exists() && System.currentTimeMillis() < mfDeadline)) {
+        mfI += 1
+        mfInstall(mfI.toLong)
         reapedLive += graft.streaming.ManifestSwap.gc(spark, mfRoot,
-          keepManifests = 2, graceMs = 3000L)
-        Thread.sleep(320) // the loop must span the 3 s grace so early
-        // generations cross the age bar WHILE the child still races
+          keepManifests = 2, graceMs = 10000L)
+        Thread.sleep(1000)
       }
+      assert(mfReadOk.exists(),
+        "child never completed a clean manifest read in 180 s")
       touch(new java.io.File(ctl, "stop-manifest"))
       waitFor(new java.io.File(ctl, "done-manifest"))
       val settled = graft.streaming.ManifestSwap.readPath(spark, mfRoot)
@@ -489,16 +504,20 @@ class HealRaceSpec extends SparkSpec {
       assert(ptrNames.distinct.length == ptrNames.length,
         "a manifest number was committed twice")
       assert(ptrNames.nonEmpty &&
-        ptrNames.last >= 11L, // parent 0..10 plus at least one rival win
+        // fixture 0 + ≥12 parent loop commits + ≥1 rival (the child
+        // installs once per loop pass, and the handshake guarantees it
+        // completed at least one pass)
+        ptrNames.last >= 13L,
         s"pointer log too short for the race that ran: ${ptrNames.toSeq}")
       // the live gc really reaped while the race ran (the loop spans
-      // >3.2 s, so the earliest generations aged past the 3 s grace
-      // under fire), and a settled gc converges to the keep window
+      // >13 s, so the earliest generations' superseding manifests aged
+      // past the 10 s grace under fire), and a settled gc converges to
+      // the keep window
       assert(reapedLive >= 1,
         "live gc never reaped a generation during the race")
-      Thread.sleep(3100)
+      Thread.sleep(10100)
       graft.streaming.ManifestSwap.gc(spark, mfRoot,
-        keepManifests = 2, graceMs = 3000L)
+        keepManifests = 2, graceMs = 10000L)
       val gensLeft = Option(
         new java.io.File(s"$mfRoot/_gens").list()).getOrElse(Array.empty)
       assert(gensLeft.length <= 2,

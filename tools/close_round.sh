@@ -111,8 +111,17 @@ if [ "$SKIP_SF1" != "--skip-sf1" ]; then
   if grep "\[verify\]" "$OUT/verify-sf1.log"; then
     echo "verify dump failures at sf1"; exit 1
   fi
+  # NOT -e-fatal: stream_view_sketch is in its DESIGNED estimation
+  # regime at sf1 (documented 0.088% theta error), so the oracle
+  # exits 1 with that one key by contract — record per-key results,
+  # fail only on unexpected keys
   python3 tools/check_oracle.py /tmp/graft-sf1 "$OUT/verify-sf1" 600 \
-    | tail -1
+    > "$OUT/oracle-sf1.log" 2>&1 || true
+  tail -1 "$OUT/oracle-sf1.log"
+  if grep "^FAIL" "$OUT/oracle-sf1.log" \
+      | grep -v "^FAIL stream_view_sketch:"; then
+    echo "unexpected sf1 oracle failures (above)"; exit 1
+  fi
   python3 tools/lint_total_order.py "$OUT/verify-sf1" | tail -2
 else
   step "gate 8/8: SKIPPED (--skip-sf1)"
