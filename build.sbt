@@ -34,3 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Force the publish protocol for a whole forked run (the closing gate
+// re-runs Verify with SPARK_GRAFT_SWAP_PROTOCOL=manifest so every
+// declared key exercises the object-store protocol on the local fs).
+javaOptions ++= sys.env.get("SPARK_GRAFT_SWAP_PROTOCOL")
+  .map(p => s"-Dgraft.swap.protocol=$p").toSeq

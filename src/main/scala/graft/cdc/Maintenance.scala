@@ -92,18 +92,61 @@ object Maintenance {
     * change table, in place (DirSwap tag "retain"). The table follows
     * the feed schema contract the cdc source also relies on:
     * `entity_id` + `change_version` columns (CdcFiles). */
+  /** Append one change page to the table, protocol-aware — the write
+    * entry point feed producers use so the retention rewrite below has
+    * a sound layout on every store: rename-capable filesystems keep
+    * the plain in-place `mode=append` (what every producer did
+    * already); manifest-mode filesystems get one immutable generation
+    * per page, keyed by the page's content fingerprint, listed by the
+    * table's manifest — which also makes a crashed-and-retried page
+    * append structurally idempotent, something the plain append never
+    * was. Readers (the graft-cdc source, [[maintainChangeTable]])
+    * resolve the layout structurally. */
+  def appendChangePage(spark: SparkSession, changeDir: String,
+                       page: org.apache.spark.sql.DataFrame): Unit =
+    if (DirSwap.appendsAreManifest(spark, changeDir))
+      graft.streaming.StagedAppend.contentTag(page).foreach { tag =>
+        graft.streaming.ManifestSwap.appendKeyed(spark, changeDir,
+          "retain", tag)(gen => page.write.mode("overwrite").parquet(gen))
+      }
+    else page.write.mode("append").parquet(changeDir)
+
   def maintainChangeTable(spark: SparkSession, changeDir: String,
                           watermark: Long, compactUpTo: Long,
                           nFiles: Int): Unit = {
-    // the change table is read in place by every feed consumer:
-    // rename-protocol-only until a manifest-native layout lands
-    DirSwap.requireRenameProtocol(spark, changeDir, "retention rewrite")
-    DirSwap.restoreIfTorn(spark, changeDir, "retain")
+    // Manifest-capable since round 14: the rewrite folds the base +
+    // every appended page generation into ONE new base in one atomic
+    // pointer commit (consumers resolve a complete before-or-after
+    // snapshot, never a mid-rewrite directory), dropping the absorbed
+    // page keys — page tags are content fingerprints whose idempotence
+    // window only needs to span producer retries, not retention
+    // cycles, and an unbounded ledger would grow the manifest forever.
+    val manifest = DirSwap.appendsAreManifest(spark, changeDir)
+    // dirs and absorbed keys from ONE resolution (foldSnapshot) so a
+    // page committing mid-rewrite keeps its own generation; an
+    // in-place table under a manifest config folds into the first
+    // manifest base here — the migration step
+    val (dirs, absorbed) =
+      if (manifest) {
+        val (d, a) = graft.streaming.ManifestSwap.foldSnapshot(
+          spark, changeDir)
+        if (d.nonEmpty) (d, a)
+        else (DirSwap.readDataPaths(spark, changeDir, "retain"),
+          Set.empty[String])
+      } else
+        (DirSwap.readDataPaths(spark, changeDir, "retain"),
+          Set.empty[String])
+    if (dirs.isEmpty) return
     val kept = logCompactRows(
-      Retention.expire(spark.read.parquet(changeDir), watermark),
+      Retention.expire(spark.read.parquet(dirs: _*), watermark),
       compactUpTo)
-    DirSwap.install(spark, changeDir, "retain")(tmp =>
-      Retention.writeCompacted(kept, tmp, nFiles))
+    if (manifest)
+      graft.streaming.ManifestSwap.installFold(spark, changeDir, "retain",
+        absorbed, keepLedger = false)(
+        Retention.writeCompacted(kept, _, nFiles))
+    else
+      DirSwap.install(spark, changeDir, "retain")(tmp =>
+        Retention.writeCompacted(kept, tmp, nFiles))
   }
 
   /** A serving IVF-PQ vector index due for its periodic
@@ -149,10 +192,13 @@ object Maintenance {
         "a re-embedding was appended past the membership guard's " +
         "probed buckets (appendIvfPq's documented blind spot); " +
         "resolve the corpus to one row per id before retraining")
-    // the IVF-PQ layout is an append-style root probed in place:
-    // rename-protocol-only until a manifest-native layout lands
-    DirSwap.requireRenameProtocol(spark, vi.layoutPath,
-      "vector-index rebuild")
+    // Manifest-capable since round 14: under the manifest protocol the
+    // install below writes codes + codebook + _APPGEN into ONE
+    // generation and the pointer commit REPLACES the whole payload —
+    // dropping every appended-batch key, which IS the superseded-
+    // generation sweep the rename protocol does via _APPGEN. Probes
+    // resolve the committed base + appends structurally
+    // (DirSwap.readDataPaths).
     DirSwap.install(spark, vi.layoutPath, "vecidx") { tmp =>
       val cb = graft.llm.Pq.trainCodebooks(emb, vi.idCol, vi.vecCol,
         vi.m, vi.dims, vi.ks, vi.iters)
@@ -164,9 +210,25 @@ object Maintenance {
       // every prior incremental append — mint a fresh append
       // generation (atomic with the layout swap) so staged appends of
       // the old layout are swept, never replayed into this one
-      graft.streaming.StagedAppend.mintGeneration(tmp)
+      graft.streaming.StagedAppend.mintGeneration(spark, tmp)
     }
   }
+
+  /** A manifest-published table root due for generation GC in this
+    * window ([[graft.streaming.ManifestSwap.gc]]) with its PER-TABLE
+    * grace. SIZING RULE (round-13 verdict finding #2): the reader
+    * guarantee — "a snapshot resolved at time T stays readable until
+    * T + graceMs" — only protects scans that FINISH inside the grace,
+    * so set `graceMs` strictly above the longest plausible scan of one
+    * committed snapshot of THIS table (a 100 TB full-table scan can
+    * run hours; the 15-minute default fits serving-sized tables, not
+    * that). Superseded generations cost storage until the grace
+    * elapses, never correctness — err long. gc logs loudly when it
+    * reaps under a sub-default grace. */
+  case class ManifestGc(root: String,
+                        graceMs: Long =
+                          graft.streaming.ManifestSwap.DefaultGraceMs,
+                        keepManifests: Int = 2)
 
   /** A z-ordered layout ([[graft.ops.ZOrder]]) that has accumulated
     * append generations: each [[graft.ops.ZOrder.appendN]] adds a file
@@ -186,7 +248,8 @@ object Maintenance {
           vectorIndexes: Seq[VectorIndex] = Nil,
           zLayouts: Seq[ZLayout] = Nil,
           aggViewRoots: Seq[String] = Nil,
-          postingsIndexes: Seq[String] = Nil): Report = {
+          postingsIndexes: Seq[String] = Nil,
+          manifestGcs: Seq[ManifestGc] = Nil): Report = {
     maintainChangeTable(spark, changeDir, watermark, compactUpTo, nFiles)
     DocumentSink.compact(spark, sinkDir, sinkSchema)
     vectorIndexes.foreach(maintainVectorIndex(spark, _))
@@ -201,6 +264,10 @@ object Maintenance {
     // StreamingAggView.compactLog for the torn-tail guarantee)
     aggViewRoots.foreach(
       graft.streaming.StreamingAggView.compactLog(spark, _))
+    // manifest-published roots: reap superseded/orphan generations
+    // under each table's own grace (see [[ManifestGc]]'s sizing rule)
+    manifestGcs.foreach(g => graft.streaming.ManifestSwap.gc(
+      spark, g.root, g.keepManifests, g.graceMs))
     // through the Hadoop FileSystem like every other path here — a
     // java.io walk would silently report 0 on hdfs://-style stores
     def filesUnder(dir: String, suffix: String): Long = {
@@ -212,10 +279,15 @@ object Maintenance {
         if (it.next().getPath.getName.endsWith(suffix)) n += 1
       n
     }
+    // report over the SERVED layout: the in-place root, or the
+    // committed manifest generations (counting a manifest root's whole
+    // tree would double-count superseded generations until gc)
+    val changeDirs = DirSwap.readDataPaths(spark, changeDir, "retain")
+    val sinkDirs = DirSwap.readDataPaths(spark, sinkDir, "compact")
     Report(
-      changeRows = spark.read.parquet(changeDir).count(),
-      changeFiles = filesUnder(changeDir, ".parquet"),
+      changeRows = spark.read.parquet(changeDirs: _*).count(),
+      changeFiles = changeDirs.map(filesUnder(_, ".parquet")).sum,
       sinkDocs = DocumentSink.readBack(spark, sinkDir, sinkSchema).count(),
-      sinkFiles = filesUnder(sinkDir, ".json"))
+      sinkFiles = sinkDirs.map(filesUnder(_, ".json")).sum)
   }
 }

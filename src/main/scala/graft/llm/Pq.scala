@@ -252,8 +252,11 @@ object Pq {
     // A first-ever ingest (no layout yet) bootstraps: nothing to probe.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // protocol-aware locations: the in-place layout, or the committed
+    // base + appended generations of a manifest root
+    val dirs = graft.streaming.DirSwap.readDataPaths(spark, path, "vecidx")
     val fresh =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) signed
+      if (dirs.isEmpty) signed
       else {
         // Int literals: the signature is a < 2^planes bitmask, and the
         // partition-dir inference types `bucket=N` as int — a literal
@@ -262,8 +265,30 @@ object Pq {
         val buckets = signed.select("bucket").distinct()
           .collect().map(_.getLong(0).toInt).toSeq
         if (buckets.isEmpty) return
-        val existing = spark.read.parquet(path)
-          .filter(col("bucket").isin(buckets: _*))
+        val existing0: Option[DataFrame] =
+          if (dirs == Seq(path))
+            Some(spark.read.parquet(path)
+              .filter(col("bucket").isin(buckets: _*))
+              .select(col(idCol), col("bucket").cast("long"), col("codes")))
+          else
+            // manifest root: one read per existing (generation, probed
+            // bucket) leaf dir — the same IO pruning, the partition
+            // value re-attached from the enumeration (None = no probed
+            // bucket exists anywhere yet: the whole batch is fresh)
+            dirs.flatMap { dd =>
+              buckets.flatMap { b =>
+                val p = new org.apache.hadoop.fs.Path(dd, s"bucket=$b")
+                if (fs.exists(p))
+                  Some(spark.read.parquet(p.toString)
+                    .select(col(idCol), lit(b.toLong).as("bucket"),
+                      col("codes")))
+                else None
+              }
+            }.reduceOption(_ unionByName _)
+        existing0 match {
+          case None => signed
+          case Some(e0) =>
+        val existing = e0
           .select(col(idCol), col("bucket").cast("long").as("_idx_bucket"),
             col("codes").as("_idx_codes"))
         // ONE probe scan of the pruned buckets, materialized: fresh
@@ -303,6 +328,7 @@ object Pq {
           .select(col(idCol), col(vecCol), col("bucket"))
         // probed is localCheckpointed: one membership scan, stable
         // across the tag agg + staging write below
+        }
       }
     // staged append (round 9) — retry-idempotent; generation-scoped:
     // the periodic retrain ([[graft.cdc.Maintenance
@@ -330,6 +356,15 @@ object Pq {
     * an absent dir. */
   def indexCodebook(spark: org.apache.spark.sql.SparkSession,
                     layoutPath: String): DataFrame = {
+    if (graft.streaming.DirSwap.isManifestRoot(spark, layoutPath)) {
+      // the codebook swaps in WITH its codes as one generation (the
+      // retrain installs both into the same commit), so the resolved
+      // base generation carries the matching `_codebook`
+      val base = graft.streaming.ManifestSwap.readPath(spark, layoutPath)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"graft ivfpq: no committed base generation at $layoutPath"))
+      return spark.read.parquet(base.stripSuffix("/") + "/_codebook")
+    }
     graft.streaming.DirSwap.restoreIfTorn(spark, layoutPath, "vecidx")
     spark.read.parquet(
       layoutPath.stripSuffix("/") + "/_codebook")
@@ -368,8 +403,28 @@ object Pq {
     val probes = SimSearch.probeBuckets(qRow.getLong(1), planes, probeHamming)
     val lutLit = array(
       lutFor(qv, cb, m, ks, dims / m).toIndexedSeq.map(lit): _*)
-    (qv, spark.read.parquet(layoutPath)
-      .filter(col("bucket").isin(probes: _*)) // prunes at the file index
+    val dirs = graft.streaming.DirSwap.readDataPaths(spark, layoutPath,
+      "vecidx")
+    val codes =
+      if (dirs == Seq(layoutPath))
+        spark.read.parquet(layoutPath)
+          .filter(col("bucket").isin(probes: _*)) // prunes at the file index
+      else {
+        // manifest root: enumerate the probe buckets' leaf dirs across
+        // the committed generations (same IO pruning; the `_codebook`
+        // subdir is invisible to this walk by name)
+        val fs = new org.apache.hadoop.fs.Path(layoutPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val leafs = for {
+          d <- dirs; b <- probes
+          p = new org.apache.hadoop.fs.Path(d, s"bucket=$b")
+          if fs.exists(p)
+        } yield p.toString
+        if (leafs.isEmpty)
+          return (qv, emb.select(col(idCol)).limit(0))
+        spark.read.parquet(leafs: _*)
+      }
+    (qv, codes
       .filter(col(idCol) =!= queryId) // the family contract: neighbors only
       .withColumn("adc", adcScore(col("codes"), lutLit, m, ks))
       .orderBy(desc("adc"), col(idCol)).limit(k * overfetch)

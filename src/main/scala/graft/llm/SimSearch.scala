@@ -133,6 +133,31 @@ object SimSearch {
     * queries prune partitions at the source (the 100 TB serving shape). */
   def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
                     planes: Int, path: String): Unit = {
+    val spark = emb.sparkSession
+    if (graft.streaming.DirSwap.appendsAreManifest(spark, path)) {
+      // manifest protocol: one committed generation. The rebuild is
+      // corpus-derived (row-superseding), but the append LEDGER must
+      // survive it — in the rename protocol the `.applied` sibling
+      // outlives the overwrite, so a late retry of an already-ingested
+      // batch still skips; keepLedger preserves that exact semantics.
+      val absorbed = graft.streaming.ManifestSwap.appliedKeys(spark, path)
+      graft.streaming.ManifestSwap.installFold(spark, path, "ivflayout",
+        absorbed, keepLedger = true)(
+        writeBucketedRaw(emb, idCol, vecCol, planes, _))
+      return
+    }
+    writeBucketedRaw(emb, idCol, vecCol, planes, path)
+  }
+
+  /** The raw bucket-partitioned write into `dir` — for the protocol
+    * branches above AND for builders targeting an UNPUBLISHED staging
+    * dir ([[CorpusCache]] temp siblings, published by one atomic local
+    * rename): those are invisible until publish by construction, so
+    * routing them through a swap protocol would only displace the
+    * `_SUCCESS` completion sentinel the cache checks. */
+  private[graft] def writeBucketedRaw(emb: DataFrame, idCol: String,
+                                      vecCol: String, planes: Int,
+                                      dir: String): Unit = {
     VectorFunctions.register(emb.sparkSession)
     // co-locate each bucket before the partitioned write: one file per
     // bucket dir instead of one per (task × bucket) — without this the
@@ -141,7 +166,7 @@ object SimSearch {
     emb.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), planes).as("bucket"))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 
   /** Incremental ingest into the [[writeBucketed]] IVF layout: sign the
@@ -220,9 +245,30 @@ object SimSearch {
       .select(col(vecCol), hyperplaneSignature(col(vecCol), planes)).head()
     val qv = qRow.getSeq[Float](0)
     val probes = probeBuckets(qRow.getLong(1), planes, probeHamming)
-    (qv, spark.read.parquet(layoutPath)
-      .filter(col("bucket").isin(probes: _*))
-      .filter(col(idCol) =!= queryId))
+    val dirs = graft.streaming.DirSwap.readDataPaths(spark, layoutPath,
+      "ivflayout")
+    val fs = new org.apache.hadoop.fs.Path(layoutPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cand =
+      if (dirs == Seq(layoutPath))
+        // rename protocol: the root IS the partitioned layout — the
+        // bucket IN-list prunes at the file index as before
+        spark.read.parquet(layoutPath)
+          .filter(col("bucket").isin(probes: _*))
+      else {
+        // manifest protocol: enumerate the probe buckets' leaf dirs
+        // across the committed generations — the same IO pruning, one
+        // existence probe per (generation, bucket); the partition
+        // column is implied by the enumeration, not needed downstream
+        val leafs = for {
+          d <- dirs; b <- probes
+          p = new org.apache.hadoop.fs.Path(d, s"bucket=$b")
+          if fs.exists(p)
+        } yield p.toString
+        if (leafs.isEmpty) emb.select(col(idCol), col(vecCol)).limit(0)
+        else spark.read.parquet(leafs: _*)
+      }
+    (qv, cand.filter(col(idCol) =!= queryId))
   }
 
   /** MMR diversified rerank (maximal marginal relevance, Carbonell &
@@ -413,25 +459,89 @@ object SimSearch {
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("tbkt", pmod(xxhash64(col("term")),
         lit(termBuckets.toLong)))
-    tf.repartition(termBuckets, col("tbkt"))
-      .write.mode("overwrite").partitionBy("tbkt")
-      .parquet(s"$path/postings")
+    val manifest = graft.streaming.DirSwap.appendsAreManifest(
+      spark, s"$path/postings")
+    def writePostings(dir: String): Unit =
+      tf.repartition(termBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt").parquet(dir)
+    if (manifest)
+      // base generation of the keyed-append root (appends become
+      // app:-keyed generations; compaction folds back to one base)
+      graft.streaming.ManifestSwap.install(spark, s"$path/postings",
+        "postings")(writePostings)
+    else writePostings(s"$path/postings")
     // df from the WRITTEN postings — no second tokenize pass. The
     // corpus row count and the applied-batch ledger live INSIDE the
     // df directory so every [[appendPostingsIndex]] commit swaps all
     // three atomically (one DirSwap generation).
-    spark.read.parquet(s"$path/postings")
+    val postingsRows = spark.read.parquet(
+      graft.streaming.DirSwap.readDataPaths(
+        spark, s"$path/postings", "postings"): _*)
+    val dfRows = postingsRows
       .groupBy(col("tbkt"), col("term")).agg(count(lit(1)).as("df"))
-      .repartition(termBuckets, col("tbkt"))
-      .write.mode("overwrite").partitionBy("tbkt").parquet(s"$path/df")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "df", "_N"),
-      docs.count().toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "df", "_APPLIED"),
-      Array.emptyByteArray)
-    ()
+    val n = docs.count()
+    graft.streaming.DirSwap.install(spark, s"$path/df",
+      "postingsdf") { tmp =>
+      dfRows.repartition(termBuckets, col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
+      writeSidecar(spark, tmp, "_N", n.toString)
+      writeSidecar(spark, tmp, "_APPLIED", "")
+    }
+  }
+
+  /** The filesystem for sidecar metadata IO: the RAW view on local
+    * (Hadoop's checksummed LocalFileSystem writes `.name.crc` twins
+    * that go stale the moment anything else touches the file — the
+    * pre-round-14 java.nio writes never made them, so mixing the two
+    * eras throws ChecksumException); any real store as itself. */
+  private def sidecarFs(spark: org.apache.spark.sql.SparkSession,
+                        p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
+
+  /** Small metadata object inside a df generation, through the Hadoop
+    * FileSystem (java.nio would silently miss on any non-local store). */
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, name: String,
+                           body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"), name)
+    val out = sidecarFs(spark, p).create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The df table's CURRENT data dir (heals/resolves per protocol),
+    * or None before the first build. STRUCTURAL resolution
+    * (readDataPaths, not the config-driven readPath): a rename-built
+    * index — e.g. a CorpusCache layout from before a protocol switch —
+    * must keep serving in place under a manifest-mode config (caught
+    * by the round-14 forced-manifest registry gate). The df root holds
+    * exactly one data entry, so head is the dir. */
+  private def dfDataDir(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Option[String] =
+    graft.streaming.DirSwap.readDataPaths(spark, s"$path/df",
+      "postingsdf").headOption
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"), name)
+    val fs = sidecarFs(spark, p)
+    // no exists precheck: the open itself is the probe, so a file
+    // vanishing in an exists→open gap can't escape the None branch
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var r = in.read(chunk)
+        while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   private def postingsSchema = org.apache.spark.sql.types.StructType
@@ -482,10 +592,10 @@ object SimSearch {
   def appendPostingsIndex(batch: DataFrame, docIdCol: String,
                           textCol: String, path: String): Unit = {
     val spark = batch.sparkSession
-    // append-style index root, read in place by the lexical probes:
-    // rename-protocol-only until a manifest-native layout lands
-    graft.streaming.DirSwap.requireRenameProtocol(
-      spark, path, "postings index")
+    if (graft.streaming.DirSwap.appendsAreManifest(spark, s"$path/postings")) {
+      appendPostingsManifest(batch, docIdCol, textCol, path)
+      return
+    }
     graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/df",
       tag = "postingsdf")
     recoverPendingPostings(spark, path)
@@ -496,15 +606,11 @@ object SimSearch {
     // protocol state. xor alone self-cancels duplicate rows (round-9
     // ADVICE: {r1,r1,b} vs {r2,r2,b} would collide and silently skip
     // the second batch); the sum breaks every multiset difference.
-    val fpRow = batch.agg(
-      expr(s"bit_xor(xxhash64(cast($docIdCol AS string), $textCol))"),
-      expr(s"sum(cast(xxhash64(cast($docIdCol AS string), $textCol)" +
-        " as decimal(38,0)))"),
-      count(lit(1))).head()
+    val fpRow = batchFingerprint(batch, docIdCol, textCol)
     if (fpRow.isNullAt(0) || fpRow.getLong(2) == 0L) return // empty batch
     val tag = graft.streaming.StagedAppend.assembleTag(
       fpRow.getLong(0), fpRow.getDecimal(1), fpRow.getLong(2))
-    val applied0 = appliedTags(path)
+    val applied0 = appliedTags(spark, path)
     // a batch committed under the pre-upgrade tag format counts as
     // committed (recoverPendingPostings above published its pending).
     // The alias string is legacy-format by construction so it can only
@@ -539,39 +645,142 @@ object SimSearch {
             .agg(count(lit(1)).as("df")).select("term", "df", "tbkt"))
         .groupBy(col("term"), col("tbkt")).agg(sum(col("df")).as("df"))
         .localCheckpoint(true) // materialize BEFORE the dir it reads swaps
-      val n = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path, "df", "_N")),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val n = dfDataDir(spark, path)
+        .flatMap(readSidecar(spark, _, "_N")).get.trim.toLong
       val nNext = n + fpRow.getLong(2)
-      val ledger = appliedTags(path)
+      val ledger = appliedTags(spark, path)
         .filterNot(graft.streaming.StagedAppend.isLegacyLine) :+ tag
       graft.streaming.DirSwap.install(spark, s"$path/df",
         tag = "postingsdf") { tmp =>
         nextDf.repartition(termBuckets, col("tbkt"))
           .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
-        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_N"),
-          nNext.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_APPLIED"),
-          ledger.mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
+        writeSidecar(spark, tmp, "_N", nNext.toString)
+        writeSidecar(spark, tmp, "_APPLIED", ledger.mkString("\n"))
       }
     }
     // 3. PUBLISH
     publishPending(path, tag)
   }
 
-  private def appliedTags(path: String): Seq[String] = {
-    val f = java.nio.file.Paths.get(path, "df", "_APPLIED")
+  /** Content fingerprint of an ingest batch (the [[graft.streaming
+    * .StagedAppend.contentTag]] recipe over (id, text)): xor + multiset
+    * sum + count — shared by both protocol branches so the tag can
+    * never drift between them. */
+  private def batchFingerprint(batch: DataFrame, docIdCol: String,
+                               textCol: String): org.apache.spark.sql.Row =
+    batch.agg(
+      expr(s"bit_xor(xxhash64(cast($docIdCol AS string), $textCol))"),
+      expr(s"sum(cast(xxhash64(cast($docIdCol AS string), $textCol)" +
+        " as decimal(38,0)))"),
+      count(lit(1))).head()
+
+  /** MANIFEST-protocol ingest (round-14): the same three-phase shape
+    * as the rename branch, with the manifest pointer as the publish
+    * step — and the same load-bearing invariant, "df never counts rows
+    * the bucket read cannot see", kept by the same ORDER:
+    *  1. STAGE — the batch's postings land in a fresh generation of
+    *     `postings/` (invisible: no manifest references it);
+    *  2. COMMIT — ONE df install folds the counts, bumps `_N`, and
+    *     ledgers `tag<TAB>generation` (the generation name recorded so
+    *     phase 3 is recoverable);
+    *  3. PUBLISH — the generation is keyed into the postings manifest
+    *     ([[ManifestSwap]] CAS).
+    * A crash between 2 and 3 leaves df counting rows no reader sees —
+    * exactly the rename protocol's committed-but-unpublished window —
+    * healed by [[recoverManifestPostings]], which every serving read
+    * and compaction runs first: any ledgered generation missing its
+    * manifest key is keyed in (generations are never gc'd outside the
+    * compaction path, so the ledger's generation reference stays
+    * live). Retries converge at every phase: same content ⇒ same tag ⇒
+    * the ledger decides phase 2, the manifest key phase 3. */
+  private def appendPostingsManifest(batch: DataFrame, docIdCol: String,
+                                     textCol: String,
+                                     path: String): Unit = {
+    val spark = batch.sparkSession
+    recoverManifestPostings(spark, path)
+    val fpRow = batchFingerprint(batch, docIdCol, textCol)
+    if (fpRow.isNullAt(0) || fpRow.getLong(2) == 0L) return // empty batch
+    val tag = graft.streaming.StagedAppend.assembleTag(
+      fpRow.getLong(0), fpRow.getDecimal(1), fpRow.getLong(2))
+    val ledger = manifestLedger(spark, path)
+    if (!ledger.contains(tag)) {
+      // 1. STAGE into an unreferenced generation
+      val (gen, genDir) = graft.streaming.ManifestSwap.newGeneration(
+        spark, s"$path/postings")
+      batch
+        .select(col(docIdCol).as("doc_id"),
+          explode(TextOps.tokens(col(textCol))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("tbkt", pmod(xxhash64(col("term")),
+          lit(termBuckets.toLong)))
+        .repartition(col("tbkt"))
+        .write.mode("overwrite").partitionBy("tbkt").parquet(genDir)
+      // 2. COMMIT — fold + ledger(tag -> gen) + _N as one generation
+      val staged = spark.read.schema(postingsSchema).parquet(genDir)
+        .select("term", "doc_id", "tf", "tbkt")
+      val dfDir = dfDataDir(spark, path).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"graft postings: no df table under $path — build first"))
+      val oldDf = spark.read.schema(dfSchema).parquet(dfDir)
+        .select("term", "df", "tbkt")
+      val nextDf = oldDf.unionByName(
+          staged.groupBy(col("term"), col("tbkt"))
+            .agg(count(lit(1)).as("df")).select("term", "df", "tbkt"))
+        .groupBy(col("term"), col("tbkt")).agg(sum(col("df")).as("df"))
+        .localCheckpoint(true)
+      val n = readSidecar(spark, dfDir, "_N").get.trim.toLong
+      val nNext = n + fpRow.getLong(2)
+      val lines = (ledger + (tag -> gen)).toSeq.sorted
+        .map { case (t, g) => s"$t\t$g" }
+      graft.streaming.DirSwap.install(spark, s"$path/df",
+        tag = "postingsdf") { tmp =>
+        nextDf.repartition(termBuckets, col("tbkt"))
+          .write.mode("overwrite").partitionBy("tbkt").parquet(tmp)
+        writeSidecar(spark, tmp, "_N", nNext.toString)
+        writeSidecar(spark, tmp, "_APPLIED", lines.mkString("\n"))
+      }
+    }
+    // 3. PUBLISH — key every ledgered-but-unkeyed generation (ours)
+    recoverManifestPostings(spark, path)
+  }
+
+  /** The manifest-mode ledger: `tag -> generation` lines from the df
+    * table's `_APPLIED` sidecar (rename-format plain-tag lines have no
+    * generation and are not expected under this protocol). */
+  private def manifestLedger(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Map[String, String] =
+    dfDataDir(spark, path).flatMap(readSidecar(spark, _, "_APPLIED"))
+      .map(_.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        val i = line.indexOf('\t')
+        if (i > 0) Some(line.take(i) -> line.drop(i + 1)) else None
+      }.toMap).getOrElse(Map.empty)
+
+  /** Key any ledgered-but-unkeyed postings generation into the
+    * manifest — the manifest twin of [[recoverPendingPostings]] (the
+    * crash window between an append's df commit and its publish). */
+  def recoverManifestPostings(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val ledger = manifestLedger(spark, path)
+    if (ledger.isEmpty) return
+    val keyed = graft.streaming.ManifestSwap.appliedKeys(
+      spark, s"$path/postings")
+    ledger.foreach { case (t, g) =>
+      if (!keyed(t))
+        graft.streaming.ManifestSwap.commitUpdate(spark,
+          s"$path/postings", "postings")(m =>
+          if (m.contains(graft.streaming.ManifestSwap.AppPrefix + t)) m
+          else m + ((graft.streaming.ManifestSwap.AppPrefix + t) -> g))
+    }
+  }
+
+  private def appliedTags(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[String] =
     // exists→read can straddle a live maintainer's df swap (the dir is
     // absent for two renames); empty is the safe answer — a healer
     // then treats in-flight stages as uncommitted and leaves them
-    if (java.nio.file.Files.exists(f))
-      try new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty).toSeq
-      catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
-    else Seq.empty
-  }
+    dfDataDir(spark, path).flatMap(readSidecar(spark, _, "_APPLIED"))
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   /** Move every staged parquet of `pending-<tag>` into its bucket dir
     * under a tag-prefixed name, then drop the pending dir. Resumable:
@@ -617,7 +826,7 @@ object SimSearch {
     val pendings = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("pending-"))
     if (pendings.isEmpty) return
-    val applied = appliedTags(path).toSet
+    val applied = appliedTags(spark, path).toSet
     pendings.foreach { p =>
       val tag = p.getName.stripPrefix("pending-")
       if (applied(tag)) publishPending(path, tag)
@@ -634,6 +843,51 @@ object SimSearch {
     * generation. Rollback-safe via [[graft.streaming.DirSwap]]. */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
+    if (graft.streaming.DirSwap.isManifestRoot(spark, s"$path/postings")) {
+      // key any ledgered-but-unkeyed generation first (same reason the
+      // rename branch publishes first: the fold must hold every row
+      // the df already counts), then fold base + appends into ONE
+      // generation. keepLedger = true: the postings manifest keys
+      // double as the publish-recovery marker — dropping a folded key
+      // would make recoverManifestPostings re-key its (absorbed)
+      // generation from the df ledger and serve its rows twice.
+      recoverManifestPostings(spark, path)
+      // ONE resolution for dirs + absorbed keys (foldSnapshot): a
+      // batch committing mid-compaction keeps its own generation
+      val (dirs, absorbed) = graft.streaming.ManifestSwap.foldSnapshot(
+        spark, s"$path/postings")
+      if (dirs.isEmpty) return
+      // one flat read over the generations' tbkt= LEAF dirs (a multi-
+      // root partitioned read trips Spark's conflicting-base-path
+      // check); tbkt is re-derived from the term for the fold's own
+      // partitioned write
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leafs = dirs.flatMap { d =>
+        (try fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty })
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("tbkt="))
+          .map(_.getPath.toString)
+      }
+      if (leafs.isEmpty) return
+      val rows = spark.read.schema(org.apache.spark.sql.types.StructType(
+          postingsSchema.filterNot(_.name == "tbkt")))
+        .parquet(leafs: _*)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("tbkt", pmod(xxhash64(col("term")),
+          lit(termBuckets.toLong)))
+      graft.streaming.ManifestSwap.installFold(spark, s"$path/postings",
+        "postings", absorbed, keepLedger = true) { gen =>
+        rows.repartition(termBuckets, col("tbkt"))
+          .write.mode("overwrite").partitionBy("tbkt").parquet(gen)
+      }
+      // superseded/orphan generations are reaped HERE and only here —
+      // the append path's ledgered generations must never be gc'd
+      // before their publish recovery can key them
+      graft.streaming.ManifestSwap.gc(spark, s"$path/postings")
+      return
+    }
     graft.streaming.DirSwap.restoreIfTorn(spark, s"$path/postings",
       "postings")
     // publish any applied-but-unpublished append first — compaction
@@ -661,21 +915,52 @@ object SimSearch {
                                  queryTerms: Seq[String], poolSize: Int)
       : DataFrame = {
     val bkts = queryTerms.map(termBucket).distinct
+    val manifest = graft.streaming.DirSwap.isManifestRoot(
+      spark, s"$indexPath/postings")
     // the df table swaps on incremental append — restore a torn swap
     // and publish any applied-but-unpublished append generation
     // before reading, so df never counts rows the bucket read misses
-    graft.streaming.DirSwap.restoreIfTorn(spark, s"$indexPath/df",
-      tag = "postingsdf")
-    recoverPendingPostings(spark, indexPath)
-    val posts = spark.read.schema(postingsSchema)
-      .parquet(s"$indexPath/postings")
-      .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))
-    val dfreq = spark.read.schema(dfSchema).parquet(s"$indexPath/df")
+    if (manifest) recoverManifestPostings(spark, indexPath)
+    else {
+      graft.streaming.DirSwap.restoreIfTorn(spark, s"$indexPath/df",
+        tag = "postingsdf")
+      recoverPendingPostings(spark, indexPath)
+    }
+    val posts =
+      if (manifest) {
+        // prune to the query terms' bucket leaf dirs across the
+        // committed generations (same IO pruning as the partition
+        // filter; tbkt is implied by the enumeration)
+        val dirs = graft.streaming.DirSwap.readDataPaths(
+          spark, s"$indexPath/postings", "postings")
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val leafs = for {
+          d <- dirs; b <- bkts
+          p = new org.apache.hadoop.fs.Path(d, s"tbkt=$b")
+          if fs.exists(p)
+        } yield p.toString
+        if (leafs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            postingsSchema)
+            .filter(col("term").isin(queryTerms: _*))
+        else spark.read.schema(org.apache.spark.sql.types.StructType(
+            postingsSchema.filterNot(_.name == "tbkt")))
+          .parquet(leafs: _*)
+          .filter(col("term").isin(queryTerms: _*))
+      } else
+        spark.read.schema(postingsSchema)
+          .parquet(s"$indexPath/postings")
+          .filter(col("tbkt").isin(bkts: _*) &&
+            col("term").isin(queryTerms: _*))
+    val dfDir = dfDataDir(spark, indexPath).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"graft postings: no df table under $indexPath"))
+    val dfreq = spark.read.schema(dfSchema).parquet(dfDir)
       .filter(col("tbkt").isin(bkts: _*) && col("term").isin(queryTerms: _*))
       .select("term", "df")
-    val n = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(indexPath, "df", "_N")),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    val n = readSidecar(spark, dfDir, "_N").get.trim.toLong
     posts.join(broadcast(dfreq), "term")
       .withColumn("idf_e4",
         round(log(lit(n).cast("double") / col("df")) * 10000).cast("long"))

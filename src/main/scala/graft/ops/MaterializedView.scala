@@ -47,7 +47,8 @@ import graft.streaming.{DirSwap, ManifestSwap}
   * object-store publish path sits under the DuckDB correctness gate
   * every round. */
 class MaterializedView(spark: SparkSession, dir: String, path: String,
-                       nBuckets: Int = 64, protocol: String = "auto") {
+                       nBuckets: Int = 64, protocol: String = "auto",
+                       gcGraceMs: Long = ManifestSwap.DefaultGraceMs) {
   require(Set("auto", "dir", "manifest")(protocol),
     s"unknown mview protocol '$protocol'")
 
@@ -113,7 +114,7 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
   private def publishManifest(out: DataFrame,
                               removeAbsent: Boolean,
                               touched: Seq[Int] = Nil): Unit = {
-    val (gen, genDir) = ManifestSwap.newGeneration(path)
+    val (gen, genDir) = ManifestSwap.newGeneration(spark, path)
     val staged = out.withColumn("bucket_part", col("bucket")).cache()
     try {
       val present = staged.select("bucket").distinct()
@@ -127,7 +128,10 @@ class MaterializedView(spark: SparkSession, dir: String, path: String,
         else touched.filterNot(present)
       ManifestSwap.commitUpdate(spark, path, "mview")(m =>
         m -- drops.map(b => s"bucket=$b") ++ adds)
-      ManifestSwap.gc(spark, path)
+      // per-table grace (round-13 verdict #2): size it above the
+      // longest plausible scan of one committed snapshot — a reader
+      // that resolved at T keeps its files until T + gcGraceMs
+      ManifestSwap.gc(spark, path, graceMs = gcGraceMs)
       ()
     } finally {
       staged.unpersist()

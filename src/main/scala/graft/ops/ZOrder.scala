@@ -142,13 +142,33 @@ object ZOrder {
     * written files, file-count rows to the driver. */
   def layoutN(df: DataFrame, path: String, dims: Seq[Dim],
               files: Int): Unit = {
+    val spark = df.sparkSession
+    if (isManifest(spark, path))
+      // manifest protocol: the build is one committed generation (the
+      // plain overwrite would mint in-place files nobody resolves)
+      graft.streaming.DirSwap.install(spark, path, "zorder")(
+        rawLayout(df, _, dims, files))
+    else rawLayout(df, path, dims, files)
+  }
+
+  /** One complete layout generation written INTO `dir`: the z-sorted
+    * data files plus their `_ZSTATS` index. */
+  private def rawLayout(df: DataFrame, dir: String, dims: Seq[Dim],
+                        files: Int): Unit = {
+    writeSorted(df, dir, dims, files)
+    writeStats(df.sparkSession, dir, dims.map(_.name))
+  }
+
+  private def writeSorted(df: DataFrame, dir: String, dims: Seq[Dim],
+                          files: Int): Unit =
     df.withColumn("__z", zOf(dims))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    writeStats(df.sparkSession, path, dims.map(_.name))
-  }
+      .write.mode("overwrite").parquet(dir)
+
+  private def isManifest(spark: SparkSession, path: String): Boolean =
+    graft.streaming.DirSwap.appendsAreManifest(spark, path)
 
   /** 2-D [[layoutN]] — the original form. */
   def layout(df: DataFrame, path: String,
@@ -183,13 +203,23 @@ object ZOrder {
     // index refresh below is already idempotent (it indexes exactly
     // the files the listing has that the index lacks) and
     // crash-safe (unknown files are treated hot by prunedScanN).
+    if (isManifest(spark, path)) {
+      // manifest protocol: the batch's `_ZSTATS` rides INSIDE its
+      // immutable generation (files never move, so their index lines
+      // never go stale) and commits atomically with the data — the
+      // post-publish index extension below exists only because the
+      // rename protocol renames staged files to tag-prefixed names
+      graft.streaming.StagedAppend.contentTag(batch).foreach { tag =>
+        graft.streaming.StagedAppend.append(spark, path, tag) { gen =>
+          writeSorted(batch, gen, dims, files)
+          writeStats(spark, gen, dims.map(_.name))
+        }
+      }
+      return
+    }
     graft.streaming.StagedAppend.contentTag(batch).foreach { tag =>
       graft.streaming.StagedAppend.append(spark, path, tag) { pending =>
-        batch.withColumn("__z", zOf(dims))
-          .repartitionByRange(files, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-          .write.mode("overwrite").parquet(pending)
+        writeSorted(batch, pending, dims, files)
       }
     }
     val known = readStatsLines(spark, path)
@@ -216,6 +246,26 @@ object ZOrder {
     * appends re-spread over the full curve. */
   def rebuild(spark: SparkSession, path: String, dims: Seq[Dim],
               files: Int): Unit = {
+    if (isManifest(spark, path)) {
+      // row-preserving fold: absorb the base + every committed append
+      // into ONE generation; absorbed append keys retire to ledger
+      // lines in the SAME atomic commit, so a late retry of an
+      // already-folded batch still finds its key and skips — the
+      // manifest twin of "the ledger carries across the rebuild".
+      // Reading the old generations while writing the new one is safe:
+      // they stay committed until the fold's pointer lands (and
+      // gc-graced after), so no localCheckpoint barrier is needed.
+      // dirs and absorbed keys come from ONE resolution (foldSnapshot)
+      // so a concurrently-committed append is neither double-served
+      // nor lost.
+      val (dirs, absorbed) =
+        graft.streaming.ManifestSwap.foldSnapshot(spark, path)
+      if (dirs.isEmpty) return
+      graft.streaming.ManifestSwap.installFold(spark, path, "zorder",
+        absorbed, keepLedger = true)(
+        rawLayout(spark.read.parquet(dirs: _*), _, dims, files))
+      return
+    }
     // publish any committed-but-unpublished staged append first — the
     // fold reads the layout, and committed rows must be inside it.
     // The fold PRESERVES rows (no supersession), so the append ledger
@@ -223,7 +273,7 @@ object ZOrder {
     // batch still finds its ledger entry and skips.
     graft.streaming.StagedAppend.recover(spark, path)
     graft.streaming.DirSwap.install(spark, path, "zorder") { tmp =>
-      layoutN(spark.read.parquet(path), tmp, dims, files)
+      rawLayout(spark.read.parquet(path), tmp, dims, files)
     }
   }
 
@@ -308,18 +358,26 @@ object ZOrder {
     * with the layout's schema. */
   def prunedScanN(spark: SparkSession, path: String,
                   box: Seq[(String, Long, Long)]): DataFrame = {
-    graft.streaming.DirSwap.restoreIfTorn(spark, path, "zorder")
+    // protocol-aware locations: the healed root itself (rename), or
+    // the committed base + appended generations (manifest) — each dir
+    // carries its own immutable `_ZSTATS`, concatenated here (the
+    // manifest-list read: stats of absorbed appends vanished WITH
+    // their generations in the same fold commit, so lines never lie)
+    val dirs = graft.streaming.DirSwap.readDataPaths(spark, path, "zorder")
+    if (dirs.isEmpty)
+      return spark.read.parquet(path) // preserve the missing-layout error
     val n = box.length
-    val cold = readStatsLines(spark, path).map(_.split('\t')).collect {
-      case arr if arr.length == 1 + 2 * n &&
-        box.zipWithIndex.exists { case ((_, lo, hi), i) =>
-          arr(1 + 2 * i).toLong > hi || arr(2 + 2 * i).toLong < lo
-        } => arr(0)
-    }.toSet
-    val hot = listDataFiles(spark, path).filterNot(cold)
+    val cold = dirs.flatMap(d => readStatsLines(spark, d))
+      .map(_.split('\t')).collect {
+        case arr if arr.length == 1 + 2 * n &&
+          box.zipWithIndex.exists { case ((_, lo, hi), i) =>
+            arr(1 + 2 * i).toLong > hi || arr(2 + 2 * i).toLong < lo
+          } => arr(0)
+      }.toSet
+    val hot = dirs.flatMap(d => listDataFiles(spark, d)).filterNot(cold)
     val scan =
       if (hot.nonEmpty) spark.read.parquet(hot: _*)
-      else spark.read.parquet(path).limit(0)
+      else spark.read.parquet(dirs: _*).limit(0)
     scan.filter(box.map { case (c, lo, hi) => col(c).between(lo, hi) }
       .reduce(_ && _))
   }

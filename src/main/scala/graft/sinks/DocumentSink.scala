@@ -73,10 +73,29 @@ object DocumentSink {
       // integral `div`, not `/`: Spark's `/` computes in double, which can
       // cross a bucket boundary for versions beyond 2^53 and diverge from
       // readVersion's exact Long division
-      valid.withColumn("version_bucket",
+      val spark = df.sparkSession
+      val bucketed = valid.withColumn("version_bucket",
           expr(s"change_version div $VersionsPerBucket"))
         .repartition(col("version_bucket"))
-        .write.mode("append").partitionBy("version_bucket").json(dir)
+      if (graft.streaming.DirSwap.appendsAreManifest(spark, dir)) {
+        // MANIFEST protocol (round-14): each delivered page is one
+        // immutable generation listed by the keyed manifest — the
+        // object-store-sound sink layout. The key is fresh per call
+        // (delivery is at-least-once BY DESIGN here; exactly-once
+        // lives in [[deduplicated]]'s read-side collapse, same as the
+        // rename protocol's mode=append). Inside the generation the
+        // page is partitioned by a `vb_part` twin while
+        // `version_bucket` stays a DATA column, so [[readVersion]]
+        // prunes to one leaf dir per generation and plain reads need
+        // no partition discovery across generation roots.
+        graft.streaming.ManifestSwap.appendKeyed(spark, dir, "sink",
+          "page-" + java.util.UUID.randomUUID().toString) { gen =>
+          bucketed.withColumn("vb_part", col("version_bucket"))
+            .write.mode("overwrite").partitionBy("vb_part").json(gen)
+        }
+      } else
+        bucketed
+          .write.mode("append").partitionBy("version_bucket").json(dir)
       if (!invalid.isEmpty)
         invalid.write.mode("append").json(errorDir)
     } finally stamped.unpersist()
@@ -85,16 +104,45 @@ object DocumentSink {
     // storage for the life of a long-running consumer
   }
 
+  /** The sink's json leaf directories under the MANIFEST protocol:
+    * every `vb_part=` partition dir across the committed generations,
+    * optionally pruned to one bucket (the [[readVersion]] path — one
+    * existence-filtered listing per generation, never a sink walk). */
+  private def manifestLeafDirs(spark: SparkSession, dir: String,
+                               onlyBucket: Option[Long]): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.DirSwap.readDataPaths(spark, dir, "compact")
+      .flatMap { g =>
+        val entries =
+          try fs.listStatus(new org.apache.hadoop.fs.Path(g)).toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        entries.filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("vb_part=") &&
+            onlyBucket.forall(b => st.getPath.getName == s"vb_part=$b"))
+          .map(_.getPath.toString)
+      }
+  }
+
   /** S5 — sink listing, newest first with size (server.js:368-398).
     * binaryFile gives (path, modificationTime, length) without reading
     * content — a distributed `ls`. Restores a compaction interrupted
     * between its two renames first (the sink would otherwise read as
-    * missing until manual intervention). */
+    * missing until manual intervention); a manifest sink lists the
+    * committed generations instead (nothing to heal). */
   def listSink(spark: SparkSession, dir: String): DataFrame = {
-    graft.streaming.DirSwap.restoreIfTorn(spark, dir, "compact")
-    spark.read.format("binaryFile")
+    val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.json")
-      .load(dir)
+    val loaded =
+      if (graft.streaming.DirSwap.isManifestRoot(spark, dir))
+        base.option("recursiveFileLookup", "true")
+          .load(graft.streaming.DirSwap
+            .readDataPaths(spark, dir, "compact"): _*)
+      else {
+        graft.streaming.DirSwap.restoreIfTorn(spark, dir, "compact")
+        base.load(dir)
+      }
+    loaded
       .select(col("path"), col("length"), col("modificationTime"))
       .orderBy(col("modificationTime").desc, col("path"))
   }
@@ -104,6 +152,22 @@ object DocumentSink {
     * over every sink file. Restores a torn compaction first. */
   def readBack(spark: SparkSession, dir: String,
                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    if (graft.streaming.DirSwap.isManifestRoot(spark, dir)) {
+      // manifest sink: version_bucket is a DATA column inside the
+      // generations (the vb_part twin held the partitioning), so the
+      // multi-dir read needs no partition discovery
+      val leafs = manifestLeafDirs(spark, dir, None)
+      if (leafs.isEmpty) schema match {
+        case Some(s) => return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          .drop("version_bucket")
+        case None => throw new IllegalArgumentException(
+          s"graft sink: $dir has no delivered documents; pass a schema " +
+            "to get an empty result instead")
+      }
+      return schema.fold(spark.read)(s => spark.read.schema(s))
+        .json(leafs: _*).drop("version_bucket")
+    }
     graft.streaming.DirSwap.restoreIfTorn(spark, dir, "compact")
     schema.fold(spark.read)(s => spark.read.schema(s)).json(dir)
       .drop("version_bucket")
@@ -119,6 +183,24 @@ object DocumentSink {
     * shape an empty result with, so it throws a named error. */
   def readVersion(spark: SparkSession, dir: String, version: Long,
                   schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    if (graft.streaming.DirSwap.isManifestRoot(spark, dir)) {
+      // one pruned leaf dir per generation holding this version's
+      // bucket — the same read-one-bucket contract, manifest-resolved
+      val leafs = manifestLeafDirs(spark, dir,
+        Some(version / VersionsPerBucket))
+      if (leafs.isEmpty) schema match {
+        case Some(s) => return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          .drop("version_bucket")
+        case None => throw new IllegalArgumentException(
+          s"graft sink: version $version was never delivered under " +
+            s"$dir; pass a schema to get an empty result instead")
+      }
+      return schema.fold(spark.read)(s => spark.read.schema(s))
+        .json(leafs: _*)
+        .filter(col("change_version") === version)
+        .drop("version_bucket")
+    }
     val bucketDir = new org.apache.hadoop.fs.Path(
       dir, s"version_bucket=${version / VersionsPerBucket}")
     val fs = bucketDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -167,10 +249,55 @@ object DocumentSink {
     * scheduled maintenance window, not concurrent with delivery. */
   def compact(spark: SparkSession, dir: String,
               schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    // the sink root takes in-place delivery appends and direct reads:
-    // rename-protocol-only until a manifest-native sink layout lands
-    graft.streaming.DirSwap.requireRenameProtocol(
-      spark, dir, "document-sink compaction")
+    if (graft.streaming.DirSwap.appendsAreManifest(spark, dir)) {
+      // MANIFEST protocol: fold every delivered generation into one —
+      // an atomic whole-sink cutover readers can never see half of.
+      // keepLedger = false: sink pages carry no content-keyed
+      // idempotence contract (read-side dedup is the exactly-once
+      // layer), so absorbed page keys just drop. The survivors are
+      // derived from the SAME resolution as the absorbed keys
+      // (foldSnapshot) — a page landing mid-compaction keeps its own
+      // generation, neither folded nor hidden.
+      val (dirs, absorbed) =
+        graft.streaming.ManifestSwap.foldSnapshot(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val survivors =
+        if (dirs.isEmpty) {
+          // MIGRATION: an in-place sink under a manifest-mode config —
+          // this full-snapshot fold is the documented migration step
+          // (appendKeyed's guard points here); the structural read
+          // serves the in-place files one last time
+          if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return
+          deduplicated(spark, dir, schema)
+        } else {
+          val leafs = dirs.flatMap { g =>
+            (try fs.listStatus(new org.apache.hadoop.fs.Path(g)).toSeq
+            catch { case _: java.io.FileNotFoundException => Seq.empty })
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith("vb_part="))
+              .map(_.getPath.toString)
+          }
+          if (leafs.isEmpty) return
+          val docs = schema.fold(spark.read)(s => spark.read.schema(s))
+            .json(leafs: _*).drop("version_bucket")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("invoice_id"), col("change_version"))
+            .orderBy(col("doc_name").desc)
+          docs.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+        }
+      graft.streaming.ManifestSwap.installFold(spark, dir, "compact",
+        absorbed, keepLedger = false) { gen =>
+        survivors
+          .withColumn("version_bucket",
+            expr(s"change_version div $VersionsPerBucket"))
+          .repartition(col("version_bucket"))
+          .withColumn("vb_part", col("version_bucket"))
+          .write.mode("overwrite").partitionBy("vb_part").json(gen)
+      }
+      return
+    }
     val survivors = deduplicated(spark, dir, schema)
     graft.streaming.DirSwap.install(spark, dir, "compact")(tmp =>
       survivors

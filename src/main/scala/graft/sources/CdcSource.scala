@@ -203,10 +203,20 @@ object CdcFiles {
     val conf = new Configuration()
     val p = new Path(opts.path)
     val fs = FileSystem.get(p.toUri, conf)
-    val st = fs.getFileStatus(p)
-    val all =
-      if (st.isDirectory) fs.listStatus(p).toSeq
-      else Seq(st)
+    // A MANIFEST-published change table (round-14: the retention
+    // rewrite's object-store layout) resolves structurally — one
+    // committed snapshot's base + appended page generations — so the
+    // catalog never sees a half-published page or a mid-rewrite state.
+    // Plain directories keep the in-place listing.
+    val roots: Seq[Path] =
+      if (fs.exists(new Path(p, "_ptr")))
+        graft.streaming.ManifestSwap.readDataPathsFs(fs, opts.path)
+          .map(new Path(_))
+      else Seq(p)
+    val all = roots.flatMap { root =>
+      val st = fs.getFileStatus(root)
+      if (st.isDirectory) fs.listStatus(root).toSeq else Seq(st)
+    }
     all.filter(_.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
       .sortBy(_._1)

@@ -294,10 +294,59 @@ private[graft] object DirSwap {
   def readPath(spark: SparkSession, path: String,
                tag: String = "merge"): Option[String] = {
     val fs = fsOf(spark, path)
-    if (manifestMode(fs)) ManifestSwap.readPath(spark, path)
+    // structural first (the reads-resolve-what-is-on-disk rule): a
+    // committed manifest root serves its base generation under ANY
+    // configured protocol
+    if (isManifestRoot(spark, path)) ManifestSwap.readPath(spark, path)
+    else if (manifestMode(fs)) ManifestSwap.readPath(spark, path)
     else {
       restoreIfTorn(spark, path, tag)
       if (fs.exists(new Path(path))) Some(path) else None
     }
+  }
+
+  /** True when the data AT `path` was published through the manifest
+    * protocol: a pointer directory exists. Readers of the append-style
+    * families resolve the protocol STRUCTURALLY from what is on disk —
+    * not from the configured gate — so a raw-written local layout (a
+    * [[graft.llm.CorpusCache]] scratch dir, or a table predating a
+    * protocol switch) keeps serving under any configuration, and a
+    * manifest root keeps serving even where the config says rename. */
+  private[graft] def isManifestRoot(spark: SparkSession,
+                                    path: String): Boolean =
+    fsOf(spark, path).exists(
+      new Path(path.stripSuffix("/") + "/_ptr"))
+
+  /** Protocol decision for WRITES to an append-style root: an existing
+    * manifest root stays manifest whatever the configured gate says
+    * (appending in-place files next to `_gens`/`_ptr` would publish
+    * rows no manifest reader resolves); otherwise the configured gate
+    * decides, as for every other write. */
+  private[graft] def appendsAreManifest(spark: SparkSession,
+                                        path: String): Boolean =
+    isManifestRoot(spark, path) || manifestMode(fsOf(spark, path))
+
+  /** The data locations of an APPEND-STYLE root — the multi-dir twin
+    * of [[readPath]] for the keyed-append families (z-order, bucketed
+    * vector layout, document sink, postings): a manifest root serves
+    * its committed base generation plus every unfolded appended
+    * generation ([[ManifestSwap.readDataPaths]]), resolved per call so
+    * a concurrent commit's cutover is picked up; anything else is the
+    * in-place layout — healed first where the rename protocol applies
+    * — served as the root itself. A missing root under a manifest-mode
+    * config is a manifest root that has no commits yet: empty. */
+  def readDataPaths(spark: SparkSession, path: String,
+                    tag: String = "merge"): Seq[String] = {
+    val fs = fsOf(spark, path)
+    if (isManifestRoot(spark, path))
+      return ManifestSwap.readDataPaths(spark, path)
+    if (!manifestMode(fs)) restoreIfTorn(spark, path, tag)
+    // re-check: the heal may have just restored the root — and a bak
+    // restored into a manifest-mode config is still served in place
+    // (structural beats configured for reads)
+    if (isManifestRoot(spark, path))
+      ManifestSwap.readDataPaths(spark, path)
+    else if (fs.exists(new Path(path))) Seq(path)
+    else Seq.empty
   }
 }

@@ -23,11 +23,14 @@ import org.apache.spark.sql.types.StructType
   *    key per bucket — a whole refresh page cuts over in ONE commit,
   *    which the per-bucket DirSwap could never do);
   *  - a commit is a CREATE-IF-ABSENT of the next manifest number:
-  *    write-tmp + [[DirSwap.renameNoReplace]] where rename is atomic
-  *    (local/HDFS — the testable branch), a single conditional object
-  *    PUT (`FileSystem.create(overwrite = false)`, the
-  *    If-None-Match/ifGenerationMatch=0 mapping) on object stores,
-  *    where object visibility is atomic by store contract. Losing the
+  *    write-tmp + an atomic link(2) claim on local filesystems (the
+  *    testable branch — NOT a no-replace rename, which for files is
+  *    check-then-act and lost a commit under the round-14 disjoint-key
+  *    property; see [[commitPtr]]), a single conditional object PUT
+  *    (`FileSystem.create(overwrite = false)`, the
+  *    If-None-Match/ifGenerationMatch=0 mapping) on stores that have
+  *    PROVEN that contract ([[requireConditionalCreate]] — stock s3a
+  *    has not, and is refused loudly). Losing the
   *    race means another writer committed that number first: re-read,
   *    re-merge, retry — the CAS loop in [[commitUpdate]].
   *
@@ -79,6 +82,79 @@ private[graft] object ManifestSwap {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The gc grace every caller should start from; see [[gc]] for the
+    * reader guarantee it buys and the sizing rule (grace > the longest
+    * plausible scan of one snapshot). */
+  val DefaultGraceMs: Long = 15 * 60 * 1000L
+
+  /** Filesystems whose `create(path, overwrite = false)` is a genuinely
+    * ATOMIC create-if-absent by their own contract: HDFS-family
+    * (namenode-arbitrated single RPC), GCS (`ifGenerationMatch=0`
+    * precondition), ABFS (a real hierarchical namespace). s3a is
+    * deliberately ABSENT: stock s3a implements create-no-overwrite as a
+    * HEAD existence check followed by a plain PUT — two racing
+    * committers can both pass the check and the later PUT silently
+    * replaces the earlier manifest, a LOST COMMIT, exactly the failure
+    * the CAS exists to prevent (round-13 verdict finding #1 / ADVICE).
+    * S3 conditional writes (`If-None-Match`) exist but need recent
+    * Hadoop plus explicit enablement, which is what the capability
+    * probe and the attestation flag below are for. */
+  private val atomicCreateSchemes = Set(
+    "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs",
+    "gs", "abfs", "abfss")
+
+  /** Hadoop path capabilities that attest conditional-create support
+    * (HADOOP-19256 wired s3a's If-None-Match create under the first;
+    * the generic etag capability is probed as a fallback spelling). */
+  private val conditionalCreateCapabilities = Seq(
+    "fs.capability.create.conditional",
+    "fs.s3a.create.conditional")
+
+  /** Operator attestation (Hadoop conf, per-filesystem): set true ONLY
+    * when the connector is configured so `create(overwrite=false)` is
+    * a real conditional PUT (e.g. s3a with conditional writes enabled
+    * on a recent Hadoop). A false attestation re-opens the lost-commit
+    * race — the flag is a contract, not a workaround. */
+  private[graft] val AttestKey = "graft.manifest.conditional-create"
+
+  /** THE CONDITIONAL-CREATE GATE (round-13 verdict ask #2): the
+    * non-rename commit branch trusts `create(overwrite = false)` to be
+    * an atomic create-if-absent. That holds on the allowlisted schemes
+    * by filesystem contract; everywhere else it must be PROVEN — a
+    * path-capability probe or the operator's explicit attestation —
+    * or the protocol refuses loudly BEFORE any generation is written,
+    * instead of silently losing commits under multi-writer races
+    * (ManifestSwapSpec's check-then-act wrapper FS demonstrates the
+    * loss when the gate is bypassed). */
+  private[graft] def requireConditionalCreate(fs: FileSystem,
+                                              path: String): Unit = {
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        return // rename branch — atomicity comes from rename(2)
+      case _ => ()
+    }
+    val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme))
+      .map(_.toLowerCase).getOrElse("")
+    if (atomicCreateSchemes.contains(scheme)) return
+    val probe = new Path(path.stripSuffix("/"))
+    val hasCap = conditionalCreateCapabilities.exists { cap =>
+      try fs.hasPathCapability(probe, cap)
+      catch { case _: Exception => false }
+    }
+    if (hasCap) return
+    if (Option(fs.getConf).exists(_.getBoolean(AttestKey, false))) return
+    throw new UnsupportedOperationException(
+      s"graft manifest: filesystem scheme '$scheme' has not proven " +
+        "atomic create-if-absent — on connectors where " +
+        "create(overwrite=false) is a HEAD-then-PUT emulation (stock " +
+        "s3a), two racing committers can silently lose a manifest " +
+        "commit. Enable the store's conditional-write support and " +
+        s"attest it with $AttestKey=true (Hadoop conf), or use a " +
+        "filesystem with contractual create-if-absent " +
+        s"(${atomicCreateSchemes.toSeq.sorted.mkString("/")}).")
+  }
+
   // "_gens", not "_gen": a StreamingAggView generation carries its own
   // `_gen` MARKER FILE inside the data dir — same protocol family,
   // different level; distinct names keep a directory listing readable
@@ -90,6 +166,17 @@ private[graft] object ManifestSwap {
   private def newGenName(): String =
     "g-" + java.util.UUID.randomUUID().toString
 
+  /** Marker object written at generation mint time. Its purpose is
+    * [[gc]]'s orphan aging: object stores have no real directories —
+    * S3A fake-directory statuses carry mtime 0, so a staged-but-not-
+    * yet-committed generation judged by DIRECTORY mtime looks older
+    * than any grace the moment it exists, and gc could reap a
+    * generation an in-flight writer is about to commit (round-13
+    * ADVICE). The marker is a real object with a real mtime minted
+    * BEFORE any data lands, so the generation's age has a sound floor
+    * on every store. Underscore-prefixed: parquet readers skip it. */
+  private[graft] val GenStartMarker = "_GENSTART"
+
   // ---------------------------------------------------------- resolve --
 
   /** The highest committed (manifestNumber, payload), or None before
@@ -100,8 +187,13 @@ private[graft] object ManifestSwap {
     * slightly stale but fully-committed snapshot, exactly the reader
     * contract. */
   private[graft] def resolveRaw(spark: SparkSession, path: String)
+      : Option[(Long, Map[String, String])] =
+    resolveRawFs(fsOf(spark, path), path)
+
+  /** [[resolveRaw]] over a caller-supplied FileSystem — for catalogs
+    * that run outside a SparkSession ([[graft.sources.CdcFiles]]). */
+  private[graft] def resolveRawFs(fs: FileSystem, path: String)
       : Option[(Long, Map[String, String])] = {
-    val fs = fsOf(spark, path)
     val pd = ptrDir(path)
     if (!fs.exists(pd)) return None
     val committed = fs.listStatus(pd).flatMap { st =>
@@ -155,10 +247,20 @@ private[graft] object ManifestSwap {
 
   /** Mint a fresh generation: (name for manifest entries, absolute
     * path to write data under). Never reused, invisible until some
-    * manifest references it. */
-  private[graft] def newGeneration(path: String): (String, String) = {
+    * manifest references it. Writes the [[GenStartMarker]] object so
+    * the generation's orphan age has a real-object mtime floor on
+    * stores whose directory statuses carry none (see [[gc]]). Also
+    * runs the conditional-create gate up front — refusing BEFORE a
+    * whole generation of data is written that could never commit. */
+  private[graft] def newGeneration(spark: SparkSession,
+                                   path: String): (String, String) = {
+    val fs = fsOf(spark, path)
+    requireConditionalCreate(fs, path)
     val g = newGenName()
-    (g, entryPath(path, g))
+    val dir = entryPath(path, g)
+    val out = fs.create(new Path(dir, GenStartMarker), true)
+    out.close()
+    (g, dir)
   }
 
   // ----------------------------------------------------------- commit --
@@ -166,11 +268,13 @@ private[graft] object ManifestSwap {
   /** Atomically create manifest number `n` with `payload`; false if
     * that number is already taken (another writer won the CAS). Two
     * branches, one invariant — the manifest file appears COMPLETE or
-    * not at all: where rename is atomic (local/HDFS) the payload is
-    * staged to a tmp name and renamed-no-replace in; on object stores
-    * (where DirSwap-style rename is unsound, which is this protocol's
-    * reason to exist) `create(overwrite = false)` maps to the store's
-    * conditional PUT and object visibility is atomic. */
+    * not at all: locally the payload is staged to a tmp name and
+    * LINKED in (link(2) is an atomic create-if-absent whose target
+    * carries the full content); elsewhere `create(overwrite = false)`
+    * must map to the store's conditional PUT, which the
+    * [[requireConditionalCreate]] gate has verified before anything
+    * was staged (HDFS-family arbitrate it at the namenode; stock s3a
+    * does NOT and is refused). */
   private def commitPtr(fs: FileSystem, path: String, n: Long,
                         payload: String): Boolean = {
     val pd = ptrDir(path)
@@ -180,12 +284,31 @@ private[graft] object ManifestSwap {
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // Claim the number with link(2), NOT a no-replace rename: for
+        // FILES, NIO's no-REPLACE_EXISTING move is an exists-check
+        // followed by rename(2), and rename(2) silently REPLACES an
+        // existing destination file (the ENOTEMPTY refusal that makes
+        // DirSwap's DIRECTORY swaps sound does not exist for files) —
+        // so two same-number committers could both "win" and the later
+        // one overwrote the earlier manifest: the exact lost-commit
+        // race this CAS exists to prevent, found live by the round-14
+        // disjoint-key ScalaCheck property. link(2) fails EEXIST
+        // atomically, and the destination appears with the tmp file's
+        // COMPLETE content in the same syscall.
         val tmp = new Path(pd,
           s".tmp-${java.util.UUID.randomUUID().toString}")
         val out = fs.create(tmp, true)
         try { out.write(bytes) } finally out.close()
-        val won = DirSwap.renameNoReplace(fs, tmp, dst)
-        if (!won) fs.delete(tmp, false)
+        val won =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        fs.delete(tmp, false)
         won
       case _ =>
         try {
@@ -205,6 +328,7 @@ private[graft] object ManifestSwap {
       tag: String)(update: Map[String, String] => Map[String, String])
       : Map[String, String] = {
     val fs = fsOf(spark, path)
+    requireConditionalCreate(fs, path)
     var attempts = 0
     while (attempts < 32) {
       val cur = resolveRaw(spark, path)
@@ -231,8 +355,8 @@ private[graft] object ManifestSwap {
     * wins, and every committed pointer names a COMPLETE generation. */
   def install(spark: SparkSession, path: String, tag: String = "merge")
              (write: String => Unit): Unit = {
-    val gen = newGenName()
-    write(entryPath(path, gen))
+    val (gen, dir) = newGeneration(spark, path)
+    write(dir)
     trip(tag, "afterGenWrite")
     commitUpdate(spark, path, tag)(_ => Map(DataKey -> gen))
     ()
@@ -252,6 +376,142 @@ private[graft] object ManifestSwap {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  // ------------------------------------- keyed-append (Iceberg shape) --
+
+  /** Key prefix for APPENDED-batch entries in a keyed manifest: an
+    * append-style root's manifest carries the base snapshot under
+    * [[DataKey]] plus one `app:<batchKey>` entry per appended batch —
+    * the file-listing-manifest layout (the Iceberg manifest-list shape
+    * re-derived) that makes the append families object-store-capable
+    * (round-13 verdict ask #1). An append is "write immutable files
+    * into a fresh generation + CAS a manifest that lists it"; readers
+    * resolve ONE manifest and scan exactly its listed directories. */
+  private[graft] val AppPrefix = "app:"
+
+  /** Wire-safe marker VALUE for a retired append entry: a
+    * row-preserving compaction ([[installFold]]) absorbed the batch's
+    * rows into the new base, but the KEY must survive as the
+    * applied-batch ledger — a late retry of an already-folded batch
+    * finds its key and skips, exactly the rename-protocol ledger
+    * semantics ([[StagedAppend]]'s `.applied` file, here folded into
+    * the same atomic commit as the data). */
+  private[graft] val FoldedVal = "~folded"
+
+  /** Idempotent keyed append — the manifest IS the ledger: stage one
+    * immutable generation via `write(genDir)`, then CAS-add
+    * `app:key -> gen` unless the key is already present (committed
+    * data or a folded ledger line), in which case the stage is
+    * abandoned as an orphan (gc reaps it; committing nothing twice is
+    * the point). No pending dirs, no publish step, no heal: a crashed
+    * appender retried with the same content-derived key converges
+    * because the commit and the ledger line are ONE atomic pointer
+    * write. Concurrent readers resolve either the pre-append or the
+    * post-append manifest, never a partial batch. */
+  def appendKeyed(spark: SparkSession, path: String, tag: String,
+                  key: String)(write: String => Unit): Unit = {
+    // MIGRATION GUARD: appending a manifest entry into a root that
+    // already holds IN-PLACE data without a pointer would publish a
+    // manifest listing ONLY the new batch — readers resolving it would
+    // silently lose everything written before the protocol switch.
+    // (A full-snapshot install is migration-sound; a keyed append is
+    // not. Fold the in-place layout into a base generation first.)
+    val fs = fsOf(spark, path)
+    val root = new Path(path.stripSuffix("/"))
+    if (!fs.exists(ptrDir(path)) && fs.exists(root) &&
+        fs.listStatus(root).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      throw new UnsupportedOperationException(
+        s"graft manifest: $path holds in-place (non-manifest) data — a " +
+          "keyed append would publish a manifest that hides it. " +
+          "Migrate first: rewrite the layout through its rebuild/" +
+          "compaction (a full-snapshot install), then append.")
+    val full = AppPrefix + key
+    if (resolveRaw(spark, path).exists(_._2.contains(full))) return
+    val (gen, dir) = newGeneration(spark, path)
+    write(dir)
+    trip(tag, "afterGenWrite")
+    commitUpdate(spark, path, tag)(m =>
+      if (m.contains(full)) m else m + (full -> gen))
+    ()
+  }
+
+  /** The applied-batch keys of the current manifest (committed data
+    * AND folded ledger lines — both mean "never re-apply"). */
+  def appliedKeys(spark: SparkSession, path: String): Set[String] =
+    resolveRaw(spark, path).map(_._2.keySet
+      .filter(_.startsWith(AppPrefix)).map(_.stripPrefix(AppPrefix)))
+      .getOrElse(Set.empty)
+
+  /** Every data directory of the current committed snapshot, in stable
+    * key order: the base ([[DataKey]]) plus each unfolded append.
+    * Empty before the first commit. */
+  def readDataPaths(spark: SparkSession, path: String): Seq[String] =
+    readDataPathsFs(fsOf(spark, path), path)
+
+  /** [[readDataPaths]] over a caller-supplied FileSystem. */
+  private[graft] def readDataPathsFs(fs: FileSystem,
+                                     path: String): Seq[String] =
+    resolveRawFs(fs, path).map(_._2.toSeq
+      .filter { case (k, v) =>
+        v != FoldedVal && (k == DataKey || k.startsWith(AppPrefix)) }
+      .sortBy(_._1)
+      .map { case (_, rel) => entryPath(path, rel) })
+      .getOrElse(Seq.empty)
+
+  /** ONE-RESOLVE snapshot for a row-preserving fold: the data dirs to
+    * absorb and the append keys of THAT SAME payload. Load-bearing
+    * (found by the round-14 live thread race): deriving dirs and keys
+    * from two separate resolutions lets a batch commit in between —
+    * read-but-not-retired double-serves its rows after the fold;
+    * retired-but-not-read loses them. From one payload, a concurrent
+    * append is simply not absorbed: the fold's CAS merge keeps its
+    * data entry live, exactly-once either way. */
+  def foldSnapshot(spark: SparkSession, path: String)
+      : (Seq[String], Set[String]) =
+    resolveRaw(spark, path) match {
+      case None => (Seq.empty, Set.empty)
+      case Some((_, m)) =>
+        val dirs = m.toSeq
+          .filter { case (k, v) =>
+            v != FoldedVal && (k == DataKey || k.startsWith(AppPrefix)) }
+          .sortBy(_._1).map { case (_, rel) => entryPath(path, rel) }
+        (dirs, m.keySet.filter(_.startsWith(AppPrefix))
+          .map(_.stripPrefix(AppPrefix)))
+    }
+
+  /** Row-PRESERVING compaction of a keyed-append root: write the folded
+    * snapshot into one generation, then CAS it in as the new base while
+    * the `absorbed` append keys either retire to [[FoldedVal]] ledger
+    * lines (`keepLedger = true` — content-keyed families whose late
+    * retries must keep skipping, the z-order/vector/postings shape) or
+    * drop entirely (`keepLedger = false` — families with no append
+    * idempotence contract, the document sink). Append keys committed
+    * AFTER the caller snapshotted (not in `absorbed`) keep their data
+    * entries — their rows are not in the fold, so they stay served.
+    * Contrast [[install]], the row-SUPERSEDING rebuild: it replaces the
+    * whole payload, dropping every append key (a retrain re-derives
+    * all rows; replaying an old batch into it is the caller-contract
+    * violation it is under the rename protocol too). */
+  def installFold(spark: SparkSession, path: String, tag: String,
+                  absorbed: Set[String], keepLedger: Boolean)
+                 (write: String => Unit): Unit = {
+    val (gen, dir) = newGeneration(spark, path)
+    write(dir)
+    trip(tag, "afterGenWrite")
+    commitUpdate(spark, path, tag) { m =>
+      val folded = m.flatMap {
+        case (k, _) if k.startsWith(AppPrefix) &&
+            absorbed(k.stripPrefix(AppPrefix)) =>
+          if (keepLedger) Some(k -> FoldedVal) else None
+        case kv => Some(kv)
+      }
+      folded + (DataKey -> gen)
+    }
+    ()
+  }
 
   // --------------------------------------------------------------- gc --
 
@@ -276,9 +536,20 @@ private[graft] object ManifestSwap {
     * n' > n has mtime ≤ now − graceMs, hence now ≥ T + graceMs.
     *
     * Never-committed ORPHANS (crashed writers) have no supersession
-    * event; they keep the creation-age rule — older than graceMs by
-    * dir mtime — which also protects an in-flight writer's staged
-    * generation. Manifest FILES below both the keep window and mStar
+    * event; they age by the NEWEST OBJECT mtime under the generation
+    * (the [[GenStartMarker]] minted with it, or any staged data file)
+    * — never by the directory status, whose mtime is 0 on S3A-style
+    * stores where "directories" are fake (round-13 ADVICE: dir-mtime
+    * aging made every staged generation look ancient and reapable the
+    * moment it existed). An ACTIVELY-writing stage keeps its newest
+    * mtime fresh, so it is protected however long the write runs; the
+    * unprotected shape is a writer STALLED longer than graceMs between
+    * its last object write and its commit — size graceMs above the
+    * longest plausible stall as well as the longest scan. A generation
+    * with NO objects at all (crash between mkdir and the marker, or a
+    * fake-directory husk) falls back to the directory status: there is
+    * nothing in it to lose. Manifest FILES below both the keep window
+    * and mStar
     * are dropped (a resolve holds the payload in memory, so deleting
     * a superseded manifest file never strands a reader mid-scan).
     * Returns generation directories deleted. */
@@ -311,15 +582,44 @@ private[graft] object ManifestSwap {
         // liveness is by generation dir, the unit gc deletes
         .map(_.split("/")(0))
     }.toSet
+    // newest OBJECT mtime under a generation — the orphan age basis
+    // (directory statuses lie on object stores; see the scaladoc)
+    def newestObjectMtime(gen: Path): Long = {
+      var newest = -1L
+      try {
+        val it = fs.listFiles(gen, true)
+        while (it.hasNext) {
+          val m = it.next().getModificationTime
+          if (m > newest) newest = m
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => return Long.MaxValue
+        case _: RuntimeException =>
+          // an entry vanished MID-WALK (a live writer's job commit is
+          // moving its _temporary task dirs — the cross-process heal
+          // race caught local `ls` erroring here): something is
+          // actively mutating the generation, which is the strongest
+          // possible proof of an in-flight writer — protect it
+          return Long.MaxValue
+      }
+      if (newest >= 0) newest
+      else try fs.getFileStatus(gen).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    }
     var deleted = 0
     fs.listStatus(gr).foreach { st =>
-      val name = st.getPath.getName
-      if (!live.contains(name) &&
-          now - st.getModificationTime >= graceMs) {
+      if (!live.contains(st.getPath.getName) &&
+          now - newestObjectMtime(st.getPath) >= graceMs) {
         fs.delete(st.getPath, true)
         deleted += 1
       }
     }
+    if (deleted > 0 && graceMs < DefaultGraceMs)
+      System.err.println(
+        s"graft manifest gc: reaped $deleted generation(s) at $path " +
+          s"under a SUB-DEFAULT grace (${graceMs}ms < ${DefaultGraceMs}ms) " +
+          "— the reader guarantee only covers scans shorter than the " +
+          "grace; make sure no scan of this table runs longer")
     val protectedNs = protectedM.map(_._1).toSet
     manifests.foreach { case (n, st) =>
       if (!protectedNs.contains(n)) fs.delete(st.getPath, false)

@@ -44,7 +44,15 @@ import org.apache.spark.sql.functions._
   *
   * Writer contract (same as every maintainer here): ONE ingest
   * maintainer per layout, serialized with its maintenance window by
-  * the feed's consumer cursor; concurrent readers always safe. */
+  * the feed's consumer cursor; concurrent readers always safe.
+  *
+  * MANIFEST protocol (round-14): on manifest-mode filesystems
+  * [[append]] routes to [[ManifestSwap.appendKeyed]] — the batch tag
+  * becomes the manifest ledger key, the stage is an invisible
+  * generation, and commit+ledger are one atomic pointer write, so the
+  * pending/publish/heal machinery below (which exists to make an
+  * IN-PLACE append crash-safe) is not needed at all. Readers locate
+  * data through [[DirSwap.readDataPaths]]. [[recover]] is a no-op. */
 private[graft] object StagedAppend {
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
@@ -185,14 +193,24 @@ private[graft] object StagedAppend {
 
   /** Write a fresh `_APPGEN` into a layout directory being built —
     * call INSIDE the DirSwap install lambda of a superseding rebuild
-    * so the generation swaps in atomically with the new layout. */
-  def mintGeneration(dir: String): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir.stripSuffix("/"), "_APPGEN"),
-      java.util.UUID.randomUUID().toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+    * so the generation swaps in atomically with the new layout.
+    * Through the Hadoop FileSystem (not java.nio): under the manifest
+    * protocol the install lambda's target is a `_gens/` generation
+    * whose path may not be a local file at all. (The marker is only
+    * CONSULTED by the rename protocol's sweep; under the manifest
+    * protocol the superseding install drops the append keys in the
+    * same commit, which is the sweep, structurally.) */
+  def mintGeneration(spark: SparkSession, dir: String): Unit = {
+    val out = fsOf(spark, dir).create(
+      new Path(dir.stripSuffix("/"), "_APPGEN"), true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   def appliedTags(spark: SparkSession, path: String): Seq[String] = {
+    if (DirSwap.appendsAreManifest(spark, path))
+      return ManifestSwap.appliedKeys(spark, path).toSeq.sorted
     val fs = fsOf(spark, path)
     val p = new Path(ledgerDir(path) + "/tags")
     if (!fs.exists(p)) return Seq.empty
@@ -214,6 +232,18 @@ private[graft] object StagedAppend {
     * never overlaps an in-flight append. */
   def append(spark: SparkSession, path: String, batchTag: String)
             (writeBatch: String => Unit): Unit = {
+    // MANIFEST protocol (round-14): the staged-append machinery below
+    // (pending dirs, ledger file, per-file publish, generations) exists
+    // to make an IN-PLACE append retry-idempotent under crashes — the
+    // keyed manifest gets all of it from one primitive, because the
+    // commit and the ledger line are the same atomic pointer write and
+    // a superseding rebuild's install drops the append keys wholesale
+    // (the _APPGEN sweep, structurally). writeBatch targets a fresh
+    // invisible generation instead of a pending sibling.
+    if (DirSwap.appendsAreManifest(spark, path)) {
+      ManifestSwap.appendKeyed(spark, path, "stagedapp", batchTag)(writeBatch)
+      return
+    }
     recover(spark, path)
     val gen = generation(spark, path)
     val fullTag = s"$gen-$batchTag"
@@ -311,9 +341,10 @@ private[graft] object StagedAppend {
     * Uncommitted current-generation stages are left for their
     * appender's retry. */
   def recover(spark: SparkSession, path: String): Unit = {
-    // append-style layout root: rename-protocol-only until the
-    // manifest-native layout lands (see requireRenameProtocol)
-    DirSwap.requireRenameProtocol(spark, path, "staged-append layout")
+    // manifest protocol: nothing to recover — a keyed append commits
+    // atomically (no committed-but-unpublished window exists) and
+    // superseded generations are gc's job, not a healer's
+    if (DirSwap.appendsAreManifest(spark, path)) return
     // a commit crash can leave the ledger swap torn — heal before
     // any tag lookup (bak holds the only copy in that window)
     DirSwap.restoreIfTorn(spark, ledgerDir(path), "appledger")

@@ -141,11 +141,15 @@ object StreamingAggView {
   private def stateCpSchema: StructType = batchSchema.add("ebkt", LongType)
 
   /** The log read with its DECLARED schema — an empty (fully
-    * compacted) log dir must read as zero rows, not fail inference. */
+    * compacted) log dir must read as zero rows, not fail inference.
+    * Protocol-aware (round-14 ADVICE): a manifest-published log is its
+    * committed base + appended batch generations (batch_id rides in
+    * the data there); the in-place log is the dir itself, healed first
+    * — previously a trim crash window read as an EMPTY log until the
+    * next compaction healed it. */
   private def readLog(spark: SparkSession, root: String): DataFrame = {
-    val logDir = s"$root/log"
-    if (fsOf(spark, root).exists(new Path(logDir)))
-      spark.read.schema(logSchema).parquet(logDir)
+    val dirs = DirSwap.readDataPaths(spark, s"$root/log", "aggviewlog")
+    if (dirs.nonEmpty) spark.read.schema(logSchema).parquet(dirs: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
   }
@@ -218,9 +222,20 @@ object StreamingAggView {
                               batch: DataFrame, batchId: Long): BatchState = {
     val logDir = s"$root/log"
     val page = collapse(batch).localCheckpoint(true)
-    page.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(logDir)
+    if (DirSwap.appendsAreManifest(spark, logDir))
+      // manifest protocol (round-14 ADVICE: the log was the one
+      // append-style root the protocol guard missed): each batch is
+      // one keyed generation — the key makes redelivery a structural
+      // no-op where the rename protocol re-wrote identical bytes
+      ManifestSwap.appendKeyed(spark, logDir, "aggviewlog",
+        s"batch-$batchId") { gen =>
+        page.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(gen)
+      }
+    else
+      page.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(logDir)
     new BatchState(page, spark, root, batchId)
   }
 
@@ -521,10 +536,33 @@ object StreamingAggView {
         writeGenInto(spark, tmp, bound)
       }
     }
-    val tail = readLog(spark, root).filter(col("batch_id") > bound)
-      .localCheckpoint(true)
-    DirSwap.install(spark, logDir, tag = "aggviewlog") { tmp =>
-      tail.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    if (DirSwap.appendsAreManifest(spark, logDir)) {
+      // trim = fold the tail into a fresh base and DROP the absorbed
+      // batch keys (no ledger retention: batch ids are checkpoint-
+      // monotonic and never reused, and a redelivered pre-bound batch
+      // re-appends rows the `batch_id > stateGen` filter already hides
+      // — the exact rename-protocol semantics; keeping one ledger line
+      // per batch forever would grow the manifest without bound).
+      // Tail rows and absorbed keys come from ONE resolution
+      // (foldSnapshot): a batch appended mid-trim keeps its own
+      // generation instead of being dropped or double-served.
+      val (d0, absorbed) = ManifestSwap.foldSnapshot(spark, logDir)
+      val dirs =
+        if (d0.nonEmpty) d0
+        else DirSwap.readDataPaths(spark, logDir, "aggviewlog") // migration
+      if (dirs.isEmpty) return
+      val tail = spark.read.schema(logSchema).parquet(dirs: _*)
+        .filter(col("batch_id") > bound)
+        .localCheckpoint(true)
+      ManifestSwap.installFold(spark, logDir, "aggviewlog", absorbed,
+        keepLedger = false)(gen =>
+        tail.write.mode("overwrite").parquet(gen))
+    } else {
+      val tail = readLog(spark, root).filter(col("batch_id") > bound)
+        .localCheckpoint(true)
+      DirSwap.install(spark, logDir, tag = "aggviewlog") { tmp =>
+        tail.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+      }
     }
   }
 

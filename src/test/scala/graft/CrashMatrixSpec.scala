@@ -258,6 +258,57 @@ class CrashMatrixSpec extends SparkSpec {
     }
   }
 
+  test("kill-at-every-batch OVER THE MANIFEST PROTOCOL, BOTH crash " +
+      "windows: the unified agg-view maintainer (4 families, " +
+      "keyed-generation log — round-14: the log was the one append " +
+      "root the protocol guard missed) converges from every position") {
+    import graft.streaming.StreamingAggView
+    val stageRoot = tmpDir("cm-mfaggview-src")
+    val src = s"$stageRoot/src"
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pages = Seq((0L, 700L), (700L, 1500L), (1500L, 2500L),
+      (2500L, Long.MaxValue))
+    pages.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = s"$stageRoot/stage-$i"
+      graft.cdc.TombstoneCdc.changedInvoicesOps(spark, sf, lo, hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    graft.streaming.DirSwap.forceManifest = true
+    try {
+      for (window <- Seq("append", "fold")) {
+        crashMatrix(s"mfaggview-$window") { (root, hook) =>
+          StreamingAggView.maintain(spark, sf, src, s"$root/state",
+            s"$root/ck", countSum = true, minMax = true, sketch = true,
+            topk = true,
+            onLogAppended = if (window == "append") hook else _ => (),
+            onBatchFolded = if (window == "fold") hook else _ => ())
+        } { root =>
+          // sanity: the log really IS a keyed manifest root (batch
+          // appends as generations), not an in-place partition dir
+          assert(new java.io.File(s"$root/state/log/_ptr").exists(),
+            "the aggview log did not publish through the manifest")
+          Seq(
+            "cs" -> StreamingAggView.currentView(spark, s"$root/state"),
+            "mm" -> StreamingAggView.currentMinMaxView(spark, s"$root/state"),
+            "sk" -> StreamingAggView.currentSketchView(spark, s"$root/state"),
+            "tk" -> StreamingAggView.currentTopKView(spark, s"$root/state"))
+            .flatMap { case (fam, df) =>
+              df.collect().map(r => fam + "|" + r.toSeq.map {
+                case b: Array[Byte] => b.map("%02x".format(_)).mkString
+                case v => String.valueOf(v)
+              }.mkString(","))
+            }.toSet
+        }
+      }
+    } finally graft.streaming.DirSwap.forceManifest = false
+  }
+
   /** The event-time session stream under the matrix: the feed replays
     * one file per batch (three event-id pages + the flush sentinel) so
     * per-entity state genuinely crosses micro-batch boundaries, the
@@ -1079,14 +1130,22 @@ class CrashMatrixSpec extends SparkSpec {
       val gotBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths
         .get(new java.net.URI(resolved.get + "/data.txt").getPath))
       assert(new String(gotBytes, "UTF-8") == "gen-two")
-      // the rename-bound append-style roots keep the loud refusal —
-      // their in-place appends and direct readers have no manifest
-      // migration yet (DirSwap.requireRenameProtocol)
-      val e = intercept[UnsupportedOperationException] {
-        graft.streaming.StagedAppend.recover(spark, s"s3a://bkt$local/lay")
-      }
-      assert(e.getMessage.contains("manifest-pointer protocol does not"),
-        e.getMessage)
+      // round-14: the append-style roots ROUTE too — a staged append
+      // on an object-store scheme becomes a keyed manifest generation
+      // (the manifest IS the applied-batch ledger), and its retry is a
+      // structural no-op that never re-stages
+      val lay = s"s3a://bkt$local/lay"
+      graft.streaming.StagedAppend.append(spark, lay, "batch-one")(
+        writePayload("b1"))
+      assert(new java.io.File(s"$local/lay/_ptr").isDirectory,
+        "an object-store staged append must publish via manifest")
+      assert(graft.streaming.StagedAppend.appliedTags(spark, lay) ==
+        Seq("batch-one"))
+      graft.streaming.StagedAppend.append(spark, lay, "batch-one")(_ =>
+        fail("an applied batch was re-staged on retry"))
+      assert(graft.streaming.DirSwap.readDataPaths(spark, lay)
+        .forall(_.contains("_gens/")),
+        "append-root reads must resolve manifest generations")
     } finally conf.unset("fs.s3a.impl")
     // the cached FakeS3AFileSystem instance stays keyed under its own
     // scheme+authority; nothing else in the suite resolves s3a paths

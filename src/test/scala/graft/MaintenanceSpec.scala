@@ -84,6 +84,46 @@ class MaintenanceSpec extends SparkSpec {
       "fold after windowed compaction diverged")
   }
 
+  test("the window reaps manifest generations under a PER-TABLE grace " +
+      "(round-14 #5): superseded generations outlive every scan shorter " +
+      "than the declared grace, then fold to the keep window") {
+    val root = tmpDir("mavm") + "/mtable"
+    import graft.streaming.ManifestSwap
+    (1 to 3).foreach { i =>
+      ManifestSwap.install(spark, root, "t") { d =>
+        Seq(i.toLong).toDF("v").write.mode("overwrite").parquet(d)
+      }
+    }
+    def gens = new java.io.File(s"$root/_gens").list().length
+    assert(gens == 3)
+    val changeDir = tmpDir("mgcc"); val sinkDir = tmpDir("mgcs")
+    val feed = Tables.events(spark, sf).limit(10)
+      .select($"user_id".as("entity_id"), $"event_id".as("change_version"))
+    feed.write.mode("overwrite").parquet(changeDir)
+    DocumentSink.writeVersioned(
+      feed.select($"entity_id".as("invoice_id"),
+        concat(lit("INV-"), lpad($"entity_id".cast("string"), 9, "0"))
+          .as("invoice_number"), $"change_version"),
+      sinkDir, tmpDir("mgce"))
+    // a DEFAULT-grace window protects everything young — the sizing
+    // rule: grace must exceed the longest scan of one snapshot
+    graft.cdc.Maintenance.run(spark, changeDir, sinkDir,
+      watermark = 0L, compactUpTo = 0L, nFiles = 2,
+      manifestGcs = Seq(graft.cdc.Maintenance.ManifestGc(root)))
+    assert(gens == 3, "default grace must protect young generations")
+    // with this table's own (elapsed) grace, superseded generations fold
+    graft.cdc.Maintenance.run(spark, changeDir, sinkDir,
+      watermark = 0L, compactUpTo = 0L, nFiles = 2,
+      manifestGcs = Seq(
+        graft.cdc.Maintenance.ManifestGc(root, graceMs = 0L)))
+    assert(gens == 2, "per-table grace drives the reap (keepManifests=2)")
+    assert(ManifestSwap.readOrEmpty(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .as[Long].collect().toSeq == Seq(3L), "current snapshot intact")
+  }
+
   test("one maintenance window bounds files and preserves read-back") {
     val changeDir = tmpDir("mchg")
     val sinkDir = tmpDir("msink")

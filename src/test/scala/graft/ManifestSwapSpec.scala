@@ -125,23 +125,140 @@ class ManifestSwapSpec extends SparkSpec {
     } finally DirSwap.forceManifest = false
   }
 
-  test("the rename-bound sites REFUSE manifest-mode filesystems " +
-      "loudly (append-style roots with in-place readers), instead of " +
-      "mixing two publish protocols on one root") {
+  test("the formerly rename-bound sites ROUTE under manifest mode " +
+      "(round-14: every append-style family is manifest-native — " +
+      "ManifestFamiliesSpec exercises each; this pins that the old " +
+      "refusals are gone and no rename artifacts appear)") {
     DirSwap.forceManifest = true
     try {
-      val e = intercept[UnsupportedOperationException] {
-        graft.streaming.StagedAppend.recover(spark, tmpDir("msg") + "/lay")
-      }
-      assert(e.getMessage.contains("manifest-pointer protocol does not"))
-      intercept[UnsupportedOperationException] {
-        graft.cdc.Maintenance.maintainChangeTable(spark,
-          tmpDir("msg") + "/chg", 0L, 0L, 1)
-      }
-      intercept[UnsupportedOperationException] {
-        graft.sinks.DocumentSink.compact(spark, tmpDir("msg") + "/sink")
-      }
+      // StagedAppend.recover on a fresh root: a structural no-op now
+      graft.streaming.StagedAppend.recover(spark, tmpDir("msg") + "/lay")
+      // change-table maintenance on a never-written table: a no-op
+      graft.cdc.Maintenance.maintainChangeTable(spark,
+        tmpDir("msg") + "/chg", 0L, 0L, 1)
     } finally DirSwap.forceManifest = false
+  }
+
+  // ------------------------ conditional-create gate (round-14 #2) --
+
+  private def withFakeS3[A](attest: Boolean)(body: String => A): A = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.fakes3.impl", classOf[CheckThenActFs].getName)
+    conf.setBoolean("fs.fakes3.impl.disable.cache", true)
+    if (attest) conf.setBoolean(ManifestSwap.AttestKey, true)
+    try body("fakes3://" + tmpDir("fakes3") + "/t")
+    finally {
+      conf.unset(ManifestSwap.AttestKey)
+      CheckThenActFs.betweenCheckAndPut.set(null)
+    }
+  }
+
+  test("conditional-create gate: a non-allowlisted object-store scheme " +
+      "is REFUSED loudly before anything is written — stock-s3a-style " +
+      "check-then-act create must not be trusted as a CAS") {
+    withFakeS3(attest = false) { root =>
+      val e = intercept[UnsupportedOperationException] {
+        ManifestSwap.commitUpdate(spark, root, "t")(_ + ("k" -> "g"))
+      }
+      assert(e.getMessage.contains("conditional"), e.getMessage)
+      assert(ManifestSwap.resolveRaw(spark, root).isEmpty,
+        "the refusal must land before any state exists")
+      val e2 = intercept[UnsupportedOperationException] {
+        ManifestSwap.install(spark, root, "t")(_ => ())
+      }
+      assert(e2.getMessage.contains("conditional"),
+        "install must gate BEFORE writing a generation")
+    }
+  }
+
+  test("conditional-create gate, bypassed (false attestation): two " +
+      "racing committers on a check-then-act filesystem silently LOSE " +
+      "one commit — the live demonstration of why the gate exists") {
+    withFakeS3(attest = true) { root =>
+      ManifestSwap.commitUpdate(spark, root, "t")(_ + ("base" -> "g0"))
+      // writer A resolves next=1; INSIDE its check→put window a rival
+      // commits manifest 1 first; A's unconditional PUT then replaces it
+      CheckThenActFs.betweenCheckAndPut.set(() => {
+        val committed = ManifestSwap.commitUpdate(spark, root,
+          "rival")(_ + ("rival" -> "gR"))
+        assert(committed.contains("rival"),
+          "the rival's commitUpdate returned success")
+        ()
+      })
+      ManifestSwap.commitUpdate(spark, root, "t")(_ + ("a" -> "gA"))
+      val payload = ManifestSwap.resolveRaw(spark, root).get._2
+      assert(payload.contains("a"))
+      assert(!payload.contains("rival"),
+        "EXPECTED HAZARD: the rival's successful commit was silently " +
+          "overwritten — if this starts failing, the emulated fs got " +
+          "a real conditional create and the cell needs a new fake")
+    }
+  }
+
+  test("gc orphan aging uses real OBJECT mtimes, not directory " +
+      "statuses: a staged generation with fresh objects survives even " +
+      "when its directory mtime lies (the S3A fake-directory shape)") {
+    val root = tmpDir("mswap-omt") + "/t"
+    ManifestSwap.install(spark, root, "t")(writeVals(1L))
+    // orphan: generation staged, pointer never committed
+    ManifestSwap.failpoint = Some(("t", "afterGenWrite"))
+    try intercept[RuntimeException] {
+      ManifestSwap.install(spark, root, "t")(writeVals(2L))
+    } finally ManifestSwap.failpoint = None
+    val gens = new java.io.File(s"$root/_gens").listFiles().toSeq
+    assert(gens.size == 2)
+    // simulate the object-store lie: force every generation DIRECTORY
+    // mtime to epoch 0 while the objects inside keep real mtimes
+    gens.foreach(d => assert(d.setLastModified(0L)))
+    assert(ManifestSwap.gc(spark, root, keepManifests = 1) == 0,
+      "fresh objects inside must protect the orphan whatever the " +
+        "directory status says")
+    // and with the OBJECTS aged past the grace, the orphan is reaped
+    def ageTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(ageTree))
+      f.setLastModified(1000L); ()
+    }
+    gens.foreach(ageTree)
+    assert(ManifestSwap.gc(spark, root, keepManifests = 1) == 1,
+      "the crashed writer's orphan ages by its newest object")
+    assert(readVals(root) == Seq(1L), "committed snapshot intact")
+  }
+
+  test("ScalaCheck: N concurrent commitUpdate writers over DISJOINT " +
+      "key sets all land whatever the interleaving — the keyed-" +
+      "manifest union law (round-14 #4)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => CheckTest}
+    val gen = for {
+      n <- Gen.choose(2, 5)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 4))
+    } yield sizes
+    val prop = forAll(gen) { sizes =>
+      val root = tmpDir("mswap-disj") + "/t"
+      ManifestSwap.install(spark, root, "t")(writeVals(0L))
+      val writers = sizes.zipWithIndex.map { case (sz, w) =>
+        (0 until sz).map(j => s"w$w-k$j" -> s"gen-w$w").toMap
+      }
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = writers.map { entries =>
+        val t = new Thread(() =>
+          try { ManifestSwap.commitUpdate(spark, root, "w")(_ ++ entries); () }
+          catch { case e: Throwable => failures.add(e); () })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val payload = ManifestSwap.resolveRaw(spark, root).get._2
+      val missing = writers.flatMap(_.filterNot {
+        case (k, v) => payload.get(k).contains(v)
+      })
+      if (!failures.isEmpty || missing.nonEmpty)
+        info(s"sizes=$sizes missing=$missing payload=$payload " +
+          s"failures=${failures.toArray.toSeq}")
+      failures.isEmpty && missing.isEmpty
+    }
+    val res = CheckTest.check(
+      CheckTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"disjoint-key union property failed: ${res.status}")
   }
 
   test("materialized view, manifest protocol: build+refresh+read equals " +
