@@ -266,7 +266,9 @@ object LlmQueries {
       val n = emb.count()
       val p = math.max(4, math.min(16,
         math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
-      SimSearch.writeBucketed(emb, "vec_id", "embedding", planes = p,
+      // Raw write: the CorpusCache temp sibling is invisible until its
+      // atomic publish rename — no swap protocol applies inside it
+      SimSearch.writeBucketedRaw(emb, "vec_id", "embedding", planes = p,
         dir.getPath)
       java.nio.file.Files.write(new java.io.File(dir, "_PLANES").toPath,
         p.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2811,23 +2813,32 @@ object LlmQueries {
         | SELECT anchor_id, partner_id, dist, pair_rank FROM r
         | WHERE pair_rank <= 5 ORDER BY anchor_id, pair_rank""".stripMargin),
     "llm_fuzzy_pairs_varlen" ->
-      // MIXED-length heads (24-36 chars, width a function of doc id):
-      // per-length 4-segment schemes, probes generated for every
-      // partner length within edit distance 3, shift window ±3 (the
-      // alignment displacement bound) — the engine's length-band
+      // MIXED-length heads (24-36 chars NOMINAL, width a function of
+      // doc id): per-length 4-segment schemes, probes generated for
+      // every partner length within edit distance 3, shift window ±3
+      // (the alignment displacement bound) — the engine's length-band
       // blocking must be output-invisible to this independent
-      // re-derivation
+      // re-derivation. `hl` is the ACTUAL head length (round-13
+      // ADVICE: a text shorter than its nominal width partitioned
+      // under the wrong scheme, so the pigeonhole completeness theorem
+      // — "the scheme partitions the actual string" — silently did not
+      // hold for short texts; the engine keys its schemes on
+      // length(head), EditJoin.selfJoin:246). Heads of length <= 3
+      // mirror the engine's short branch: a length-band candidate
+      // block (|len diff| <= 3 is necessary for dist <= 3), verified
+      // by the same final levenshtein.
       """WITH h AS MATERIALIZED (
         |   SELECT doc_id,
         |     substr(text, 1, CAST(24 + doc_id % 13 AS INT)) AS head,
-        |     CAST(24 + doc_id % 13 AS INT) AS hl
+        |     CAST(length(substr(text, 1, CAST(24 + doc_id % 13 AS INT)))
+        |       AS INT) AS hl
         |   FROM documents),
         | sch AS MATERIALIZED (
         |   SELECT hlen, i,
         |     1 + CAST(floor((hlen * (i - 1)) / 4.0) AS INT) AS segs,
         |     CAST(floor((hlen * i) / 4.0) AS INT)
         |       - CAST(floor((hlen * (i - 1)) / 4.0) AS INT) AS segl
-        |   FROM (SELECT unnest(range(21, 40)) AS hlen),
+        |   FROM (SELECT unnest(range(4, 40)) AS hlen),
         |        (SELECT unnest(range(1, 5)) AS i)),
         | seg AS MATERIALIZED (
         |   SELECT h.doc_id, h.hl AS hlen, sch.i,
@@ -2843,7 +2854,11 @@ object LlmQueries {
         | cand AS MATERIALIZED (
         |   SELECT DISTINCT p.doc_id AS ia, s.doc_id AS ib
         |   FROM prb p JOIN seg s ON p.hlen = s.hlen AND p.i = s.i
-        |     AND p.sub = s.sub AND p.doc_id < s.doc_id),
+        |     AND p.sub = s.sub AND p.doc_id < s.doc_id
+        |   UNION
+        |   SELECT a.doc_id AS ia, b.doc_id AS ib
+        |   FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |     AND least(a.hl, b.hl) <= 3 AND abs(a.hl - b.hl) <= 3),
         | hp AS (SELECT c.ia, c.ib, a.head AS ha, b.head AS hb
         |   FROM cand c JOIN h a ON a.doc_id = c.ia
         |   JOIN h b ON b.doc_id = c.ib)

@@ -50,6 +50,30 @@ for SF in 0.001 0.01; do
     "$OUT/verify-sf$SF" | tail -1
 done
 
+step "gate 2a: Verify + oracle at sf0.001 under the FORCED manifest"\
+  "protocol (round-14: every append family object-store-native — the"\
+  "whole registry must stay green when every publish runs manifest)"
+rm -rf "$OUT/verify-manifest"
+SPARK_GRAFT_CPUS=8 SPARK_GRAFT_SWAP_PROTOCOL=manifest sbt -batch \
+  "runMain graft.Verify /root/testdata/sf0.001 $OUT/verify-manifest" \
+  > "$OUT/verify-manifest.log" 2>&1
+if grep "\[verify\]" "$OUT/verify-manifest.log"; then
+  echo "verify dump failures under forced manifest protocol"; exit 1
+fi
+python3 tools/check_oracle.py /root/testdata/sf0.001 \
+  "$OUT/verify-manifest" | tail -1
+python3 tools/diff_verify.py "$OUT/verify-sf0.001" \
+  "$OUT/verify-manifest" | tail -1
+
+step "gate 2b: kNN-graph recall vs DuckDB's own exact kNN (engine-"\
+  "outside, round-14 ask #3; input = gate 2's edge exports)"
+: > "bench/KNNG_RECALL_r${R}.json"
+for SF in 0.001 0.01; do
+  python3 tools/knn_recall.py "/root/testdata/sf$SF" \
+    >> "bench/KNNG_RECALL_r${R}.json"
+done
+tail -2 "bench/KNNG_RECALL_r${R}.json"
+
 step "gate 3/8: total-order lint (sf0.01 dump)"
 python3 tools/lint_total_order.py "$OUT/verify-sf0.01" \
   /root/testdata/sf0.01 | tail -2
@@ -84,6 +108,28 @@ if grep "\[verify\]" "$OUT/verify-sf0.1.log"; then
 fi
 python3 tools/check_oracle.py /root/testdata/sf0.1 "$OUT/verify-sf0.1" \
   600 | tail -1
+python3 tools/knn_recall.py /root/testdata/sf0.1 \
+  >> "bench/KNNG_RECALL_r${R}.json"
+tail -1 "bench/KNNG_RECALL_r${R}.json"
+
+# Host-drift calibration (round-14 ask #6): stamp each committed sweep
+# with its own cdc_scan warm2 against the round-13 committed reference,
+# so cross-round sweep comparisons can normalize the documented ~17%
+# same-day host drift instead of re-litigating it narratively.
+calibrate() { # $1 = bench json path, $2 = r13 reference warm2 (same SF)
+  python3 - "$1" "$2" <<'PY'
+import json, sys
+path, ref = sys.argv[1], float(sys.argv[2])
+d = json.load(open(path))
+w = d.get("warm2", {}).get("cdc_scan")
+d["calibration"] = {
+    "query": "cdc_scan", "warm2": w, "r13_warm2": ref,
+    "host_drift_ratio": round(w / ref, 4) if w else None}
+json.dump(d, open(path, "w"))
+print(f"calibration: cdc_scan warm2={w} vs r13 {ref} -> "
+      f"ratio {d['calibration']['host_drift_ratio']}")
+PY
+}
 
 step "gate 7/8: committed bench sweep at sf0.1 (cold caches)"
 clear_caches
@@ -92,6 +138,7 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" > "$OUT/bench-sf0.1.log" 2>&1
 grep -o '"metric":"total[^,]*,"value":[0-9.]*' "$OUT/bench-sf0.1.log" \
   | tail -1 || tail -3 "$OUT/bench-sf0.1.log"
+calibrate "bench/BENCH_FULL_r${R}_sf0.1.json" 0.322
 
 if [ "$SKIP_SF1" != "--skip-sf1" ]; then
   step "gate 8/8: sf1 — corpus, sweep, oracle (13 quadratic-class skips expected to shrink per round)"
@@ -104,6 +151,7 @@ if [ "$SKIP_SF1" != "--skip-sf1" ]; then
     sbt -batch "runMain graft.Bench" > "$OUT/bench-sf1.log" 2>&1
   grep -o '"metric":"total[^,]*,"value":[0-9.]*' "$OUT/bench-sf1.log" \
     | tail -1 || tail -3 "$OUT/bench-sf1.log"
+  calibrate "bench/BENCH_FULL_r${R}_sf1.json" 0.4206
   rm -rf "$OUT/verify-sf1"
   SPARK_GRAFT_CPUS=16 sbt -batch \
     "runMain graft.Verify /tmp/graft-sf1 $OUT/verify-sf1" \
@@ -123,6 +171,12 @@ if [ "$SKIP_SF1" != "--skip-sf1" ]; then
     echo "unexpected sf1 oracle failures (above)"; exit 1
   fi
   python3 tools/lint_total_order.py "$OUT/verify-sf1" | tail -2
+  # recall at sf1: sampled sources (exact kNN over 200k vectors is the
+  # oracle-budget trade the sampling bounds)
+  python3 tools/knn_recall.py /tmp/graft-sf1 \
+    /root/repo/target/oracle-export 500 \
+    >> "bench/KNNG_RECALL_r${R}.json"
+  tail -1 "bench/KNNG_RECALL_r${R}.json"
 else
   step "gate 8/8: SKIPPED (--skip-sf1)"
 fi
