@@ -215,6 +215,57 @@ object HealRaceChild {
     if (mfReads == 0L) sys.error("manifest reader loop never resolved")
     touch(ctlFile("done-manifest"))
 
+    // phase 10 (round-14): the KEYED-APPEND manifest family live across
+    // processes — the parent runs an appender + row-preserving fold +
+    // hot gc over a manifest z-order layout while this process loops a
+    // pruned-scan READER (every successful read must be ONE complete
+    // committed snapshot: batches are 50 distinct rows each, so any
+    // consistent snapshot counts a positive multiple of 50) and acts as
+    // a RIVAL APPENDER committing its own content-keyed batches through
+    // the same CAS from a second JVM. Same reaping-pressure posture as
+    // phase 9: stale resolves under the deliberately-hot gc retry
+    // bounded; a torn count is an immediate failure. The committed
+    // append count is reported in the done file so the parent can
+    // assert the settled layout is the exactly-once union.
+    waitFor(ctlFile("go-zmanifest"))
+    val stopZm = ctlFile("stop-zmanifest")
+    val zmRoot = args(12)
+    val zmDims = Seq(graft.ops.ZOrder.Dim("a", 0, 999),
+      graft.ops.ZOrder.Dim("b", 0, 999))
+    def zmBatch(i: Int) = spark.range(i * 100L, i * 100L + 50L)
+      .selectExpr("id % 1000 AS a", "(id * 37) % 1000 AS b",
+        "id AS payload")
+    var zmReads = 0L
+    var zmStale = 0
+    var zmAppends = 0
+    while (!stopZm.exists()) {
+      try {
+        val n = graft.ops.ZOrder.prunedScanN(spark, zmRoot,
+          Seq(("a", 0L, 999L), ("b", 0L, 999L))).count()
+        if (n % 50 != 0 || n < 50)
+          sys.error(s"torn keyed-append snapshot observed: $n rows")
+        if (zmReads == 0L) touch(ctlFile("zmread-ok"))
+        zmReads += 1
+        zmStale = 0
+      } catch {
+        case t: Throwable if lostFile(t) =>
+          zmStale += 1
+          if (zmStale > 25)
+            sys.error(s"stale-resolve retry never recovered: $t")
+      }
+      if (zmAppends < 20) {
+        // payload range 100050.. — disjoint from the parent's batches
+        // by construction, so content tags never collide either
+        graft.ops.ZOrder.appendN(zmBatch(1000 + zmAppends), zmRoot,
+          zmDims, 1)
+        zmAppends += 1
+      }
+    }
+    if (zmReads == 0L) sys.error("keyed-append reader loop never resolved")
+    java.nio.file.Files.write(ctlFile("done-zmanifest").toPath,
+      zmAppends.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+
     println("HEALRACE_ALL_OK")
     spark.stop()
   }

@@ -261,6 +261,19 @@ class HealRaceSpec extends SparkSpec {
       }
     mfInstall(0L)
 
+    // ---- fixture 9: a MANIFEST z-order layout (phase 10, round-14 —
+    // the keyed-append family across processes). Built once under the
+    // forceManifest hook; every later operation routes STRUCTURALLY
+    // (the root carries _ptr), so neither JVM needs the hook again.
+    val zmRoot = tmpDir("healrace-zm") + "/layout"
+    val zmDims = Seq(ZOrder.Dim("a", 0, 999), ZOrder.Dim("b", 0, 999))
+    def zmBatch(i: Int) = spark.range(i * 100L, i * 100L + 50L)
+      .selectExpr("id % 1000 AS a", "(id * 37) % 1000 AS b",
+        "id AS payload")
+    graft.streaming.DirSwap.forceManifest = true
+    try ZOrder.layoutN(zmBatch(0), zmRoot, zmDims, 2)
+    finally graft.streaming.DirSwap.forceManifest = false
+
     // ---- launch the second JVM (CorpusCacheSpec precedent: same
     // classpath + module options as this test JVM)
     val jvmOpts = java.lang.management.ManagementFactory
@@ -273,7 +286,7 @@ class HealRaceSpec extends SparkSpec {
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.HealRaceChild", ctl.getPath, layout, idx, swapDir, "hrtag",
       swapRounds.toString, retainDir, corpusA, mvPath, sinkDir, zDir,
-      mfRoot)
+      mfRoot, zmRoot)
     // child output goes to a FILE, not a pipe: the parent only drains
     // output at the end, so a chatty child could fill the pipe buffer
     // and block mid-phase — and on a timeout the pipe's contents were
@@ -522,6 +535,46 @@ class HealRaceSpec extends SparkSpec {
         new java.io.File(s"$mfRoot/_gens").list()).getOrElse(Array.empty)
       assert(gensLeft.length <= 2,
         s"settled gc left ${gensLeft.length} generations (keep window 2)")
+
+      // phase 10 (round-14): the keyed-append manifest family LIVE
+      // across processes — this JVM runs the single-maintainer loop
+      // (content-keyed appendN ingests, a row-preserving rebuild fold
+      // every 3rd cycle, HOT gc at a 10 s grace) while the child loops
+      // a pruned-scan reader (complete-snapshot law: any read counts a
+      // positive multiple of 50) and commits its OWN batches as a
+      // rival appender through the same CAS. Settles to the
+      // exactly-once union — the cross-process proof of the
+      // foldSnapshot one-resolution rule and the keyed-ledger
+      // idempotence under real concurrency.
+      touch(new java.io.File(ctl, "go-zmanifest"))
+      val zmReadOk = new java.io.File(ctl, "zmread-ok")
+      val zmDeadline = System.currentTimeMillis() + 180000
+      var zmI = 0
+      while (zmI < 8 ||
+          (!zmReadOk.exists() && System.currentTimeMillis() < zmDeadline)) {
+        zmI += 1
+        ZOrder.appendN(zmBatch(zmI), zmRoot, zmDims, 1)
+        if (zmI % 3 == 0) ZOrder.rebuild(spark, zmRoot, zmDims, 2)
+        graft.streaming.ManifestSwap.gc(spark, zmRoot,
+          keepManifests = 2, graceMs = 10000L)
+        Thread.sleep(500)
+      }
+      assert(zmReadOk.exists(),
+        "child never completed a clean keyed-append read in 180 s")
+      touch(new java.io.File(ctl, "stop-zmanifest"))
+      val zmDone = new java.io.File(ctl, "done-zmanifest")
+      waitFor(zmDone)
+      val childAppends = new String(java.nio.file.Files.readAllBytes(
+        zmDone.toPath), "UTF-8").trim.toInt
+      assert(childAppends >= 1, "the rival appender never committed")
+      val zmSettled = ZOrder.prunedScanN(spark, zmRoot,
+          Seq(("a", 0L, 999L), ("b", 0L, 999L)))
+        .select($"payload").as[Long].collect().toSeq
+      assert(zmSettled.size == 50 * (1 + zmI + childAppends) &&
+        zmSettled.distinct.size == zmSettled.size,
+        s"settled keyed-append layout is not the exactly-once union: " +
+          s"${zmSettled.size} rows for 1 base + $zmI parent + " +
+          s"$childAppends child batches")
 
       assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
         "child JVM did not exit")
