@@ -60,30 +60,11 @@ private[graft] object DirSwap {
       nonAtomicRenameSchemes.contains(schemeOf(fs)) ||
       "manifest" == System.getProperty("graft.swap.protocol")
 
-  /** Entry guard for the APPEND-STYLE layout roots (staged-append
-    * vector/postings/z-order layouts, the document sink, the retention
-    * change table): those protocols append files INTO the served
-    * directory and their readers scan it directly, so routing just
-    * their swap steps to [[ManifestSwap]] would mix two publish
-    * protocols on one root — new generations nobody resolves next to
-    * in-place appends nobody migrated. Until each gets its own
-    * manifest-native layout (generation-relative appends + a
-    * file-listing manifest, the Iceberg shape), they REFUSE
-    * manifest-mode filesystems loudly instead of corrupting slowly —
-    * the posture the old object-store refusal had, now scoped to
-    * exactly the sites whose protocol is still rename-bound. */
-  private[graft] def requireRenameProtocol(spark: SparkSession,
-                                           path: String,
-                                           what: String): Unit = {
-    val fs = fsOf(spark, path)
-    if (manifestMode(fs))
-      throw new UnsupportedOperationException(
-        s"graft swap: $what at $path appends into its served directory " +
-          "and is read in place — the manifest-pointer protocol does " +
-          "not cover it yet. Run it on a rename-capable filesystem " +
-          "(local/HDFS); swap-state tables and the materialized view " +
-          "are the manifest-ready surfaces.")
-  }
+  // The round-13 requireRenameProtocol guard is GONE (round-14): every
+  // append-style family has a manifest-native layout now, so the sites
+  // that used to refuse manifest-mode filesystems route instead —
+  // [[ManifestSwap.appendKeyed]]'s migration guard covers the one
+  // remaining unsound shape (a keyed append into an in-place root).
 
   /** Defense-in-depth invariant on the RENAME branch only (the scheme
     * gate above routes object-store schemes to [[ManifestSwap]] before
