@@ -258,8 +258,16 @@ object ZOrder {
       // dirs and absorbed keys come from ONE resolution (foldSnapshot)
       // so a concurrently-committed append is neither double-served
       // nor lost.
-      val (dirs, absorbed) =
+      // an in-place layout under a manifest config folds into the
+      // first manifest base here — the migration step appendN's guard
+      // points at (the maintainChangeTable pattern; without it the
+      // family deadlocked: rebuild no-opped on the empty snapshot
+      // while appendN refused until a rebuild ran — round-14 ADVICE)
+      val (d0, absorbed) =
         graft.streaming.ManifestSwap.foldSnapshot(spark, path)
+      val dirs =
+        if (d0.nonEmpty) d0
+        else graft.streaming.DirSwap.readDataPaths(spark, path, "zorder")
       if (dirs.isEmpty) return
       graft.streaming.ManifestSwap.installFold(spark, path, "zorder",
         absorbed, keepLedger = true)(

@@ -134,11 +134,25 @@ object DocumentSink {
     val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.json")
     val loaded =
-      if (graft.streaming.DirSwap.isManifestRoot(spark, dir))
-        base.option("recursiveFileLookup", "true")
-          .load(graft.streaming.DirSwap
-            .readDataPaths(spark, dir, "compact"): _*)
-      else {
+      if (graft.streaming.DirSwap.isManifestRoot(spark, dir)) {
+        val paths = graft.streaming.DirSwap
+          .readDataPaths(spark, dir, "compact")
+        // a manifest root before its first commit has nothing to
+        // list — load() with zero paths throws "path not specified"
+        // instead of the empty listing the rename branch returns for
+        // an empty dir (round-14 ADVICE)
+        if (paths.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("path",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("length",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("modificationTime",
+                org.apache.spark.sql.types.TimestampType))))
+        base.option("recursiveFileLookup", "true").load(paths: _*)
+      } else {
         graft.streaming.DirSwap.restoreIfTorn(spark, dir, "compact")
         base.load(dir)
       }

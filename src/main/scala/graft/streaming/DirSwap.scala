@@ -287,16 +287,41 @@ private[graft] object DirSwap {
   }
 
   /** True when the data AT `path` was published through the manifest
-    * protocol: a pointer directory exists. Readers of the append-style
-    * families resolve the protocol STRUCTURALLY from what is on disk —
-    * not from the configured gate — so a raw-written local layout (a
+    * protocol. Readers of the append-style families resolve the
+    * protocol STRUCTURALLY from what is on disk — not from the
+    * configured gate — so a raw-written local layout (a
     * [[graft.llm.CorpusCache]] scratch dir, or a table predating a
     * protocol switch) keeps serving under any configuration, and a
-    * manifest root keeps serving even where the config says rename. */
+    * manifest root keeps serving even where the config says rename.
+    *
+    * "Manifest root" means "has a COMMITTED manifest", not "`_ptr`
+    * exists": the first commit mkdirs `_ptr` before its pointer file
+    * lands, so a crash in that window leaves an empty `_ptr` over
+    * whatever in-place data the root held — keying on existence made
+    * readers resolve an empty manifest and serve NOTHING instead of
+    * the in-place data, and a retried migration compaction then read
+    * empty survivors and installed an empty base that persistently
+    * hid it (round-14 ADVICE). An empty `_ptr` over a root with no
+    * in-place data is still a manifest root (a first delivery in
+    * flight serves empty, exactly as before). */
   private[graft] def isManifestRoot(spark: SparkSession,
-                                    path: String): Boolean =
-    fsOf(spark, path).exists(
-      new Path(path.stripSuffix("/") + "/_ptr"))
+                                    path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path.stripSuffix("/"))
+    if (!fs.exists(new Path(root, "_ptr"))) false
+    else if (ManifestSwap.hasCommittedFs(fs, path)) true
+    else !hasInPlaceData(fs, root)
+  }
+
+  /** Does `root` hold in-place (non-protocol) data — any entry not
+    * `_`/`.`-prefixed? The tiebreak for an empty `_ptr` above, and
+    * the same shape [[ManifestSwap.appendKeyed]]'s migration guard
+    * keys on. */
+  private def hasInPlaceData(fs: FileSystem, root: Path): Boolean =
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
 
   /** Protocol decision for WRITES to an append-style root: an existing
     * manifest root stays manifest whatever the configured gate says

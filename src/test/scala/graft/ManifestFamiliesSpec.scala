@@ -446,4 +446,38 @@ class ManifestFamiliesSpec extends SparkSpec {
       assert(e.getMessage.contains("in-place"), e.getMessage)
     }
   }
+
+  test("z-order, migration (round-14 ADVICE): an IN-PLACE layout under " +
+      "a manifest config folds into a base generation on the first " +
+      "rebuild — no appendN/rebuild deadlock — and serves identically " +
+      "before and after") {
+    import graft.ops.ZOrder
+    val dims = Seq(ZOrder.Dim("a", 0, 999), ZOrder.Dim("b", 0, 999))
+    val base = (0L until 300L).map(i => (i % 1000, (i * 37) % 1000, i))
+      .toDF("a", "b", "payload")
+    val batch = (1000L until 1080L)
+      .map(i => (i % 1000, (i * 37) % 1000, i)).toDF("a", "b", "payload")
+    def box(p: String) =
+      ZOrder.prunedScanN(spark, p, Seq(("a", 100L, 300L), ("b", 0L, 999L)))
+    val p = tmpDir("zmig") + "/lay"
+    ZOrder.layoutN(base, p, dims, 4) // rename protocol: in-place layout
+    val want = canon(box(p))
+    manifest {
+      // pre-migration append refuses (the guard) instead of hiding rows
+      intercept[UnsupportedOperationException] {
+        ZOrder.appendN(batch, p, dims, 2)
+      }
+      // the guard's prescribed migration: rebuild folds the in-place
+      // layout into the first manifest base (was a silent no-op that
+      // deadlocked the family)
+      ZOrder.rebuild(spark, p, dims, 4)
+      assert(DirSwap.isManifestRoot(spark, p),
+        "rebuild must have installed a manifest base")
+      assert(canon(box(p)) == want, "migration must preserve every row")
+      ZOrder.appendN(batch, p, dims, 2) // now admitted
+      assert(canon(ZOrder.prunedScanN(spark, p,
+        Seq(("a", 0L, 999L), ("b", 0L, 999L)))).size == 380,
+        "post-migration append must serve base + batch")
+    }
+  }
 }

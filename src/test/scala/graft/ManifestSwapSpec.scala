@@ -301,4 +301,84 @@ class ManifestSwapSpec extends SparkSpec {
     mv.refresh(Seq(1L, 7L, 32L))
     assert(mv.read().count() == before, "idempotent refresh converged")
   }
+
+  // ---------------- round-15: first-commit crash window + ptr growth --
+
+  test("empty _ptr over IN-PLACE data (first-commit crash window): " +
+      "readers keep serving the in-place layout, the keyed-append " +
+      "guard still refuses, and a full-snapshot install completes " +
+      "the migration") {
+    val root = tmpDir("mswap-win") + "/t"
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(root)
+    // simulate commitPtr crashing between mkdirs(_ptr) and the first
+    // pointer file: an empty pointer dir over live in-place data
+    assert(new java.io.File(s"$root/_ptr").mkdirs())
+    assert(!DirSwap.isManifestRoot(spark, root),
+      "an empty _ptr must NOT make a data-holding root a manifest root")
+    assert(DirSwap.readDataPaths(spark, root, "t") == Seq(root),
+      "readers must serve the in-place data, not an empty manifest")
+    val e = intercept[UnsupportedOperationException] {
+      ManifestSwap.appendKeyed(spark, root, "t", "b1")(writeVals(9L))
+    }
+    assert(e.getMessage.contains("in-place"),
+      s"the migration guard must fire despite the _ptr husk: $e")
+    // migration: a full-snapshot install (what the families' rebuild/
+    // compaction fallbacks run) flips the root to manifest
+    ManifestSwap.install(spark, root, "t")(writeVals(1L, 2L, 3L))
+    assert(DirSwap.isManifestRoot(spark, root))
+    assert(readVals(root) == Seq(1L, 2L, 3L))
+    ManifestSwap.appendKeyed(spark, root, "t", "b1")(writeVals(9L))
+    assert(ManifestSwap.readDataPaths(spark, root).size == 2,
+      "post-migration keyed append must be admitted")
+  }
+
+  test("empty _ptr with NO in-place data is still an (empty) manifest " +
+      "root: a first delivery in flight serves empty, not an error") {
+    val root = tmpDir("mswap-empty") + "/t"
+    assert(new java.io.File(s"$root/_ptr").mkdirs())
+    assert(DirSwap.isManifestRoot(spark, root),
+      "nothing in-place to hide: the root resolves as manifest")
+    assert(DirSwap.readDataPaths(spark, root, "t").isEmpty)
+    assert(readVals(root).isEmpty)
+  }
+
+  test("commit-time pointer trim: a hot committer's _ptr stays bounded " +
+      "(round-14 verdict ask #6) and the newest snapshot keeps every " +
+      "committed entry") {
+    val root = tmpDir("mswap-trim") + "/t"
+    val n = 3 * ManifestSwap.TrimEvery + 5
+    ManifestSwap.trimGraceMs = 0L
+    try {
+      (0 until n).foreach { i =>
+        ManifestSwap.commitUpdate(spark, root, "t")(
+          m => m + (s"app:k$i" -> "g"))
+      }
+    } finally ManifestSwap.trimGraceMs = ManifestSwap.DefaultGraceMs
+    val ptrs = lsNames(s"$root/_ptr").filter(_.endsWith(".mf"))
+    assert(ptrs.size <= 2 * ManifestSwap.TrimEvery,
+      s"pointer listing must stay bounded: ${ptrs.size} files after $n commits")
+    assert(ptrs.nonEmpty)
+    assert(ManifestSwap.appliedKeys(spark, root).size == n,
+      "trim drops superseded pointer FILES, never committed entries")
+  }
+
+  test("trimPtrs sweeps AGED .tmp commit orphans (a committer that " +
+      "died between its link(2) claim and the tmp delete) and " +
+      "protects young in-flight ones") {
+    val root = tmpDir("mswap-tmp") + "/t"
+    ManifestSwap.install(spark, root, "t")(writeVals(1L))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new java.io.File(s"$root/_ptr/.tmp-dead-commit")
+    assert(orphan.createNewFile())
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - 3600 * 1000L))
+    val young = new java.io.File(s"$root/_ptr/.tmp-in-flight")
+    assert(young.createNewFile())
+    ManifestSwap.trimPtrs(fs, root, keepManifests = 2,
+      graceMs = 60 * 1000L)
+    assert(!orphan.exists(), "aged orphan must be swept")
+    assert(young.exists(), "an in-flight tmp inside the grace survives")
+    assert(readVals(root) == Seq(1L), "snapshot untouched")
+  }
 }
