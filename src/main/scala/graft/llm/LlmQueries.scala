@@ -1398,7 +1398,7 @@ object LlmQueries {
     * curation) per build. */
   private def knnGraphDir(s: SparkSession, d: String) =
     CorpusCache.resolve(s, s"$d/embeddings.parquet",
-        "graft-knng", "knng-v2|k5-pauto-h2-r3", Seq("_SUCCESS")) { tmp =>
+        "graft-knng", "knng-v3|k5-pauto-h2-r3-skauto", Seq("_SUCCESS")) { tmp =>
       SimSearch.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
         .write.mode("overwrite").parquet(tmp.getPath)
@@ -1428,7 +1428,7 @@ object LlmQueries {
     * per corpus identity, served thereafter. */
   private def knnGraphPlantedDir(s: SparkSession, d: String) =
     CorpusCache.resolve(s, s"$d/embeddings.parquet",
-        "graft-knng", "knng-planted-v3|k5-pauto-h2-r3|mod10-off1e12-declone",
+        "graft-knng", "knng-planted-v4|k5-pauto-h2-r3-skauto|mod10-off1e12-declone",
         Seq("_SUCCESS")) { tmp =>
       // De-clone the base to the min-id representative per DISTINCT
       // embedding before planting: byte-identical natural vectors would
@@ -1772,7 +1772,7 @@ object LlmQueries {
     try {
       val tag = Tables.embeddings(s, d).count() * 1000000000L +
         Tables.orders(s, d).count()
-      val dir = new java.io.File(s"$oracleExportRoot/knng_edges_v2_$tag")
+      val dir = new java.io.File(s"$oracleExportRoot/knng_edges_v3_$tag")
       if (new java.io.File(dir, "_SUCCESS").exists()) return
       s.read.parquet(knnGraphDir(s, d).getPath)
         .select(col("src_id").as("src"), col("nbr_id").as("dst"),
@@ -3219,7 +3219,7 @@ object LlmQueries {
       // fixed-path glob (see graphPagerankQ).
       s"""WITH e AS (
         |   SELECT src, dst FROM read_parquet(
-        |     '$oracleExportRoot/knng_edges_v2_*/*.parquet',
+        |     '$oracleExportRoot/knng_edges_v3_*/*.parquet',
         |     union_by_name=true)
         |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
         |       * 1000000000 + (SELECT count(*) FROM orders))),
@@ -3269,7 +3269,7 @@ object LlmQueries {
       // is a pure function of (edges, embeddings)
       s"""WITH e AS (
          |   SELECT src, dst, rank, cos_e6 FROM read_parquet(
-         |     '$oracleExportRoot/knng_edges_v2_*/*.parquet',
+         |     '$oracleExportRoot/knng_edges_v3_*/*.parquet',
          |     union_by_name=true)
          |   WHERE corpus_tag = (SELECT (SELECT count(*) FROM embeddings)
          |       * 1000000000 + (SELECT count(*) FROM orders))),

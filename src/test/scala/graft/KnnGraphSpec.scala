@@ -81,11 +81,16 @@ class KnnGraphSpec extends SparkSpec {
     val seedOnly = recallOf(run(0))
     val recall = recallOf(got)
     info(f"knn-graph recall@$K: LSH seed $seedOnly%.3f -> +3 descent rounds $recall%.3f")
-    // measured 0.32 seed / 0.80 refined at 8/2; floors set well under so
-    // data regeneration noise cannot flake the suite. Brute force stays
-    // the exact path (llm_simsearch_topk); this is the graph-at-scale
-    // trade, and the descent rounds must be doing real work.
-    assert(recall >= 0.55, f"recall $recall%.3f below floor")
+    // measured 0.94 refined at 8 planes / hamming 2 with the log-n
+    // descent width (autoSearchK, round 15 — the fixed 2k width
+    // decayed 0.80 -> 0.59 from 500 -> 2,000 vectors and is gone);
+    // 0.97 at sf0.1's 2,000 vectors, re-measured engine-outside every
+    // round by tools/knn_recall.py (floor 0.70 there, sampled). Floor
+    // set under the measurement so data regeneration noise cannot
+    // flake the suite. Brute force stays the exact path
+    // (llm_simsearch_topk); this is the graph-at-scale trade, and the
+    // descent rounds must be doing real work.
+    assert(recall >= 0.80, f"recall $recall%.3f below floor")
     assert(recall > seedOnly, "NN-descent rounds added no recall")
   }
 

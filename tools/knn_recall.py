@@ -13,13 +13,15 @@ of those exact edges present in the engine's graph, summed over the
 tie handling is identical on both sides.
 
 Usage: tools/knn_recall.py <sf_dir> [export_root] [sample_target] [floor]
-Prints one JSON line; exits 1 below the floor. The default floor 0.55
-is the SAME contract KnnGraphSpec pins in-process: measured recall is
-~0.80 at the 500-vector SFs and decays with corpus size at the fixed
-auto-plane geometry (0.59 at sf0.1's 2000 vectors) — the floor exists
-to catch REGRESSIONS of the declared geometry, not to promise more
-than the approximate-by-contract graph does. Requires a prior
-`graft.Verify <sf_dir> ...` run (it writes the edge export this reads).
+Prints one JSON line; exits 1 below the floor. The default floor 0.70
+is the SAME contract KnnGraphSpec pins in-process: with the descent
+candidate width log-n-scaled like the planes (autoSearchK, round 15 —
+the round-14 fixed-width geometry decayed 0.80 -> 0.59 from 500 ->
+2,000 vectors), measured recall is ~0.85 at the 500-vector SFs and
+~0.91 at sf0.1's 2,000. The floor exists to catch REGRESSIONS of the
+declared geometry, not to promise more than the approximate-by-
+contract graph does. Requires a prior `graft.Verify <sf_dir> ...` run
+(it writes the edge export this reads).
 """
 import json
 import sys
@@ -31,7 +33,7 @@ def main() -> int:
     export_root = sys.argv[2] if len(sys.argv) > 2 else \
         "/root/repo/target/oracle-export"
     sample_target = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
-    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.55
+    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.70
     k = 5
 
     con = duckdb.connect()
@@ -42,7 +44,7 @@ def main() -> int:
         f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')"
     ).fetchone()[0]
     tag = n_emb * 1000000000 + n_ord
-    edges_glob = f"{export_root}/knng_edges_v2_*/*.parquet"
+    edges_glob = f"{export_root}/knng_edges_v3_*/*.parquet"
     n_edges = con.execute(
         f"SELECT count(*) FROM read_parquet('{edges_glob}') "
         f"WHERE corpus_tag = {tag}").fetchone()[0]
