@@ -3,13 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe (round-15): recall@5 of [[graft.llm.SimSearch.knnGraph]]
-  * at sf0.1 (2000 vectors) across (refineRounds, searchK) — the grid
-  * behind the corpus-size-stable geometry choice. Not part of any gate;
-  * run with `sbt "Test/runMain graft.RecallProbe <sfDir> [grid...]"`. */
+/** Recall measurement harness for [[graft.llm.SimSearch.knnGraph]]
+  * (round-15, behind the corpus-size-stable geometry choice).
+  *
+  * Two modes:
+  *  - `sbt "Test/runMain graft.RecallProbe <sfDir> [r:searchK ...]"` —
+  *    driver-side exact recall@5 at the declared (or a grid of)
+  *    geometry; sized for the <=2k-vector SFs.
+  *  - `sbt "Test/runMain graft.RecallProbe <sfDir> --export <root>"` —
+  *    build the graph at the DECLARED geometry and write the
+  *    `knng_edges_v3_<corpusTag>` export (the graft.Verify side-effect
+  *    format) under `<root>`, for `tools/knn_recall.py <sfDir> <root>`
+  *    to score with its sampled DuckDB-exact ground truth — the
+  *    >=20k-vector path (the perturbed-clone sf1 corpus, round-14
+  *    verdict ask #2, where a full Verify run just for the export
+  *    would cost 25 min). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    if (args.length >= 3 && args(1) == "--export") {
+      exportEdges(sfDir, args(2)); return
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-recall-probe")
@@ -67,6 +81,33 @@ object RecallProbe {
       recall(r, sk)
     } else
       recall(3, 0) // searchK=0 -> autoSearchK, the declared geometry
+    spark.stop()
+  }
+
+  /** Build at the declared llm_knn_graph geometry (k=5, auto planes,
+    * hamming 2, 3 rounds, auto searchK) and export edges in the
+    * verify-time format tools/knn_recall.py reads. */
+  private def exportEdges(sfDir: String, exportRoot: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("graft-recall-export")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val tag = emb.count() * 1000000000L +
+      spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val t0 = System.nanoTime()
+    val g = graft.llm.SimSearch.knnGraph(emb, "vec_id", "embedding",
+      k = 5, planes = 0, probeHamming = 2, refineRounds = 3)
+    g.select(col("src_id").as("src"), col("nbr_id").as("dst"),
+        col("rank"), col("cos_e6"), lit(tag).as("corpus_tag"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$exportRoot/knng_edges_v3_$tag")
+    println(f"exported knng_edges_v3_$tag under $exportRoot " +
+      f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
     spark.stop()
   }
 }
