@@ -266,6 +266,50 @@ object HealRaceChild {
       zmAppends.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
 
+    // phase 11 (round-15): (a) the SLOW reader — resolve the current
+    // (deliberately grace-aged) generation, sleep mid-scan while the
+    // parent supersedes it under hot gc, then complete the read. A
+    // creation-age grace would have reaped the generation at the first
+    // supersession (its age already exceeded the grace when we
+    // resolved); the supersession-measured grace must carry this scan.
+    waitFor(ctlFile("go-gcread"))
+    val p11a = args(13)
+    val slowPath = graft.streaming.ManifestSwap.readPath(spark, p11a)
+      .getOrElse(sys.error("phase 11: nothing to resolve at " + p11a))
+    touch(ctlFile("gcread-resolved"))
+    Thread.sleep(4000) // mid-scan: the parent is superseding + gc'ing
+    val slowVs = spark.read.parquet(slowPath)
+      .select("v").collect().map(_.getLong(0))
+    if (slowVs.length != 8 || slowVs.toSet != Set(1L))
+      sys.error(s"slow scan on the superseded generation broke: " +
+        s"${slowVs.toSeq}")
+    touch(ctlFile("done-gcread"))
+
+    // (b) the SLOW stager with LYING directory mtimes (the S3A
+    // fake-dir shape): write the batch, then hold the commit open for
+    // 5 s re-zeroing the generation directory's mtime each step —
+    // dir-mtime orphan aging would reap it at any grace; the
+    // newest-object floor must protect it until the commit.
+    waitFor(ctlFile("go-gcstage"))
+    val p11b = args(14)
+    graft.streaming.ManifestSwap.appendKeyed(spark, p11b, "hr11",
+      "slow-batch") { dir =>
+      spark.range(1000L, 1050L).selectExpr("id AS v")
+        .write.mode("overwrite").parquet(dir)
+      val d = new java.io.File(dir)
+      var held = 0
+      while (held < 10) {
+        d.setLastModified(0L) // keep the lie fresh against any touch
+        Thread.sleep(500)
+        held += 1
+      }
+      if (!d.exists() ||
+          !d.listFiles().exists(_.getName.endsWith(".parquet")))
+        sys.error("phase 11: the staged generation was reaped " +
+          "mid-stage — the newest-object mtime floor failed")
+    }
+    touch(ctlFile("done-gcstage"))
+
     println("HEALRACE_ALL_OK")
     spark.stop()
   }

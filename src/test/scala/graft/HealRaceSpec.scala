@@ -274,6 +274,23 @@ class HealRaceSpec extends SparkSpec {
     try ZOrder.layoutN(zmBatch(0), zmRoot, zmDims, 2)
     finally graft.streaming.DirSwap.forceManifest = false
 
+    // ---- fixtures 10/11: the phase-11 gc-race roots (round-15 —
+    // round-14 verdict ask #5). p11a: whole-snapshot installs the
+    // child slow-scans across a supersession; p11b: a keyed-append
+    // root the child slow-STAGES into with lying directory mtimes
+    // while gc runs hot.
+    val p11aRoot = tmpDir("healrace-p11a") + "/t"
+    def p11aInstall(v: Long): Unit =
+      graft.streaming.ManifestSwap.install(spark, p11aRoot, "hr11") { d =>
+        spark.range(8).selectExpr(s"CAST($v AS BIGINT) AS v")
+          .write.mode("overwrite").parquet(d)
+      }
+    val p11bRoot = tmpDir("healrace-p11b") + "/t"
+    graft.streaming.ManifestSwap.install(spark, p11bRoot, "hr11") { d =>
+      spark.range(0L, 50L).selectExpr("id AS v")
+        .write.mode("overwrite").parquet(d)
+    }
+
     // ---- launch the second JVM (CorpusCacheSpec precedent: same
     // classpath + module options as this test JVM)
     val jvmOpts = java.lang.management.ManagementFactory
@@ -286,7 +303,7 @@ class HealRaceSpec extends SparkSpec {
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.HealRaceChild", ctl.getPath, layout, idx, swapDir, "hrtag",
       swapRounds.toString, retainDir, corpusA, mvPath, sinkDir, zDir,
-      mfRoot, zmRoot)
+      mfRoot, zmRoot, p11aRoot, p11bRoot)
     // child output goes to a FILE, not a pipe: the parent only drains
     // output at the end, so a chatty child could fill the pipe buffer
     // and block mid-phase — and on a timeout the pipe's contents were
@@ -575,6 +592,82 @@ class HealRaceSpec extends SparkSpec {
         s"settled keyed-append layout is not the exactly-once union: " +
           s"${zmSettled.size} rows for 1 base + $zmI parent + " +
           s"$childAppends child batches")
+
+      // phase 11 (round-15, verdict ask #5): HOT gc racing (a) a SLOW
+      // reader mid-scan on a generation that is BOTH older than the
+      // grace and superseded mid-scan, and (b) a SLOW cross-process
+      // stager whose directory mtimes lie (the S3A fake-dir shape) —
+      // with a rival keyed CAS from this JVM landing mid-stage. The
+      // cell is machine-RED under both rejected aging rules and green
+      // under the shipped ones:
+      //   - creation-age grace: the (a) generation's age exceeds the
+      //     grace BEFORE its first supersession (we age it 11 s against
+      //     a 10 s grace), so creation-aging would reap it the instant
+      //     install #2 landed — mid-scan. Supersession-aging protects
+      //     it for a further grace, and the child's clean slow read
+      //     (resolve → 4 s sleep → complete 8-row scan) is the proof.
+      //   - dir-mtime orphan aging: the (b) staged generation
+      //     advertises lastModified == 0 (sampled and asserted below)
+      //     while gc passes repeatedly; dir-aging would reap it at ANY
+      //     grace, the newest-OBJECT floor protects it for the whole
+      //     5 s stage, and the batch commits and serves exactly once.
+      val grace11 = 10000L
+      p11aInstall(1L)
+      Thread.sleep(grace11 + 1000) // age past the grace while CURRENT
+      touch(new java.io.File(ctl, "go-gcread"))
+      waitFor(new java.io.File(ctl, "gcread-resolved"))
+      val doneGcRead = new java.io.File(ctl, "done-gcread")
+      val deadline11a = System.currentTimeMillis() + 120000
+      var i11 = 0
+      while (!doneGcRead.exists() &&
+          System.currentTimeMillis() < deadline11a) {
+        i11 += 1
+        p11aInstall(1L + i11) // supersede the generation under the scan
+        graft.streaming.ManifestSwap.gc(spark, p11aRoot,
+          keepManifests = 1, graceMs = grace11)
+        Thread.sleep(300)
+      }
+      assert(doneGcRead.exists(),
+        "child's slow mid-scan read never completed in 120 s")
+      assert(i11 >= 2, "the scanned generation was never superseded")
+
+      touch(new java.io.File(ctl, "go-gcstage"))
+      val doneGcStage = new java.io.File(ctl, "done-gcstage")
+      val deadline11b = System.currentTimeMillis() + 120000
+      var sawDirLie = false
+      var rivalDone = false
+      while (!doneGcStage.exists() &&
+          System.currentTimeMillis() < deadline11b) {
+        graft.streaming.ManifestSwap.gc(spark, p11bRoot,
+          keepManifests = 1, graceMs = grace11)
+        val gens = Option(
+          new java.io.File(s"$p11bRoot/_gens").listFiles())
+          .getOrElse(Array.empty)
+        sawDirLie ||= gens.exists(d => d.isDirectory &&
+          d.lastModified == 0L)
+        if (!rivalDone) {
+          // the rival CAS from this JVM, mid-stage
+          graft.streaming.ManifestSwap.appendKeyed(spark, p11bRoot,
+            "hr11", "parent-batch") { d =>
+            spark.range(2000L, 2050L).selectExpr("id AS v")
+              .write.mode("overwrite").parquet(d)
+          }
+          rivalDone = true
+        }
+        Thread.sleep(200)
+      }
+      assert(doneGcStage.exists(),
+        "child's slow stage never committed in 120 s")
+      assert(sawDirLie,
+        "the dir-mtime lie was never observed live — the red/green " +
+          "contrast did not exercise (slow stage too fast?)")
+      val p11Settled = spark.read.parquet(graft.streaming.DirSwap
+          .readDataPaths(spark, p11bRoot, "hr11"): _*)
+        .select($"v").as[Long].collect().toSeq.sorted
+      assert(p11Settled == ((0L until 50L) ++ (1000L until 1050L) ++
+          (2000L until 2050L)).sorted,
+        s"settled keyed root is not the exactly-once 3-batch union: " +
+          s"${p11Settled.size} rows")
 
       assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
         "child JVM did not exit")
