@@ -285,6 +285,59 @@ object CdcQueries {
       .orderBy("grp", "rank")
   }
 
+  /** Stage the documents feed once per (JVM, corpus) and drain the
+    * [[graft.streaming.StreamingNearDedup]] flow over it: the graft-cdc
+    * source pages doc versions (= doc_id + 1) in 4 fixed windows, each
+    * micro-batch rehydrates text via the stream-static join (the J2
+    * shape) and dedups against the union of all PRIOR batches'
+    * survivors, installing its own state dir. Idempotent re-entry: the
+    * `_done` stamp short-circuits, and a redelivered batch recomputes
+    * identical state (the StreamingNearDedupSpec crash cell). */
+  private def stagedNearDedupBase(s: SparkSession, d: String): String = {
+    val base = scratchRoot(s, d, "snd")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$base/_done")
+    if (fs.exists(done)) return base
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), (col("doc_id") + 1).as("change_version"))
+      .write.mode("overwrite").parquet(s"$base/feed")
+    val maxV = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val pv = (maxV + 3) / 4 // 4 pages at every SF — the oracle unrolls 4
+    val stream = s.readStream.format("graft-cdc")
+      .option("path", s"$base/feed")
+      .option("entityColumn", "doc_id")
+      .option("versionColumn", "change_version")
+      .option("maxVersionsPerBatch", pv.toString)
+      .load()
+      .select(col("entity_id").as("doc_id"))
+      .join(docs, Seq("doc_id"))
+    graft.streaming.StreamingNearDedup
+      .flow(stream, s"$base/state", s"$base/ck")
+      .awaitTermination()
+    fs.create(done, true).close()
+    base
+  }
+
+  /** T9-ND — STREAMING near-dedup, declared (round-14 verdict ask #7:
+    * the one undeclared streaming modality): the cumulative accepted
+    * corpus after [[graft.streaming.StreamingNearDedup]] drains the
+    * 4-page document feed — each micro-batch's LSH bands semi-join the
+    * persisted survivor index (cost ∝ batch, old-vs-old pairs never
+    * form), batch docs yield to same-batch lower ids and to ACCEPTED
+    * earlier-page partners only (a rejected earlier doc blocks
+    * nothing — its bands never entered the index). Pages arrive in id
+    * order, so the oracle unrolls the same 4-page fold over DuckDB's
+    * exact shingle-Jaccard pair table. */
+  val streamNearDedup: Q = (s, d) => {
+    val base = stagedNearDedupBase(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.streaming.StreamingNearDedup
+      .accepted(s, s"$base/state", docs.schema)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** T5/T9 — the stateful per-entity fold (batch twin of the
     * flatMapGroupsWithState session stream): final running state per
     * entity after draining the feed, summation in version order so the
@@ -592,7 +645,8 @@ object CdcQueries {
     "stream_view_delta" -> streamViewDelta,
     "stream_view_minmax" -> streamViewMinmax,
     "stream_view_sketch" -> streamViewSketch,
-    "stream_view_topk" -> streamViewTopk
+    "stream_view_topk" -> streamViewTopk,
+    "stream_near_dedup" -> streamNearDedup
   )
 
   private val feedsCte =
@@ -779,6 +833,49 @@ object CdcQueries {
          | SELECT grp, CAST(rank AS BIGINT) AS rank, id AS invoice_id,
          |   CAST(cnt AS BIGINT) AS n_changes
          | FROM r WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
+    "stream_near_dedup" ->
+      // unrolled 4-page incremental near-dedup fold over the exact
+      // shingle-Jaccard pair table (the llm_dedup_near oracle's p CTE,
+      // shared): pages are doc_id DIV pv with pv = ceil((max+1)/4) —
+      // the same version windows the graft-cdc source delivers
+      // (version = doc_id + 1). Pages arrive in id order, so a batch
+      // doc can only lose to a SMALLER-id partner: any same-page
+      // member, or an ACCEPTED earlier-page survivor (a rejected
+      // earlier doc blocks nothing — its bands never entered the
+      // index). That is Dedup.incrementalNearDedup's loser rule with
+      // the lose-as-id_a branch structurally dead under id-ordered
+      // paging.
+      ("WITH" + graft.llm.LlmQueries.shinglePairCtes("documents") +
+        """,
+          | pv AS (SELECT CAST(ceil((max(doc_id) + 1) / 4.0) AS BIGINT)
+          |     AS v FROM documents),
+          | dg AS MATERIALIZED (SELECT doc_id,
+          |     doc_id // (SELECT v FROM pv) AS g FROM documents),
+          | np AS MATERIALIZED (SELECT p.ia, p.ib, ga.g AS ga
+          |   FROM p JOIN dg ga ON ga.doc_id = p.ia WHERE p.j >= 7000),
+          | a0 AS MATERIALIZED (SELECT d.doc_id FROM dg d WHERE d.g = 0
+          |   AND NOT EXISTS (SELECT 1 FROM np
+          |     WHERE np.ib = d.doc_id AND np.ga = 0)),
+          | a1 AS MATERIALIZED (SELECT d.doc_id FROM dg d WHERE d.g = 1
+          |   AND NOT EXISTS (SELECT 1 FROM np
+          |     WHERE np.ib = d.doc_id AND (np.ga = 1
+          |       OR np.ia IN (SELECT doc_id FROM a0)))),
+          | a2 AS MATERIALIZED (SELECT d.doc_id FROM dg d WHERE d.g = 2
+          |   AND NOT EXISTS (SELECT 1 FROM np
+          |     WHERE np.ib = d.doc_id AND (np.ga = 2
+          |       OR np.ia IN (SELECT doc_id FROM a0
+          |         UNION ALL SELECT doc_id FROM a1)))),
+          | a3 AS MATERIALIZED (SELECT d.doc_id FROM dg d WHERE d.g = 3
+          |   AND NOT EXISTS (SELECT 1 FROM np
+          |     WHERE np.ib = d.doc_id AND (np.ga = 3
+          |       OR np.ia IN (SELECT doc_id FROM a0
+          |         UNION ALL SELECT doc_id FROM a1
+          |         UNION ALL SELECT doc_id FROM a2))))
+          | SELECT doc_id FROM (
+          |   SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+          |   UNION ALL SELECT doc_id FROM a2
+          |   UNION ALL SELECT doc_id FROM a3)
+          | ORDER BY doc_id""".stripMargin),
     "cdc_view_minmax" ->
       s"""WITH $feedsOpsCte,
          | snap AS (

@@ -2206,7 +2206,7 @@ object LlmQueries {
     * gate compares the same values. MATERIALIZED pins each stage to
     * one evaluation (the temp-table shape of the verdict ask, inside a
     * single driver-compatible statement). */
-  private def shinglePairCtes(src: String): String =
+  private[graft] def shinglePairCtes(src: String): String =
     s""" t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
        | sg AS MATERIALIZED (SELECT doc_id, unnest(
        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]

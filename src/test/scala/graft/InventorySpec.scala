@@ -110,7 +110,10 @@ class InventorySpec extends SparkSpec {
     // round 7, eighth wave: cached BI serving, forward as-of,
     // the dataset card
     "view_cached_sql", "join_asof_forward", "llm_dataset_card",
-    "llm_ngram_novelty")
+    "llm_ngram_novelty",
+    // round 15: the one undeclared streaming modality (round-14
+    // verdict ask #7) — streaming near-dedup served as a declared key
+    "stream_near_dedup")
 
   test("every SURVEY §2 query key is declared") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
