@@ -1153,6 +1153,22 @@ object SimSearch {
     // corpus with k²-bounded decaying fan-out.
     val vecsTbl = emb0.select(col(idCol).as("__vid"),
       col(vecCol).as("__vv")).localCheckpoint(true)
+    // The candidate-dedup shuffle is the ONE stage whose per-partition
+    // row count grows faster than n: the mid-key join streams up to
+    // n·(2·searchK)² pairs into it (640M at n=100k, searchK=8k), and
+    // the session's shuffle.partitions — sized for the session's usual
+    // tables, and a floor AQE can only coalesce DOWN from, never split
+    // (skew-split applies to joins, not aggregates) — turns that into
+    // tens-of-millions-of-row tasks and an executor OOM. The builder
+    // knows the corpus size, so it sizes this exchange itself:
+    // ~250 source vectors' candidate fan-out per partition, never
+    // fewer than the session default. Inert (descParts == session
+    // default, plan byte-identical) below ~250·default vectors —
+    // every declared-SF plan is unchanged; measured live at 100k
+    // vectors (bench/KNNG_RECALL_r15.json 50× row).
+    val sessionParts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val descParts = math.max(sessionParts,
+      math.min(200000L, nDistinct / 250L).toInt)
     for (_ <- 0 until refineRounds) {
       val edges = graph.select(col("src_id").as("a"),
         col("nbr_id").as("b"), col("is_new"))
@@ -1163,15 +1179,35 @@ object SimSearch {
         col("is_new").as("__na"))
       val right = sym.select(col("a").as("__mid"), col("b").as("c"),
         col("is_new").as("__nc"))
-      val nn = left.join(right, "__mid")
+      val nnRaw = left.join(right, "__mid")
         .filter(col("a") =!= col("c") && (col("__na") || col("__nc")))
         .select(col("a").as("id_a"), col("c").as("id_b"))
+      // repartition ON the distinct keys: the hash exchange it inserts
+      // satisfies the distinct's clustering requirement, so it IS the
+      // distinct's only shuffle, just at corpus-sized width (the cost
+      // is the map-side combine the implicit exchange would have run —
+      // cross-task duplicates were never combinable anyway)
+      val nn = (if (descParts > sessionParts)
+          nnRaw.repartition(descParts, col("id_a"), col("id_b"))
+        else nnRaw)
         .distinct()
         .join(graph.select(col("src_id").as("id_a"),
           col("nbr_id").as("id_b")), Seq("id_a", "id_b"), "left_anti")
-      val newScored = nn
+      // the vector-fetch joins re-cluster the candidate stream on a
+      // SINGLE id — (id_a,id_b) hash partitioning doesn't satisfy
+      // that, so each join would re-exchange at session width; keep
+      // the stream at corpus width through both (each repartition IS
+      // that join's exchange for this side)
+      val nnW = if (descParts > sessionParts)
+          nn.repartition(descParts, col("id_a"))
+        else nn
+      val scoredA = nnW
         .join(vecsTbl.withColumnRenamed("__vid", "id_a"), "id_a")
         .withColumnRenamed("__vv", "v_a")
+      val scoredAW = if (descParts > sessionParts)
+          scoredA.repartition(descParts, col("id_b"))
+        else scoredA
+      val newScored = scoredAW
         .join(vecsTbl.withColumnRenamed("__vid", "id_b"), "id_b")
         .select(col("id_a"), col("id_b"),
           cosineE6(col("v_a"), col("__vv")).as("cos_e6"))

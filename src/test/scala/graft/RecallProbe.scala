@@ -97,15 +97,12 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
-    val nVec = emb.count()
-    // Partition the shuffles for the CORPUS, not the 16-thread box:
-    // the first descent round's candidate join carries ~n·(2·searchK)²
-    // pairs (640M at n=100k), which 16 fixed partitions turn into
-    // 40M-row tasks and an OOM — the exact sizing rule SURVEY §6's
-    // scale notes prescribe (a cluster run gets this from AQE).
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(16L, nVec / 250L).toString)
-    val tag = nVec * 1000000000L +
+    // The 16 shuffle partitions above are deliberately NOT corpus-
+    // sized: knnGraph guards its own descent candidate exchange
+    // (descParts, SimSearch) — this harness runs the big corpora at
+    // the default-shaped session exactly so that guard is what's
+    // being exercised (it OOM'd here at 100k vectors without it).
+    val tag = emb.count() * 1000000000L +
       spark.read.parquet(s"$sfDir/orders.parquet").count()
     val t0 = System.nanoTime()
     val g = graft.llm.SimSearch.knnGraph(emb, "vec_id", "embedding",
