@@ -40,6 +40,24 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** Widen a NARROW input to the session's parallelism before per-row-
+    * expensive work (r15 opt; guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read"). The
+    * verify/bench corpora are single-row-group parquet files, so their
+    * scans plan ONE partition and everything fused above the first
+    * exchange — tokenize, n-gram explode, signature hashing — runs
+    * single-threaded (measured 1.5-1.8 s single-task stages under the
+    * gram family at sf0.1). The guard keeps it inert at scale: a corpus
+    * whose scan already plans >= parallelism partitions passes through
+    * untouched, so no 100 TB table is ever re-shuffled for this.
+    * Round-robin repartition is deterministic under retries
+    * (sortBeforeRepartition, on by default) and every declared query
+    * ends in an ORDER BY, so results are partitioning-blind. */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** One SparkSession config for library users: shuffle partitions sized for
     * the local harness; AQE on so skewed joins re-plan at runtime.
     */

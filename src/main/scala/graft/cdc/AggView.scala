@@ -70,8 +70,14 @@ object AggView {
     * the v0 state is read (semi-join on the batch keys). */
   def incrementalView(spark: SparkSession, dir: String,
                       v0: Long, v1: Long): DataFrame = {
-    val snap0 = Merge.liveSnapshot(spark, dir, v0)
+    // r15 opt: the v0 state feeds the view build AND the touched-slice
+    // semi join, the batch feeds the semi join AND the merge — without
+    // staging, each consumer re-runs the full feed collapse (measured:
+    // four ~0.35 s single-task collapse recomputes per run at sf0.1).
+    // One checkpoint each; every branch below reads the staged rows.
+    val snap0 = Merge.liveSnapshot(spark, dir, v0).localCheckpoint(true)
     val batch = TombstoneCdc.changedInvoicesOps(spark, dir, v0, v1)
+      .localCheckpoint(true)
     val touched0 = snap0.join(batch.select("invoice_id"),
       Seq("invoice_id"), "left_semi")
     val newLive = Merge.mergeUpsert(touched0, batch)
@@ -153,11 +159,17 @@ object AggView {
     * every split (AggViewSpec property). */
   def incrementalMinMaxView(spark: SparkSession, dir: String,
                             v0: Long, v1: Long): DataFrame = {
-    val snap0 = Merge.liveSnapshot(spark, dir, v0)
+    // r15 opt: snap0 feeds three branches (view build, touched semi
+    // join, the snap1 anti join), batch three, touched0 and newLive
+    // two each — the un-staged DAG re-collapsed the feed per branch
+    // (76 Exchanges, 8 parquet listing jobs at sf0.1). Stage each
+    // shared subtree once; the maintenance algebra is unchanged.
+    val snap0 = Merge.liveSnapshot(spark, dir, v0).localCheckpoint(true)
     val batch = TombstoneCdc.changedInvoicesOps(spark, dir, v0, v1)
+      .localCheckpoint(true)
     val touched0 = snap0.join(batch.select("invoice_id"),
-      Seq("invoice_id"), "left_semi")
-    val newLive = Merge.mergeUpsert(touched0, batch)
+      Seq("invoice_id"), "left_semi").localCheckpoint(true)
+    val newLive = Merge.mergeUpsert(touched0, batch).localCheckpoint(true)
     // the v1 snapshot for the rescan is (snap0 minus touched) ∪ newLive
     // — no second feed collapse; at scale this is a group-pruned SCAN
     // of the state, which is exactly what a group-partitioned layout

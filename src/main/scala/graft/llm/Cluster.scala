@@ -54,29 +54,42 @@ object Cluster {
       .localCheckpoint()
     val sym = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+
+    // ROUND 1 over identity labels needs no label table at all (r15
+    // opt): nbr_label(v) is just min incoming src, the propagated
+    // label least(id, that), and the pointer jump a self-join — the
+    // generic round's sym⋈labels join and the identity-label
+    // materialization both disappear from the first round.
+    val prop0 = sym.groupBy(col("dst"))
+      .agg(min(col("src")).as("nbr_label"))
+      .select(col("dst").as("id"),
+        least(col("dst"), col("nbr_label")).as("label"))
+    var labels = prop0.alias("a")
+      .join(prop0.alias("b"), col("a.label") === col("b.id"))
+      .select(col("a.id").as("id"), col("b.label").as("label"))
       .localCheckpoint()
-    var iter = 0
+    var iter = 1
     while (iter < maxIter) {
       // 1. min over each node's neighborhood (incoming labels)
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
       // 2. pointer jump: follow the label's own label. label ≤ id for
       // every node and labels contains every node, so the lookup hits.
+      // The convergence flag rides the SAME pass (r15 opt: the former
+      // jumped-vs-labels join re-shuffled both tables once per round
+      // just to ask "did anything change"; carrying the old label
+      // makes the check a filter over the checkpointed rows).
       val jumped = propagated.alias("a")
         .join(propagated.alias("b"), col("a.label") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.label").as("label"))
+        .select(col("a.id").as("id"), col("b.label").as("label"),
+          (col("b.label") =!= col("a.__old")).as("__chg"))
         .localCheckpoint()
-      val changed = jumped.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-      val converged = changed.isEmpty
-      labels = jumped
+      val converged = jumped.filter(col("__chg")).isEmpty
+      labels = jumped.select(col("id"), col("label"))
       iter += 1
       if (converged) return labels
     }

@@ -263,7 +263,7 @@ object Curate {
     // default to the corpus column name
     val evalGrams = grams(evalSet,
       evalTextCol.getOrElse(textCol)).select("gram").distinct()
-    val bad = grams(corpus, textCol, col(idCol))
+    val bad = grams(graft.Tables.widen(corpus), textCol, col(idCol))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -208,15 +208,16 @@ object Dedup {
     val keyed = df
       .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
       .localCheckpoint(true)
-    val probe = keyed.agg(count(lit(1)).as("n"),
-      countDistinct(col("__fp")).as("d")).head()
-    if (probe.getLong(0) == probe.getLong(1)) return (null, null, false)
+    // r15 opt: ONE driver probe instead of two — n, the distinct count
+    // and the clone pair mass all derive from the grouped table, so the
+    // former keyed-level aggregate job is folded into this one
     val groups = keyed.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
       .localCheckpoint(true)
-    val pairMass = groups
-      .agg(sum(col("__n") * (col("__n") - 1) / 2).cast("long")).head().getLong(0)
-    if (pairMass <= probe.getLong(0)) return (null, null, false)
+    val probe = groups.agg(sum(col("__n")).as("n"), count(lit(1)).as("d"),
+      sum(col("__n") * (col("__n") - 1) / 2).cast("long").as("mass")).head()
+    if (probe.getLong(0) == probe.getLong(1)) return (null, null, false)
+    if (probe.getLong(2) <= probe.getLong(0)) return (null, null, false)
     val mapping = keyed
       .join(groups.select(col("__fp"), col("__rep")), Seq("__fp"))
       .select(col(idCol).as("__id"), col("__rep"))

@@ -597,14 +597,41 @@ object LlmQueries {
                                 blockedCap: Long): DataFrame = {
     val h = Tables.documents(s, d).select(col("doc_id"), col("source"),
       substring(col("text"), 1, 30).as("head"))
-    val widest = h.groupBy("source").count()
-      .agg(max("count")).head().getLong(0)
+    // one partial-aggregated pass reads the widest block (the failover
+    // gate) AND the pair-space geometry the direct form sizes itself by
+    val stats = h.groupBy("source").count()
+      .agg(max("count").as("widest"),
+        sum(col("count") * col("count")).as("pairSpace"),
+        count(lit(1)).as("nSrc")).head()
+    val widest = stats.getLong(0)
     if (widest <= blockedCap) {
+      // SIZE THE PAIR JOIN FROM THE DATA (r15 opt; guide §2.5 + the
+      // knnGraph descent-exchange precedent): the blocked join's
+      // shuffle bytes are tiny (5000 heads at sf0.1) but its OUTPUT is
+      // |block|² pairs each paying a banded levenshtein DP — AQE sizes
+      // partitions by bytes, so it coalesced the whole pair space into
+      // ONE task (measured: two 3.1 s single-task stages, the sort's
+      // sample pass and the real pass, 6.6 of 6.9 s warm2). Salt the
+      // block key — b picks one deterministic salt, a replicates
+      // across all — and pin the exchanges with an explicit
+      // repartition the join reuses, so the pair space spreads over
+      // parts tasks at ANY session width. Output-identical: each
+      // unordered pair still meets exactly once (a carries every salt,
+      // b exactly one).
+      val sessionParts = s.sparkContext.defaultParallelism.toLong
+      val parts = math.min(
+        math.max(sessionParts, stats.getLong(1) / 25000L), 200000L).toInt
+      val saltK = math.max(1L,
+        math.ceil(parts * 25.0 / stats.getLong(2)).toLong)
       val a = h.select(col("source"), col("doc_id").as("id_a"),
         col("head").as("head_a"))
+        .withColumn("__salt", explode(sequence(lit(0L), lit(saltK - 1))))
+        .repartition(parts, col("source"), col("__salt"))
       val b = h.select(col("source"), col("doc_id").as("id_b"),
         col("head").as("head_b"))
-      a.join(b, Seq("source"))
+        .withColumn("__salt", pmod(xxhash64(col("id_b")), lit(saltK)))
+        .repartition(parts, col("source"), col("__salt"))
+      a.join(b, Seq("source", "__salt"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("dist",
           levenshtein(col("head_a"), col("head_b"), 12).cast("long"))
@@ -1005,7 +1032,7 @@ object LlmQueries {
     * partial (map-side combine) on the gram key; the final top-20 is a
     * TakeOrderedAndProject, k rows to the driver. */
   val boilerplateNgrams: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(explode(array_distinct(TextOps.ngrams(col("text"), 3))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram"))
@@ -1213,7 +1240,7 @@ object LlmQueries {
     * assumed broadcastable (at 100 TB it is billions of types); the
     * per-doc fold is a partial sum. */
   val lmScoreQ: Q = (s, d) => {
-    val grams = Tables.documents(s, d)
+    val grams = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(TextOps.ngrams(col("text"), 2)).as("gram"))
       .localCheckpoint(true)
@@ -1539,7 +1566,7 @@ object LlmQueries {
     * aggregate — high-cardinality shuffle key, spreads evenly; no
     * window anywhere. */
   val diversityNgramQ: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(col("source"),
         explode(TextOps.ngrams(col("text"), 2)).as("gram"))
       .groupBy(col("source"))
@@ -1568,7 +1595,7 @@ object LlmQueries {
     // lesson): ScalableRank consumes it THREE times (band-boundary
     // sampling, the ranked pass, the count table), and each would
     // otherwise re-run the tokenize + (source, gram) aggregate
-    val freq = Tables.documents(s, d)
+    val freq = Tables.widen(Tables.documents(s, d))
       .select(col("source"),
         explode(TextOps.ngrams(col("text"), 2)).as("gram"))
       .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("f"))
@@ -1605,8 +1632,12 @@ object LlmQueries {
     * band decomposition stays monotone under the lexicographic order.
     * Full DuckDB oracle (ntile parity is the window_ntile precedent). */
   val curriculumOrderQ: Q = (s, d) => {
+    // r15 opt: the quality score (a stopword-filter HOF per row) feeds
+    // ScalableRank's three passes (quantile sketch, ranked pass, count
+    // table) — stage it once instead of re-scoring the corpus per pass
     val base = Tables.documents(s, d).select(col("doc_id"),
       TextOps.qualityE4(col("text")).as("quality_e4"))
+      .localCheckpoint(true)
     val dec = graft.ops.ScalableRank.withRank(base, lit(1),
         Seq(col("quality_e4").desc, col("doc_id").asc),
         -col("quality_e4"), "__qr", "__qn")
@@ -1615,9 +1646,12 @@ object LlmQueries {
           .as("decile"),
         Curate.shuffleKey(col("doc_id")).as("__sk"))
     // one monotone long for (decile, shuffle_key): decile ≤ 10,
-    // shuffle_key < 2^31 — no overflow, order-preserving
+    // shuffle_key < 2^31 — no overflow, order-preserving.
+    // Staged once (r15 opt): the second rank's three passes would each
+    // re-run the FIRST rank's window + offset join otherwise.
     val keyed = dec.withColumn("__ck",
       col("decile") * lit(2147483648L) + col("__sk"))
+      .localCheckpoint(true)
     graft.ops.ScalableRank.withRank(keyed, lit(1),
         Seq(col("__ck").asc, col("doc_id").asc), col("__ck"),
         "curriculum_pos", "__cn")
@@ -1667,7 +1701,7 @@ object LlmQueries {
     * back, a doc-keyed fold — all linear; the (doc, gram) table
     * stages once (the tfidf lesson). */
   val ngramNoveltyQ: Q = (s, d) => {
-    val dg = Tables.documents(s, d)
+    val dg = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(TextOps.ngrams(col("text"), 2))).as("gram"))
       .localCheckpoint(true)
@@ -1930,29 +1964,60 @@ object LlmQueries {
     // the DuckDB oracle and Wave7Spec's naive argmax both pin it.
     val members = e.select(col("vec_id"), col("label"),
       col("embedding").as("__v"))
+    // r15 opt: g1 (the clone-group table) feeds FOUR consumers (g2,
+    // both pair-join sides, the member reassembly) — checkpoint it once
+    // instead of re-running the (label, vector) aggregate per consumer,
+    // and key every downstream join on the group's rep id (__min1, 1:1
+    // with (label, __v)) instead of the 512-byte vector array.
     val g1 = members.groupBy(col("label"), col("__v"))
       .agg(min(col("vec_id")).as("__min1"), count(lit(1)).as("__gsz"))
+      .localCheckpoint(true)
     val g2 = members.join(g1, Seq("label", "__v"))
       .filter(col("vec_id") =!= col("__min1"))
-      .groupBy(col("label"), col("__v"))
+      .groupBy(col("__min1"))
       .agg(min(col("vec_id")).as("__min2"))
-    val reps = g1.select(col("label"), col("__v"), col("__min1"))
-    val ra = reps.select(col("label"), col("__v"),
+    // SIZE THE REP-PAIR JOIN FROM THE DATA (the fuzzyPairs recipe —
+    // AQE coalesced the within-label rep² pair space + cosine into one
+    // task, measured 3.4 s single-task at sf0.1): one cheap aggregate
+    // over the checkpointed g1 reads the pair-space geometry, the
+    // label key is salted, and explicit repartitions pin the
+    // exchanges. Each unordered rep pair still meets exactly once per
+    // orientation (ra carries every salt, rb exactly one).
+    val st = g1.groupBy("label").count()
+      .agg(sum(col("count") * col("count")).as("pairSpace"),
+        count(lit(1)).as("nLbl")).head()
+    val sessionParts = s.sparkContext.defaultParallelism.toLong
+    val parts = math.min(
+      math.max(sessionParts, st.getLong(0) / 25000L), 200000L).toInt
+    val saltK = math.max(1L, math.ceil(parts * 25.0 / st.getLong(1)).toLong)
+    // per-rep norms once (n·O(dim)) instead of per pair (n²·O(dim)):
+    // sqrt(vecDot(v,v)) is the exact double cosineE6 divides by, so
+    // round(1e6·dot/(na·nb)) is bit-identical to the inline form
+    val ra = g1.select(col("label"), col("__v"),
       col("__min1").as("__repa"))
-    val rb = reps.select(col("label"), col("__v").as("__vb"),
+      .withColumn("__na", sqrt(graft.functions.VectorFunctions.vecDot(col("__v"), col("__v"))))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltK - 1))))
+      .repartition(parts, col("label"), col("__salt"))
+    val rb = g1.select(col("label"), col("__v").as("__vb"),
       col("__min1").as("__repb"))
+      .withColumn("__nb", sqrt(graft.functions.VectorFunctions.vecDot(col("__vb"), col("__vb"))))
+      .withColumn("__salt", pmod(xxhash64(col("__repb")), lit(saltK)))
+      .repartition(parts, col("label"), col("__salt"))
     // best OTHER group per rep: distinct-vector pair join on the label
-    val bestOther = ra.join(rb, Seq("label"))
+    val bestOther = ra.join(rb, Seq("label", "__salt"))
       .filter(col("__repa") =!= col("__repb"))
-      .select(col("label"), col("__v"),
-        struct((-SimSearch.cosineE6(col("__v"), col("__vb"))).as("negc"),
+      .select(col("__repa"),
+        struct((-round(lit(1000000.0) *
+            graft.functions.VectorFunctions.vecDot(col("__v"), col("__vb")) /
+            (col("__na") * col("__nb"))).cast("long")).as("negc"),
           col("__repb").as("id")).as("__c"))
-      .groupBy(col("label"), col("__v"))
+      .groupBy(col("__repa"))
       .agg(min(col("__c")).as("__cross"))
     val pos = members
       .join(g1, Seq("label", "__v"))
-      .join(g2, Seq("label", "__v"), "left")
-      .join(bestOther, Seq("label", "__v"), "left")
+      .join(g2, Seq("__min1"), "left")
+      .join(bestOther, col("__min1") === col("__repa"), "left")
+      .drop("__repa")
       .withColumn("__own", when(col("__gsz") >= 2,
         struct(lit(-1000000L).as("negc"),
           when(col("vec_id") === col("__min1"), col("__min2"))
