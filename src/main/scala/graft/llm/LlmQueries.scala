@@ -1207,8 +1207,12 @@ object LlmQueries {
     val docs = Tables.documents(s, d)
     val sampled = Curate.sampleStratified(docs, "doc_id", "lang",
       ratesE4 = Map("en" -> 6000L), defaultE4 = 8000L)
+    // r15 opt: `clean` feeds the clone probe, the LSH band/shingle
+    // scans AND the final anti join — staged once instead of re-running
+    // the sample + decontaminate subtree per consumer (~4 evaluations)
     val clean = Curate.decontaminate(sampled,
       docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
+      .localCheckpoint(true)
     val losers = Cluster.dupClusters(clean, "doc_id", "text")
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val deduped = clean.join(losers, Seq("doc_id"), "left_anti")
