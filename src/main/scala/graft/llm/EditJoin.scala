@@ -160,10 +160,29 @@ object EditJoin {
       .select(bc ++ Seq(col("id_b"), col("head_b"),
         col("g.i"), col("g.piece")): _*)
 
-    val repPairs = segs.join(subs, blockCols ++ Seq("i", "piece"))
+    // SIZE THE CANDIDATE PIPELINE FROM THE DATA (r15 opt, the
+    // fuzzyPairs recipe): candidate bytes are small — a few MB of
+    // (id, head) rows even when weak 2-3-char segments collide into
+    // ~|block|²-order candidates — so AQE's byte-based coalescing ran
+    // the collision join, the pair distinct AND the banded-DP verify
+    // in ONE task (measured 5.7 s + 1.6 s single-task stages on the
+    // 10× scale corpus). Pin the join and the verify exchanges at a
+    // width derived from the key count; inert at real scale where the
+    // bytes grow past AQE's advisory size anyway.
+    val sessionParts =
+      df.sparkSession.sparkContext.defaultParallelism.toLong
+    val nKeys =
+      if (hasClones) groups.count()
+      else groups.agg(sum(col("__n"))).head().getLong(0)
+    val parts = math.min(math.max(sessionParts,
+      nKeys * (k + 1) * (k + 1) / 25000L), 200000L).toInt
+    val jk = bc ++ Seq(col("i"), col("piece"))
+    val repPairs = segs.repartition(parts, jk: _*)
+      .join(subs.repartition(parts, jk: _*), blockCols ++ Seq("i", "piece"))
       .filter(col("id_a") < col("id_b"))
       .select(blockCols ++ Seq("id_a", "head_a", "id_b", "head_b") map col: _*)
       .distinct() // a pair can collide on several segments — verify once
+      .repartition(parts, col("id_a"), col("id_b"))
       .withColumn("dist",
         levenshtein(col("head_a"), col("head_b"), k).cast("long"))
       .filter(col("dist") >= 0)
