@@ -42,6 +42,11 @@ object Cluster {
     * bound is ever hit the loop throws rather than returning a
     * half-converged labeling. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // r16 (advice): a non-positive bound throws BEFORE the eager
+    // round-1 compute + checkpoint below ever runs
+    if (maxIter <= 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     // materialize the edge list ONCE, before both the symmetrizing
     // union and the per-round joins: without the checkpoint every
     // downstream use would re-run the upstream pair pipeline (for
@@ -64,10 +69,24 @@ object Cluster {
       .agg(min(col("src")).as("nbr_label"))
       .select(col("dst").as("id"),
         least(col("dst"), col("nbr_label")).as("label"))
-    var labels = prop0.alias("a")
+    val round1 = prop0.alias("a")
       .join(prop0.alias("b"), col("a.label") === col("b.id"))
-      .select(col("a.id").as("id"), col("b.label").as("label"))
+      .select(col("a.id").as("id"), col("b.label").as("label"),
+        // changed vs the identity labels round 1 starts from — only
+        // consulted on the maxIter == 1 path below, so the common
+        // path pays no extra action for it
+        (col("b.label") =!= col("a.id")).as("__chg"))
       .localCheckpoint()
+    if (maxIter == 1) {
+      // r16 (advice): previously the only return lived inside the
+      // loop, so maxIter = 1 threw even for graphs that converge in
+      // one round (e.g. an empty edge list)
+      if (round1.filter(col("__chg")).isEmpty)
+        return round1.select("id", "label")
+      throw new IllegalStateException(
+        "connectedComponents did not converge in 1 round")
+    }
+    var labels = round1.select("id", "label")
     var iter = 1
     while (iter < maxIter) {
       // 1. min over each node's neighborhood (incoming labels)

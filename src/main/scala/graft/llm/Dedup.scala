@@ -214,8 +214,13 @@ object Dedup {
     val groups = keyed.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
       .localCheckpoint(true)
-    val probe = groups.agg(sum(col("__n")).as("n"), count(lit(1)).as("d"),
-      sum(col("__n") * (col("__n") - 1) / 2).cast("long").as("mass")).head()
+    // coalesce: on an EMPTY corpus both sums are NULL (r16 advice —
+    // getLong would NPE where the pre-fold two-probe form returned
+    // (null, null, false)); n = d = 0 then takes the clone-free exit
+    val probe = groups.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"), count(lit(1)).as("d"),
+      coalesce(sum(col("__n") * (col("__n") - 1) / 2).cast("long"),
+        lit(0L)).as("mass")).head()
     if (probe.getLong(0) == probe.getLong(1)) return (null, null, false)
     if (probe.getLong(2) <= probe.getLong(0)) return (null, null, false)
     val mapping = keyed

@@ -171,9 +171,10 @@ object EditJoin {
     // bytes grow past AQE's advisory size anyway.
     val sessionParts =
       df.sparkSession.sparkContext.defaultParallelism.toLong
-    val nKeys =
-      if (hasClones) groups.count()
-      else groups.agg(sum(col("__n"))).head().getLong(0)
+    val nKeys = // coalesce: no key has length == len → sum is NULL
+      if (hasClones) groups.count() // (r16 advice; nKeys = 0 clamps
+      else groups.agg(coalesce(sum(col("__n")), lit(0L))) // parts to
+        .head().getLong(0) // sessionParts and the joins run empty)
     val parts = math.min(math.max(sessionParts,
       nKeys * (k + 1) * (k + 1) / 25000L), 200000L).toInt
     val jk = bc ++ Seq(col("i"), col("piece"))

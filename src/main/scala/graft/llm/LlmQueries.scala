@@ -600,8 +600,8 @@ object LlmQueries {
     // one partial-aggregated pass reads the widest block (the failover
     // gate) AND the pair-space geometry the direct form sizes itself by
     val stats = h.groupBy("source").count()
-      .agg(max("count").as("widest"),
-        sum(col("count") * col("count")).as("pairSpace"),
+      .agg(coalesce(max("count"), lit(0L)).as("widest"),
+        coalesce(sum(col("count") * col("count")), lit(0L)).as("pairSpace"),
         count(lit(1)).as("nSrc")).head()
     val widest = stats.getLong(0)
     if (widest <= blockedCap) {
@@ -621,8 +621,12 @@ object LlmQueries {
       val sessionParts = s.sparkContext.defaultParallelism.toLong
       val parts = math.min(
         math.max(sessionParts, stats.getLong(1) / 25000L), 200000L).toInt
-      val saltK = math.max(1L,
-        math.ceil(parts * 25.0 / stats.getLong(2)).toLong)
+      // cap at the widest block (r16 advice): saltK sized from block
+      // COUNT alone can exceed the block's row count on a wide
+      // session — salts past |block| carry < 1 b-row each, pure
+      // a-side replication. Output-identical for any saltK >= 1.
+      val saltK = math.max(1L, math.min(math.max(widest, 1L),
+        math.ceil(parts * 25.0 / stats.getLong(2)).toLong))
       val a = h.select(col("source"), col("doc_id").as("id_a"),
         col("head").as("head_a"))
         .withColumn("__salt", explode(sequence(lit(0L), lit(saltK - 1))))
@@ -1987,13 +1991,24 @@ object LlmQueries {
     // label key is salted, and explicit repartitions pin the
     // exchanges. Each unordered rep pair still meets exactly once per
     // orientation (ra carries every salt, rb exactly one).
+    // coalesce + the widest cap (r16 advice): an EMPTY embeddings
+    // table made getLong NPE on the NULL sum (and nLbl = 0 divide by
+    // zero below) where the pre-probe form was fully lazy; and saltK
+    // sized from label COUNT alone could exceed the widest label's
+    // row count on a wide session (salts beyond |label| carry < 1
+    // b-row each — pure a-side replication). Salting is
+    // output-identical for ANY saltK >= 1, so both are plan-only.
     val st = g1.groupBy("label").count()
-      .agg(sum(col("count") * col("count")).as("pairSpace"),
-        count(lit(1)).as("nLbl")).head()
+      .agg(coalesce(sum(col("count") * col("count")), lit(0L))
+          .as("pairSpace"),
+        count(lit(1)).as("nLbl"),
+        coalesce(max(col("count")), lit(1L)).as("widest")).head()
     val sessionParts = s.sparkContext.defaultParallelism.toLong
     val parts = math.min(
       math.max(sessionParts, st.getLong(0) / 25000L), 200000L).toInt
-    val saltK = math.max(1L, math.ceil(parts * 25.0 / st.getLong(1)).toLong)
+    val saltK = if (st.getLong(1) == 0L) 1L
+      else math.max(1L, math.min(st.getLong(2),
+        math.ceil(parts * 25.0 / st.getLong(1)).toLong))
     // per-rep norms once (n·O(dim)) instead of per pair (n²·O(dim)):
     // sqrt(vecDot(v,v)) is the exact double cosineE6 divides by, so
     // round(1e6·dot/(na·nb)) is bit-identical to the inline form
