@@ -2,7 +2,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Scratch plan dumper for the optimization rounds: writes
-  * `plans/r15/<query>_<tag>.txt` with `.explain("formatted")` output at
+  * `plans/r16/<query>_<tag>.txt` with `.explain("formatted")` output at
   * the bench SF. Usage:
   *   sbt "runMain graft.ExplainDump before q1 q2 ..." */
 object ExplainDump {
@@ -18,7 +18,7 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Files.createDirectories(Paths.get("plans/r15"))
+    Files.createDirectories(Paths.get("plans/r16"))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -26,8 +26,8 @@ object ExplainDump {
       val capped = plan.linesIterator.map { l =>
         if (l.length > 500) l.take(500) + s"…(+${l.length - 500} chars)" else l
       }.mkString("\n")
-      Files.writeString(Paths.get(s"plans/r15/${name}_$tag.txt"), capped)
-      println(s"wrote plans/r15/${name}_$tag.txt")
+      Files.writeString(Paths.get(s"plans/r16/${name}_$tag.txt"), capped)
+      println(s"wrote plans/r16/${name}_$tag.txt")
     }
     spark.stop()
   }

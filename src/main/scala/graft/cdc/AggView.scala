@@ -70,16 +70,18 @@ object AggView {
     * the v0 state is read (semi-join on the batch keys). */
   def incrementalView(spark: SparkSession, dir: String,
                       v0: Long, v1: Long): DataFrame = {
-    // r15 opt: the v0 state feeds the view build AND the touched-slice
-    // semi join, the batch feeds the semi join AND the merge — without
-    // staging, each consumer re-runs the full feed collapse (measured:
-    // four ~0.35 s single-task collapse recomputes per run at sf0.1).
-    // One checkpoint each; every branch below reads the staged rows.
-    val snap0 = Merge.liveSnapshot(spark, dir, v0).localCheckpoint(true)
+    // r16 (verdict #1): stage only the SLICE-BOUNDED frames. r15
+    // checkpointed snap0 — the FULL v0 live state — into executor
+    // storage, which at 100 TB materializes the snapshot where the
+    // un-staged form merely re-scans it (group-pruned under a real
+    // state layout). snap0 now stays lazy and its collapse runs twice
+    // (view build + touched slice); batch and touched0 are
+    // batch-bounded and stage once for their two consumers each.
+    val snap0 = Merge.liveSnapshot(spark, dir, v0)
     val batch = TombstoneCdc.changedInvoicesOps(spark, dir, v0, v1)
       .localCheckpoint(true)
     val touched0 = snap0.join(batch.select("invoice_id"),
-      Seq("invoice_id"), "left_semi")
+      Seq("invoice_id"), "left_semi").localCheckpoint(true)
     val newLive = Merge.mergeUpsert(touched0, batch)
     applyDelta(
       viewOf(contributions(spark, dir, snap0)),
@@ -159,12 +161,15 @@ object AggView {
     * every split (AggViewSpec property). */
   def incrementalMinMaxView(spark: SparkSession, dir: String,
                             v0: Long, v1: Long): DataFrame = {
-    // r15 opt: snap0 feeds three branches (view build, touched semi
-    // join, the snap1 anti join), batch three, touched0 and newLive
-    // two each — the un-staged DAG re-collapsed the feed per branch
-    // (76 Exchanges, 8 parquet listing jobs at sf0.1). Stage each
-    // shared subtree once; the maintenance algebra is unchanged.
-    val snap0 = Merge.liveSnapshot(spark, dir, v0).localCheckpoint(true)
+    // r16 (verdict #1): stage only the SLICE-BOUNDED frames (batch,
+    // touched0, newLive) — r15 also checkpointed snap0, the FULL v0
+    // live state, which at 100 TB materializes the snapshot into
+    // executor storage where re-scanning it (group-pruned under a
+    // real state layout) is the scale-safe behavior. snap0 stays
+    // lazy; its collapse runs once per consumer (view build, touched
+    // slice, snap1 anti join — three at sf0.1, each a pruned scan at
+    // scale). The maintenance algebra is unchanged.
+    val snap0 = Merge.liveSnapshot(spark, dir, v0)
     val batch = TombstoneCdc.changedInvoicesOps(spark, dir, v0, v1)
       .localCheckpoint(true)
     val touched0 = snap0.join(batch.select("invoice_id"),

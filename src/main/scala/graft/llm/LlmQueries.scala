@@ -1213,9 +1213,18 @@ object LlmQueries {
       ratesE4 = Map("en" -> 6000L), defaultE4 = 8000L)
     // r15 opt: `clean` feeds the clone probe, the LSH band/shingle
     // scans AND the final anti join — staged once instead of re-running
-    // the sample + decontaminate subtree per consumer (~4 evaluations)
+    // the sample + decontaminate subtree per consumer (~4 evaluations).
+    // r16 (verdict #1): the staged frame is PROJECTED to the two
+    // columns every downstream stage consumes (dedup, quality floor
+    // and packing read only doc_id + text — packShards defines the
+    // output schema, so dropping lang/source/n_chars is output-
+    // invariant). The checkpoint itself is the documented exception
+    // to the no-corpus-residency rule: a deployment stages the
+    // decontaminated slice to DURABLE storage before the dedup fan-out
+    // for exactly this reuse; localCheckpoint is its single-box stand-in.
     val clean = Curate.decontaminate(sampled,
       docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
+      .select("doc_id", "text")
       .localCheckpoint(true)
     val losers = Cluster.dupClusters(clean, "doc_id", "text")
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
