@@ -63,8 +63,13 @@ object StageProbe {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // SPARK_GRAFT_PROBE_RUN=cold records the FIRST run instead —
+      // the stream_* family short-circuits warm on its _done stamp,
+      // so their interesting profile is the cold drain (r16 item 3)
+      val recordCold = sys.env.get("SPARK_GRAFT_PROBE_RUN").contains("cold")
+      if (recordCold) { stages.clear(); jobs.clear(); record = true }
       val cold = run()
-      stages.clear(); jobs.clear(); record = true
+      if (!recordCold) { stages.clear(); jobs.clear(); record = true }
       val warm = run()
       record = false
       println(f"\n=== $name cold=$cold%.2f s warm=$warm%.2f s ===")

@@ -184,22 +184,62 @@ object CdcQueries {
     val done = new org.apache.hadoop.fs.Path(s"$base/_staged")
     if (!fs.exists(done)) {
       val pages = aggViewPages
-      pages.zipWithIndex.foreach { case ((lo, hi), i) =>
-        val tmp = s"$base/stage-$i"
-        TombstoneCdc.changedInvoicesOps(s, d, lo, hi)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.startsWith("part-")).get
-        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      // r16 (stream cold starts): ONE staging job instead of four —
+      // each feed row is tagged with its page and the per-page
+      // latest-op collapse becomes one (page, invoice_id) aggregate
+      // (identical per-page rows: the page tag partitions the groupBy
+      // domain exactly as four separate version-window collapses did).
+      // repartition on the page column gives one part file per page;
+      // the renames then install them in page order with EXPLICIT
+      // strictly-increasing mtimes, so the file stream's
+      // (modTime, path) ordering — which four sequential writes used
+      // to guarantee implicitly — is pinned, not incidental.
+      val tmp = s"$base/stage-all"
+      val pageOf = aggViewPageLos.tail.zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (lo, i)) =>
+          when(col("change_version") > lo, lit(i + 1)).otherwise(acc)
+      }
+      TombstoneCdc.headerFeedOps(s, d)
+        .unionByName(TombstoneCdc.lineFeedOps(s, d))
+        .filter(col("change_version") > 0L)
+        .withColumn("__page", pageOf)
+        .groupBy(col("__page"), col("invoice_id"))
+        .agg(max(struct(col("change_version"),
+          col("change_operation"))).as("m"))
+        .select(col("__page"), col("invoice_id"),
+          col("m.change_version").as("change_version"),
+          col("m.change_operation").as("change_operation"))
+        .repartition(pages.size, col("__page"))
+        .write.mode("overwrite").partitionBy("__page").parquet(tmp)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      val t0 = System.currentTimeMillis()
+      pages.indices.foreach { i =>
+        val pdir = new org.apache.hadoop.fs.Path(s"$tmp/__page=$i")
         val dst = new org.apache.hadoop.fs.Path(s"$src/page-$i.parquet")
         // fail LOUD on a rename refusal (stale destination from a
         // crashed prior staging, cross-fs /tmp) — stamping _staged over
         // a missing page would silently diverge the drained view
         if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(part, dst))
-          throw new java.io.IOException(s"graft aggview: cannot stage $dst")
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        if (fs.exists(pdir)) {
+          val part = fs.listStatus(pdir)
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          if (!fs.rename(part, dst))
+            throw new java.io.IOException(s"graft aggview: cannot stage $dst")
+        } else {
+          // an empty page writes no partition dir — stage an explicit
+          // zero-row file so the drain still sees one file per page
+          val (lo, hi) = pages(i)
+          TombstoneCdc.changedInvoicesOps(s, d, lo, hi)
+            .coalesce(1).write.mode("overwrite").parquet(s"$base/stage-$i")
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/stage-$i"))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          if (!fs.rename(part, dst))
+            throw new java.io.IOException(s"graft aggview: cannot stage $dst")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/stage-$i"), true)
+        }
+        fs.setTimes(dst, t0 + i * 1000L, -1L)
       }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       fs.create(done, true).close()
     }
     base

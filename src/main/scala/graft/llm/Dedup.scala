@@ -487,12 +487,28 @@ object Dedup {
                           idCol: String, textCol: String,
                           shingleN: Int = 3, numHashes: Int = 16,
                           bands: Int = 8, minJaccardE4: Long = 7000,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket): DataFrame =
     // staged once: the band rows feed BOTH the touched-bucket probe and
     // the pair-formation union — without the checkpoint the batch would
     // be shingled+signed twice (batch-sized, so the stage is bounded)
-    val bBands = minhashBands(batch, idCol, textCol, shingleN, numHashes,
-      bands).localCheckpoint()
+    incrementalNearDupsWithBands(
+      minhashBands(batch, idCol, textCol, shingleN, numHashes, bands)
+        .localCheckpoint(),
+      batch, indexBands, corpusTexts, idCol, textCol, shingleN,
+      minJaccardE4, maxBucket)
+
+  /** [[incrementalNearDups]] with the batch's band rows PRE-COMPUTED
+    * (and already staged) by the caller — the streaming flow computes
+    * them once per micro-batch and reuses them for the index append,
+    * instead of re-shingling the survivors (r16; the signature pass
+    * was the measured per-batch cost of the stream_near_dedup drain).
+    * `bBands` must be `minhashBands(batch, …)` under the same LSH
+    * geometry as `indexBands`. */
+  private[graft] def incrementalNearDupsWithBands(
+      bBands: DataFrame, batch: DataFrame, indexBands: DataFrame,
+      corpusTexts: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccardE4: Long = 7000,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val touched = bBands.select(col("band"), col("bucket")).distinct()
     val rows = bBands.withColumn("is_new", lit(true)).unionByName(
       indexBands.select(col(idCol), col("band"), col("bucket"))
@@ -534,10 +550,18 @@ object Dedup {
     * footprint) so the two loser branches don't recompute the LSH. */
   def incrementalNearDedup(batch: DataFrame, indexBands: DataFrame,
                            corpusTexts: DataFrame,
-                           idCol: String, textCol: String): DataFrame = {
+                           idCol: String, textCol: String): DataFrame =
+    incrementalNearDedupFrom(
+      incrementalNearDups(batch, indexBands, corpusTexts, idCol, textCol),
+      batch, idCol)
+
+  /** The loser-rule half of [[incrementalNearDedup]], given the
+    * verified pair table (so a caller with pre-computed batch bands
+    * composes [[incrementalNearDupsWithBands]] with this). */
+  private[graft] def incrementalNearDedupFrom(
+      nearDups: DataFrame, batch: DataFrame, idCol: String): DataFrame = {
     val batchIds = batch.select(col(idCol))
-    val pairs = incrementalNearDups(batch, indexBands, corpusTexts,
-      idCol, textCol).localCheckpoint()
+    val pairs = nearDups.localCheckpoint()
     val losers = pairs
       .join(batchIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
       .select(col("id_b").as(idCol))

@@ -221,7 +221,13 @@ object StreamingAggView {
   private def appendAndDerive(spark: SparkSession, root: String,
                               batch: DataFrame, batchId: Long): BatchState = {
     val logDir = s"$root/log"
-    val page = collapse(batch).localCheckpoint(true)
+    // r16: the log partition IS the page's materialization — the
+    // collapse runs once inside the append write, and every fold reads
+    // the page back from the just-committed log partition instead of a
+    // separate localCheckpoint (one fewer eager action per batch; the
+    // read-back is the same bytes the replay path would see, so
+    // redelivery semantics are unchanged by construction)
+    val collapsed = collapse(batch)
     if (DirSwap.appendsAreManifest(spark, logDir))
       // manifest protocol (round-14 ADVICE: the log was the one
       // append-style root the protocol guard missed): each batch is
@@ -229,13 +235,16 @@ object StreamingAggView {
       // no-op where the rename protocol re-wrote identical bytes
       ManifestSwap.appendKeyed(spark, logDir, "aggviewlog",
         s"batch-$batchId") { gen =>
-        page.withColumn("batch_id", lit(batchId))
+        collapsed.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(gen)
       }
     else
-      page.withColumn("batch_id", lit(batchId))
+      collapsed.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(logDir)
+    val page = readLog(spark, root)
+      .filter(col("batch_id") === batchId)
+      .select("invoice_id", "change_version", "change_operation")
     new BatchState(page, spark, root, batchId)
   }
 
@@ -244,10 +253,14 @@ object StreamingAggView {
     if (viewGen(spark, root) >= batchId) return
     val oldView = DirSwap.readOrEmpty(spark, s"$root/view", viewSchema,
       tag = "aggview")
+    // r16: no checkpoint — newView's one consumer is the install
+    // write below (the old view dir is read inside the write job,
+    // strictly before the swap, so laziness is crash-equivalent); an
+    // eager stage here was one more driver action per batch, and the
+    // per-batch action count IS the streaming cold cost at small SFs
     val newView = AggView.applyDelta(oldView,
       AggView.contributions(spark, sfDir, st.touched0),
       AggView.contributions(spark, sfDir, st.newLive))
-      .localCheckpoint(true)
     DirSwap.install(spark, s"$root/view", tag = "aggview") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
       writeGenInto(spark, tmp, batchId)
@@ -264,13 +277,13 @@ object StreamingAggView {
       Seq("invoice_id"), "left_anti").unionByName(st.newLive)
     val oldView = DirSwap.readOrEmpty(spark, s"$root/viewmm", minMaxSchema,
       tag = "aggviewmm")
+    // r16: no checkpoint — single consumer (see foldCountSum)
     val newView = AggView.applyMinMaxDelta(oldView,
       AggView.contributions(spark, sfDir, st.touched0),
       AggView.contributions(spark, sfDir, st.newLive),
       groups => AggView.viewMinMax(
         AggView.contributions(spark, sfDir, snap1)
           .join(groups, Seq("grp"), "left_semi")))
-      .localCheckpoint(true)
     DirSwap.install(spark, s"$root/viewmm", tag = "aggviewmm") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
       writeGenInto(spark, tmp, batchId)
@@ -308,11 +321,11 @@ object StreamingAggView {
     val batchSk = st.page.groupBy(col("change_operation").as("grp"))
       .agg(expr("theta_sketch_agg(invoice_id, 18)").as("sketch"),
         count(lit(1)).as("n_rows"))
+    // r16: no checkpoint — single consumer (see foldCountSum)
     val newView = oldView.unionByName(batchSk)
       .groupBy("grp")
       .agg(expr("theta_union_agg(sketch, 18)").as("sketch"),
         sum(col("n_rows")).as("n_rows"))
-      .localCheckpoint(true)
     DirSwap.install(spark, s"$root/viewsk", tag = "aggviewsk") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
       writeGenInto(spark, tmp, batchId)
@@ -390,7 +403,9 @@ object StreamingAggView {
         .select(col("grp"), col("e.id").as("id"), col("e.cnt").as("cnt"))
       merged.filter(!col("grp").isin(hot.toSeq: _*))
         .unionByName(capped)
-    }).localCheckpoint(true)
+    }) // r16: no second checkpoint — `merged` is already staged for
+       // its three consumers; the exact-regime fast path was
+       // re-materializing it verbatim, the capped path has one consumer
     DirSwap.install(spark, s"$root/viewtk", tag = "aggviewtk") { tmp =>
       newView.coalesce(1).write.mode("overwrite").parquet(tmp)
       writeGenInto(spark, tmp, batchId)

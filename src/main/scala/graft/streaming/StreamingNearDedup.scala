@@ -68,19 +68,35 @@ object StreamingNearDedup {
                    shingleN: Int = 3, numHashes: Int = 16, bands: Int = 8)
                   (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // NOT widened (r16 A/B): spreading the ~1 s single-task signature
+    // pass over 32 tasks measured WORSE cold (21.6 → 31.3 s for the
+    // whole drain — per-task overhead and 32 tiny state files per
+    // batch dir swamped the parallelism); the batch stays one
+    // partition and the state writes one file per batch dir.
     val docs = batch.select(col(idCol), col(textCol))
     val bandSchema = Dedup.minhashBands(docs.limit(0), idCol, textCol,
       shingleN, numHashes, bands).schema
     val priorBands = readPrior(spark, s"$stateDir/bands", batchId, bandSchema)
     val priorDocs = readPrior(spark, s"$stateDir/accepted", batchId,
       docs.schema)
+    // ONE signature pass per batch (r16): the staged band rows feed
+    // the dedup AND the index append — the append is the batch bands
+    // semi-joined to the survivor ids (minhashBands is deterministic
+    // per row, so this is exactly minhashBands(survivors) without
+    // re-shingling the texts)
+    val bBands = Dedup.minhashBands(docs, idCol, textCol,
+      shingleN, numHashes, bands).localCheckpoint()
     // staged: the survivors feed both state writes, and the second
     // write must not recompute the dedup against state it just changed
-    val survivors = Dedup.incrementalNearDedup(docs, priorBands, priorDocs,
-      idCol, textCol).localCheckpoint()
-    survivors.write.mode("overwrite")
+    val survivors = Dedup.incrementalNearDedupFrom(
+        Dedup.incrementalNearDupsWithBands(bBands, docs, priorBands,
+          priorDocs, idCol, textCol, shingleN),
+        docs, idCol)
+      .localCheckpoint()
+    survivors.coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/accepted/batch-$batchId")
-    Dedup.minhashBands(survivors, idCol, textCol, shingleN, numHashes, bands)
+    bBands.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$stateDir/bands/batch-$batchId")
   }
 
